@@ -1,0 +1,443 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's aggregate / window / sort surface (SURVEY.md §2.4–2.6,
+  * from `/root/reference/service/merge/calls.go` + `query_merge.go`)
+  * re-expressed as declarative DataFrame programs over the `events` table
+  * (time = `ts`, tag = `event_type`, field = `value`).
+  *
+  * Exactness contract with the DuckDB oracle: every floating aggregate is
+  * computed from exact integer cents (`round(value*100)::BIGINT`) so the
+  * result is order-independent; the final double op sequence is written
+  * identically in Spark and SQL, so results are bit-identical. Time is
+  * exchanged as epoch-microsecond BIGINT (`ts_us`), never as raw timestamps,
+  * to dodge engine-specific timezone/INT96 encoding differences.
+  *
+  * Scale notes (100 TB bar): every program here is a pure groupBy/window
+  * plan — partial aggregation, shuffle on the group keys, no driver-side
+  * collection. Windows partition by `event_type` (a tag), which is the same
+  * per-series partitioning the reference's merge layer uses
+  * (`service/coordinator.go:48-70`).
+  */
+object EventAggs {
+
+  /** events + exact integer cents of the value field. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").withColumn("cents", Tables.cents(col("value")))
+
+  /** DuckDB-side mirror of `ev`: DuckDB already reads the ns timestamps
+    * truncated to µs, so epoch_us(ts) == Spark's `ts div 1000`. */
+  private val EV =
+    "ev AS (SELECT *, epoch_us(ts) AS ts_us, CAST(round(value*100) AS BIGINT) AS cents FROM events)"
+
+  private def bucketUs(c: Column, unit: String): Column =
+    unix_micros(date_trunc(unit, c))
+
+  // Per-series window, total-ordered: (time, event_id) is a unique key.
+  private val series: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+
+  def all: Seq[Q] = Seq(
+
+    // ---- count / sum / mean / min / max / spread (calls.go:335-389,278-303,219-250)
+    Q("e_count_1h",
+      s"""WITH $EV
+         |SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+         |       count(*) AS cnt, count(value) AS cnt_field
+         |FROM ev GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy(bucketUs(col("ts"), "hour").as("bucket_us"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), count(col("value")).as("cnt_field"))
+    },
+
+    Q("e_sum_1h",
+      s"""WITH $EV
+         |SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+         |       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+         |FROM ev GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy(bucketUs(col("ts"), "hour").as("bucket_us"), col("event_type"))
+        .agg((sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+    },
+
+    Q("e_mean",
+      s"""WITH $EV
+         |SELECT event_type,
+         |       CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean_value
+         |FROM ev GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg((sum(col("cents")).cast("double") / (lit(100.0) * count(col("value")))).as("mean_value"))
+    },
+
+    Q("e_min_max_spread",
+      """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+        |       max(value) - min(value) AS spread
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          (max("value") - min("value")).as("spread"))
+    },
+
+    // ---- first / last by time (min_by/max_by over the (time, id) key)
+    Q("e_first_last",
+      s"""WITH $EV, w AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts_us ASC,  event_id ASC)  AS rn_f,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts_us DESC, event_id DESC) AS rn_l
+         |  FROM ev)
+         |SELECT f.event_type, f.value AS first_value, l.value AS last_value
+         |FROM (SELECT event_type, value FROM w WHERE rn_f = 1) f
+         |JOIN (SELECT event_type, value FROM w WHERE rn_l = 1) l USING (event_type)""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("first_value"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("last_value"))
+    },
+
+    // ---- top / bottom N per series (calls.go:153-217)
+    Q("e_top3",
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)))
+        .where(col("rn") <= 3).select("event_type", "event_id", "value")
+    },
+
+    Q("e_bottom3",
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)))
+        .where(col("rn") <= 3).select("event_type", "event_id", "value")
+    },
+
+    // ---- distinct field values per series (calls.go:252-276)
+    Q("e_distinct",
+      "SELECT DISTINCT event_type, value FROM events") { (s, d) =>
+      ev(s, d).select("event_type", "value").distinct()
+    },
+
+    // ---- mode, deterministically tie-broken (calls.go:305-333 is approximate;
+    //      we compute the exact mode with (count DESC, value ASC) tie-break)
+    Q("e_mode",
+      """WITH c AS (SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, value ASC) AS rn
+        |      FROM c)
+        |SELECT event_type, value AS mode_value FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cnt").desc, col("value").asc)))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("value").as("mode_value"))
+    },
+
+    // ---- stddev via exact moments (reference's merge is approximate,
+    //      calls.go:105-133; we are exact — SURVEY §7.0)
+    Q("e_stddev",
+      s"""WITH $EV
+         |SELECT event_type,
+         |  sqrt((CAST(sum(cents*cents) AS DOUBLE)/10000.0
+         |        - (CAST(sum(cents) AS DOUBLE)/100.0) * (CAST(sum(cents) AS DOUBLE)/100.0)
+         |          / CAST(count(value) AS DOUBLE))
+         |       / CAST(count(value) - 1 AS DOUBLE)) AS stddev_value
+         |FROM ev GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type").agg(
+        sqrt((sum(col("cents") * col("cents")).cast("double") / 10000.0
+          - (sum(col("cents")).cast("double") / 100.0) * (sum(col("cents")).cast("double") / 100.0)
+            / count(col("value")).cast("double"))
+          / (count(col("value")) - 1).cast("double")).as("stddev_value"))
+    },
+
+    // ---- percentile / median (exact; 2-decimal data → interpolated values
+    //      have ≤3 decimals, so round(4) absorbs engine formula differences)
+    Q("e_percentile_p90",
+      """SELECT event_type, round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.9)"), 4).as("p90"))
+    },
+
+    Q("e_median",
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"))
+    },
+
+    // ---- moving_average(value, 3) (exact; reference merge approximates, calls.go:17-44)
+    Q("e_moving_avg3",
+      s"""WITH $EV
+         |SELECT event_id, event_type,
+         |  CAST(sum(cents) OVER w AS DOUBLE)
+         |    / (100.0 * count(cents) OVER w) AS moving_avg
+         |FROM ev
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = series.rowsBetween(-2, 0)
+      ev(s, d).select(col("event_id"), col("event_type"),
+        (sum(col("cents")).over(w).cast("double")
+          / (lit(100.0) * count(col("cents")).over(w))).as("moving_avg"))
+    },
+
+    // ---- difference / derivative / elapsed / cumulative_sum / integral
+    //      (rejected by the reference merge layer, query_merge.go:171-184;
+    //       first-class here per SURVEY §2.4 last row)
+    Q("e_difference",
+      s"""WITH $EV, l AS (
+         |  SELECT event_id, event_type, cents,
+         |    lag(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pc
+         |  FROM ev)
+         |SELECT event_id, event_type, CAST(cents - pc AS DOUBLE) / 100.0 AS diff
+         |FROM l WHERE pc IS NOT NULL""".stripMargin) { (s, d) =>
+      ev(s, d).withColumn("pc", lag("cents", 1).over(series))
+        .where(col("pc").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          ((col("cents") - col("pc")).cast("double") / 100.0).as("diff"))
+    },
+
+    Q("e_derivative",
+      s"""WITH $EV, l AS (
+         |  SELECT event_id, event_type, cents, ts_us,
+         |    lag(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pc,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pt
+         |  FROM ev)
+         |SELECT event_id, event_type,
+         |  (CAST(cents - pc AS DOUBLE) / 100.0)
+         |    / (CAST(ts_us - pt AS DOUBLE) / 1000000.0) AS deriv_per_sec
+         |FROM l WHERE pt IS NOT NULL AND ts_us > pt""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("pc", lag("cents", 1).over(series))
+        .withColumn("pt", lag("ts_us", 1).over(series))
+        .where(col("pt").isNotNull && col("ts_us") > col("pt"))
+        .select(col("event_id"), col("event_type"),
+          (((col("cents") - col("pc")).cast("double") / 100.0)
+            / ((col("ts_us") - col("pt")).cast("double") / 1000000.0)).as("deriv_per_sec"))
+    },
+
+    Q("e_elapsed",
+      s"""WITH $EV, l AS (
+         |  SELECT event_id, event_type, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pt
+         |  FROM ev)
+         |SELECT event_id, event_type, ts_us - pt AS elapsed_us
+         |FROM l WHERE pt IS NOT NULL""".stripMargin) { (s, d) =>
+      ev(s, d).withColumn("pt", lag("ts_us", 1).over(series))
+        .where(col("pt").isNotNull)
+        .select(col("event_id"), col("event_type"), (col("ts_us") - col("pt")).as("elapsed_us"))
+    },
+
+    Q("e_cumulative_sum",
+      s"""WITH $EV
+         |SELECT event_id, event_type,
+         |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / 100.0 AS cum_sum
+         |FROM ev""".stripMargin) { (s, d) =>
+      ev(s, d).select(col("event_id"), col("event_type"),
+        (sum(col("cents")).over(series.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+          / 100.0).as("cum_sum"))
+    },
+
+    // trapezoidal integral in value·seconds; the per-pair terms are exact
+    // integers, so the group sum is order-independent across engines
+    Q("e_integral",
+      s"""WITH $EV, l AS (
+         |  SELECT event_type, cents, ts_us,
+         |    lag(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pc,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pt
+         |  FROM ev)
+         |SELECT event_type,
+         |  CAST(sum((cents + pc) * (ts_us - pt)) AS DOUBLE) / 200000000.0 AS integral
+         |FROM l WHERE pt IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("pc", lag("cents", 1).over(series))
+        .withColumn("pt", lag("ts_us", 1).over(series))
+        .where(col("pt").isNotNull)
+        .groupBy("event_type")
+        .agg((sum((col("cents") + col("pc")) * (col("ts_us") - col("pt"))).cast("double")
+          / 200000000.0).as("integral"))
+    },
+
+    Q("e_count_distinct",
+      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY 1") { (s, d) =>
+      ev(s, d).groupBy("event_type").agg(countDistinct("user_id").as("users"))
+    },
+
+    // approx_count_distinct is engine-specific by construction → rows-only
+    Q.noOracle("e_approx_count_distinct") { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+    },
+
+    // sample(value, n): non-deterministic by spec (calls.go:136-151) → rows-only
+    Q.noOracle("e_sample") { (s, d) =>
+      ev(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(xxhash64(col("event_id")))))
+        .where(col("rn") <= 5).select("event_type", "event_id", "value")
+    },
+
+    // ---- GROUP BY time(5m): epoch-aligned tumbling bucket, the reference's
+    //      core grouping construct (service/coordinator.go:197-204)
+    Q("e_bucket_5m",
+      s"""WITH $EV
+         |SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS bucket_us,
+         |       count(*) AS cnt, CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+         |FROM ev GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(unix_micros(window(col("ts"), "5 minutes").getField("start")).as("bucket_us"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("cents")).cast("double") / 100.0).as("sum_value"))
+    },
+
+    // ---- fill(0): time-spine join (SURVEY §2.4 grouping surface)
+    Q("e_fill_zero",
+      s"""WITH $EV,
+         |b AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM span),
+         |types AS (SELECT DISTINCT event_type FROM ev)
+         |SELECT epoch_us(s.h) AS bucket_us, t.event_type, coalesce(b.c, 0) AS cnt
+         |FROM spine s CROSS JOIN types t
+         |LEFT JOIN b ON b.h = s.h AND b.event_type = t.event_type""".stripMargin) { (s, d) =>
+      val b = ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val spine = b.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val types = b.select("event_type").distinct()
+      spine.crossJoin(types)
+        .join(b, Seq("h", "event_type"), "left")
+        .select(unix_micros(col("h")).as("bucket_us"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("cnt"))
+    },
+
+    // ---- fill(previous): carry last non-null bucket value forward
+    Q("e_fill_previous",
+      s"""WITH $EV,
+         |b AS (SELECT date_trunc('hour', ts) AS h, event_type,
+         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS sv
+         |      FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM span),
+         |types AS (SELECT DISTINCT event_type FROM ev),
+         |g AS (SELECT s.h, t.event_type, b.sv
+         |      FROM spine s CROSS JOIN types t
+         |      LEFT JOIN b ON b.h = s.h AND b.event_type = t.event_type)
+         |SELECT epoch_us(h) AS bucket_us, event_type,
+         |  last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM g""".stripMargin) { (s, d) =>
+      val b = ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg((sum(col("cents")).cast("double") / 100.0).as("sv"))
+      val spine = b.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val types = b.select("event_type").distinct()
+      spine.crossJoin(types)
+        .join(b, Seq("h", "event_type"), "left")
+        .select(unix_micros(col("h")).as("bucket_us"), col("event_type"),
+          last(col("sv"), ignoreNulls = true).over(
+            Window.partitionBy("event_type").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, 0)).as("filled"))
+    },
+
+    // ---- scalar function surface (query_merge.go:211-267)
+    Q("e_scalar_math",
+      """SELECT event_id, abs(value) AS abs_v,
+        |  CAST(ceil(value) AS BIGINT) AS ceil_v, CAST(floor(value) AS BIGINT) AS floor_v,
+        |  round(value, 1) AS round_v, sqrt(value) AS sqrt_v,
+        |  round(sin(value), 4) AS sin_v, round(cos(value), 4) AS cos_v,
+        |  round(atan(value), 4) AS atan_v,
+        |  round(ln(value + 1), 4) AS log_v, round(log2(value + 1), 4) AS log2_v,
+        |  round(log10(value + 1), 4) AS log10_v
+        |FROM events""".stripMargin) { (s, d) =>
+      ev(s, d).select(col("event_id"), abs(col("value")).as("abs_v"),
+        ceil(col("value")).cast("long").as("ceil_v"), floor(col("value")).cast("long").as("floor_v"),
+        round(col("value"), 1).as("round_v"), sqrt(col("value")).as("sqrt_v"),
+        round(sin(col("value")), 4).as("sin_v"), round(cos(col("value")), 4).as("cos_v"),
+        round(atan(col("value")), 4).as("atan_v"),
+        round(log(col("value") + 1), 4).as("log_v"), round(log2(col("value") + 1), 4).as("log2_v"),
+        round(log10(col("value") + 1), 4).as("log10_v"))
+    },
+
+    // ---- binary arithmetic incl. the reference's div-by-zero→0 shim
+    //      (query_merge.go:326-332, test-pinned semantics — SURVEY §7.0)
+    Q("e_arith",
+      """WITH a AS (SELECT event_id, value AS l, CAST(event_id % 7 AS DOUBLE) AS r FROM events)
+        |SELECT event_id, l + r AS add_v, l - r AS sub_v, l * r AS mul_v,
+        |  CASE WHEN r = 0 THEN 0.0 ELSE l / r END AS div_v,
+        |  CASE WHEN r = 0 THEN 0 ELSE CAST(l AS BIGINT) % CAST(r AS BIGINT) END AS mod_v
+        |FROM a""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .select(col("event_id"), col("value").as("l"),
+          (col("event_id") % 7).cast("double").as("r"))
+        .select(col("event_id"),
+          (col("l") + col("r")).as("add_v"), (col("l") - col("r")).as("sub_v"),
+          (col("l") * col("r")).as("mul_v"),
+          when(col("r") === 0, 0.0).otherwise(col("l") / col("r")).as("div_v"),
+          when(col("r") === 0, 0L)
+            .otherwise(col("l").cast("long") % col("r").cast("long")).as("mod_v"))
+    },
+
+    // ---- WHERE: time range + tag predicates (service/coordinator.go:304-362)
+    Q("e_filter_where",
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |  AND event_type IN ('click', 'view') AND value > 50""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .where(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")
+          && col("event_type").isin("click", "view") && col("value") > 50)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+    },
+
+    // ---- ORDER BY + LIMIT/OFFSET (query_merge.go:82-92)
+    Q("e_sort_limit_offset",
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 100 OFFSET 50""".stripMargin) { (s, d) =>
+      ev(s, d).select("event_id", "event_type", "value")
+        .orderBy(col("value").desc, col("event_id").asc)
+        .offset(50).limit(100)
+    },
+
+    // ---- SLIMIT/SOFFSET: rank the (small) distinct series set, broadcast-join
+    //      back — no global window over the fact table (query_merge.go:93-98)
+    Q("e_slimit",
+      """WITH ser AS (
+        |  SELECT event_type, dense_rank() OVER (ORDER BY event_type) AS srank
+        |  FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN ser ON e.event_type = ser.event_type
+        |WHERE ser.srank BETWEEN 2 AND 3""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val ser = e.select("event_type").distinct()
+        .withColumn("srank", dense_rank().over(Window.orderBy("event_type")))
+        .where(col("srank").between(2, 3))
+      e.join(broadcast(ser), "event_type").select("event_id", "event_type", "value")
+    },
+
+    // ---- replica dedup: identical points from redundant ingest collapse
+    //      (service/coordinator.go:98-104 row-hash dedup)
+    Q("e_dedup_points",
+      """SELECT event_type, count(*) AS cnt FROM (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT event_id, event_type, value FROM events
+        |    UNION ALL
+        |    SELECT event_id, event_type, value FROM events))
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select("event_id", "event_type", "value")
+      e.union(e).dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    }
+  )
+}
