@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured SparkSession.
+  *
+  * Every conf here is session-wide by design and set ONCE at build time —
+  * in particular `spark.sql.legacy.parquet.nanosAsLong`, which the events
+  * table needs (parquet TIMESTAMP(NANOS) is rejected by the vectorized
+  * reader otherwise). Setting it here instead of inside a table loader
+  * keeps loaders side-effect-free and race-free under concurrent query
+  * construction (ADVICE r1).
+  *
+  * Scale notes: shuffle partitions track local core count (the driver runs
+  * local[32]); on a real cluster this would be executors×cores×2-3 or left
+  * to AQE coalescing, which is enabled so small shuffles collapse and skewed
+  * joins split automatically.
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String, master: String = s"local[$cpus]"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -24,7 +24,8 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Requires spark.sql.legacy.parquet.nanosAsLong=true, set once at
+      // session build time (Sessions.build) — not mutated here (ADVICE r1).
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

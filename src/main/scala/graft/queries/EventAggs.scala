@@ -140,17 +140,20 @@ object EventAggs {
     },
 
     // ---- stddev via exact moments (reference's merge is approximate,
-    //      calls.go:105-133; we are exact — SURVEY §7.0)
+    //      calls.go:105-133; we are exact — SURVEY §7.0). The squared-cents
+    //      sum accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) so it cannot
+    //      wrap at 100 TB row counts (ADVICE r1); both sides round the same
+    //      exact integer to double at the end.
     Q("e_stddev",
       s"""WITH $EV
          |SELECT event_type,
-         |  sqrt((CAST(sum(cents*cents) AS DOUBLE)/10000.0
+         |  sqrt((CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)/10000.0
          |        - (CAST(sum(cents) AS DOUBLE)/100.0) * (CAST(sum(cents) AS DOUBLE)/100.0)
          |          / CAST(count(value) AS DOUBLE))
          |       / CAST(count(value) - 1 AS DOUBLE)) AS stddev_value
          |FROM ev GROUP BY 1""".stripMargin) { (s, d) =>
       ev(s, d).groupBy("event_type").agg(
-        sqrt((sum(col("cents") * col("cents")).cast("double") / 10000.0
+        sqrt((sum(col("cents").cast("decimal(38,0)") * col("cents")).cast("double") / 10000.0
           - (sum(col("cents")).cast("double") / 100.0) * (sum(col("cents")).cast("double") / 100.0)
             / count(col("value")).cast("double"))
           / (count(col("value")) - 1).cast("double")).as("stddev_value"))
@@ -255,15 +258,17 @@ object EventAggs {
          |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS pt
          |  FROM ev)
          |SELECT event_type,
-         |  CAST(sum((cents + pc) * (ts_us - pt)) AS DOUBLE) / 200000000.0 AS integral
+         |  CAST(sum(CAST(cents + pc AS HUGEINT) * (ts_us - pt)) AS DOUBLE) / 200000000.0 AS integral
          |FROM l WHERE pt IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+      // DECIMAL(38,0) accumulation (DuckDB: HUGEINT): value·time products
+      // summed over 100 TB-scale row counts must not wrap a LONG (ADVICE r1).
       ev(s, d)
         .withColumn("pc", lag("cents", 1).over(series))
         .withColumn("pt", lag("ts_us", 1).over(series))
         .where(col("pt").isNotNull)
         .groupBy("event_type")
-        .agg((sum((col("cents") + col("pc")) * (col("ts_us") - col("pt"))).cast("double")
-          / 200000000.0).as("integral"))
+        .agg((sum((col("cents") + col("pc")).cast("decimal(38,0)") * (col("ts_us") - col("pt")))
+          .cast("double") / 200000000.0).as("integral"))
     },
 
     Q("e_count_distinct",
@@ -375,7 +380,7 @@ object EventAggs {
       """WITH a AS (SELECT event_id, value AS l, CAST(event_id % 7 AS DOUBLE) AS r FROM events)
         |SELECT event_id, l + r AS add_v, l - r AS sub_v, l * r AS mul_v,
         |  CASE WHEN r = 0 THEN 0.0 ELSE l / r END AS div_v,
-        |  CASE WHEN r = 0 THEN 0 ELSE CAST(l AS BIGINT) % CAST(r AS BIGINT) END AS mod_v
+        |  CASE WHEN r = 0 THEN 0 ELSE CAST(trunc(l) AS BIGINT) % CAST(trunc(r) AS BIGINT) END AS mod_v
         |FROM a""".stripMargin) { (s, d) =>
       ev(s, d)
         .select(col("event_id"), col("value").as("l"),
@@ -384,6 +389,8 @@ object EventAggs {
           (col("l") + col("r")).as("add_v"), (col("l") - col("r")).as("sub_v"),
           (col("l") * col("r")).as("mul_v"),
           when(col("r") === 0, 0.0).otherwise(col("l") / col("r")).as("div_v"),
+          // Spark double→long cast truncates toward zero; mirror with an
+          // explicit trunc() in the oracle (DuckDB's cast rounds — ADVICE r1).
           when(col("r") === 0, 0L)
             .otherwise(col("l").cast("long") % col("r").cast("long")).as("mod_v"))
     },
@@ -435,8 +442,11 @@ object EventAggs {
         |    UNION ALL
         |    SELECT event_id, event_type, value FROM events))
         |GROUP BY 1""".stripMargin) { (s, d) =>
+      // Full-row dedup (all projected columns), matching the reference's
+      // row-hash semantics and the oracle's DISTINCT * (ADVICE r1): points
+      // sharing an id but differing in payload must NOT collapse.
       val e = ev(s, d).select("event_id", "event_type", "value")
-      e.union(e).dropDuplicates("event_id")
+      e.union(e).dropDuplicates(Seq("event_id", "event_type", "value"))
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     }
   )

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each <name> dir in verifyOutDir (Spark parquet result), runs the
+matching SQL from oracle_sql.json in DuckDB against the raw parquet
+tables of sfDir, sorts columns by name and rows by all columns, and
+compares value-by-value (exact, like a hash match).
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails, passes, rows_only = [], [], []
+for d in sorted(glob.glob(f"{out_dir}/*")):
+    if not os.path.isdir(d):
+        continue
+    name = os.path.basename(d)
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"));  continue
+    spark_df = pq.read_table(files[0]).to_pandas()
+    if name not in oracle:
+        rows_only.append((name, len(spark_df)))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    s, o = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(o.columns):
+        fails.append((name, f"columns {list(s.columns)} vs {list(o.columns)}")); continue
+    if len(s) != len(o):
+        fails.append((name, f"rows {len(s)} vs {len(o)}")); continue
+    bad = None
+    for c in s.columns:
+        a, b = s[c].to_numpy(), o[c].to_numpy()
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            a = a.astype(np.float64); b = b.astype(np.float64)
+            neq = ~((a == b) | (np.isnan(a) & np.isnan(b)))
+        else:
+            try:
+                neq = a != b
+            except Exception:
+                neq = np.array([x != y for x, y in zip(a, b)])
+        n = int(np.sum(neq))
+        if n:
+            i = int(np.argmax(neq))
+            bad = f"col {c}: {n}/{len(a)} differ, first @{i}: {a[i]!r} vs {b[i]!r}"
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+print(f"ROWS-ONLY {len(rows_only)}: {' '.join(n for n,_ in rows_only)}")
+print(f"FAIL {len(fails)}:")
+for n, why in fails:
+    print(f"  {n}: {why}")
+sys.exit(1 if fails else 0)
