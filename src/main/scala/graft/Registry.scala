@@ -6,7 +6,8 @@ package graft
   */
 object Registry {
   def suites: Seq[Q] =
-    graft.queries.EventAggs.all
+    graft.queries.EventAggs.all ++
+    graft.queries.Relational.all
 
   /** Duplicate names would silently shadow each other in the maps — fail fast. */
   def validated: Seq[Q] = {
