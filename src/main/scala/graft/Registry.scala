@@ -7,7 +7,8 @@ package graft
 object Registry {
   def suites: Seq[Q] =
     graft.queries.EventAggs.all ++
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+    graft.queries.DocText.all
 
   /** Duplicate names would silently shadow each other in the maps — fail fast. */
   def validated: Seq[Q] = {

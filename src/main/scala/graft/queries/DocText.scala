@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table: exact and
+  * near-duplicate detection (MinHash/LSH, SimHash, shingle Jaccard), text
+  * analysis (token stats, quality scoring, language ID, fingerprints).
+  * These extend the reference's surface per BASELINE.json's north star.
+  *
+  * Cross-engine determinism: every hash is
+  * `conv(substr(md5(s),1,15),16,10)` — 60 bits of md5, identical in Spark
+  * and DuckDB (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), so MinHash /
+  * SimHash / rolling-hash results are bit-equal and fully oracle-checkable,
+  * unlike engine-private hash functions (xxhash64 vs DuckDB's hash).
+  *
+  * Scale notes (100 TB bar):
+  *   - Per-document ops (shingling, MinHash signatures, SimHash, token
+  *     stats) are pure higher-order-function EXPRESSIONS — `transform`/
+  *     `aggregate`/`array_min` inside the projection. Map-only: no explode,
+  *     no shuffle, stays in whole-stage codegen.
+  *   - LSH banding shuffles once on (band, band_key) — the standard
+  *     sub-quadratic near-dup join; candidate verification touches only
+  *     colliding pairs.
+  *   - Pairwise shingle-Jaccard is deliberately bucket-bounded
+  *     ((lang, source) partitions) — the quadratic baseline the LSH path
+  *     replaces at scale.
+  */
+object DocText {
+
+  /** 60-bit deterministic hash, identical in Spark and DuckDB. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB mirror of h60. */
+  private def H(sql: String): String =
+    s"CAST('0x'||substr(md5($sql),1,15) AS BIGINT)"
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** documents ∪ replica copies (doc_id+1000000) — the near-dup fixtures:
+    * every doc has one exact duplicate, so dedup pipelines provably collapse
+    * and LSH provably recalls (pair (id, id+1000000) at jaccard 1.0). */
+  private def docs2(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "source", "text")
+    base.union(base.withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  private val DOCS2 =
+    """d2 AS (SELECT doc_id, lang, source, text FROM documents
+      |       UNION ALL
+      |       SELECT doc_id+1000000 AS doc_id, lang, source, text FROM documents)""".stripMargin
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Distinct 3-token shingles (n-gram shingling for near-dup detection). */
+  private def withShingles(df: DataFrame): DataFrame =
+    withToks(df).withColumn("shingles",
+      array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(0, size(toks)-3),
+          |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END""".stripMargin)))
+
+  /** DuckDB mirror: tk (tokens) and sh (distinct shingles) CTEs over a
+    * relation named `src` with (doc_id, text [, ...]). */
+  private def shCte(src: String): String =
+    s"""tk AS (SELECT *, string_split(text, ' ') AS toks FROM $src),
+       |sh AS (SELECT *, list_distinct(CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_transform(generate_series(1, len(toks)-2),
+       |                             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END) AS shingles
+       |       FROM tk)""".stripMargin
+
+  private val NSEEDS = 8
+  private val NBANDS = 4 // 2 seeds per band
+
+  /** MinHash signature columns m0..m7: per seed, min over shingles of the
+    * seeded 60-bit hash. Pure expression — map-only at any scale. */
+  private def withSig(df: DataFrame): DataFrame =
+    (0 until NSEEDS).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"m$i",
+        array_min(transform(col("shingles"), t => h60(concat(lit(s"$i:"), t)))))
+    }
+
+  /** DuckDB mirror: long-format signatures (doc_id, seed, mh) from `sh`. */
+  private val SIG_CTE =
+    s"""sg AS (SELECT doc_id, s.seed,
+       |         list_min(list_transform(shingles,
+       |           t -> ${H("CAST(s.seed AS VARCHAR)||':'||t")})) AS mh
+       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NSEEDS - 1})) AS seed) s)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy on content (scales to any size; the
+    //      canonical pick is min doc_id, deterministic)
+    Q("d_dedup_exact",
+      s"""WITH $DOCS2
+         |SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM d2 GROUP BY 1""".stripMargin) { (s, d) =>
+      docs2(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- fingerprints: exact (md5 of text) + bag-of-words (md5 of sorted
+    //      distinct tokens) — order-insensitive near-dup key
+    Q("d_fingerprint",
+      """SELECT doc_id, md5(text) AS exact_fp,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS bag_fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      withToks(docs(s, d)).select(col("doc_id"), md5(col("text")).as("exact_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("bag_fp"))
+    },
+
+    // ---- rolling-hash fingerprint (Karp-Rabin fold over token hashes);
+    //      sequential fold mirrored via list_reduce with a prepended zero
+    Q("d_rolling_hash",
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                           list_transform(toks, t -> ${H("t")})),
+         |              (a, x) -> (a * 31 + x) % 1000000007) AS rolling_fp
+         |FROM tk""".stripMargin) { (s, d) =>
+      withToks(docs(s, d)).select(col("doc_id"),
+        aggregate(transform(col("toks"), t => h60(t)), lit(0L),
+          (a, x) => (a * 31 + x) % 1000000007L).as("rolling_fp"))
+    },
+
+    // ---- token counting + type-token ratio + stopword ratio
+    Q("d_token_stats",
+      """WITH tk AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+        |  round(CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+        |  round(CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE) / len(toks), 4) AS stop_ratio
+        |FROM tk""".stripMargin) { (s, d) =>
+      withToks(docs(s, d)).select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4).as("ttr"),
+        round((col("n_chars") - size(col("toks")) + 1).cast("double") / size(col("toks")), 4)
+          .as("avg_tok_len"),
+        round(size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
+          / size(col("toks")), 4).as("stop_ratio"))
+    },
+
+    // ---- quality score: blended length / lexical-diversity / stopword
+    //      signal, quantized to basis points via floor(x*1e4 + 0.5) — pure
+    //      double ops, bit-identical across engines (Spark's BigDecimal
+    //      HALF_UP round() and DuckDB's round() disagree on doubles that
+    //      sit one ulp under a decimal midpoint)
+    Q("d_quality_score",
+      """WITH tk AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(floor((0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+        |      + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |      + 0.2 * least(5.0 * CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
+        |                        / len(toks), 1.0)) * 10000.0 + 0.5) AS BIGINT) AS quality_bp
+        |FROM tk""".stripMargin) { (s, d) =>
+      withToks(docs(s, d)).select(col("doc_id"),
+        floor((lit(0.5) * least(col("n_chars").cast("double") / 400.0, lit(1.0))
+          + lit(0.3) * (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          + lit(0.2) * least(lit(5.0) * size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
+            / size(col("toks")), lit(1.0))) * 10000.0 + 0.5).cast("long").as("quality_bp"))
+    },
+
+    // ---- language ID: marker-token scoring, argmax with deterministic
+    //      (score DESC, lang ASC) tie-break — the n-gram-profile heuristic
+    //      shape; both engines compute the identical function
+    Q("d_lang_id",
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |m(l, mk) AS (VALUES ('en', ['the','a','of']), ('es', ['el','la','los']),
+        |             ('de', ['der','die','das']), ('fr', ['le','les','et']),
+        |             ('zh', ['de','shi','zai'])),
+        |sc AS (SELECT doc_id, m.l, len(list_filter(toks, t -> list_contains(m.mk, t))) AS s
+        |       FROM tk CROSS JOIN m),
+        |r AS (SELECT doc_id, l, s,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) AS rn FROM sc)
+        |SELECT doc_id, l AS lang_guess, s AS score FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val markers = Seq(
+        "en" -> Seq("the", "a", "of"), "es" -> Seq("el", "la", "los"),
+        "de" -> Seq("der", "die", "das"), "fr" -> Seq("le", "les", "et"),
+        "zh" -> Seq("de", "shi", "zai"))
+      val scored = withToks(docs(s, d)).select(col("doc_id"),
+        explode(array(markers.map { case (l, mk) =>
+          struct(lit(l).as("l"),
+            size(filter(col("toks"), t => t.isInCollection(mk))).as("s"))
+        }: _*)).as("x"))
+        .select(col("doc_id"), col("x.l").as("l"), col("x.s").as("s"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("s").desc, col("l").asc)))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("l").as("lang_guess"), col("s").as("score"))
+    },
+
+    // ---- pairwise shingle Jaccard within (lang, source) buckets — the
+    //      exact quadratic baseline, bucket-bounded; replicas guarantee
+    //      jaccard-1.0 pairs exist
+    Q("d_shingle_jaccard",
+      s"""WITH $DOCS2,
+         |${shCte("d2")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+         |        4) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+         |      >= 0.8""".stripMargin) { (s, d) =>
+      val sh = withShingles(docs2(s, d)).select("doc_id", "lang", "source", "shingles")
+      val a = sh.toDF("doc_a", "lang", "source", "sh_a")
+      val b = sh.toDF("doc_b", "lang", "source", "sh_b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+      a.join(b, Seq("lang", "source"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", round(inter / uni, 4))
+        .where(inter / uni >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    },
+
+    // ---- MinHash signatures (the sub-quadratic scale path, stage 1):
+    //      map-only expression per document
+    Q("d_minhash_sig",
+      s"""WITH ${shCte("documents")},
+         |$SIG_CTE
+         |SELECT doc_id, seed, mh FROM sg""".stripMargin) { (s, d) =>
+      val sig = withSig(withShingles(docs(s, d)))
+      sig.select(col("doc_id"),
+          posexplode(array((0 until NSEEDS).map(i => col(s"m$i")): _*)))
+        .select(col("doc_id"), col("pos").cast("long").as("seed"), col("col").as("mh"))
+    },
+
+    // ---- MinHash LSH near-dup pairs (stage 2): band signatures, shuffle
+    //      once on (band, band_key), verify only colliding candidates
+    Q("d_lsh_pairs",
+      s"""WITH $DOCS2,
+         |${shCte("d2")},
+         |$SIG_CTE,
+         |bd AS (SELECT doc_id, b.b AS band,
+         |         CAST(max(CASE WHEN seed = 2*b.b THEN mh END) AS VARCHAR) || ':' ||
+         |         CAST(max(CASE WHEN seed = 2*b.b+1 THEN mh END) AS VARCHAR) AS bkey
+         |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${NBANDS - 1})) AS b) b
+         |       GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+         |                            AND x.doc_id < y.doc_id),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |          / (len(sa.shingles) + len(sb.shingles)
+         |             - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         |      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |                  JOIN sh sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+      val sh = withShingles(docs2(s, d)).select("doc_id", "shingles")
+      val sig = withSig(sh)
+      val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
+          concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
+        }: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      val cand = bands.toDF("doc_a", "band", "bkey")
+        .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+      cand
+        .join(sh.toDF("doc_a", "sh_a"), Seq("doc_a"))
+        .join(sh.toDF("doc_b", "sh_b"), Seq("doc_b"))
+        .withColumn("jaccard", round(inter / uni, 4))
+        .where(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    },
+
+    // ---- 48-bit SimHash over distinct tokens (bit 48..63 left clear so
+    //      the value is exact in BIGINT and double on both engines).
+    //      Spark side is a pure generated expression (48 in-row folds, no
+    //      explode/shuffle); the oracle recomputes via unnest+group to
+    //      cross-check method-independence.
+    Q("d_simhash48",
+      s"""WITH tk AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+         |hx AS (SELECT doc_id, ${H("tok")} AS hv
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+         |bits AS (SELECT doc_id, j.j,
+         |           sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+         |         FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS j) j
+         |         GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash48
+         |FROM bits GROUP BY 1""".stripMargin) { (s, d) =>
+      val dt = withToks(docs(s, d))
+        .withColumn("dtoks", array_distinct(col("toks")))
+        .withColumn("hvs", transform(col("dtoks"), t => h60(t)))
+      val simhash = (0 until 48).map { j =>
+        val bal = aggregate(col("hvs"), lit(0),
+          (a, hv) => a + when(shiftright(hv, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(bal > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      dt.select(col("doc_id"), simhash.as("simhash48"))
+    }
+  )
+}
