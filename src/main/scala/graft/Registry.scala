@@ -8,7 +8,8 @@ object Registry {
   def suites: Seq[Q] =
     graft.queries.EventAggs.all ++
     graft.queries.Relational.all ++
-    graft.queries.DocText.all
+    graft.queries.DocText.all ++
+    graft.queries.EmbedOps.all
 
   /** Duplicate names would silently shadow each other in the maps — fail fast. */
   def validated: Seq[Q] = {
