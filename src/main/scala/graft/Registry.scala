@@ -9,7 +9,8 @@ object Registry {
     graft.queries.EventAggs.all ++
     graft.queries.Relational.all ++
     graft.queries.DocText.all ++
-    graft.queries.EmbedOps.all
+    graft.queries.EmbedOps.all ++
+    graft.queries.InfluxQLSuite.all
 
   /** Duplicate names would silently shadow each other in the maps — fail fast. */
   def validated: Seq[Q] = {

@@ -1,0 +1,57 @@
+package graft.ql
+
+/** AST for the InfluxQL subset the reference engine serves
+  * (`/root/reference/service/coordinator.go`, `service/merge/query_merge.go`
+  * — SELECT with aggregate calls, time buckets, tag grouping, fill, sort,
+  * limits; SHOW metadata statements). A slim mirror of the vendored
+  * influxql AST, re-derived from the constructs the reference actually
+  * routes/merges.
+  */
+sealed trait Expr
+final case class Ident(name: String) extends Expr
+final case class NumLit(v: Double) extends Expr
+final case class IntLit(v: Long) extends Expr
+final case class StrLit(v: String) extends Expr
+/** Duration in microseconds (InfluxQL `5m`, `1h`, …). */
+final case class DurLit(us: Long) extends Expr
+case object NowLit extends Expr
+case object Wildcard extends Expr
+final case class Call(name: String, args: List[Expr]) extends Expr
+/** op ∈ + - * / % = != <> < <= > >= AND OR */
+final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+final case class Paren(e: Expr) extends Expr
+
+sealed trait Fill
+case object FillNone extends Fill     // drop empty buckets (default for us)
+case object FillNull extends Fill     // keep empty buckets as null
+final case class FillValue(v: Double) extends Fill
+case object FillPrevious extends Fill
+case object FillLinear extends Fill
+
+sealed trait Statement
+final case class Field(expr: Expr, alias: Option[String])
+final case class SelectStmt(
+    fields: List[Field],
+    from: String,
+    where: Option[Expr],
+    groupByTime: Option[Long], // bucket width in µs
+    groupByTags: List[String],
+    groupByAllTags: Boolean,   // GROUP BY *
+    fill: Fill,
+    orderDesc: Boolean,
+    limit: Option[Int], offset: Option[Int],
+    slimit: Option[Int], soffset: Option[Int]) extends Statement
+
+final case class ShowStmt(what: String, on: Option[String]) extends Statement
+
+/** Cluster-admin DSL (reference "clusterql",
+  * `/root/reference/service/clusterql/language.go:7-63`). */
+sealed trait AdminStmt extends Statement
+final case class ShowPartitionKeys(db: Option[String]) extends AdminStmt
+final case class CreatePartitionKey(tags: List[String], db: String, msmt: Option[String]) extends AdminStmt
+final case class DropPartitionKey(db: String, msmt: Option[String]) extends AdminStmt
+case object ShowNodes extends AdminStmt
+final case class RemoveNode(name: String) extends AdminStmt
+final case class SetReplicationFactor(n: Int, db: Option[String], msmt: Option[String]) extends AdminStmt
+
+final case class ParseException(msg: String) extends RuntimeException(msg)

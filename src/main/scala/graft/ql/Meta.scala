@@ -1,0 +1,48 @@
+package graft.ql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SHOW-statement surface (reference `RouteToFirstAvailable` dispatch,
+  * `service/routing.go:43-58`; meta scans `syncing/importer.go:406-456`).
+  * Catalog-backed, except SHOW SERIES / TAG VALUES which scan distinct tag
+  * combinations — at scale those are aggregations over the tag columns
+  * (dictionary-encoded parquet scan, no full-row materialization).
+  */
+object Meta {
+  private def measurements = Seq(Catalog.events)
+
+  def show(spark: SparkSession, sfDir: String, what: String): DataFrame = {
+    import spark.implicits._
+    what match {
+      case "DATABASES" => Seq("default").toDF("name")
+      case "MEASUREMENTS" => measurements.map(_.measurement).toDF("name")
+      case "TAG KEYS" =>
+        measurements.flatMap(m => m.tags.map(t => (m.measurement, t)))
+          .toDF("measurement", "tagKey")
+      case "FIELD KEYS" =>
+        measurements.flatMap(m => m.fields.map(f =>
+          (m.measurement, f.name, if (f.scale.isDefined) "float" else "integer")))
+          .toDF("measurement", "fieldKey", "fieldType")
+      case "SERIES" =>
+        // series key = measurement,tag=value (syncing/series.go:14-29)
+        measurements.map { m =>
+          val (df, _) = Catalog.load(spark, sfDir, m.measurement)
+          df.select(m.tags.map(col): _*).distinct()
+            .select(concat(lit(m.measurement),
+              concat_ws("", m.tags.map(t => concat(lit(s",$t="), col(t))): _*)).as("key"))
+        }.reduce(_ union _)
+      case "TAG VALUES" =>
+        measurements.map { m =>
+          val (df, _) = Catalog.load(spark, sfDir, m.measurement)
+          m.tags.map(t => df.select(lit(t).as("key"), col(t).as("value")).distinct())
+            .reduce(_ union _)
+        }.reduce(_ union _)
+      case "RETENTION POLICIES" =>
+        Seq(("autogen", "0s", "168h0m0s", 1, true))
+          .toDF("name", "duration", "shardGroupDuration", "replicaN", "default")
+      case "CONTINUOUS QUERIES" => Seq.empty[(String, String)].toDF("name", "query")
+      case w => throw ParseException(s"unsupported SHOW $w")
+    }
+  }
+}

@@ -1,0 +1,326 @@
+package graft.ql
+
+import scala.collection.mutable.ListBuffer
+
+/** Hand-rolled lexer + recursive-descent parser for the InfluxQL subset
+  * (grammar induced from the reference's usage: SELECT/SHOW statements under
+  * `/root/reference/service/`; admin DSL trie in
+  * `service/clusterql/language.go:7-63`). No external parser deps.
+  */
+object Lexer {
+  sealed trait Tok { def text: String }
+  final case class TIdent(text: String) extends Tok
+  final case class TNum(text: String) extends Tok
+  final case class TDur(text: String) extends Tok
+  final case class TStr(text: String) extends Tok   // already unquoted
+  final case class TSym(text: String) extends Tok
+  case object TEnd extends Tok { val text = "<end>" }
+
+  private val sym2 = Set("<=", ">=", "!=", "<>", "=~", "!~")
+  private val sym1 = Set("(", ")", ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", ";")
+  private val durUnit = "(ns|us|µs|ms|s|m|h|d|w)"
+  private val durRe = s"^\\d+$durUnit".r
+
+  def tokenize(s: String): Vector[Tok] = {
+    val out = ListBuffer.empty[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val j = s.indexOf('\'', i + 1)
+        if (j < 0) throw ParseException(s"unterminated string at $i")
+        out += TStr(s.substring(i + 1, j)); i = j + 1
+      } else if (c == '"') { // quoted identifier
+        val j = s.indexOf('"', i + 1)
+        if (j < 0) throw ParseException(s"unterminated identifier at $i")
+        out += TIdent(s.substring(i + 1, j)); i = j + 1
+      } else if (c.isDigit) {
+        var j = i
+        while (j < s.length && (s(j).isDigit || s(j) == '.')) j += 1
+        // duration suffix?
+        var k = j
+        while (k < s.length && s(k).isLetter) k += 1
+        val full = s.substring(i, k)
+        if (durRe.findFirstIn(full).contains(full)) { out += TDur(full); i = k }
+        else { out += TNum(s.substring(i, j)); i = j }
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        out += TIdent(s.substring(i, j)); i = j
+      } else if (i + 1 < s.length && sym2(s.substring(i, i + 2))) {
+        out += TSym(s.substring(i, i + 2)); i += 2
+      } else if (sym1(c.toString)) {
+        out += TSym(c.toString); i += 1
+      } else throw ParseException(s"unexpected character '$c' at $i")
+    }
+    out += TEnd
+    out.toVector
+  }
+
+  def durationUs(text: String): Long = {
+    val num = text.takeWhile(_.isDigit).toLong
+    text.dropWhile(_.isDigit) match {
+      case "ns"        => num / 1000
+      case "us" | "µs" => num
+      case "ms"        => num * 1000L
+      case "s"         => num * 1000000L
+      case "m"         => num * 60000000L
+      case "h"         => num * 3600000000L
+      case "d"         => num * 86400000000L
+      case "w"         => num * 604800000000L
+      case u           => throw ParseException(s"bad duration unit '$u'")
+    }
+  }
+}
+
+final class Parser(tokens: Vector[Lexer.Tok]) {
+  import Lexer._
+  private var pos = 0
+  private def peek: Tok = tokens(pos)
+  private def next(): Tok = { val t = tokens(pos); pos += 1; t }
+  private def isKw(t: Tok, kw: String): Boolean = t match {
+    case TIdent(x) => x.equalsIgnoreCase(kw)
+    case _         => false
+  }
+  private def acceptKw(kw: String): Boolean =
+    if (isKw(peek, kw)) { pos += 1; true } else false
+  private def expectKw(kw: String): Unit =
+    if (!acceptKw(kw)) throw ParseException(s"expected $kw, found ${peek.text}")
+  private def acceptSym(sy: String): Boolean = peek match {
+    case TSym(`sy`) => pos += 1; true
+    case _          => false
+  }
+  private def expectSym(sy: String): Unit =
+    if (!acceptSym(sy)) throw ParseException(s"expected '$sy', found ${peek.text}")
+  private def ident(): String = next() match {
+    case TIdent(x) => x
+    case t         => throw ParseException(s"expected identifier, found ${t.text}")
+  }
+
+  def parseStatement(): Statement = {
+    val st =
+      if (isKw(peek, "SELECT")) parseSelect()
+      else if (isKw(peek, "SHOW")) parseShow()
+      else if (isKw(peek, "CREATE") || isKw(peek, "DROP") ||
+               isKw(peek, "REMOVE") || isKw(peek, "SET")) Admin.parse(this)
+      else throw ParseException(s"unsupported statement start: ${peek.text}")
+    acceptSym(";")
+    peek match {
+      case TEnd => st
+      case t    => throw ParseException(s"trailing input: ${t.text}")
+    }
+  }
+
+  // -------- SELECT
+  private def parseSelect(): SelectStmt = {
+    expectKw("SELECT")
+    val fields = ListBuffer(parseField())
+    while (acceptSym(",")) fields += parseField()
+    expectKw("FROM")
+    val from = ident() // single measurement (reference: first-measurement assumption)
+    val where = if (acceptKw("WHERE")) Some(parseExpr(0)) else None
+    var gbTime: Option[Long] = None
+    var gbTags = ListBuffer.empty[String]
+    var gbAll = false
+    var fill: Fill = FillNone
+    if (acceptKw("GROUP")) {
+      expectKw("BY")
+      do {
+        if (acceptSym("*")) gbAll = true
+        else {
+          val nm = peek
+          if (isKw(nm, "time")) {
+            pos += 1; expectSym("(")
+            val d = next() match {
+              case TDur(t) => durationUs(t)
+              case t       => throw ParseException(s"expected duration in time(), found ${t.text}")
+            }
+            expectSym(")")
+            gbTime = Some(d)
+          } else if (isKw(nm, "fill")) {
+            pos += 1; expectSym("(")
+            fill = next() match {
+              case TIdent(x) if x.equalsIgnoreCase("none")     => FillNone
+              case TIdent(x) if x.equalsIgnoreCase("null")     => FillNull
+              case TIdent(x) if x.equalsIgnoreCase("previous") => FillPrevious
+              case TIdent(x) if x.equalsIgnoreCase("linear")   => FillLinear
+              case TNum(n)                                     => FillValue(n.toDouble)
+              case t => throw ParseException(s"bad fill argument ${t.text}")
+            }
+            expectSym(")")
+          } else gbTags += ident()
+        }
+      } while (acceptSym(","))
+      // fill(...) follows the GROUP BY list without a comma (InfluxQL)
+      if (isKw(peek, "fill")) {
+        pos += 1; expectSym("(")
+        fill = next() match {
+          case TIdent(x) if x.equalsIgnoreCase("none")     => FillNone
+          case TIdent(x) if x.equalsIgnoreCase("null")     => FillNull
+          case TIdent(x) if x.equalsIgnoreCase("previous") => FillPrevious
+          case TIdent(x) if x.equalsIgnoreCase("linear")   => FillLinear
+          case TNum(n)                                     => FillValue(n.toDouble)
+          case t => throw ParseException(s"bad fill argument ${t.text}")
+        }
+        expectSym(")")
+      }
+    }
+    var desc = false
+    if (acceptKw("ORDER")) {
+      expectKw("BY")
+      val c = ident()
+      if (!c.equalsIgnoreCase("time"))
+        throw ParseException("only ORDER BY time is supported") // influxql semantics
+      if (acceptKw("DESC")) desc = true else acceptKw("ASC")
+    }
+    def intAfter(kw: String): Option[Int] =
+      if (acceptKw(kw)) next() match {
+        case TNum(n) => Some(n.toInt)
+        case t       => throw ParseException(s"expected integer after $kw, found ${t.text}")
+      } else None
+    val limit = intAfter("LIMIT")
+    val offset = intAfter("OFFSET")
+    val slimit = intAfter("SLIMIT")
+    val soffset = intAfter("SOFFSET")
+    SelectStmt(fields.toList, from, where, gbTime, gbTags.toList, gbAll,
+      fill, desc, limit, offset, slimit, soffset)
+  }
+
+  private def parseField(): Field = {
+    val e = parseExpr(0)
+    val alias = if (acceptKw("AS")) Some(ident()) else None
+    Field(e, alias)
+  }
+
+  // -------- expressions (precedence climbing)
+  private def prec(op: String): Int = op match {
+    case "OR"                                      => 1
+    case "AND"                                     => 2
+    case "=" | "!=" | "<>" | "<" | "<=" | ">" | ">=" => 3
+    case "+" | "-"                                 => 4
+    case "*" | "/" | "%"                           => 5
+    case _                                         => -1
+  }
+
+  private def peekOp: Option[String] = peek match {
+    case TSym(s) if prec(s) > 0  => Some(s)
+    case TIdent(x) if x.equalsIgnoreCase("AND") => Some("AND")
+    case TIdent(x) if x.equalsIgnoreCase("OR")  => Some("OR")
+    case _ => None
+  }
+
+  def parseExpr(minPrec: Int): Expr = {
+    var lhs = parseUnary()
+    var continue = true
+    while (continue) {
+      peekOp match {
+        case Some(op) if prec(op) >= minPrec =>
+          pos += 1
+          val rhs = parseExpr(prec(op) + 1)
+          lhs = Bin(op.toUpperCase, lhs, rhs)
+        case _ => continue = false
+      }
+    }
+    lhs
+  }
+
+  private def parseUnary(): Expr = next() match {
+    case TNum(n) if n.contains('.') => NumLit(n.toDouble)
+    case TNum(n)                    => IntLit(n.toLong)
+    case TDur(d)                    => DurLit(Lexer.durationUs(d))
+    case TStr(s)                    => StrLit(s)
+    case TSym("(")                  =>
+      val e = parseExpr(0); expectSym(")"); Paren(e)
+    case TSym("-")                  => Bin("*", IntLit(-1), parseUnary())
+    case TSym("*")                  => Wildcard
+    case TIdent(x) if x.equalsIgnoreCase("now") && acceptSym("(") =>
+      expectSym(")"); NowLit
+    case TIdent(x) =>
+      if (acceptSym("(")) {
+        val args = ListBuffer.empty[Expr]
+        if (!acceptSym(")")) {
+          args += parseExpr(0)
+          while (acceptSym(",")) args += parseExpr(0)
+          expectSym(")")
+        }
+        Call(x.toLowerCase, args.toList)
+      } else Ident(x)
+    case t => throw ParseException(s"unexpected token ${t.text}")
+  }
+
+  // -------- SHOW
+  private def parseShow(): Statement = {
+    expectKw("SHOW")
+    // admin DSL first: SHOW PARTITION KEYS / SHOW NODES
+    if (acceptKw("PARTITION")) {
+      expectKw("KEYS")
+      val on = if (acceptKw("ON")) Some(ident()) else None
+      return ShowPartitionKeys(on)
+    }
+    if (acceptKw("NODES")) return ShowNodes
+    val what = ident().toUpperCase match {
+      case "RETENTION" => expectKw("POLICIES"); "RETENTION POLICIES"
+      case "CONTINUOUS" => expectKw("QUERIES"); "CONTINUOUS QUERIES"
+      case "TAG" =>
+        if (acceptKw("KEYS")) "TAG KEYS"
+        else { expectKw("VALUES"); "TAG VALUES" }
+      case "FIELD" => expectKw("KEYS"); "FIELD KEYS"
+      case w @ ("DATABASES" | "MEASUREMENTS" | "SERIES" | "USERS") => w
+      case w => throw ParseException(s"unsupported SHOW $w")
+    }
+    val on = if (acceptKw("ON")) Some(ident()) else None
+    ShowStmt(what, on)
+  }
+
+  // -------- admin DSL (clusterql)
+  private object Admin {
+    def parse(p: Parser): AdminStmt = {
+      if (p.acceptKw("CREATE")) {
+        p.expectKw("PARTITION"); p.expectKw("KEY")
+        // two argument orders accepted (language.go:15-36):
+        //   CREATE PARTITION KEY t1,t2 ON db[.msmt]
+        //   CREATE PARTITION KEY ON db[.msmt] WITH t1,t2  (normalized form)
+        if (p.acceptKw("ON")) {
+          val (db, m) = p.dbMsmt()
+          p.expectKw("WITH")
+          CreatePartitionKey(p.tagList(), db, m)
+        } else {
+          val tags = p.tagList()
+          p.expectKw("ON")
+          val (db, m) = p.dbMsmt()
+          CreatePartitionKey(tags, db, m)
+        }
+      } else if (p.acceptKw("DROP")) {
+        p.expectKw("PARTITION"); p.expectKw("KEY"); p.expectKw("ON")
+        val (db, m) = p.dbMsmt()
+        DropPartitionKey(db, m)
+      } else if (p.acceptKw("REMOVE")) {
+        p.expectKw("NODE")
+        RemoveNode(p.ident())
+      } else if (p.acceptKw("SET")) {
+        p.expectKw("REPLICATION"); p.expectKw("FACTOR")
+        val n = p.next() match {
+          case TNum(x) => x.toInt
+          case t       => throw ParseException(s"expected number, found ${t.text}")
+        }
+        if (p.acceptKw("ON")) { val (db, m) = p.dbMsmt(); SetReplicationFactor(n, Some(db), m) }
+        else SetReplicationFactor(n, None, None)
+      } else throw ParseException(s"unsupported admin statement: ${p.peek.text}")
+    }
+  }
+
+  private def dbMsmt(): (String, Option[String]) = {
+    val db = ident()
+    if (acceptSym(".")) (db, Some(ident())) else (db, None)
+  }
+  private def tagList(): List[String] = {
+    val tags = ListBuffer(ident())
+    while (acceptSym(",")) tags += ident()
+    tags.toList
+  }
+}
+
+object Parser {
+  def parse(q: String): Statement = new Parser(Lexer.tokenize(q)).parseStatement()
+}

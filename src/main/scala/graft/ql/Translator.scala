@@ -1,0 +1,504 @@
+package graft.ql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** InfluxQL AST → DataFrame plan. The Spark-native replacement for the
+  * reference's coordinator + merge tree (`service/coordinator.go:172-249`,
+  * `service/merge/query_merge.go`): where the reference hand-rolls
+  * partial-aggregate rewrite + k-way merge, we emit one declarative plan and
+  * let Catalyst do partial/final aggregation, pushdown, and ordering.
+  *
+  * Semantics notes (divergences are deliberate, SURVEY §7.0):
+  *   - Aggregates are EXACT (the reference's weighted merges of stddev/
+  *     percentile/median are HTTP-merge approximations).
+  *   - percentile() is nearest-rank (an actual point value), matching
+  *     InfluxQL; median() interpolates like InfluxQL's even-count mean.
+  *   - Division by zero yields 0 and `%` runs over integer casts — the
+  *     reference's test-pinned shims (`query_merge.go:326-332`).
+  *   - A bare field reference combined with GROUP BY time errors, like the
+  *     reference's 400 (`service/query_handler_test.go:45-49`).
+  *   - Output time column is epoch-µs LONG named `time`, bucket-aligned to
+  *     the epoch (InfluxQL GROUP BY time alignment).
+  *
+  * Scale notes: every path is groupBy/window over the shuffled group keys —
+  * no driver-side loops; fixed-point fields aggregate as exact integers so
+  * results don't depend on partitioning.
+  */
+final class Translator(df: DataFrame, meta: TableMeta) {
+
+  private val AGGS = Set("count", "sum", "mean", "min", "max", "spread", "stddev",
+    "median", "percentile", "mode", "first", "last", "integral", "distinct")
+  private val MULTIROW = Set("top", "bottom", "sample", "distinct", "mode", "percentile")
+  private val TRANSFORMS = Set("derivative", "non_negative_derivative", "difference",
+    "cumulative_sum", "moving_average", "elapsed")
+
+  private def time: Column = col(meta.timeCol)
+
+  // ---------------- entry
+
+  def run(sel: SelectStmt): DataFrame = {
+    val base0 = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
+    val tags = if (sel.groupByAllTags) meta.tags.toList else sel.groupByTags
+    tags.foreach(t => if (!meta.isTag(t)) throw ParseException(s"'$t' is not a tag"))
+
+    val calls = sel.fields.flatMap(f => collectCalls(f.expr))
+    val hasAgg = calls.exists(c => AGGS(c.name) || MULTIROW(c.name))
+    val hasTransform = calls.exists(c => TRANSFORMS(c.name))
+    val bare = sel.fields.exists(f => collectIdents(f.expr).exists(n => !meta.isTag(n)) &&
+      collectCalls(f.expr).isEmpty)
+
+    val out =
+      if (hasTransform) {
+        if (hasAgg || sel.groupByTime.isDefined)
+          throw ParseException("transform functions cannot be combined with aggregates or time buckets")
+        transformSelect(base0, sel, tags)
+      } else if (hasAgg) {
+        if (bare) throw ParseException(
+          "mixing aggregate and non-aggregate queries is not supported") // reference 400
+        sel.fields match {
+          case List(Field(Call(n @ ("top" | "bottom"), args), alias)) =>
+            topBottom(base0, sel, tags, n, args, alias)
+          case List(Field(Call("distinct", List(Ident(f))), alias)) =>
+            distinctSelect(base0, tags, f, alias)
+          case List(Field(Call("sample", List(Ident(f), IntLit(n))), alias)) =>
+            sampleSelect(base0, tags, f, n.toInt, alias)
+          case List(Field(Call("mode", List(Ident(f))), alias)) =>
+            modeSelect(base0, tags, f, alias)
+          case List(Field(Call("percentile", List(Ident(f), p)), alias)) =>
+            percentileSelect(base0, tags, f, p, alias)
+          case List(Field(Call("integral", args), alias)) if sel.groupByTime.isEmpty =>
+            integralSelect(base0, tags, args, alias)
+          case _ => aggSelect(base0, sel, tags)
+        }
+      } else rawSelect(base0, sel, tags)
+
+    val sorted = sortLimit(out, sel, tags)
+    slimit(sorted, sel, tags)
+  }
+
+  // ---------------- predicates
+
+  private def predicate(e: Expr): Column = e match {
+    case Bin("AND", l, r) => predicate(l) && predicate(r)
+    case Bin("OR", l, r)  => predicate(l) || predicate(r)
+    case Paren(x)         => predicate(x)
+    case Bin(op, l, r)    =>
+      val (lc, rc) = (operand(l, other = r), operand(r, other = l))
+      op match {
+        case "="         => lc === rc
+        case "!=" | "<>" => lc =!= rc
+        case "<"         => lc < rc
+        case "<="        => lc <= rc
+        case ">"         => lc > rc
+        case ">="        => lc >= rc
+        case o           => throw ParseException(s"unsupported predicate operator $o")
+      }
+    case x => throw ParseException(s"unsupported WHERE expression $x")
+  }
+
+  private def isTimeRef(e: Expr): Boolean = e match {
+    case Ident(n) => n.equalsIgnoreCase("time")
+    case _        => false
+  }
+
+  /** WHERE operand; when the opposite side is `time`, literals become µs. */
+  private def operand(e: Expr, other: Expr): Column = e match {
+    case Ident(n) if n.equalsIgnoreCase("time") => time
+    case Ident(n)    => col(n)
+    case StrLit(s) if isTimeRef(other) => lit(parseTimeUs(s))
+    case StrLit(s)   => lit(s)
+    case NumLit(v)   => lit(v)
+    case IntLit(v)   => lit(v)
+    case DurLit(us)  => lit(us)
+    case NowLit      => lit(System.currentTimeMillis() * 1000L)
+    case Bin("+", l, r) => operand(l, other) + operand(r, other)
+    case Bin("-", l, r) => operand(l, other) - operand(r, other)
+    case Paren(x)    => operand(x, other)
+    case x           => throw ParseException(s"unsupported operand $x")
+  }
+
+  /** 'YYYY-MM-DD[ HH:MM:SS[.fff]]' or RFC3339 → epoch µs (UTC). */
+  private def parseTimeUs(s: String): Long = {
+    import java.time._
+    val norm = s.replace("T", " ").stripSuffix("Z")
+    val ldt =
+      if (norm.length <= 10) LocalDate.parse(norm).atStartOfDay()
+      else LocalDateTime.parse(norm.replace(" ", "T"))
+    ldt.toInstant(ZoneOffset.UTC).toEpochMilli * 1000L +
+      (ldt.getNano / 1000) % 1000
+  }
+
+  // ---------------- helpers
+
+  private def collectCalls(e: Expr): List[Call] = e match {
+    case c @ Call(n, args) if AGGS(n) || MULTIROW(n) || TRANSFORMS(n) => List(c)
+    case Call(_, args) => args.flatMap(collectCalls)
+    case Bin(_, l, r)  => collectCalls(l) ++ collectCalls(r)
+    case Paren(x)      => collectCalls(x)
+    case _             => Nil
+  }
+
+  private def collectIdents(e: Expr): List[String] = e match {
+    case Ident(n)      => List(n)
+    case Call(_, args) => args.flatMap(collectIdents)
+    case Bin(_, l, r)  => collectIdents(l) ++ collectIdents(r)
+    case Paren(x)      => collectIdents(x)
+    case _             => Nil
+  }
+
+  private def scaleOf(f: String): Option[Long] = meta.field(f).scale
+
+  /** Exact integer representation of a fixed-point field. */
+  private def fx(f: String): Column = scaleOf(f) match {
+    case Some(k) => round(col(f) * k).cast("long")
+    case None    => col(f).cast("long")
+  }
+  private def unscale(c: Column, f: String): Column =
+    c.cast("double") / scaleOf(f).getOrElse(1L).toDouble
+
+  private def bucket: Column = col("time")
+
+  private def withBucket(d: DataFrame, iv: Long): DataFrame =
+    // epoch-aligned bucket via exact integer arithmetic: Column./ is double
+    // division and epoch-µs values exceed 2^53, so (t/iv)*iv would corrupt
+    // bucket boundaries at µs resolution
+    d.withColumn("time", time - pmod(time, lit(iv)))
+
+  // ---------------- raw path
+
+  private def rawSelect(base: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
+    if (sel.groupByTime.isDefined)
+      throw ParseException("GROUP BY time requires an aggregate function") // reference 400
+    val cols = sel.fields.map {
+      case Field(Ident(n), alias) => col(n).as(alias.getOrElse(n))
+      case Field(e, alias)        => scalarCol(e, col(_)).as(alias.getOrElse(exprName(e)))
+    }
+    base.select((time.as("time") +: tags.map(col)) ++ cols: _*)
+  }
+
+  // ---------------- aggregate path
+
+  private def aggSelect(base: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
+    val withB = sel.groupByTime.map(withBucket(base, _)).getOrElse(base)
+    val groupCols = (if (sel.groupByTime.isDefined) List(bucket) else Nil) ++ tags.map(col)
+
+    var aggIdx = 0
+    var aggExprs = Vector.empty[Column]
+    def addAgg(c: Column): Column = {
+      val nm = s"__agg$aggIdx"; aggIdx += 1
+      aggExprs :+= c.as(nm)
+      col(nm)
+    }
+
+    // first pass: register aggregate sub-expressions, remember post-agg expr
+    val outCols = sel.fields.map { case Field(e, alias) =>
+      val post = buildAgg(e, addAgg)
+      (post, alias.getOrElse(exprName(e)))
+    }
+
+    val grouped =
+      if (groupCols.isEmpty) withB.agg(aggExprs.head, aggExprs.tail: _*)
+      else withB.groupBy(groupCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+
+    val projected = grouped.select(
+      (groupCols.map {
+        c => c
+      } ++ outCols.map { case (c, n) => c.as(n) }): _*)
+
+    applyFill(projected, sel, tags, outCols.map(_._2))
+  }
+
+  /** Translate an expression over aggregates; `reg` registers an aggregate
+    * column and returns its post-aggregation reference. */
+  private def buildAgg(e: Expr, reg: Column => Column): Column = e match {
+    case Call("count", List(Ident(f)))  => reg(count(col(f)))
+    case Call("count", List(Wildcard))  => reg(count(lit(1)))
+    case Call("sum", List(Ident(f)))    => unscale(reg(sum(fx(f))), f)
+    case Call("mean", List(Ident(f))) =>
+      reg(sum(fx(f))).cast("double") /
+        (lit(scaleOf(f).getOrElse(1L).toDouble) * reg(count(col(f))))
+    case Call("min", List(Ident(f)))    => reg(min(col(f)))
+    case Call("max", List(Ident(f)))    => reg(max(col(f)))
+    case Call("spread", List(Ident(f))) => reg(max(col(f))) - reg(min(col(f)))
+    case Call("first", List(Ident(f))) =>
+      reg(min_by(col(f), struct(time, col(f))))
+    case Call("last", List(Ident(f))) =>
+      reg(max_by(col(f), struct(time, col(f))))
+    case Call("stddev", List(Ident(f))) =>
+      // exact sample stddev from integer moments; squared sum in
+      // DECIMAL(38,0) so it cannot wrap at scale (EventAggs e_stddev)
+      val k = scaleOf(f).getOrElse(1L).toDouble
+      val s1 = reg(sum(fx(f))).cast("double")
+      val s2 = reg(sum(fx(f).cast("decimal(38,0)") * fx(f))).cast("double")
+      val n = reg(count(col(f)))
+      sqrt((s2 / (k * k) - (s1 / k) * (s1 / k) / n.cast("double"))
+        / (n - 1).cast("double"))
+    case Call("percentile", List(Ident(f), pArg)) =>
+      throw ParseException("internal: percentile handled by dedicated rule") // see percentileSelect
+    case Call("median", List(Ident(f))) =>
+      // exact interpolation over fixed-point integers (k or k+0.5 exactly)
+      unscale(reg(expr(s"percentile(${fxSql(f)}, 0.5)")), f)
+    case Call("integral", _) =>
+      throw ParseException("internal: integral handled by dedicated rule") // see integralSelect
+    case Bin(op, l, r) =>
+      val (lc, rc) = (buildAgg(l, reg), buildAgg(r, reg))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => when(rc === 0, lit(0.0)).otherwise(lc / rc) // div-by-zero→0 shim
+        case "%" => when(rc.cast("long") === 0, lit(0L))
+          .otherwise(lc.cast("long") % rc.cast("long"))
+        case o => throw ParseException(s"unsupported operator $o on aggregates")
+      }
+    case Paren(x)  => buildAgg(x, reg)
+    case NumLit(v) => lit(v)
+    case IntLit(v) => lit(v)
+    case Call(fn, List(arg)) if ScalarFns.contains(fn) =>
+      ScalarFns(fn)(buildAgg(arg, reg))
+    case x => throw ParseException(s"unsupported aggregate expression $x")
+  }
+
+  private def fxSql(f: String): String = scaleOf(f) match {
+    case Some(k) => s"CAST(round($f * $k) AS BIGINT)"
+    case None    => s"CAST($f AS BIGINT)"
+  }
+
+  /** Scalar function surface (query_merge.go:211-267) + extras. */
+  private val ScalarFns: Map[String, Column => Column] = Map(
+    "abs" -> ((c: Column) => abs(c)), "acos" -> ((c: Column) => acos(c)),
+    "asin" -> ((c: Column) => asin(c)), "atan" -> ((c: Column) => atan(c)),
+    "ceil" -> ((c: Column) => ceil(c)), "cos" -> ((c: Column) => cos(c)),
+    "floor" -> ((c: Column) => floor(c)), "log" -> ((c: Column) => log(c)),
+    "log2" -> ((c: Column) => log2(c)), "log10" -> ((c: Column) => log10(c)),
+    "round" -> ((c: Column) => round(c, 0)), "sin" -> ((c: Column) => sin(c)),
+    "sqrt" -> ((c: Column) => sqrt(c)), "tan" -> ((c: Column) => tan(c)),
+    "exp" -> ((c: Column) => exp(c)), "ln" -> ((c: Column) => log(c)))
+
+  private def scalarCol(e: Expr, leaf: String => Column): Column = e match {
+    case Ident(n)  => leaf(n)
+    case NumLit(v) => lit(v)
+    case IntLit(v) => lit(v)
+    case Paren(x)  => scalarCol(x, leaf)
+    case Call(fn, List(arg)) if ScalarFns.contains(fn) => ScalarFns(fn)(scalarCol(arg, leaf))
+    case Bin(op, l, r) =>
+      val (lc, rc) = (scalarCol(l, leaf), scalarCol(r, leaf))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => when(rc === 0, lit(0.0)).otherwise(lc / rc)
+        case "%" => when(rc.cast("long") === 0, lit(0L))
+          .otherwise(lc.cast("long") % rc.cast("long"))
+        case o => throw ParseException(s"unsupported operator $o")
+      }
+    case x => throw ParseException(s"unsupported scalar expression $x")
+  }
+
+  private def exprName(e: Expr): String = e match {
+    case Call(n, _) => n // InfluxDB names output columns after the function
+    case Ident(n)   => n
+    case Bin(_, l, _) => exprName(l)
+    case Paren(x)   => exprName(x)
+    case _          => "expr"
+  }
+
+  // ---------------- multi-row aggregates
+
+  private def topBottom(base: DataFrame, sel: SelectStmt, tags: List[String],
+      fn: String, args: List[Expr], alias: Option[String]): DataFrame = {
+    val (f, n) = args match {
+      case List(Ident(x), IntLit(k)) => (x, k.toInt)
+      case _ => throw ParseException(s"$fn(field, N) expected")
+    }
+    val ord = if (fn == "top") Seq(col(f).desc, time.asc) else Seq(col(f).asc, time.asc)
+    val w = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
+    base.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse(fn)): _*)
+  }
+
+  private def distinctSelect(base: DataFrame, tags: List[String], f: String,
+      alias: Option[String]): DataFrame =
+    base.select(tags.map(col) :+ col(f).as(alias.getOrElse("distinct")): _*).distinct()
+
+  /** Exact mode with deterministic (count DESC, value ASC) tie-break —
+    * strictly better than the reference's mode-of-modes (calls.go:305-333). */
+  private def modeSelect(base: DataFrame, tags: List[String], f: String,
+      alias: Option[String]): DataFrame = {
+    val counted = base.groupBy((tags.map(col) :+ col(f)): _*).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(tags.map(col): _*)
+      .orderBy(col("__cnt").desc, col(f).asc)
+    counted.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(tags.map(col) :+ col(f).as(alias.getOrElse("mode")): _*)
+  }
+
+  /** InfluxQL percentile: nearest-rank, returns an actual point value. */
+  private def percentileSelect(base: DataFrame, tags: List[String], f: String,
+      p: Expr, alias: Option[String]): DataFrame = {
+    val pv = p match {
+      case IntLit(v) => v.toDouble
+      case NumLit(v) => v
+      case _ => throw ParseException("percentile(field, N) expected")
+    }
+    val w = Window.partitionBy(tags.map(col): _*).orderBy(col(f).asc, time.asc)
+    val wAll = Window.partitionBy(tags.map(col): _*)
+    base.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rn") === ceil(lit(pv) / 100.0 * col("__n")).cast("long"))
+      .select(tags.map(col) :+ col(f).as(alias.getOrElse("percentile")): _*)
+  }
+
+  /** Trapezoidal integral per series in units of field·unit (EventAggs
+    * e_integral; exact integer terms, DECIMAL accumulation). */
+  private def integralSelect(base: DataFrame, tags: List[String], args: List[Expr],
+      alias: Option[String]): DataFrame = {
+    val f = args.headOption match {
+      case Some(Ident(x)) => x
+      case _ => throw ParseException("integral(field[, unit]) expected")
+    }
+    val unitUs = args.collectFirst { case DurLit(us) => us }.getOrElse(1000000L)
+    val k = scaleOf(f).getOrElse(1L)
+    val series = Window.partitionBy(tags.map(col): _*).orderBy(time.asc)
+    base
+      .withColumn("__pc", lag(fx(f), 1).over(series))
+      .withColumn("__pt", lag(time, 1).over(series))
+      .where(col("__pt").isNotNull)
+      .groupBy(tags.map(col): _*)
+      .agg((sum((fx(f) + col("__pc")).cast("decimal(38,0)") * (time - col("__pt")))
+        .cast("double") / (2.0 * k * unitUs)).as(alias.getOrElse("integral")))
+  }
+
+  private def sampleSelect(base: DataFrame, tags: List[String], f: String, n: Int,
+      alias: Option[String]): DataFrame = {
+    // deterministic pseudo-random sample: hash order (sample() is
+    // non-deterministic by spec — calls.go:136-151 — so any fixed choice ok)
+    val w = Window.partitionBy(tags.map(col): _*).orderBy(xxhash64(time, col(f)))
+    base.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
+  }
+
+  // ---------------- transform path (derivative & friends)
+
+  private def transformSelect(base: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
+    val series = Window.partitionBy(tags.map(col): _*).orderBy(time.asc)
+    val outs = sel.fields.map {
+      case Field(c @ Call(fn, args), alias) =>
+        val name = alias.getOrElse(fn)
+        (transformCol(fn, args, series), name)
+      case f => throw ParseException(s"unsupported field in transform query: $f")
+    }
+    val projected = base.select(
+      (time.as("time") +: tags.map(col)) ++ outs.map { case (c, n) => c.as(n) }: _*)
+    projected.where(outs.map { case (_, n) => col(n).isNotNull }.reduce(_ && _))
+  }
+
+  private def transformCol(fn: String, args: List[Expr],
+      series: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    def f: String = args.headOption match {
+      case Some(Ident(x)) => x
+      case _ => throw ParseException(s"$fn(field, ...) expected")
+    }
+    def unitUs: Long = args.collectFirst { case DurLit(us) => us }.getOrElse(1000000L)
+    lazy val dv = (fx(f) - lag(fx(f), 1).over(series)).cast("double") /
+      scaleOf(f).getOrElse(1L).toDouble
+    lazy val dt = (time - lag(time, 1).over(series)).cast("double") / unitUs.toDouble
+    fn match {
+      case "difference" => dv
+      case "derivative" => when(dt > 0, dv / dt)
+      case "non_negative_derivative" => when(dt > 0 && dv / dt >= 0, dv / dt)
+      case "cumulative_sum" =>
+        unscale(sum(fx(f)).over(series.rowsBetween(Window.unboundedPreceding, 0)), f)
+      case "moving_average" =>
+        val n = args.collectFirst { case IntLit(k) => k.toInt }
+          .getOrElse(throw ParseException("moving_average(field, N) expected"))
+        val w = series.rowsBetween(-(n - 1), 0)
+        sum(fx(f)).over(w).cast("double") /
+          (lit(scaleOf(f).getOrElse(1L).toDouble) * count(fx(f)).over(w))
+      case "elapsed" =>
+        // integer division in the requested unit (InfluxQL semantics)
+        ((time - lag(time, 1).over(series)) / unitUs).cast("long").cast("long")
+      case o => throw ParseException(s"unsupported transform $o")
+    }
+  }
+
+  // ---------------- fill
+
+  private def applyFill(d: DataFrame, sel: SelectStmt, tags: List[String],
+      valueCols: Seq[String]): DataFrame = {
+    if (sel.groupByTime.isEmpty || sel.fill == FillNone) return d
+    val iv = sel.groupByTime.get
+    val span = d.agg(min("time").as("lo"), max("time").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(iv))).as("time"))
+    val spine =
+      if (tags.isEmpty) span
+      else span.crossJoin(d.select(tags.map(col): _*).distinct())
+    val joined = spine.join(d, "time" :: tags, "left")
+    sel.fill match {
+      case FillNull => joined
+      case FillValue(v) =>
+        valueCols.foldLeft(joined)((acc, c) => acc.withColumn(c, coalesce(col(c), lit(v))))
+      case FillPrevious =>
+        val w = Window.partitionBy(tags.map(col): _*).orderBy("time")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        valueCols.foldLeft(joined)((acc, c) =>
+          acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      case FillLinear =>
+        val back = Window.partitionBy(tags.map(col): _*).orderBy("time")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = Window.partitionBy(tags.map(col): _*).orderBy("time")
+          .rowsBetween(0, Window.unboundedFollowing)
+        valueCols.foldLeft(joined) { (acc, c) =>
+          val pv = last(col(c), ignoreNulls = true).over(back)
+          val pt = last(when(col(c).isNotNull, col("time")), ignoreNulls = true).over(back)
+          val nv = first(col(c), ignoreNulls = true).over(fwd)
+          val nt = first(when(col(c).isNotNull, col("time")), ignoreNulls = true).over(fwd)
+          acc.withColumn(c, when(col(c).isNotNull, col(c))
+            .otherwise(pv + (nv - pv) * (col("time") - pt) / (nt - pt)))
+        }
+      case _ => joined
+    }
+  }
+
+  // ---------------- ordering, limits, series limits
+
+  private def sortLimit(d: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
+    val hasTime = d.columns.contains("time")
+    val rest = d.columns.filterNot(_ == "time").toSeq.map(col)
+    val sorted =
+      if (hasTime) {
+        val t = if (sel.orderDesc) col("time").desc else col("time").asc
+        d.orderBy(t +: rest.map(_.asc): _*) // stable total order for LIMIT
+      } else d
+    val off = sel.offset.map(o => sorted.offset(o)).getOrElse(sorted)
+    sel.limit.map(off.limit).getOrElse(off)
+  }
+
+  private def slimit(d: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
+    if (sel.slimit.isEmpty && sel.soffset.isEmpty) return d
+    if (tags.isEmpty) throw ParseException("SLIMIT requires GROUP BY tags")
+    val lo = sel.soffset.getOrElse(0)
+    val hi = lo + sel.slimit.getOrElse(Int.MaxValue - lo)
+    // rank the (small) distinct series set, broadcast back (EventAggs e_slimit)
+    val ser = d.select(tags.map(col): _*).distinct()
+      .withColumn("__srank", dense_rank().over(Window.orderBy(tags.map(col): _*)))
+      .where(col("__srank") > lo && col("__srank") <= hi)
+      .drop("__srank")
+    d.join(broadcast(ser), tags)
+  }
+}
+
+object Translator {
+  /** Parse and run an InfluxQL SELECT against the measurement catalog. */
+  def query(spark: SparkSession, sfDir: String, influxql: String): DataFrame =
+    Parser.parse(influxql) match {
+      case sel: SelectStmt =>
+        val (df, meta) = Catalog.load(spark, sfDir, sel.from)
+        new Translator(df, meta).run(sel)
+      case ShowStmt(what, _) => Meta.show(spark, sfDir, what)
+      case other => throw ParseException(s"not a query statement: $other")
+    }
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Q
+import graft.ql.Translator
+
+/** End-to-end InfluxQL queries: each entry is an InfluxQL STRING run through
+  * the full front-end (Lexer → Parser → Translator → DataFrame), checked
+  * against a DuckDB oracle that encodes the defined semantics (SURVEY §2.4,
+  * §7.0). This is the proof that a user of the reference can submit their
+  * InfluxQL and get the reference's answers from this engine.
+  *
+  * The `ev` CTE mirrors the translator's fixed-point discipline: value is a
+  * 2-decimal field (scale 100), so sum/mean/stddev run over exact integer
+  * cents on both engines. Output `time` is epoch-µs LONG, bucket-aligned via
+  * `ts_us - ts_us % interval`.
+  */
+object InfluxQLSuite {
+
+  private val EV =
+    "ev AS (SELECT *, epoch_us(ts) AS ts_us, CAST(round(value*100) AS BIGINT) AS cents FROM events)"
+  private val DAY_US = 86400000000L
+
+  private def iql(name: String, oracleSql: String)(influxql: String): Q =
+    Q(name, oracleSql) { (s, d) => Translator.query(s, d, influxql) }
+
+  private def iqlRowsOnly(name: String)(influxql: String): Q =
+    Q.noOracle(name) { (s, d) => Translator.query(s, d, influxql) }
+
+  def all: Seq[Q] = Seq(
+
+    // ---- raw select: time+tag predicates, sort, limit (coordinator SELECT path)
+    iql("iql_raw",
+      s"""WITH $EV
+         |SELECT ts_us AS time, value FROM ev
+         |WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-05') AND ts_us < epoch_us(TIMESTAMP '2024-01-08')
+         |  AND event_type = 'click'
+         |ORDER BY 1, 2 LIMIT 50""".stripMargin)(
+      "SELECT value FROM events WHERE time >= '2024-01-05' AND time < '2024-01-08' AND event_type = 'click' ORDER BY time ASC LIMIT 50"),
+
+    // ---- GROUP BY time(1d), tag: the reference's core distributed-agg shape
+    iql("iql_mean_1d",
+      s"""WITH $EV
+         |SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+         |       CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean
+         |FROM ev GROUP BY 1, 2""".stripMargin)(
+      "SELECT mean(value) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_count_sum_1d",
+      s"""WITH $EV
+         |SELECT ts_us - ts_us % $DAY_US AS time,
+         |       count(value) AS count, CAST(sum(cents) AS DOUBLE) / 100.0 AS sum
+         |FROM ev WHERE event_type != 'purchase' GROUP BY 1""".stripMargin)(
+      "SELECT count(value), sum(value) FROM events WHERE event_type != 'purchase' GROUP BY time(1d)"),
+
+    iql("iql_minmax_spread",
+      """SELECT event_type, min(value) AS min, max(value) AS max,
+        |       max(value) - min(value) AS spread
+        |FROM events GROUP BY 1""".stripMargin)(
+      "SELECT min(value), max(value), spread(value) FROM events GROUP BY event_type"),
+
+    iql("iql_first_last",
+      s"""WITH $EV, w AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts_us ASC,  value ASC)  AS rf,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts_us DESC, value DESC) AS rl
+         |  FROM ev)
+         |SELECT f.event_type, f.value AS first, l.value AS last
+         |FROM (SELECT event_type, value FROM w WHERE rf = 1) f
+         |JOIN (SELECT event_type, value FROM w WHERE rl = 1) l USING (event_type)""".stripMargin)(
+      "SELECT first(value), last(value) FROM events GROUP BY event_type"),
+
+    // ---- scalar math over aggregates (query_merge.go:211-267 chain)
+    iql("iql_scalar_chain",
+      s"""WITH $EV
+         |SELECT event_type,
+         |       abs(CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) * -3) AS abs
+         |FROM ev GROUP BY 1""".stripMargin)(
+      "SELECT abs(mean(value) * -3) FROM events GROUP BY event_type"),
+
+    // ---- the division-by-zero→0 compat shim (query_merge.go:326-330)
+    iql("iql_div_zero",
+      """SELECT event_type,
+        |  CASE WHEN max(value) - max(value) = 0 THEN 0.0
+        |       ELSE min(value) / (max(value) - max(value)) END AS min
+        |FROM events GROUP BY 1""".stripMargin)(
+      "SELECT min(value) / (max(value) - max(value)) FROM events GROUP BY event_type"),
+
+    // ---- top/bottom N rows with timestamps (calls.go:153-217)
+    iql("iql_top3",
+      s"""WITH $EV, r AS (
+         |  SELECT ts_us AS time, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, ts_us ASC) AS rn
+         |  FROM ev)
+         |SELECT time, event_type, value AS top FROM r WHERE rn <= 3""".stripMargin)(
+      "SELECT top(value, 3) FROM events GROUP BY event_type"),
+
+    iql("iql_bottom2",
+      s"""WITH $EV, r AS (
+         |  SELECT ts_us AS time, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, ts_us ASC) AS rn
+         |  FROM ev)
+         |SELECT time, event_type, value AS bottom FROM r WHERE rn <= 2""".stripMargin)(
+      "SELECT bottom(value, 2) FROM events GROUP BY event_type"),
+
+    // ---- nearest-rank percentile: an actual point value (InfluxQL spec)
+    iql("iql_percentile90",
+      s"""WITH $EV, r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, ts_us ASC) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev)
+         |SELECT event_type, value AS percentile FROM r
+         |WHERE rn = CAST(ceil(90.0 / 100.0 * n) AS BIGINT)""".stripMargin)(
+      "SELECT percentile(value, 90) FROM events GROUP BY event_type"),
+
+    iql("iql_median",
+      s"""WITH $EV
+         |SELECT event_type, quantile_cont(cents, 0.5) / 100.0 AS median
+         |FROM ev GROUP BY 1""".stripMargin)(
+      "SELECT median(value) FROM events GROUP BY event_type"),
+
+    iql("iql_mode",
+      """WITH c AS (SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, value ASC) AS rn
+        |      FROM c)
+        |SELECT event_type, value AS mode FROM r WHERE rn = 1""".stripMargin)(
+      "SELECT mode(value) FROM events GROUP BY event_type"),
+
+    iql("iql_distinct",
+      """SELECT DISTINCT value AS "distinct" FROM events WHERE event_type = 'click'""")(
+      "SELECT distinct(value) FROM events WHERE event_type = 'click'"),
+
+    iql("iql_stddev",
+      s"""WITH $EV
+         |SELECT event_type,
+         |  sqrt((CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)/10000.0
+         |        - (CAST(sum(cents) AS DOUBLE)/100.0) * (CAST(sum(cents) AS DOUBLE)/100.0)
+         |          / CAST(count(value) AS DOUBLE))
+         |       / CAST(count(value) - 1 AS DOUBLE)) AS stddev
+         |FROM ev GROUP BY 1""".stripMargin)(
+      "SELECT stddev(value) FROM events GROUP BY event_type"),
+
+    // ---- transforms over raw series (rejected by the reference's merge
+    //      layer, first-class here — SURVEY §2.4 last row)
+    iql("iql_derivative",
+      s"""WITH $EV, l AS (
+         |  SELECT ts_us, event_type, cents,
+         |    lag(cents) OVER (PARTITION BY event_type ORDER BY ts_us) AS pc,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us) AS pt
+         |  FROM ev)
+         |SELECT ts_us AS time, event_type,
+         |  (CAST(cents - pc AS DOUBLE) / 100.0) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0) AS derivative
+         |FROM l WHERE pt IS NOT NULL AND ts_us > pt""".stripMargin)(
+      "SELECT derivative(value, 1s) FROM events GROUP BY event_type"),
+
+    iql("iql_cumsum",
+      s"""WITH $EV
+         |SELECT ts_us AS time, event_type,
+         |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts_us
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / 100.0 AS cumulative_sum
+         |FROM ev""".stripMargin)(
+      "SELECT cumulative_sum(value) FROM events GROUP BY event_type"),
+
+    iql("iql_moving_avg",
+      s"""WITH $EV
+         |SELECT ts_us AS time, event_type,
+         |  CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * count(cents) OVER w) AS moving_average
+         |FROM ev
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)(
+      "SELECT moving_average(value, 3) FROM events GROUP BY event_type"),
+
+    iql("iql_elapsed",
+      s"""WITH $EV, l AS (
+         |  SELECT ts_us, event_type,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us) AS pt
+         |  FROM ev)
+         |SELECT ts_us AS time, event_type, (ts_us - pt) // 60000000 AS elapsed
+         |FROM l WHERE pt IS NOT NULL""".stripMargin)(
+      "SELECT elapsed(value, 1m) FROM events GROUP BY event_type"),
+
+    iql("iql_integral",
+      s"""WITH $EV, l AS (
+         |  SELECT event_type, cents, ts_us,
+         |    lag(cents) OVER (PARTITION BY event_type ORDER BY ts_us) AS pc,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us) AS pt
+         |  FROM ev)
+         |SELECT event_type,
+         |  CAST(sum(CAST(cents + pc AS HUGEINT) * (ts_us - pt)) AS DOUBLE) / 200000000.0 AS integral
+         |FROM l WHERE pt IS NOT NULL GROUP BY 1""".stripMargin)(
+      "SELECT integral(value, 1s) FROM events GROUP BY event_type"),
+
+    // ---- fill() family over time buckets (SURVEY §2.4 grouping surface)
+    iql("iql_fill_zero",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS sum
+         |      FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(time) AS lo, max(time) AS hi FROM b),
+         |spine AS (SELECT unnest(generate_series(lo, hi, $DAY_US)) AS time FROM span),
+         |types AS (SELECT DISTINCT event_type FROM ev)
+         |SELECT s.time, t.event_type, coalesce(b.sum, 0.0) AS sum
+         |FROM spine s CROSS JOIN types t
+         |LEFT JOIN b ON b.time = s.time AND b.event_type = t.event_type""".stripMargin)(
+      "SELECT sum(value) FROM events GROUP BY time(1d), event_type fill(0)"),
+
+    iql("iql_fill_previous",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS sum
+         |      FROM ev WHERE event_type IN ('click', 'error') GROUP BY 1, 2),
+         |span AS (SELECT min(time) AS lo, max(time) AS hi FROM b),
+         |spine AS (SELECT unnest(generate_series(lo, hi, $DAY_US)) AS time FROM span),
+         |types AS (SELECT DISTINCT event_type FROM b),
+         |g AS (SELECT s.time, t.event_type, b.sum
+         |      FROM spine s CROSS JOIN types t
+         |      LEFT JOIN b ON b.time = s.time AND b.event_type = t.event_type)
+         |SELECT time, event_type,
+         |  last_value(sum IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY time
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum
+         |FROM g""".stripMargin)(
+      "SELECT sum(value) FROM events WHERE event_type = 'click' OR event_type = 'error' GROUP BY time(1d), event_type fill(previous)"),
+
+    iql("iql_fill_linear",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+         |             CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean
+         |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |span AS (SELECT min(time) AS lo, max(time) AS hi FROM b),
+         |spine AS (SELECT unnest(generate_series(lo, hi, $DAY_US)) AS time FROM span),
+         |types AS (SELECT DISTINCT event_type FROM b),
+         |g AS (SELECT s.time, t.event_type, b.mean
+         |      FROM spine s CROSS JOIN types t
+         |      LEFT JOIN b ON b.time = s.time AND b.event_type = t.event_type),
+         |w AS (SELECT time, event_type, mean,
+         |        last_value(mean IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY time
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |        last_value(CASE WHEN mean IS NOT NULL THEN time END IGNORE NULLS)
+         |          OVER (PARTITION BY event_type ORDER BY time
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |        first_value(mean IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY time
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |        first_value(CASE WHEN mean IS NOT NULL THEN time END IGNORE NULLS)
+         |          OVER (PARTITION BY event_type ORDER BY time
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |      FROM g)
+         |SELECT time, event_type,
+         |  CASE WHEN mean IS NOT NULL THEN mean
+         |       ELSE pv + (nv - pv) * (time - pt) / (nt - pt) END AS mean
+         |FROM w""".stripMargin)(
+      "SELECT mean(value) FROM events WHERE event_type = 'purchase' GROUP BY time(1d), event_type fill(linear)"),
+
+    // ---- SLIMIT/SOFFSET series windowing (query_merge.go:93-98)
+    iql("iql_slimit",
+      s"""WITH $EV,
+         |m AS (SELECT event_type, CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean
+         |      FROM ev GROUP BY 1),
+         |r AS (SELECT *, dense_rank() OVER (ORDER BY event_type) AS sr FROM m)
+         |SELECT event_type, mean FROM r WHERE sr > 1 AND sr <= 3""".stripMargin)(
+      "SELECT mean(value) FROM events GROUP BY event_type SLIMIT 2 SOFFSET 1"),
+
+    // ---- SHOW metadata surface (routing.go:43-58)
+    iql("iql_show_measurements", "SELECT 'events' AS name")("SHOW MEASUREMENTS"),
+    iql("iql_show_tag_keys",
+      "SELECT 'events' AS measurement, 'event_type' AS tagKey")("SHOW TAG KEYS"),
+    iql("iql_show_field_keys",
+      """SELECT * FROM (VALUES ('events', 'value', 'float'), ('events', 'user_id', 'integer'))
+        |AS t(measurement, fieldKey, fieldType)""".stripMargin)("SHOW FIELD KEYS"),
+    iql("iql_show_series",
+      "SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events")("SHOW SERIES"),
+    iql("iql_show_tag_values",
+      "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")("SHOW TAG VALUES"),
+
+    // sample(): non-deterministic by spec → rows-only check
+    iqlRowsOnly("iql_sample")("SELECT sample(value, 5) FROM events GROUP BY event_type")
+  )
+}

@@ -1,0 +1,108 @@
+package graft.ql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser golden ASTs + error semantics (reference behaviors:
+  * `service/query_handler_test.go`, `service/clusterql/parser_test.go`,
+  * `service/admin_test.go`). */
+class ParserSpec extends AnyFunSuite {
+
+  private def sel(q: String): SelectStmt =
+    Parser.parse(q).asInstanceOf[SelectStmt]
+
+  test("minimal slice query parses (SURVEY §7.2 shape)") {
+    val s = sel("SELECT mean(value) FROM treasures WHERE time <= now() AND (type = 'gold' OR type = 'trash') GROUP BY time(1d) LIMIT 1")
+    assert(s.from == "treasures")
+    assert(s.fields == List(Field(Call("mean", List(Ident("value"))), None)))
+    assert(s.groupByTime.contains(86400000000L))
+    assert(s.limit.contains(1))
+    assert(s.where.isDefined)
+  }
+
+  test("durations convert to µs") {
+    assert(Lexer.durationUs("5m") == 300000000L)
+    assert(Lexer.durationUs("1h") == 3600000000L)
+    assert(Lexer.durationUs("90s") == 90000000L)
+    assert(Lexer.durationUs("1w") == 604800000000L)
+    assert(Lexer.durationUs("10ms") == 10000L)
+    assert(Lexer.durationUs("1500ns") == 1L)
+  }
+
+  test("fill variants, with and without comma separation") {
+    assert(sel("SELECT sum(v) FROM m GROUP BY time(1h) fill(0)").fill == FillValue(0))
+    assert(sel("SELECT sum(v) FROM m GROUP BY time(1h), fill(previous)").fill == FillPrevious)
+    assert(sel("SELECT sum(v) FROM m GROUP BY time(1h), t fill(linear)").fill == FillLinear)
+    assert(sel("SELECT sum(v) FROM m GROUP BY time(1h) fill(none)").fill == FillNone)
+    assert(sel("SELECT sum(v) FROM m GROUP BY time(1h) fill(null)").fill == FillNull)
+  }
+
+  test("GROUP BY * and tag lists") {
+    assert(sel("SELECT mean(v) FROM m GROUP BY *").groupByAllTags)
+    assert(sel("SELECT mean(v) FROM m GROUP BY time(5m), a, b").groupByTags == List("a", "b"))
+  }
+
+  test("LIMIT/OFFSET/SLIMIT/SOFFSET") {
+    val s = sel("SELECT v FROM m LIMIT 10 OFFSET 5 SLIMIT 2 SOFFSET 1")
+    assert(s.limit.contains(10) && s.offset.contains(5) &&
+      s.slimit.contains(2) && s.soffset.contains(1))
+  }
+
+  test("operator precedence: a + b * c parses as a + (b * c)") {
+    val s = sel("SELECT a + b * c FROM m")
+    assert(s.fields.head.expr == Bin("+", Ident("a"), Bin("*", Ident("b"), Ident("c"))))
+  }
+
+  test("ORDER BY only supports time (influxql restriction)") {
+    assert(sel("SELECT v FROM m ORDER BY time DESC").orderDesc)
+    assertThrows[ParseException](Parser.parse("SELECT v FROM m ORDER BY v"))
+  }
+
+  test("quoted identifiers and string literals") {
+    val s = sel("SELECT \"weird name\" FROM m WHERE tag = 'va lue'")
+    assert(s.fields.head.expr == Ident("weird name"))
+  }
+
+  test("trailing garbage is rejected") {
+    assertThrows[ParseException](Parser.parse("SELECT v FROM m garbage here"))
+  }
+
+  // ---- admin DSL (clusterql grammar, language.go:7-63; parse-error
+  //      behavior asserted like parser_test.go:10-25)
+  test("CREATE PARTITION KEY, both argument orders") {
+    assert(Parser.parse("CREATE PARTITION KEY type,loc ON mydb") ==
+      CreatePartitionKey(List("type", "loc"), "mydb", None))
+    assert(Parser.parse("CREATE PARTITION KEY type ON mydb.treasures") ==
+      CreatePartitionKey(List("type"), "mydb", Some("treasures")))
+    assert(Parser.parse("CREATE PARTITION KEY ON mydb.treasures WITH type,loc") ==
+      CreatePartitionKey(List("type", "loc"), "mydb", Some("treasures")))
+  }
+
+  test("SHOW/DROP PARTITION KEY, SHOW/REMOVE NODES") {
+    assert(Parser.parse("SHOW PARTITION KEYS") == ShowPartitionKeys(None))
+    assert(Parser.parse("SHOW PARTITION KEYS ON mydb") == ShowPartitionKeys(Some("mydb")))
+    assert(Parser.parse("DROP PARTITION KEY ON mydb") == DropPartitionKey("mydb", None))
+    assert(Parser.parse("SHOW NODES") == ShowNodes)
+    assert(Parser.parse("REMOVE NODE node1") == RemoveNode("node1"))
+  }
+
+  test("SET REPLICATION FACTOR (statements.go:28-32, not in reference grammar — supported here)") {
+    assert(Parser.parse("SET REPLICATION FACTOR 2") == SetReplicationFactor(2, None, None))
+    assert(Parser.parse("SET REPLICATION FACTOR 3 ON db.m") ==
+      SetReplicationFactor(3, Some("db"), Some("m")))
+  }
+
+  test("SHOW statements") {
+    assert(Parser.parse("SHOW MEASUREMENTS") == ShowStmt("MEASUREMENTS", None))
+    assert(Parser.parse("SHOW TAG KEYS") == ShowStmt("TAG KEYS", None))
+    assert(Parser.parse("SHOW RETENTION POLICIES ON mydb") ==
+      ShowStmt("RETENTION POLICIES", Some("mydb")))
+    assert(Parser.parse("SHOW SERIES") == ShowStmt("SERIES", None))
+  }
+
+  test("parse errors carry a message naming the problem") {
+    val e = intercept[ParseException](Parser.parse("SELECT FROM m"))
+    assert(e.getMessage.nonEmpty)
+    assertThrows[ParseException](Parser.parse("CREATE PARTITION KEY"))
+    assertThrows[ParseException](Parser.parse("SELECT sum(v) FROM m GROUP BY time(xyz)"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ql
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Translator semantics the DuckDB gate can't probe: error behaviors
+  * (reference 400s), the merge-semantics unit vectors from
+  * `service/coordinator_test.go:86-197` re-expressed on a tiny in-memory
+  * measurement, and SHOW output shape. */
+class TranslatorSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  /** The reference's test fixture: treasures gold=100, silver=50, trash=0
+    * (`service/test_utils.go:60-76`), as a measurement. */
+  private lazy val treasures = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1000000L, "gold", 100.0),
+      (2000000L, "silver", 50.0),
+      (3000000L, "trash", 0.0)
+    ).toDF("ts_us", "type", "value")
+  }
+  private val meta = TableMeta("treasures", "ts_us",
+    tags = Seq("type"), fields = Seq(FieldMeta("value", Some(100L))))
+
+  private def run(q: String): Array[Row] = {
+    val sel = Parser.parse(q).asInstanceOf[SelectStmt]
+    new Translator(treasures, meta).run(sel).collect()
+  }
+
+  test("distributed mean of {100,50,0} is 50 (coordinator_test.go:86-110)") {
+    val rows = run("SELECT mean(value) FROM treasures")
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(0) == 50.0)
+  }
+
+  test("mean over filtered tags = 50 for gold+trash (query_handler_test.go:11-16)") {
+    val rows = run("SELECT mean(value) FROM treasures WHERE type = 'gold' OR type = 'trash' GROUP BY time(1d) LIMIT 1")
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("mean") == 50.0)
+  }
+
+  test("sum/count/spread merge vectors") {
+    val r = run("SELECT sum(value), count(value), spread(value) FROM treasures").head
+    assert(r.getAs[Double]("sum") == 150.0)
+    assert(r.getAs[Long]("count") == 3L)
+    assert(r.getAs[Double]("spread") == 100.0)
+  }
+
+  test("scalar chain abs(round(mean * -3.55)) (coordinator_test.go merge-math vector)") {
+    val r = run("SELECT abs(round(mean(value) * -3)) FROM treasures WHERE type = 'gold'").head
+    assert(r.getAs[Double]("abs") == 300.0)
+  }
+
+  test("division by zero yields 0, not null/inf (query_merge.go:326-330)") {
+    val r = run("SELECT sum(value) / (sum(value) - sum(value)) FROM treasures").head
+    assert(r.getAs[Double]("sum") == 0.0)
+  }
+
+  test("bare field with GROUP BY time errors like the reference 400 (query_handler_test.go:45-49)") {
+    assertThrows[ParseException](run("SELECT value FROM treasures GROUP BY time(1d)"))
+  }
+
+  test("mixing aggregate and bare field errors") {
+    assertThrows[ParseException](run("SELECT mean(value), value FROM treasures"))
+  }
+
+  test("unknown field errors") {
+    assertThrows[ParseException](run("SELECT mean(nope) FROM treasures"))
+  }
+
+  test("GROUP BY * expands to the measurement's tags") {
+    val rows = run("SELECT mean(value) FROM treasures GROUP BY *")
+    assert(rows.length == 3) // one per type
+  }
+
+  test("top returns rows with timestamps") {
+    val rows = run("SELECT top(value, 2) FROM treasures")
+    assert(rows.map(_.getAs[Double]("top")).toSet == Set(100.0, 50.0))
+    assert(rows.forall(r => r.getAs[Long]("time") > 0))
+  }
+
+  test("SHOW MEASUREMENTS / TAG KEYS shapes") {
+    val m = Meta.show(spark, sfDir, "MEASUREMENTS").collect()
+    assert(m.map(_.getString(0)).contains("events"))
+    val tk = Meta.show(spark, sfDir, "TAG KEYS").collect()
+    assert(tk.exists(r => r.getString(0) == "events" && r.getString(1) == "event_type"))
+  }
+
+  test("full front-end runs against the events measurement (sf0.001)") {
+    val df = Translator.query(spark, sfDir, "SELECT mean(value) FROM events GROUP BY time(1d), event_type")
+    assert(df.columns.toSeq == Seq("time", "event_type", "mean"))
+    assert(df.count() > 0)
+  }
+}
