@@ -10,7 +10,8 @@ object Registry {
     graft.queries.Relational.all ++
     graft.queries.DocText.all ++
     graft.queries.EmbedOps.all ++
-    graft.queries.InfluxQLSuite.all
+    graft.queries.InfluxQLSuite.all ++
+    graft.queries.IngestSuite.all
 
   /** Duplicate names would silently shadow each other in the maps — fail fast. */
   def validated: Seq[Q] = {

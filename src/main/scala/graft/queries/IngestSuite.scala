@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Multimodal
+import graft.sources.LineProtocol
+import org.apache.spark.sql.functions._
+
+/** Ingest + multimodal operators as oracle-checked queries:
+  *
+  *   - lp_roundtrip: events → line-protocol text (the reference's wire
+  *     format) → distributed parse → rows. Proves serializer ∘ parser =
+  *     identity on real data; the oracle reads the same rows straight from
+  *     parquet, so any drift in either direction fails the hash.
+  *   - mm_features: the multimodal batch pipeline (binary payload +
+  *     deterministic stub decode); oracle mirrors the stub's arithmetic in
+  *     SQL, checking the mapPartitions plumbing end-to-end.
+  */
+object IngestSuite {
+
+  def all: Seq[Q] = Seq(
+
+    Q("lp_roundtrip",
+      """SELECT epoch_us(ts) * 1000 AS time_ns, event_type, value,
+        |       CAST(user_id AS DOUBLE) AS user_id
+        |FROM events""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      // serialize every event to a line-protocol line (distributed)
+      val lines = ev.select(col("ts_us"), col("event_type"), col("value"), col("user_id"))
+        .as[(Long, String, Double, Long)]
+        .map { case (tsUs, et, v, uid) =>
+          LineProtocol.serialize(LineProtocol.Point(
+            "events", Map("event_type" -> et),
+            Map("value" -> LineProtocol.FFloat(v), "user_id" -> LineProtocol.FInt(uid)),
+            Some(tsUs * 1000L)))
+        }
+      // parse back (distributed), dead-letter channel must stay empty
+      val (parsed, _) = LineProtocol.parse(s, lines, "events",
+        tagKeys = Seq("event_type"), floatFields = Seq("value", "user_id"))
+      parsed.select(col("time_ns"), col("event_type"), col("value"), col("user_id"))
+    },
+
+    Q("mm_features",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(n_chars AS BIGINT) AS bytes_len,
+        |  sha256(text) AS sha256,
+        |  CAST(64 + n_chars % 577 AS INT) AS width,
+        |  CAST(64 + (n_chars * 31) % 421 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + n_chars % 7 ELSE 1 END AS INT) AS n_frames
+        |FROM documents""".stripMargin) { (s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
+        .select("doc_id", "mime", "bytes_len", "sha256", "width", "height", "n_frames")
+    }
+  )
+}

