@@ -210,7 +210,16 @@ object DocText {
          |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          |      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
          |      >= 0.8""".stripMargin) { (s, d) =>
-      val sh = withShingles(docs2(s, d)).select("doc_id", "lang", "source", "shingles")
+      // Bucket-bounded pairwise compare with the shingle table materialized
+      // once (the self-join would otherwise recompute shingling per side).
+      // An inverted-index (explode + join on shingle) variant was measured
+      // 1.4× SLOWER here: this corpus has a 31-token vocabulary, so posting
+      // lists are huge and pair-events explode (~100M); on natural text
+      // (near-unique shingles) the inverted index wins — which is exactly
+      // why the LSH path (d_lsh_pairs), not this baseline, is the scale
+      // answer.
+      val sh = withShingles(docs2(s, d))
+        .select("doc_id", "lang", "source", "shingles").persist()
       val a = sh.toDF("doc_a", "lang", "source", "sh_a")
       val b = sh.toDF("doc_b", "lang", "source", "sh_b")
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -255,8 +264,12 @@ object DocText {
          |      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
          |                  JOIN sh sb ON sb.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
-      val sh = withShingles(docs2(s, d)).select("doc_id", "shingles")
-      val sig = withSig(sh)
+      // Materialize shingle sets + signatures once: the band self-join and
+      // the two verification joins would otherwise recompute the full
+      // shingling+minhash expression per reference (at real scale this is
+      // the persisted LSH index table).
+      val sh = withShingles(docs2(s, d)).select("doc_id", "shingles").persist()
+      val sig = withSig(sh).persist()
       val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
           concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
         }: _*)))

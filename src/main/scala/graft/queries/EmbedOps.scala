@@ -176,9 +176,13 @@ object EmbedOps {
          |SELECT qid, vec_id, sim_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
     }) { (s, d) =>
       val v = emb(s, d)
+      // materialize the signature table: 32 hyperplane dot-folds per row,
+      // referenced by both sides of the bucket join (the persisted ANN
+      // index at real scale)
       val bands = v.select(col("vec_id"), col("embedding"),
           posexplode(array((0 until NTABLES).map(t => tableBucket(t)): _*)))
         .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
+        .persist()
       val q = bands.where(col("vec_id") < NQUERIES)
         .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
       val cand = bands.select("vec_id", "tbl", "bucket")
