@@ -1,0 +1,121 @@
+package graft
+
+import graft.cluster._
+import graft.ql._
+import graft.sources.LineProtocol
+import graft.streaming.ContinuousQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing engine — what replaces the reference's HTTP proxy for a
+  * migrating user (`/root/reference/cmd/handle/main.go`): one object that
+  * accepts InfluxQL (queries, SHOW, DDL, admin DSL), line-protocol writes,
+  * and serves InfluxDB-shaped JSON. Everything routes to the same
+  * components the suites exercise:
+  *
+  *   query text ──Parser──► SelectStmt ──Translator──► DataFrame plan
+  *                          ShowStmt  ──Meta / catalogs
+  *                          DdlStmt   ──DbCatalog (+ CQ backfill)
+  *                          AdminStmt ──Admin / PartitionKeyStore
+  *   line protocol ──LineProtocol.parse──► measurement DataFrames
+  *
+  * In-memory measurements registered via `registerMeasurement` take priority
+  * over the parquet-backed catalog, so written points are immediately
+  * queryable (the reference's read-your-writes through the proxy).
+  */
+final class Engine(val spark: SparkSession, sfDir: String) {
+
+  val partitionKeys = new PartitionKeyStore
+  val replication = new ReplicationSettings
+  val databases = new DbCatalog
+  private val admin = new Admin(partitionKeys, replication)
+  private val tables = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, TableMeta)]
+
+  databases.createDatabase("default")
+
+  def registerMeasurement(meta: TableMeta, df: DataFrame): Unit =
+    tables(meta.measurement) = (df, meta)
+
+  private def load(measurement: String): (DataFrame, TableMeta) =
+    tables.getOrElse(measurement, Catalog.load(spark, sfDir, measurement))
+
+  /** Execute any InfluxQL statement; SELECT/SHOW return data, DDL/admin
+    * return empty or listing frames (the reference's Result rows). */
+  def execute(influxql: String): DataFrame = Parser.parse(influxql) match {
+    case sel: SelectStmt => runSelect(sel)
+    case ShowStmt("DATABASES", _) =>
+      { import spark.implicits._; databases.databases.toDF("name") }
+    case ShowStmt("RETENTION POLICIES", on) =>
+      import spark.implicits._
+      databases.listRps(on.getOrElse("default"))
+        .map(r => (r.name, s"${r.durationUs}us", r.replicas, r.default))
+        .toDF("name", "duration", "replicaN", "default")
+    case ShowStmt("CONTINUOUS QUERIES", on) =>
+      import spark.implicits._
+      databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
+    case ShowStmt(what, _) => Meta.show(spark, sfDir, what)
+    case ddl: DdlStmt      => executeDdl(ddl)
+    case adm: AdminStmt    => admin.execute(spark, adm)
+    case other             => throw ParseException(s"unsupported statement: $other")
+  }
+
+  private def runSelect(sel: SelectStmt): DataFrame = {
+    val (df, meta) = load(sel.from)
+    val out = new Translator(df, meta).run(sel)
+    sel.into.foreach { target => // SELECT INTO: materialize as a measurement
+      registerMeasurement(TableMeta(target, "time",
+        tags = sel.groupByTags, fields = Seq(FieldMeta(out.columns.last, None))), out)
+    }
+    out
+  }
+
+  private def executeDdl(ddl: DdlStmt): DataFrame = {
+    import spark.implicits._
+    ddl match {
+      case CreateDatabase(n) => databases.createDatabase(n)
+      case DropDatabase(n)   => databases.dropDatabase(n)
+      case CreateRetentionPolicy(n, db, dur, repl, dflt) =>
+        databases.createRp(db, databases.Rp(n, dur, repl, dflt))
+      case DropRetentionPolicy(n, db) => databases.dropRp(db, n)
+      case CreateContinuousQuery(n, db, sel) =>
+        databases.createCq(databases.CqDef(n, db, sel))
+        // reference semantics: CQ recomputes over history on creation —
+        // backfill INTO the target measurement now (streaming continuation
+        // is ContinuousQuery.start on a stream of the same source)
+        runSelect(sel)
+      case DropContinuousQuery(n, db) => databases.dropCq(db, n)
+    }
+    Seq.empty[(String, String)].toDF("k", "v").limit(0)
+  }
+
+  /** Ingest line-protocol text into a registered measurement; returns
+    * (points written, dead-lettered lines). */
+  def writeLineProtocol(lines: Seq[String], measurement: String): (Long, Long) = {
+    import spark.implicits._
+    val meta = tables.get(measurement).map(_._2)
+      .getOrElse(Catalog.load(spark, sfDir, measurement)._2)
+    val floatFields = meta.fields.map(_.name)
+    val (df, errs) = LineProtocol.parse(spark, spark.createDataset(lines),
+      measurement, meta.tags, floatFields)
+    val withTime = df.withColumn(meta.timeCol, expr("time_ns div 1000"))
+    val existing = tables.get(measurement).map(_._1)
+    val merged = existing match {
+      case Some(old) if old.columns.sorted.sameElements(withTime.columns.sorted) =>
+        old.unionByName(withTime)
+      case _ => withTime
+    }
+    registerMeasurement(meta, merged)
+    (df.count(), errs.count())
+  }
+
+  /** Query → InfluxDB-shaped JSON response (the proxy's wire format). */
+  def queryJson(influxql: String): String = Parser.parse(influxql) match {
+    case sel: SelectStmt =>
+      val (df, meta) = load(sel.from)
+      val out = new Translator(df, meta).run(sel)
+      val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
+      InfluxJson.serialize(sel.from, out, tags)
+    case _ => InfluxJson.serialize("results", execute(influxql))
+  }
+
+}

@@ -40,7 +40,8 @@ final case class SelectStmt(
     fill: Fill,
     orderDesc: Boolean,
     limit: Option[Int], offset: Option[Int],
-    slimit: Option[Int], soffset: Option[Int]) extends Statement
+    slimit: Option[Int], soffset: Option[Int],
+    into: Option[String] = None) extends Statement // SELECT … INTO target (CQs)
 
 final case class ShowStmt(what: String, on: Option[String]) extends Statement
 
@@ -53,5 +54,17 @@ final case class DropPartitionKey(db: String, msmt: Option[String]) extends Admi
 case object ShowNodes extends AdminStmt
 final case class RemoveNode(name: String) extends AdminStmt
 final case class SetReplicationFactor(n: Int, db: Option[String], msmt: Option[String]) extends AdminStmt
+
+/** Catalog DDL the reference broadcasts via RouteToAll
+  * (`/root/reference/service/routing.go:13-41`) and replicates on import
+  * (`syncing/importer.go:305-333`). */
+sealed trait DdlStmt extends Statement
+final case class CreateDatabase(name: String) extends DdlStmt
+final case class DropDatabase(name: String) extends DdlStmt
+final case class CreateRetentionPolicy(name: String, db: String, durationUs: Long,
+    replication: Int, default: Boolean) extends DdlStmt
+final case class DropRetentionPolicy(name: String, db: String) extends DdlStmt
+final case class CreateContinuousQuery(name: String, db: String, query: SelectStmt) extends DdlStmt
+final case class DropContinuousQuery(name: String, db: String) extends DdlStmt
 
 final case class ParseException(msg: String) extends RuntimeException(msg)

@@ -117,6 +117,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     expectKw("SELECT")
     val fields = ListBuffer(parseField())
     while (acceptSym(",")) fields += parseField()
+    val into = if (acceptKw("INTO")) Some(ident()) else None
     expectKw("FROM")
     val from = ident() // single measurement (reference: first-measurement assumption)
     val where = if (acceptKw("WHERE")) Some(parseExpr(0)) else None
@@ -184,7 +185,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     val slimit = intAfter("SLIMIT")
     val soffset = intAfter("SOFFSET")
     SelectStmt(fields.toList, from, where, gbTime, gbTags.toList, gbAll,
-      fill, desc, limit, offset, slimit, soffset)
+      fill, desc, limit, offset, slimit, soffset, into)
   }
 
   private def parseField(): Field = {
@@ -273,10 +274,39 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     ShowStmt(what, on)
   }
 
-  // -------- admin DSL (clusterql)
+  // -------- admin DSL (clusterql) + catalog DDL (routing.go:13-41)
   private object Admin {
-    def parse(p: Parser): AdminStmt = {
+    def parse(p: Parser): Statement = {
       if (p.acceptKw("CREATE")) {
+        if (p.acceptKw("DATABASE")) return CreateDatabase(p.ident())
+        if (p.acceptKw("RETENTION")) {
+          p.expectKw("POLICY")
+          val name = p.ident()
+          p.expectKw("ON"); val db = p.ident()
+          p.expectKw("DURATION")
+          val dur = p.next() match {
+            case TDur(t) => Lexer.durationUs(t)
+            case TNum("0") => 0L // infinite retention
+            case t => throw ParseException(s"expected duration, found ${t.text}")
+          }
+          p.expectKw("REPLICATION")
+          val n = p.next() match {
+            case TNum(x) => x.toInt
+            case t       => throw ParseException(s"expected number, found ${t.text}")
+          }
+          val dflt = p.acceptKw("DEFAULT")
+          return CreateRetentionPolicy(name, db, dur, n, dflt)
+        }
+        if (p.acceptKw("CONTINUOUS")) {
+          p.expectKw("QUERY"); val name = p.ident()
+          p.expectKw("ON"); val db = p.ident()
+          p.expectKw("BEGIN")
+          val sel = p.parseSelect()
+          if (sel.into.isEmpty)
+            throw ParseException("continuous query requires SELECT ... INTO")
+          p.expectKw("END")
+          return CreateContinuousQuery(name, db, sel)
+        }
         p.expectKw("PARTITION"); p.expectKw("KEY")
         // two argument orders accepted (language.go:15-36):
         //   CREATE PARTITION KEY t1,t2 ON db[.msmt]
@@ -292,6 +322,17 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
           CreatePartitionKey(tags, db, m)
         }
       } else if (p.acceptKw("DROP")) {
+        if (p.acceptKw("DATABASE")) return DropDatabase(p.ident())
+        if (p.acceptKw("RETENTION")) {
+          p.expectKw("POLICY"); val name = p.ident()
+          p.expectKw("ON")
+          return DropRetentionPolicy(name, p.ident())
+        }
+        if (p.acceptKw("CONTINUOUS")) {
+          p.expectKw("QUERY"); val name = p.ident()
+          p.expectKw("ON")
+          return DropContinuousQuery(name, p.ident())
+        }
         p.expectKw("PARTITION"); p.expectKw("KEY"); p.expectKw("ON")
         val (db, m) = p.dbMsmt()
         DropPartitionKey(db, m)

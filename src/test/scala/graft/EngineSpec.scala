@@ -1,0 +1,94 @@
+package graft
+
+import graft.ql.{FieldMeta, ParseException, TableMeta}
+
+/** Full proxy-replacement lifecycle through the Engine facade: DDL, admin
+  * DSL, line-protocol writes, InfluxQL reads over the written points, CQ
+  * backfill INTO a new measurement, JSON responses — the end-to-end path a
+  * reference user migrates onto (cmd/handle/main.go → Engine). */
+class EngineSpec extends SparkSpec {
+
+  private def newEngine = new Engine(spark, sfDir)
+
+  test("database / retention-policy DDL lifecycle (importer.go:305-321 semantics)") {
+    val e = newEngine
+    e.execute("CREATE DATABASE mydb")
+    e.execute("CREATE DATABASE mydb") // idempotent like InfluxDB
+    assert(e.execute("SHOW DATABASES").collect().map(_.getString(0)).toSet == Set("default", "mydb"))
+
+    e.execute("CREATE RETENTION POLICY oneweek ON mydb DURATION 1w REPLICATION 2 DEFAULT")
+    val rps = e.execute("SHOW RETENTION POLICIES ON mydb").collect()
+      .map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(rps("oneweek"))       // new default
+    assert(!rps("autogen"))      // demoted
+    assertThrows[e.databases.DuplicateException](
+      e.execute("CREATE RETENTION POLICY oneweek ON mydb DURATION 1d REPLICATION 1"))
+    assertThrows[e.databases.UnknownDatabaseException](
+      e.execute("CREATE RETENTION POLICY x ON nodb DURATION 1d REPLICATION 1"))
+    e.execute("DROP RETENTION POLICY oneweek ON mydb")
+    assert(!e.execute("SHOW RETENTION POLICIES ON mydb").collect().map(_.getString(0)).contains("oneweek"))
+    e.execute("DROP DATABASE mydb")
+    assert(!e.execute("SHOW DATABASES").collect().map(_.getString(0)).contains("mydb"))
+  }
+
+  test("write line protocol, read back with InfluxQL, respond as JSON") {
+    val e = newEngine
+    val meta = TableMeta("treasures", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    // the reference's test fixture, as wire-format writes (test_utils.go:60-76)
+    val (n, bad) = e.writeLineProtocol(Seq(
+      "treasures,type=gold value=100 1000000000",
+      "treasures,type=silver value=50 2000000000",
+      "treasures,type=trash value=0 3000000000",
+      "this is not line protocol"), "treasures")
+    assert(n == 3 && bad == 1) // malformed line dead-lettered, batch survives
+
+    val rows = e.execute(
+      "SELECT mean(value) FROM treasures WHERE type = 'gold' OR type = 'trash'").collect()
+    assert(rows.head.getAs[Double]("mean") == 50.0) // query_handler_test.go:11-16
+
+    val json = e.queryJson("SELECT mean(value) FROM treasures GROUP BY type")
+    assert(json.contains(""""tags":{"type":"gold"}"""))
+    assert(json.contains(""""columns":["mean"]""") || json.contains("100.0"))
+  }
+
+  test("continuous query: CREATE backfills INTO the target measurement") {
+    val e = newEngine
+    e.execute(
+      """CREATE CONTINUOUS QUERY daily_mean ON default BEGIN
+        |SELECT mean(value) INTO mean_events FROM events GROUP BY time(1d), event_type
+        |END""".stripMargin)
+    assert(e.execute("SHOW CONTINUOUS QUERIES").collect()
+      .map(r => (r.getString(0), r.getString(1))).contains(("default", "daily_mean")))
+    // the target measurement is immediately queryable (syncing/importer_test.go:64-67 analog)
+    val out = e.execute("SELECT mean FROM mean_events").collect()
+    assert(out.nonEmpty)
+    e.execute("DROP CONTINUOUS QUERY daily_mean ON default")
+    assert(e.execute("SHOW CONTINUOUS QUERIES").collect().isEmpty)
+  }
+
+  test("CQ without INTO is rejected at parse time") {
+    val e = newEngine
+    assertThrows[ParseException](e.execute(
+      "CREATE CONTINUOUS QUERY bad ON default BEGIN SELECT mean(value) FROM events GROUP BY time(1h) END"))
+  }
+
+  test("admin DSL routes through the same entry point") {
+    val e = newEngine
+    e.execute("CREATE PARTITION KEY event_type ON default.events")
+    val keys = e.execute("SHOW PARTITION KEYS").collect()
+    assert(keys.length == 1 && keys.head.getString(2) == "event_type")
+    e.execute("SET REPLICATION FACTOR 3 ON default.events")
+    assert(e.replication.get(Some("default"), Some("events")) == 3)
+  }
+
+  test("retention cutoff arithmetic (RP expiry maintenance)") {
+    val e = newEngine
+    e.execute("CREATE DATABASE ttl")
+    e.execute("CREATE RETENTION POLICY short ON ttl DURATION 1h REPLICATION 1")
+    val nowUs = 10000000000L
+    assert(e.databases.retentionCutoffUs("ttl", "short", nowUs).contains(nowUs - 3600000000L))
+    assert(e.databases.retentionCutoffUs("ttl", "autogen", nowUs).isEmpty) // infinite
+  }
+}
