@@ -88,12 +88,18 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     Seq.empty[(String, String)].toDF("k", "v").limit(0)
   }
 
-  /** Ingest line-protocol text into a registered measurement; returns
-    * (points written, dead-lettered lines). */
+  /** Ingest line-protocol text; unknown measurements get their schema
+    * INFERRED from the batch with conflict widening (SchemaInfer —
+    * SURVEY §1.2 dynamic schema). Returns (points written, dead-lettered
+    * lines). */
   def writeLineProtocol(lines: Seq[String], measurement: String): (Long, Long) = {
     import spark.implicits._
     val meta = tables.get(measurement).map(_._2)
-      .getOrElse(Catalog.load(spark, sfDir, measurement)._2)
+      .orElse(scala.util.Try(Catalog.load(spark, sfDir, measurement)._2).toOption)
+      .getOrElse {
+        val pts = lines.flatMap(l => sources.LineProtocol.parseLine(l).toOption)
+        sources.SchemaInfer.infer(measurement, pts).toTableMeta
+      }
     val floatFields = meta.fields.map(_.name)
     val (df, errs) = LineProtocol.parse(spark, spark.createDataset(lines),
       measurement, meta.tags, floatFields)

@@ -171,9 +171,11 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   private def rawSelect(base: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
     if (sel.groupByTime.isDefined)
       throw ParseException("GROUP BY time requires an aggregate function") // reference 400
-    val cols = sel.fields.map {
-      case Field(Ident(n), alias) => col(n).as(alias.getOrElse(n))
-      case Field(e, alias)        => scalarCol(e, col(_)).as(alias.getOrElse(exprName(e)))
+    val cols = sel.fields.flatMap {
+      case Field(Wildcard, _) => // SELECT * expands to all tags + fields
+        (meta.tags.filterNot(tags.contains) ++ meta.fields.map(_.name)).map(col)
+      case Field(Ident(n), alias) => Seq(col(n).as(alias.getOrElse(n)))
+      case Field(e, alias)        => Seq(scalarCol(e, col(_)).as(alias.getOrElse(exprName(e))))
     }
     base.select((time.as("time") +: tags.map(col)) ++ cols: _*)
   }
@@ -215,10 +217,14 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   private def buildAgg(e: Expr, reg: Column => Column): Column = e match {
     case Call("count", List(Ident(f)))  => reg(count(col(f)))
     case Call("count", List(Wildcard))  => reg(count(lit(1)))
-    case Call("sum", List(Ident(f)))    => unscale(reg(sum(fx(f))), f)
-    case Call("mean", List(Ident(f))) =>
-      reg(sum(fx(f))).cast("double") /
-        (lit(scaleOf(f).getOrElse(1L).toDouble) * reg(count(col(f))))
+    case Call("sum", List(Ident(f))) => scaleOf(f) match {
+      case Some(_) => unscale(reg(sum(fx(f))), f) // exact fixed-point path
+      case None    => reg(sum(col(f)))            // unscaled: raw sum
+    }
+    case Call("mean", List(Ident(f))) => scaleOf(f) match {
+      case Some(k) => reg(sum(fx(f))).cast("double") / (lit(k.toDouble) * reg(count(col(f))))
+      case None    => reg(avg(col(f)))
+    }
     case Call("min", List(Ident(f)))    => reg(min(col(f)))
     case Call("max", List(Ident(f)))    => reg(max(col(f)))
     case Call("spread", List(Ident(f))) => reg(max(col(f))) - reg(min(col(f)))
@@ -226,20 +232,24 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       reg(min_by(col(f), struct(time, col(f))))
     case Call("last", List(Ident(f))) =>
       reg(max_by(col(f), struct(time, col(f))))
-    case Call("stddev", List(Ident(f))) =>
-      // exact sample stddev from integer moments; squared sum in
-      // DECIMAL(38,0) so it cannot wrap at scale (EventAggs e_stddev)
-      val k = scaleOf(f).getOrElse(1L).toDouble
-      val s1 = reg(sum(fx(f))).cast("double")
-      val s2 = reg(sum(fx(f).cast("decimal(38,0)") * fx(f))).cast("double")
-      val n = reg(count(col(f)))
-      sqrt((s2 / (k * k) - (s1 / k) * (s1 / k) / n.cast("double"))
-        / (n - 1).cast("double"))
+    case Call("stddev", List(Ident(f))) => scaleOf(f) match {
+      case Some(k) =>
+        // exact sample stddev from integer moments; squared sum in
+        // DECIMAL(38,0) so it cannot wrap at scale (EventAggs e_stddev)
+        val s1 = reg(sum(fx(f))).cast("double")
+        val s2 = reg(sum(fx(f).cast("decimal(38,0)") * fx(f))).cast("double")
+        val n = reg(count(col(f)))
+        sqrt((s2 / (k.toDouble * k) - (s1 / k) * (s1 / k) / n.cast("double"))
+          / (n - 1).cast("double"))
+      case None => reg(stddev_samp(col(f)))
+    }
     case Call("percentile", List(Ident(f), pArg)) =>
       throw ParseException("internal: percentile handled by dedicated rule") // see percentileSelect
-    case Call("median", List(Ident(f))) =>
+    case Call("median", List(Ident(f))) => scaleOf(f) match {
       // exact interpolation over fixed-point integers (k or k+0.5 exactly)
-      unscale(reg(expr(s"percentile(${fxSql(f)}, 0.5)")), f)
+      case Some(_) => unscale(reg(expr(s"percentile(${fxSql(f)}, 0.5)")), f)
+      case None    => reg(expr(s"percentile($f, 0.5)"))
+    }
     case Call("integral", _) =>
       throw ParseException("internal: integral handled by dedicated rule") // see integralSelect
     case Bin(op, l, r) =>
@@ -360,15 +370,23 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       case _ => throw ParseException("integral(field[, unit]) expected")
     }
     val unitUs = args.collectFirst { case DurLit(us) => us }.getOrElse(1000000L)
-    val k = scaleOf(f).getOrElse(1L)
     val series = Window.partitionBy(tags.map(col): _*).orderBy(time.asc)
+    val aggCol = scaleOf(f) match {
+      case Some(k) => // exact integer trapezoid terms, DECIMAL accumulation
+        sum((fx(f) + col("__pc")).cast("decimal(38,0)") * (time - col("__pt")))
+          .cast("double") / (2.0 * k * unitUs)
+      case None =>
+        sum((col(f) + col("__pc")) * (time - col("__pt")).cast("double")) / (2.0 * unitUs)
+    }
     base
-      .withColumn("__pc", lag(fx(f), 1).over(series))
+      .withColumn("__pc", scaleOf(f) match {
+        case Some(_) => lag(fx(f), 1).over(series)
+        case None    => lag(col(f), 1).over(series)
+      })
       .withColumn("__pt", lag(time, 1).over(series))
       .where(col("__pt").isNotNull)
       .groupBy(tags.map(col): _*)
-      .agg((sum((fx(f) + col("__pc")).cast("decimal(38,0)") * (time - col("__pt")))
-        .cast("double") / (2.0 * k * unitUs)).as(alias.getOrElse("integral")))
+      .agg(aggCol.as(alias.getOrElse("integral")))
   }
 
   private def sampleSelect(base: DataFrame, tags: List[String], f: String, n: Int,
@@ -403,21 +421,29 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       case _ => throw ParseException(s"$fn(field, ...) expected")
     }
     def unitUs: Long = args.collectFirst { case DurLit(us) => us }.getOrElse(1000000L)
-    lazy val dv = (fx(f) - lag(fx(f), 1).over(series)).cast("double") /
-      scaleOf(f).getOrElse(1L).toDouble
+    val scaled = scaleOf(f).isDefined
+    // fixed-point fields difference in exact integers; unscaled fields in raw doubles
+    lazy val dv =
+      if (scaled) (fx(f) - lag(fx(f), 1).over(series)).cast("double") /
+        scaleOf(f).get.toDouble
+      else (col(f) - lag(col(f), 1).over(series)).cast("double")
     lazy val dt = (time - lag(time, 1).over(series)).cast("double") / unitUs.toDouble
     fn match {
       case "difference" => dv
       case "derivative" => when(dt > 0, dv / dt)
       case "non_negative_derivative" => when(dt > 0 && dv / dt >= 0, dv / dt)
       case "cumulative_sum" =>
-        unscale(sum(fx(f)).over(series.rowsBetween(Window.unboundedPreceding, 0)), f)
+        if (scaled)
+          unscale(sum(fx(f)).over(series.rowsBetween(Window.unboundedPreceding, 0)), f)
+        else sum(col(f)).over(series.rowsBetween(Window.unboundedPreceding, 0))
       case "moving_average" =>
         val n = args.collectFirst { case IntLit(k) => k.toInt }
           .getOrElse(throw ParseException("moving_average(field, N) expected"))
         val w = series.rowsBetween(-(n - 1), 0)
-        sum(fx(f)).over(w).cast("double") /
-          (lit(scaleOf(f).getOrElse(1L).toDouble) * count(fx(f)).over(w))
+        if (scaled)
+          sum(fx(f)).over(w).cast("double") /
+            (lit(scaleOf(f).get.toDouble) * count(fx(f)).over(w))
+        else avg(col(f)).over(w)
       case "elapsed" =>
         // integer division in the requested unit (InfluxQL semantics)
         ((time - lag(time, 1).over(series)) / unitUs).cast("long").cast("long")

@@ -433,6 +433,21 @@ object EventAggs {
       e.join(broadcast(ser), "event_type").select("event_id", "event_type", "value")
     },
 
+    // ---- JSON field extraction (props is a JSON string column; the
+    //      dynamic-schema surface SURVEY §1.2 — extraction stays in the
+    //      codegen'd projection, no UDF)
+    Q("e_json_extract",
+      """SELECT event_type,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("cnt"))
+    },
+
     // ---- replica dedup: identical points from redundant ingest collapse
     //      (service/coordinator.go:98-104 row-hash dedup)
     Q("e_dedup_points",
