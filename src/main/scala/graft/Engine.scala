@@ -41,7 +41,9 @@ final class Engine(val spark: SparkSession, sfDir: String) {
 
   /** Execute any InfluxQL statement; SELECT/SHOW return data, DDL/admin
     * return empty or listing frames (the reference's Result rows). */
-  def execute(influxql: String): DataFrame = Parser.parse(influxql) match {
+  def execute(influxql: String): DataFrame = executeStmt(Parser.parse(influxql))
+
+  def executeStmt(stmt: Statement): DataFrame = stmt match {
     case sel: SelectStmt => runSelect(sel)
     case ShowStmt("DATABASES", _) =>
       { import spark.implicits._; databases.databases.toDF("name") }
@@ -113,6 +115,11 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     registerMeasurement(meta, merged)
     (df.count(), errs.count())
   }
+
+  /** Multi-statement request: each ';'-separated statement executes in
+    * order, results accumulate (reference query_handler.go:84-87). */
+  def executeAll(influxql: String): Seq[DataFrame] =
+    Parser.parseAll(influxql).map(executeStmt)
 
   /** Query → InfluxDB-shaped JSON response (the proxy's wire format). */
   def queryJson(influxql: String): String = Parser.parse(influxql) match {

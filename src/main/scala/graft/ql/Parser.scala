@@ -98,16 +98,29 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     case t         => throw ParseException(s"expected identifier, found ${t.text}")
   }
 
+  private def parseOne(): Statement =
+    if (isKw(peek, "SELECT")) parseSelect()
+    else if (isKw(peek, "SHOW")) parseShow()
+    else if (isKw(peek, "CREATE") || isKw(peek, "DROP") ||
+             isKw(peek, "REMOVE") || isKw(peek, "SET")) Admin.parse(this)
+    else throw ParseException(s"unsupported statement start: ${peek.text}")
+
   def parseStatement(): Statement = {
-    val st =
-      if (isKw(peek, "SELECT")) parseSelect()
-      else if (isKw(peek, "SHOW")) parseShow()
-      else if (isKw(peek, "CREATE") || isKw(peek, "DROP") ||
-               isKw(peek, "REMOVE") || isKw(peek, "SET")) Admin.parse(this)
-      else throw ParseException(s"unsupported statement start: ${peek.text}")
+    val st = parseOne()
     acceptSym(";")
     peek match {
       case TEnd => st
+      case t    => throw ParseException(s"trailing input: ${t.text}")
+    }
+  }
+
+  /** Multiple ';'-separated statements per request, like the reference's
+    * per-statement result accumulation (query_handler.go:43-47,84-87). */
+  def parseStatements(): Seq[Statement] = {
+    val out = scala.collection.mutable.ListBuffer(parseOne())
+    while (acceptSym(";") && peek != TEnd) out += parseOne()
+    peek match {
+      case TEnd => out.toSeq
       case t    => throw ParseException(s"trailing input: ${t.text}")
     }
   }
@@ -364,4 +377,5 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
 
 object Parser {
   def parse(q: String): Statement = new Parser(Lexer.tokenize(q)).parseStatement()
+  def parseAll(q: String): Seq[Statement] = new Parser(Lexer.tokenize(q)).parseStatements()
 }

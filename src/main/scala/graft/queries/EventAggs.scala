@@ -282,6 +282,16 @@ object EventAggs {
         .agg(approx_count_distinct("user_id").as("approx_users"))
     },
 
+    // approx percentile (t-digest-style sketch — the mergeable-sketch scale
+    // path for quantiles; sketch internals are engine-specific → rows-only)
+    Q.noOracle("e_approx_percentile") { (s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("p"))
+        .select(col("event_type"),
+          col("p").getItem(0).as("p50"), col("p").getItem(1).as("p90"),
+          col("p").getItem(2).as("p99"))
+    },
+
     // sample(value, n): non-deterministic by spec (calls.go:136-151) → rows-only
     Q.noOracle("e_sample") { (s, d) =>
       ev(s, d)

@@ -242,6 +242,23 @@ object Relational {
           |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin)
     },
 
+    // ---- cube (all grouping-set combinations; single table so the
+    //      DataFrame cube() API applies directly)
+    Q("r_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    },
+
     // ---- correlated-style aggregate join: each order vs its items' stats
     Q("r_order_item_stats",
       """WITH li AS (

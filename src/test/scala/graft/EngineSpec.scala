@@ -83,6 +83,15 @@ class EngineSpec extends SparkSpec {
     assert(e.replication.get(Some("default"), Some("events")) == 3)
   }
 
+  test("multi-statement request: results accumulate per statement") {
+    val e = newEngine
+    val out = e.executeAll(
+      "CREATE DATABASE multi; SHOW DATABASES; SELECT mean(value) FROM events")
+    assert(out.length == 3)
+    assert(out(1).collect().map(_.getString(0)).contains("multi"))
+    assert(out(2).columns.contains("mean"))
+  }
+
   test("retention cutoff arithmetic (RP expiry maintenance)") {
     val e = newEngine
     e.execute("CREATE DATABASE ttl")
