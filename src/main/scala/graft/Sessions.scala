@@ -31,8 +31,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // keep managed-table data out of the repo cwd (bucketed-table specs)
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Fnv1a32Expr.register(spark) // native codegen hash for the write path
     spark
   }
 }

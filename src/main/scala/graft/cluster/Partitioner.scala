@@ -27,12 +27,19 @@ object Partitioner {
     h
   }
 
-  private val fnvUdf = udf((s: String) => fnv1a32(s))
-
   /** Hash column over the partition-key tag values, concatenated in key
-    * order (cluster/partitioner.go:93-99 concatenation semantics). */
-  def hashColumn(keyTags: Seq[String]): Column =
-    fnvUdf(concat_ws("", keyTags.map(col): _*))
+    * order (cluster/partitioner.go:93-99 concatenation semantics). Uses the
+    * native codegen expression (functions.Fnv1a32Expr, registered by
+    * Sessions.build) so the per-point hash stays inside whole-stage
+    * codegen; falls back to a Scala UDF in sessions without it. */
+  def hashColumn(keyTags: Seq[String]): Column = {
+    val cat = concat_ws("", keyTags.map(col): _*)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.catalog.functionExists("fnv1a32") =>
+        call_udf("fnv1a32", cat)
+      case _ => udf((x: String) => fnv1a32(x)).apply(cat)
+    }
+  }
 
   final case class UnfulfilledKeyException(missing: Seq[String])
     extends RuntimeException(s"the partition key is not fulfilled: missing tags ${missing.mkString(",")}")

@@ -443,6 +443,24 @@ object EventAggs {
       e.join(broadcast(ser), "event_type").select("event_id", "event_type", "value")
     },
 
+    // ---- salted two-phase aggregation: the skew-mitigation pattern for
+    //      hot group keys at scale — salt the key, partial-agg per
+    //      (key, salt), final-agg per key. Exact integer cents make the
+    //      result bit-identical to the unsalted plan, which is the point:
+    //      the oracle is the PLAIN sum, proving salting changes the
+    //      shuffle shape, never the answer.
+    Q("e_sum_salted_skew",
+      s"""WITH $EV
+         |SELECT event_type, CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+         |FROM ev GROUP BY 1""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(sum(col("cents")).as("partial"))
+        .groupBy("event_type")
+        .agg((sum(col("partial")).cast("double") / 100.0).as("sum_value"))
+    },
+
     // ---- JSON field extraction (props is a JSON string column; the
     //      dynamic-schema surface SURVEY §1.2 — extraction stays in the
     //      codegen'd projection, no UDF)
