@@ -154,6 +154,18 @@ object InfluxQLSuite {
          |FROM l WHERE pt IS NOT NULL AND ts_us > pt""".stripMargin)(
       "SELECT derivative(value, 1s) FROM events GROUP BY event_type"),
 
+    iql("iql_nonneg_derivative",
+      s"""WITH $EV, l AS (
+         |  SELECT ts_us, event_type, cents,
+         |    lag(cents) OVER (PARTITION BY event_type ORDER BY ts_us) AS pc,
+         |    lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us) AS pt
+         |  FROM ev),
+         |d AS (SELECT ts_us AS time, event_type,
+         |        (CAST(cents - pc AS DOUBLE) / 100.0) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0) AS nnd
+         |      FROM l WHERE pt IS NOT NULL AND ts_us > pt)
+         |SELECT time, event_type, nnd AS non_negative_derivative FROM d WHERE nnd >= 0""".stripMargin)(
+      "SELECT non_negative_derivative(value, 1s) FROM events GROUP BY event_type"),
+
     iql("iql_cumsum",
       s"""WITH $EV
          |SELECT ts_us AS time, event_type,

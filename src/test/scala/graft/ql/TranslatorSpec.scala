@@ -82,6 +82,22 @@ class TranslatorSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("time") > 0))
   }
 
+  test("unscaled FLOAT fields aggregate as doubles, not truncated longs (regression)") {
+    val s = spark
+    import s.implicits._
+    // meta WITHOUT a fixed-point scale — the inferred-schema path
+    val df = Seq((1L, "a", 22.5), (2L, "a", 24.5)).toDF("ts_us", "t", "v")
+    val m = TableMeta("m", "ts_us", Seq("t"), Seq(FieldMeta("v", None)))
+    def run(q: String) = new Translator(df, m)
+      .run(Parser.parse(q).asInstanceOf[SelectStmt]).collect()
+    assert(run("SELECT mean(v) FROM m").head.getDouble(0) == 23.5)
+    assert(run("SELECT sum(v) FROM m").head.getDouble(0) == 47.0)
+    assert(run("SELECT difference(v) FROM m GROUP BY t").head.getAs[Double]("difference") == 2.0)
+    assert(run("SELECT median(v) FROM m").head.getDouble(0) == 23.5)
+    assert(math.abs(run("SELECT stddev(v) FROM m").head.getDouble(0)
+      - math.sqrt(2.0)) < 1e-12)
+  }
+
   test("SHOW MEASUREMENTS / TAG KEYS shapes") {
     val m = Meta.show(spark, sfDir, "MEASUREMENTS").collect()
     assert(m.map(_.getString(0)).contains("events"))
