@@ -60,18 +60,29 @@ object EmbedOps {
   private def duckNorm(a: String): String = s"sqrt(${duckDot(a, a)})"
 
   /** Deterministic pseudo-random hyperplane weight in [-1, 1]:
-    * (h60(p:dim) % 2001 - 1000) / 1000. Same on both engines. */
-  private def weight(p: Int, dimIdx: Column): Column =
-    ((conv(substring(md5(concat(lit(s"$p:"), dimIdx.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 2001L) - 1000L).cast("double") / 1000.0
+    * (h60(p:dim) % 2001 - 1000) / 1000. Same on both engines. The Spark
+    * side PRECOMPUTES the weights at plan-build time (they're constants —
+    * evaluating md5 per row × 32 planes × 64 dims was ~2k hash calls per
+    * vector, the whole cost of the ANN query); the DuckDB oracle keeps the
+    * md5 formulation, cross-checking the constant fold. */
+  private def weightValue(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    (h % 2001L - 1000L).toDouble / 1000.0
+  }
+
+  private def planeWeights(p: Int): Seq[Double] =
+    (0 until DIMS).map(i => weightValue(p, i))
 
   private def duckWeight(p: String, i0: String): String =
     s"(CAST('0x'||substr(md5($p||':'||CAST($i0 AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000) / 1000.0"
 
-  /** Spark: dot(v, plane p) over dim indices 0..63 (element_at is 1-based). */
+  /** Spark: dot(v, plane p) — sequential fold against the literal weight
+    * array (same op order as the oracle's generate_series fold). */
   private def planeDot(p: Int): Column =
-    aggregate(transform(sequence(lit(0), lit(DIMS - 1)),
-        i => element_at(col("embedding"), i + 1).cast("double") * weight(p, i)),
+    aggregate(zip_with(col("embedding"), typedLit(planeWeights(p)),
+        (x, w) => x.cast("double") * w),
       lit(0.0), (acc, x) => acc + x)
 
   private def duckPlaneDot(p: String): String =
