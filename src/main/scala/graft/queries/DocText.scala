@@ -76,20 +76,43 @@ object DocText {
   private val NSEEDS = 8
   private val NBANDS = 4 // 2 seeds per band
 
-  /** MinHash signature columns m0..m7: per seed, min over shingles of the
-    * seeded 60-bit hash. Pure expression — map-only at any scale. */
-  private def withSig(df: DataFrame): DataFrame =
-    (0 until NSEEDS).foldLeft(df) { (acc, i) =>
-      acc.withColumn(s"m$i",
-        array_min(transform(col("shingles"), t => h60(concat(lit(s"$i:"), t)))))
-    }
+  // Universal-hash minhash: ONE content hash per shingle (x = H(t) mod p),
+  // then the k seeded hashes are (a_i*x + b_i) mod p — the standard
+  // construction; hashing per (shingle × seed) cost 8× the md5 calls for
+  // nothing. a_i/b_i derive from md5 of fixed labels so both engines
+  // compute identical constants; products stay under 2^63 (a,x < p ≈ 1e9).
+  private val P = 1000000007L
+  private def seedConst(label: String, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$label:$i".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    h % P
+  }
+  private val A: Seq[Long] = (0 until NSEEDS).map(i => 1L + seedConst("a", i) % (P - 1)) // nonzero
+  private val B: Seq[Long] = (0 until NSEEDS).map(i => seedConst("b", i))
 
-  /** DuckDB mirror: long-format signatures (doc_id, seed, mh) from `sh`. */
-  private val SIG_CTE =
-    s"""sg AS (SELECT doc_id, s.seed,
-       |         list_min(list_transform(shingles,
-       |           t -> ${H("CAST(s.seed AS VARCHAR)||':'||t")})) AS mh
-       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${NSEEDS - 1})) AS seed) s)""".stripMargin
+  /** MinHash signature columns m0..m7 from a single content hash per
+    * shingle (hs computed once in its own projection). */
+  private def withSig(df: DataFrame): DataFrame = {
+    val withHs = df.withColumn("hs", transform(col("shingles"), t => h60(t) % P))
+    (0 until NSEEDS).foldLeft(withHs) { (acc, i) =>
+      acc.withColumn(s"m$i",
+        array_min(transform(col("hs"), x => (lit(A(i)) * x + B(i)) % P)))
+    }
+  }
+
+  /** DuckDB mirror: long-format signatures (doc_id, seed, mh) from `sh`;
+    * the a/b constant lists are indexed by seed (1-based). */
+  private val SIG_CTE = {
+    val aList = A.mkString("[", ", ", "]")
+    val bList = B.mkString("[", ", ", "]")
+    s"""hx AS (SELECT doc_id, ${H("shingle")} % $P AS x
+       |       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
+       |sg AS (SELECT doc_id, s.seed,
+       |         min(($aList[s.seed+1] * x + $bList[s.seed+1]) % $P) AS mh
+       |       FROM hx CROSS JOIN (SELECT unnest(generate_series(0, ${NSEEDS - 1})) AS seed) s
+       |       GROUP BY 1, 2)""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -226,6 +249,11 @@ object DocText {
       val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
       a.join(b, Seq("lang", "source"))
         .where(col("doc_a") < col("doc_b"))
+        // size prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+        // failing the length ratio can never reach 0.8 — prunes the
+        // expensive array_intersect without changing the result set
+        .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+          / greatest(size(col("sh_a")), size(col("sh_b"))) >= 0.8)
         .withColumn("jaccard", round(inter / uni, 4))
         .where(inter / uni >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
