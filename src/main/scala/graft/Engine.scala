@@ -62,7 +62,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   }
 
   private def runSelect(sel: SelectStmt): DataFrame = {
-    val (df, meta) = load(sel.from)
+    val (df, meta) = Translator.resolve(sel.from, load)
     val out = new Translator(df, meta).run(sel)
     sel.into.foreach { target => // SELECT INTO: materialize as a measurement
       registerMeasurement(TableMeta(target, "time",
@@ -121,14 +121,17 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   def executeAll(influxql: String): Seq[DataFrame] =
     Parser.parseAll(influxql).map(executeStmt)
 
-  /** Query → InfluxDB-shaped JSON response (the proxy's wire format). */
-  def queryJson(influxql: String): String = Parser.parse(influxql) match {
-    case sel: SelectStmt =>
-      val (df, meta) = load(sel.from)
-      val out = new Translator(df, meta).run(sel)
-      val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
-      InfluxJson.serialize(sel.from, out, tags)
-    case _ => InfluxJson.serialize("results", execute(influxql))
-  }
+  /** Query → InfluxDB-shaped JSON response (the proxy's wire format).
+    * `epoch` mirrors the reference's epoch URL param (coordinator.go:32-46):
+    * None → RFC3339 time strings; Some("ns"|"u"|"ms"|"s") → integer epoch. */
+  def queryJson(influxql: String, epoch: Option[String] = Some("u")): String =
+    Parser.parse(influxql) match {
+      case sel: SelectStmt =>
+        val (df, meta) = Translator.resolve(sel.from, load)
+        val out = new Translator(df, meta).run(sel)
+        val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
+        InfluxJson.serialize(Translator.measurementName(sel.from), out, tags, epoch)
+      case _ => InfluxJson.serialize("results", execute(influxql))
+    }
 
 }

@@ -37,10 +37,27 @@ object InfluxJson {
     case c    => c.toString
   }
 
+  /** Format an epoch-µs time value per the `epoch` param
+    * (coordinator.go:32-46): None → RFC3339 string; ns/u/ms/s → integer. */
+  private def formatTime(us: Long, epoch: Option[String]): String = epoch match {
+    case None => "\"" + java.time.Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L).toString + "\""
+    case Some("ns")       => (us * 1000L).toString
+    case Some("u" | "us") => us.toString
+    case Some("ms")       => (us / 1000L).toString
+    case Some("s")        => (us / 1000000L).toString
+    case Some(o)          => throw new IllegalArgumentException(s"bad epoch unit $o")
+  }
+
   /** Serialize a collected result. `tagCols` become the per-series tag map
     * (rows are grouped into one series block per tag combination, like
-    * `groupResultsByTags`, coordinator.go:48-70). */
-  def serialize(name: String, df: DataFrame, tagCols: Seq[String] = Nil): String = {
+    * `groupResultsByTags`, coordinator.go:48-70). A LONG `time` column is
+    * treated as epoch-µs and formatted per `epoch`. */
+  def serialize(name: String, df: DataFrame, tagCols: Seq[String] = Nil,
+      epoch: Option[String] = Some("u")): String = {
+    // eager validation — a bad unit must fail even when the result happens
+    // to carry no time column
+    epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
     val rows = df.collect()
     if (rows.isEmpty) return """{"results":[{}]}"""
     val cols = df.columns
@@ -57,7 +74,13 @@ object InfluxJson {
           else tags.map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
             .mkString(""""tags":{""", ",", "},")
         val colsJson = valueCols.map(c => "\"" + escape(c) + "\"").mkString("[", ",", "]")
-        val valsJson = rs.map(r => valueIdx.map(i => jsonValue(r.get(i))).mkString("[", ",", "]"))
+        val timePos = valueCols.indexOf("time")
+        val valsJson = rs.map(r => valueIdx.zipWithIndex.map { case (i, vi) =>
+            r.get(i) match {
+              case us: java.lang.Long if vi == timePos => formatTime(us, epoch)
+              case v => jsonValue(v)
+            }
+          }.mkString("[", ",", "]"))
           .mkString("[", ",", "]")
         s"""{"name":"${escape(name)}",$tagJson"columns":$colsJson,"values":$valsJson}"""
       }

@@ -30,9 +30,17 @@ case object FillLinear extends Fill
 
 sealed trait Statement
 final case class Field(expr: Expr, alias: Option[String])
+
+/** FROM source: a measurement, or a nested SELECT — subqueries are the
+  * reference's declared future work ("currently do not work at all",
+  * README.md:188-191); first-class here. */
+sealed trait Source
+final case class FromMeasurement(name: String) extends Source
+final case class FromSubquery(sel: SelectStmt) extends Source
+
 final case class SelectStmt(
     fields: List[Field],
-    from: String,
+    from: Source,
     where: Option[Expr],
     groupByTime: Option[Long], // bucket width in µs
     groupByTags: List[String],
@@ -41,7 +49,8 @@ final case class SelectStmt(
     orderDesc: Boolean,
     limit: Option[Int], offset: Option[Int],
     slimit: Option[Int], soffset: Option[Int],
-    into: Option[String] = None) extends Statement // SELECT … INTO target (CQs)
+    into: Option[String] = None,          // SELECT … INTO target (CQs)
+    groupByTimeOffset: Long = 0L) extends Statement // time(iv, offset)
 
 final case class ShowStmt(what: String, on: Option[String]) extends Statement
 

@@ -132,9 +132,17 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     while (acceptSym(",")) fields += parseField()
     val into = if (acceptKw("INTO")) Some(ident()) else None
     expectKw("FROM")
-    val from = ident() // single measurement (reference: first-measurement assumption)
+    // single source (reference: first-measurement assumption); subqueries
+    // are the reference's declared future work, supported here
+    val from: Source =
+      if (acceptSym("(")) {
+        val sub = parseSelect()
+        expectSym(")")
+        FromSubquery(sub)
+      } else FromMeasurement(ident())
     val where = if (acceptKw("WHERE")) Some(parseExpr(0)) else None
     var gbTime: Option[Long] = None
+    var gbTimeOffset = 0L
     var gbTags = ListBuffer.empty[String]
     var gbAll = false
     var fill: Fill = FillNone
@@ -149,6 +157,12 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
             val d = next() match {
               case TDur(t) => durationUs(t)
               case t       => throw ParseException(s"expected duration in time(), found ${t.text}")
+            }
+            if (acceptSym(",")) { // time(interval, offset) — shifted buckets
+              gbTimeOffset = next() match {
+                case TDur(t) => durationUs(t)
+                case t => throw ParseException(s"expected duration offset in time(), found ${t.text}")
+              }
             }
             expectSym(")")
             gbTime = Some(d)
@@ -198,7 +212,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     val slimit = intAfter("SLIMIT")
     val soffset = intAfter("SOFFSET")
     SelectStmt(fields.toList, from, where, gbTime, gbTags.toList, gbAll,
-      fill, desc, limit, offset, slimit, soffset, into)
+      fill, desc, limit, offset, slimit, soffset, into, gbTimeOffset)
   }
 
   private def parseField(): Field = {

@@ -160,11 +160,11 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   private def bucket: Column = col("time")
 
-  private def withBucket(d: DataFrame, iv: Long): DataFrame =
-    // epoch-aligned bucket via exact integer arithmetic: Column./ is double
-    // division and epoch-µs values exceed 2^53, so (t/iv)*iv would corrupt
-    // bucket boundaries at µs resolution
-    d.withColumn("time", time - pmod(time, lit(iv)))
+  private def withBucket(d: DataFrame, iv: Long, off: Long): DataFrame =
+    // epoch-aligned (optionally offset) bucket via exact integer
+    // arithmetic: Column./ is double division and epoch-µs values exceed
+    // 2^53, so (t/iv)*iv would corrupt bucket boundaries at µs resolution
+    d.withColumn("time", time - pmod(time - lit(off), lit(iv)))
 
   // ---------------- raw path
 
@@ -183,7 +183,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   // ---------------- aggregate path
 
   private def aggSelect(base: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
-    val withB = sel.groupByTime.map(withBucket(base, _)).getOrElse(base)
+    val withB = sel.groupByTime.map(withBucket(base, _, sel.groupByTimeOffset)).getOrElse(base)
     val groupCols = (if (sel.groupByTime.isDefined) List(bucket) else Nil) ++ tags.map(col)
 
     var aggIdx = 0
@@ -522,9 +522,36 @@ object Translator {
   def query(spark: SparkSession, sfDir: String, influxql: String): DataFrame =
     Parser.parse(influxql) match {
       case sel: SelectStmt =>
-        val (df, meta) = Catalog.load(spark, sfDir, sel.from)
+        val (df, meta) = resolve(sel.from, Catalog.load(spark, sfDir, _))
         new Translator(df, meta).run(sel)
       case ShowStmt(what, _) => Meta.show(spark, sfDir, what)
       case other => throw ParseException(s"not a query statement: $other")
     }
+
+  /** Resolve a FROM source: measurement via `loadMeasurement`, or run the
+    * nested SELECT and treat its output as a derived measurement (the
+    * reference's unimplemented subquery path, README.md:188-191). */
+  def resolve(src: Source,
+      loadMeasurement: String => (DataFrame, TableMeta)): (DataFrame, TableMeta) =
+    src match {
+      case FromMeasurement(n) => loadMeasurement(n)
+      case FromSubquery(sub) =>
+        val (df, meta) = resolve(sub.from, loadMeasurement)
+        val out0 = new Translator(df, meta).run(sub)
+        // tag-only aggregates have no time column; attach epoch 0 like
+        // InfluxQL's aggregate timestamps
+        val out = if (out0.columns.contains("time")) out0
+          else out0.withColumn("time", lit(0L))
+        val tags = (if (sub.groupByAllTags) meta.tags.toList else sub.groupByTags)
+          .filter(out.columns.contains)
+        val fields = out.columns.toSeq
+          .filterNot(c => c == "time" || tags.contains(c))
+          .map(c => FieldMeta(c, None)) // derived values: raw double/long path
+        (out, TableMeta(measurementName(src), "time", tags, fields))
+    }
+
+  def measurementName(src: Source): String = src match {
+    case FromMeasurement(n) => n
+    case FromSubquery(sub)  => measurementName(sub.from)
+  }
 }

@@ -264,6 +264,24 @@ object InfluxQLSuite {
          |FROM w""".stripMargin)(
       "SELECT mean(value) FROM events WHERE event_type = 'purchase' GROUP BY time(1d), event_type fill(linear)"),
 
+    // ---- subquery: nested SELECT as FROM source — the reference's
+    //      declared-unimplemented path (README.md:188-191), first-class here
+    iql("iql_subquery",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type, count(value) AS cnt
+         |      FROM ev GROUP BY 1, 2)
+         |SELECT event_type, CAST(sum(cnt) AS DOUBLE) / count(*) AS mean
+         |FROM b GROUP BY 1""".stripMargin)(
+      "SELECT mean(cnt) FROM (SELECT count(value) AS cnt FROM events GROUP BY time(1d), event_type) GROUP BY event_type"),
+
+    // ---- time(interval, offset): shifted bucket boundaries
+    iql("iql_bucket_offset",
+      s"""WITH $EV
+         |SELECT ts_us - ((ts_us - 21600000000) % $DAY_US) AS time,
+         |       count(value) AS count
+         |FROM ev GROUP BY 1""".stripMargin)(
+      "SELECT count(value) FROM events GROUP BY time(1d, 6h)"),
+
     // ---- SLIMIT/SOFFSET series windowing (query_merge.go:93-98)
     iql("iql_slimit",
       s"""WITH $EV,

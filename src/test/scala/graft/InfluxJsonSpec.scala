@@ -27,6 +27,18 @@ class InfluxJsonSpec extends SparkSpec {
     assert(json.contains("""[86400000000,100.0]"""))
   }
 
+  test("epoch param formats time: RFC3339 default-off, ns/u/ms/s integers (coordinator.go:32-46)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1704067200000000L, 1.5)).toDF("time", "v")
+    assert(InfluxJson.serialize("m", df, epoch = None)
+      .contains("\"2024-01-01T00:00:00Z\""))
+    assert(InfluxJson.serialize("m", df, epoch = Some("ns")).contains("[1704067200000000000,"))
+    assert(InfluxJson.serialize("m", df, epoch = Some("u")).contains("[1704067200000000,"))
+    assert(InfluxJson.serialize("m", df, epoch = Some("ms")).contains("[1704067200000,"))
+    assert(InfluxJson.serialize("m", df, epoch = Some("s")).contains("[1704067200,"))
+  }
+
   test("strings and control characters escape into valid JSON") {
     val s = spark
     import s.implicits._

@@ -12,7 +12,7 @@ class ParserSpec extends AnyFunSuite {
 
   test("minimal slice query parses (SURVEY §7.2 shape)") {
     val s = sel("SELECT mean(value) FROM treasures WHERE time <= now() AND (type = 'gold' OR type = 'trash') GROUP BY time(1d) LIMIT 1")
-    assert(s.from == "treasures")
+    assert(s.from == FromMeasurement("treasures"))
     assert(s.fields == List(Field(Call("mean", List(Ident("value"))), None)))
     assert(s.groupByTime.contains(86400000000L))
     assert(s.limit.contains(1))
@@ -34,6 +34,19 @@ class ParserSpec extends AnyFunSuite {
     assert(sel("SELECT sum(v) FROM m GROUP BY time(1h), t fill(linear)").fill == FillLinear)
     assert(sel("SELECT sum(v) FROM m GROUP BY time(1h) fill(none)").fill == FillNone)
     assert(sel("SELECT sum(v) FROM m GROUP BY time(1h) fill(null)").fill == FillNull)
+  }
+
+  test("subquery FROM source and bucket offsets") {
+    val s = sel("SELECT mean(cnt) FROM (SELECT count(v) AS cnt FROM m GROUP BY time(1h)) GROUP BY t")
+    s.from match {
+      case FromSubquery(sub) =>
+        assert(sub.groupByTime.contains(3600000000L))
+        assert(sub.fields.head.alias.contains("cnt"))
+      case other => fail(s"expected subquery, got $other")
+    }
+    val o = sel("SELECT count(v) FROM m GROUP BY time(1d, 6h)")
+    assert(o.groupByTime.contains(86400000000L))
+    assert(o.groupByTimeOffset == 21600000000L)
   }
 
   test("GROUP BY * and tag lists") {
