@@ -13,6 +13,7 @@ object Lexer {
   final case class TNum(text: String) extends Tok
   final case class TDur(text: String) extends Tok
   final case class TStr(text: String) extends Tok   // already unquoted
+  final case class TRegex(text: String) extends Tok // /pattern/, undelimited
   final case class TSym(text: String) extends Tok
   case object TEnd extends Tok { val text = "<end>" }
 
@@ -48,6 +49,13 @@ object Lexer {
         var j = i
         while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
         out += TIdent(s.substring(i, j)); i = j
+      } else if (c == '/' && out.lastOption.exists(t => t == TSym("=~") || t == TSym("!~"))) {
+        // regex literal: only valid directly after a match operator, which
+        // disambiguates it from division
+        var j = i + 1
+        while (j < s.length && !(s(j) == '/' && s(j - 1) != '\\')) j += 1
+        if (j >= s.length) throw ParseException(s"unterminated regex at $i")
+        out += TRegex(s.substring(i + 1, j).replace("\\/", "/")); i = j + 1
       } else if (i + 1 < s.length && sym2(s.substring(i, i + 2))) {
         out += TSym(s.substring(i, i + 2)); i += 2
       } else if (sym1(c.toString)) {
@@ -225,7 +233,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
   private def prec(op: String): Int = op match {
     case "OR"                                      => 1
     case "AND"                                     => 2
-    case "=" | "!=" | "<>" | "<" | "<=" | ">" | ">=" => 3
+    case "=" | "!=" | "<>" | "<" | "<=" | ">" | ">=" | "=~" | "!~" => 3
     case "+" | "-"                                 => 4
     case "*" | "/" | "%"                           => 5
     case _                                         => -1
@@ -258,6 +266,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     case TNum(n)                    => IntLit(n.toLong)
     case TDur(d)                    => DurLit(Lexer.durationUs(d))
     case TStr(s)                    => StrLit(s)
+    case TRegex(p)                  => RegexLit(p)
     case TSym("(")                  =>
       val e = parseExpr(0); expectSym(")"); Paren(e)
     case TSym("-")                  => Bin("*", IntLit(-1), parseUnary())

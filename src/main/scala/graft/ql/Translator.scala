@@ -84,6 +84,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case Bin("AND", l, r) => predicate(l) && predicate(r)
     case Bin("OR", l, r)  => predicate(l) || predicate(r)
     case Paren(x)         => predicate(x)
+    case Bin("=~", l, RegexLit(p)) => operand(l, other = l).rlike(p)
+    case Bin("!~", l, RegexLit(p)) => !operand(l, other = l).rlike(p)
     case Bin(op, l, r)    =>
       val (lc, rc) = (operand(l, other = r), operand(r, other = l))
       op match {

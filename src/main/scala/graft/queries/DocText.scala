@@ -151,6 +151,24 @@ object DocText {
           (a, x) => (a * 31 + x) % 1000000007L).as("rolling_fp"))
     },
 
+    // ---- string-function surface (beyond-reference §2.5 extension row:
+    //      upper/substr/concat/replace/length/position as built-ins)
+    Q("d_string_funcs",
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 10)) AS head10,
+        |  length(text) AS len,
+        |  length(replace(text, ' ', '')) AS len_nospace,
+        |  strpos(text, 'spark') AS spark_pos,
+        |  lang || ':' || source AS lang_source
+        |FROM documents""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), " ", "")).as("len_nospace"),
+        instr(col("text"), "spark").cast("long").as("spark_pos"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_source"))
+    },
+
     // ---- token counting + type-token ratio + stopword ratio
     Q("d_token_stats",
       """WITH tk AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks FROM documents)

@@ -300,6 +300,17 @@ object EventAggs {
         .where(col("rn") <= 5).select("event_type", "event_id", "value")
     },
 
+    // ---- equal-width histogram (beyond-reference: InfluxQL 1.x rejects
+    //      histogram(); standard OLAP op, exact integer bin edges)
+    Q("e_histogram",
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+        |       count(*) AS cnt, min(value) AS bin_min, max(value) AS bin_max
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("bin_min"), max("value").as("bin_max"))
+    },
+
     // ---- GROUP BY time(5m): epoch-aligned tumbling bucket, the reference's
     //      core grouping construct (service/coordinator.go:197-204)
     Q("e_bucket_5m",

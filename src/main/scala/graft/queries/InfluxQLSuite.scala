@@ -264,6 +264,20 @@ object InfluxQLSuite {
          |FROM w""".stripMargin)(
       "SELECT mean(value) FROM events WHERE event_type = 'purchase' GROUP BY time(1d), event_type fill(linear)"),
 
+    // ---- regex tag predicates (=~ /re/, !~ /re/) — passthrough-supported
+    //      by the reference's nodes, unsupported in its merge layer
+    //      (query_merge.go:128 TODO); first-class here. Java and RE2 agree
+    //      on this anchored-alternation subset.
+    iql("iql_regex_tag",
+      """SELECT event_type, count(value) AS count FROM events
+        |WHERE regexp_matches(event_type, '^(click|view)$') GROUP BY 1""".stripMargin)(
+      "SELECT count(value) FROM events WHERE event_type =~ /^(click|view)$/ GROUP BY event_type"),
+
+    iql("iql_regex_neg",
+      """SELECT event_type, count(value) AS count FROM events
+        |WHERE NOT regexp_matches(event_type, '^p') GROUP BY 1""".stripMargin)(
+      "SELECT count(value) FROM events WHERE event_type !~ /^p/ GROUP BY event_type"),
+
     // ---- subquery: nested SELECT as FROM source — the reference's
     //      declared-unimplemented path (README.md:188-191), first-class here
     iql("iql_subquery",
