@@ -288,6 +288,15 @@ object InfluxQLSuite {
          |FROM b GROUP BY 1""".stripMargin)(
       "SELECT mean(cnt) FROM (SELECT count(value) AS cnt FROM events GROUP BY time(1d), event_type) GROUP BY event_type"),
 
+    // ---- HAVING-equivalent: outer WHERE over a subquery's aggregate
+    //      output (InfluxQL has no HAVING; this is its idiom)
+    iql("iql_subquery_having",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type, count(value) AS cnt
+         |      FROM ev GROUP BY 1, 2)
+         |SELECT time, event_type, cnt FROM b WHERE cnt > 70""".stripMargin)(
+      "SELECT cnt FROM (SELECT count(value) AS cnt FROM events GROUP BY time(1d), event_type) WHERE cnt > 70 GROUP BY event_type"),
+
     // ---- time(interval, offset): shifted bucket boundaries
     iql("iql_bucket_offset",
       s"""WITH $EV
