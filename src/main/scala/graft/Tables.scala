@@ -26,7 +26,12 @@ object Tables {
     case "events" =>
       // Requires spark.sql.legacy.parquet.nanosAsLong=true, set once at
       // session build time (Sessions.build) — not mutated here (ADVICE r1).
+      // ts_ns keeps the RAW parquet column: filters on the derived ts_us
+      // ((ts div 1000) ≥ X) are not convertible to parquet predicates, so
+      // time-range row-group pruning only happens through ts_ns bounds
+      // (Translator emits them; see predicate()).
       spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts_ns", col("ts"))
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case n =>

@@ -18,7 +18,8 @@ final case class TableMeta(
     measurement: String,
     timeCol: String, // LONG epoch-µs column
     tags: Seq[String],
-    fields: Seq[FieldMeta]) {
+    fields: Seq[FieldMeta],
+    rawTimeNs: Option[String] = None) { // raw parquet ns column, for pushdown
   def field(n: String): FieldMeta =
     fields.find(_.name == n).getOrElse(
       throw ParseException(s"unknown field '$n' on measurement '$measurement'"))
@@ -30,7 +31,8 @@ object Catalog {
     * time = ts_us (µs), tag = event_type, fields = value (2-dec), user_id. */
   val events: TableMeta = TableMeta("events", "ts_us",
     tags = Seq("event_type"),
-    fields = Seq(FieldMeta("value", Some(100L)), FieldMeta("user_id", None)))
+    fields = Seq(FieldMeta("value", Some(100L)), FieldMeta("user_id", None)),
+    rawTimeNs = Some("ts_ns"))
 
   def load(spark: SparkSession, sfDir: String, measurement: String): (DataFrame, TableMeta) =
     measurement match {

@@ -86,6 +86,25 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case Paren(x)         => predicate(x)
     case Bin("=~", l, RegexLit(p)) => operand(l, other = l).rlike(p)
     case Bin("!~", l, RegexLit(p)) => !operand(l, other = l).rlike(p)
+    // time comparisons against constants additionally emit a REDUNDANT
+    // bound on the raw parquet ns column: the semantic filter on the
+    // derived µs column ((ts div 1000) op X) cannot convert to a parquet
+    // predicate, so row-group/partition pruning on the time axis — the
+    // dominant pruning at scale — only happens via the raw bound.
+    case Bin(op, l, r) if isTimeRef(l) && meta.rawTimeNs.isDefined
+        && constTimeUs(r).isDefined =>
+      val v = constTimeUs(r).get
+      val raw = col(meta.rawTimeNs.get)
+      val base = compareOp(op, time, lit(v))
+      val push = op match {
+        case ">=" => raw >= v * 1000L
+        case ">"  => raw > v * 1000L + 999L
+        case "<"  => raw < v * 1000L
+        case "<=" => raw <= v * 1000L + 999L
+        case "="  => raw >= v * 1000L && raw <= v * 1000L + 999L
+        case _    => lit(true)
+      }
+      base && push
     case Bin(op, l, r)    =>
       val (lc, rc) = (operand(l, other = r), operand(r, other = l))
       op match {
@@ -103,6 +122,28 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   private def isTimeRef(e: Expr): Boolean = e match {
     case Ident(n) => n.equalsIgnoreCase("time")
     case _        => false
+  }
+
+  private def compareOp(op: String, lc: Column, rc: Column): Column = op match {
+    case "="         => lc === rc
+    case "!=" | "<>" => lc =!= rc
+    case "<"         => lc < rc
+    case "<="        => lc <= rc
+    case ">"         => lc > rc
+    case ">="        => lc >= rc
+    case o           => throw ParseException(s"unsupported predicate operator $o")
+  }
+
+  /** Constant-fold a time-comparison operand to epoch µs. */
+  private def constTimeUs(e: Expr): Option[Long] = e match {
+    case StrLit(s)      => Some(parseTimeUs(s))
+    case IntLit(v)      => Some(v)
+    case DurLit(us)     => Some(us)
+    case NowLit         => Some(System.currentTimeMillis() * 1000L)
+    case Bin("+", l, r) => for (a <- constTimeUs(l); b <- constTimeUs(r)) yield a + b
+    case Bin("-", l, r) => for (a <- constTimeUs(l); b <- constTimeUs(r)) yield a - b
+    case Paren(x)       => constTimeUs(x)
+    case _              => None
   }
 
   /** WHERE operand; when the opposite side is `time`, literals become µs. */
