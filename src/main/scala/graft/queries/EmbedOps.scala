@@ -234,6 +234,85 @@ object EmbedOps {
           micro(col("sv").cast("double") / (lit(1048576.0) * col("n"))).as("centroid_micro"))
     },
 
+    // ---- IVF-style ANN: coarse quantizer (per-label exact centroids) +
+    //      multi-probe search (nprobe=2). Assign every vector to its
+    //      nearest centroid (micro-quantized L2, deterministic label
+    //      tie-break), then search only the query's probed lists — the
+    //      inverted-file scale path beside the LSH variant. Lists come
+    //      from the exact label centroids (a k-means stand-in with
+    //      deterministic output). Measured on this corpus: recall@5 0.18
+    //      at nprobe=1, 0.38 at nprobe=2 vs LSH's 0.60 — these synthetic
+    //      embeddings cluster weakly, so IVF underperforms LSH here; on
+    //      genuinely clustered data the ranking flips. Both paths stay,
+    //      cross-checked against em_knn_brute.
+    Q("em_ivf_knn", {
+      val cent =
+        s"""cd AS (SELECT label, i - 1 AS dim,
+           |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS v
+           |       FROM embeddings CROSS JOIN unnest(generate_series(1, $DIMS)) AS t(i)),
+           |cm AS (SELECT label, dim, CAST(sum(v) AS DOUBLE) / (1048576.0 * count(*)) AS c
+           |       FROM cd GROUP BY 1, 2),
+           |cv AS (SELECT label AS clabel, list(c ORDER BY dim) AS cvec FROM cm GROUP BY 1)""".stripMargin
+      val dist =
+        s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(generate_series(1, $DIMS),
+           |    i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])
+           |         * (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i]))), (a, x) -> a + x)
+           |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+      s"""WITH $cent,
+         |asg0 AS (SELECT e.vec_id, e.embedding, cv.clabel, $dist AS d2
+         |         FROM embeddings e CROSS JOIN cv),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                        ORDER BY d2 ASC, clabel ASC) AS rn FROM asg0),
+         |asg AS (SELECT vec_id, embedding, clabel AS list_id FROM ranked WHERE rn = 1),
+         |-- multi-probe: queries search their NPROBE nearest lists
+         |-- (single-probe measured 0.18 recall@5 — neighbors cross lists)
+         |q AS (SELECT vec_id AS qid, embedding AS qe, clabel AS list_id
+         |      FROM ranked WHERE rn <= 2 AND vec_id < $NQUERIES),
+         |cand AS (SELECT q.qid, v.vec_id,
+         |           CAST(floor(${duckDot("q.qe", "v.embedding")}
+         |                      / (${duckNorm("q.qe")} * ${duckNorm("v.embedding")})
+         |                      * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+         |         FROM q JOIN asg v ON q.list_id = v.list_id AND v.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, sim_micro,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC) AS rn
+         |      FROM cand)
+         |SELECT qid, vec_id, sim_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+    }) { (s, d) =>
+      val v = emb(s, d)
+      // exact per-label centroids as dense arrays (tiny: 3 × 64 → broadcast)
+      val cvec = v.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          round(col("col").cast("double") * 1048576).cast("long").as("iv"))
+        .groupBy("label", "dim")
+        .agg((sum("iv").cast("double") / (lit(1048576.0) * count(lit(1)))).as("c"))
+        .groupBy(col("label").as("clabel"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+        .select(col("clabel"), expr("transform(pairs, p -> p.c)").as("cvec"))
+      // assign each vector to its nearest centroid (micro-quantized L2)
+      val d2 = floor(aggregate(zip_with(col("embedding"), col("cvec"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (a, x) => a + x) * 1000000.0 + 0.5).cast("long")
+      val ranked = v.crossJoin(broadcast(cvec))
+        .select(col("vec_id"), col("embedding"), col("clabel"), d2.as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("clabel").asc)))
+      val asg = ranked.where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("clabel").as("list_id"))
+      // multi-probe (nprobe=2): single-probe measured 0.18 recall@5
+      val q = ranked.where(col("rn") <= 2 && col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("clabel").as("list_id"))
+      asg.join(broadcast(q), Seq("list_id"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          micro(dot(col("qe"), col("embedding"))
+            / (norm(col("qe")) * norm(col("embedding")))).as("sim_micro"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
+        .where(col("rn") <= TOPK)
+    },
+
     // ---- bucket occupancy: the LSH quality diagnostic (skew check at scale)
     Q("em_bucket_stats",
       s"""WITH sig AS (SELECT vec_id, ($duckSignature) AS bucket FROM embeddings)

@@ -422,7 +422,10 @@ object EventAggs {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |  AND event_type IN ('click', 'view') AND value > 50""".stripMargin) { (s, d) =>
+      // redundant raw-ns bounds give the parquet scan prunable time
+      // predicates (PushedFilters); the ts bounds carry the semantics
       ev(s, d)
+        .where(col("ts_ns") >= 1704412800000000000L && col("ts_ns") < 1705017600000000000L)
         .where(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")
           && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")
           && col("event_type").isin("click", "view") && col("value") > 50)
