@@ -313,6 +313,52 @@ object EmbedOps {
         .where(col("rn") <= TOPK)
     },
 
+    // ---- embedding-cosine near-dup pairs: the vector-space member of the
+    //      dedup family — LSH-bucketed candidate generation (union over
+    //      tables), verify only colliding pairs, keep cosine ≥ 0.95.
+    //      Replica fixtures (vec_id+1000000) plant exact duplicates so the
+    //      pipeline provably collapses them (random 64-dim vectors never
+    //      reach 0.95 — an empty result would be a vacuous check).
+    Q("em_cosine_neardup", {
+      val buckets = (0 until NTABLES).map(t =>
+        s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
+      s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+         |            UNION ALL
+         |            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+         |sig AS (SELECT vec_id, embedding, unnest([$buckets]) AS tb FROM e2),
+         |bands AS (SELECT vec_id, tb.t AS tbl, tb.b AS bucket FROM sig),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |                                  AND x.vec_id < y.vec_id),
+         |v AS (SELECT c.vec_a, c.vec_b,
+         |        CAST(floor(${duckDot("a.embedding", "b.embedding")}
+         |                   / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})
+         |                   * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+         |      FROM cand c JOIN e2 a ON a.vec_id = c.vec_a
+         |                  JOIN e2 b ON b.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, sim_micro FROM v WHERE sim_micro >= 950000""".stripMargin
+    }) { (s, d) =>
+      val base = emb(s, d).select("vec_id", "embedding")
+      val v = base.union(base.withColumn("vec_id", col("vec_id") + 1000000L))
+      val bands = v.select(col("vec_id"),
+          posexplode(array((0 until NTABLES).map(t => tableBucket(t)): _*)))
+        .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+        .persist()
+      val cand = bands.toDF("vec_a", "tbl", "bucket")
+        .join(bands.toDF("vec_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      // norms precomputed per VECTOR (not per candidate pair — same double,
+      // a third of the fold work at verification time)
+      val vn = v.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      cand
+        .join(vn.toDF("vec_a", "ea", "na"), Seq("vec_a"))
+        .join(vn.toDF("vec_b", "eb", "nb"), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          micro(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim_micro"))
+        .where(col("sim_micro") >= 950000L)
+    },
+
     // ---- bucket occupancy: the LSH quality diagnostic (skew check at scale)
     Q("em_bucket_stats",
       s"""WITH sig AS (SELECT vec_id, ($duckSignature) AS bucket FROM embeddings)

@@ -300,6 +300,41 @@ object EventAggs {
         .where(col("rn") <= 5).select("event_type", "event_id", "value")
     },
 
+    // ---- sessionization: gap-based session assembly per user (30-min
+    //      inactivity closes a session) — lag → boundary flag → running
+    //      sum = session id, then per-session stats. The batch form of
+    //      session windows; the training-pipeline "assemble interaction
+    //      episodes" op.
+    Q("e_sessionize",
+      s"""WITH $EV, l AS (
+         |  SELECT user_id, ts_us,
+         |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR
+         |              lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s,
+         |    cents
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         |s AS (SELECT user_id, ts_us, cents,
+         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM l)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_us) AS session_start, max(ts_us) - min(ts_us) AS duration_us,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS session_value
+         |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      val run = Window.partitionBy("user_id").orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, d)
+        .withColumn("new_s",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L
+            || lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("session_start"),
+          (max("ts_us") - min("ts_us")).as("duration_us"),
+          (sum("cents").cast("double") / 100.0).as("session_value"))
+    },
+
     // ---- equal-width histogram (beyond-reference: InfluxQL 1.x rejects
     //      histogram(); standard OLAP op, exact integer bin edges)
     Q("e_histogram",
