@@ -86,6 +86,16 @@ final class Engine(val spark: SparkSession, sfDir: String) {
         // is ContinuousQuery.start on a stream of the same source)
         runSelect(sel)
       case DropContinuousQuery(n, db) => databases.dropCq(db, n)
+      case DeleteSeries(from, where) =>
+        // delete = retain the complement; read-your-writes through the
+        // registry (at rest this is a partition-overwrite compaction)
+        val (df, meta) = load(from)
+        val remaining = where match {
+          case Some(w) => df.where(!new Translator(df, meta).wherePredicate(w))
+          case None    => df.limit(0)
+        }
+        registerMeasurement(meta, remaining)
+      case DropMeasurement(n) => tables.remove(n)
     }
     Seq.empty[(String, String)].toDF("k", "v").limit(0)
   }

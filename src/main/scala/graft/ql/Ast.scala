@@ -76,5 +76,9 @@ final case class CreateRetentionPolicy(name: String, db: String, durationUs: Lon
 final case class DropRetentionPolicy(name: String, db: String) extends DdlStmt
 final case class CreateContinuousQuery(name: String, db: String, query: SelectStmt) extends DdlStmt
 final case class DropContinuousQuery(name: String, db: String) extends DdlStmt
+/** DELETE FROM m [WHERE …] / DROP SERIES FROM m WHERE tag='v' / DROP
+  * MEASUREMENT m (reference RouteToAll statements, routing.go:13-41). */
+final case class DeleteSeries(from: String, where: Option[Expr]) extends DdlStmt
+final case class DropMeasurement(name: String) extends DdlStmt
 
 final case class ParseException(msg: String) extends RuntimeException(msg)

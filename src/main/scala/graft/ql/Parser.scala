@@ -109,6 +109,11 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
   private def parseOne(): Statement =
     if (isKw(peek, "SELECT")) parseSelect()
     else if (isKw(peek, "SHOW")) parseShow()
+    else if (isKw(peek, "DELETE")) {
+      pos += 1; expectKw("FROM")
+      val m = ident()
+      DeleteSeries(m, if (acceptKw("WHERE")) Some(parseExpr(0)) else None)
+    }
     else if (isKw(peek, "CREATE") || isKw(peek, "DROP") ||
              isKw(peek, "REMOVE") || isKw(peek, "SET")) Admin.parse(this)
     else throw ParseException(s"unsupported statement start: ${peek.text}")
@@ -359,6 +364,13 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         }
       } else if (p.acceptKw("DROP")) {
         if (p.acceptKw("DATABASE")) return DropDatabase(p.ident())
+        if (p.acceptKw("MEASUREMENT")) return DropMeasurement(p.ident())
+        if (p.acceptKw("SERIES")) {
+          p.expectKw("FROM")
+          val m = p.ident()
+          return DeleteSeries(m,
+            if (p.acceptKw("WHERE")) Some(p.parseExpr(0)) else None)
+        }
         if (p.acceptKw("RETENTION")) {
           p.expectKw("POLICY"); val name = p.ident()
           p.expectKw("ON")

@@ -80,6 +80,9 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   // ---------------- predicates
 
+  /** Public WHERE-predicate translation (DELETE/DROP SERIES reuse it). */
+  def wherePredicate(e: Expr): Column = predicate(e)
+
   private def predicate(e: Expr): Column = e match {
     case Bin("AND", l, r) => predicate(l) && predicate(r)
     case Bin("OR", l, r)  => predicate(l) || predicate(r)

@@ -83,6 +83,29 @@ class EngineSpec extends SparkSpec {
     assert(e.replication.get(Some("default"), Some("events")) == 3)
   }
 
+  test("DELETE FROM / DROP SERIES / DROP MEASUREMENT (routing.go RouteToAll)") {
+    val e = newEngine
+    val meta = TableMeta("treasures", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq(
+      "treasures,type=gold value=100 1000000000",
+      "treasures,type=silver value=50 2000000000",
+      "treasures,type=trash value=0 3000000000"), "treasures")
+
+    e.execute("DROP SERIES FROM treasures WHERE type = 'trash'")
+    assert(e.execute("SELECT count(value) FROM treasures").head.getLong(0) == 2)
+
+    e.execute("DELETE FROM treasures WHERE time < '1970-01-01 00:00:02'")
+    assert(e.execute("SELECT count(value) FROM treasures").head.getLong(0) == 1)
+
+    e.execute("DELETE FROM treasures") // full truncate
+    assert(e.execute("SELECT count(value) FROM treasures").head.getLong(0) == 0)
+
+    e.execute("DROP MEASUREMENT treasures")
+    assertThrows[graft.ql.ParseException](e.execute("SELECT count(value) FROM treasures"))
+  }
+
   test("multi-statement request: results accumulate per statement") {
     val e = newEngine
     val out = e.executeAll(

@@ -105,6 +105,15 @@ class TranslatorSpec extends SparkSpec {
     assert(tk.exists(r => r.getString(0) == "events" && r.getString(1) == "event_type"))
   }
 
+  test("time-range filters reach the parquet scan as pushed ns bounds") {
+    val df = Translator.query(spark, sfDir,
+      "SELECT count(value) FROM events WHERE time >= '2024-01-10' AND time < '2024-01-17' GROUP BY event_type")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts,1704844800000000000)"), pushed)
+    assert(pushed.contains("LessThan(ts,1705449600000000000)"), pushed)
+  }
+
   test("full front-end runs against the events measurement (sf0.001)") {
     val df = Translator.query(spark, sfDir, "SELECT mean(value) FROM events GROUP BY time(1d), event_type")
     assert(df.columns.toSeq == Seq("time", "event_type", "mean"))
