@@ -115,7 +115,13 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     val floatFields = meta.fields.map(_.name)
     val (df, errs) = LineProtocol.parse(spark, spark.createDataset(lines),
       measurement, meta.tags, floatFields)
-    val withTime = df.withColumn(meta.timeCol, expr("time_ns div 1000"))
+    val withTime0 = df.withColumn(meta.timeCol, expr("time_ns div 1000"))
+    // measurements with a declared raw-ns pushdown column must carry it on
+    // the write path too, or time-filtered reads fail resolution
+    val withTime = meta.rawTimeNs match {
+      case Some(raw) => withTime0.withColumn(raw, col("time_ns"))
+      case None      => withTime0
+    }
     val existing = tables.get(measurement).map(_._1)
     val merged = existing match {
       case Some(old) if old.columns.sorted.sameElements(withTime.columns.sorted) =>

@@ -106,6 +106,20 @@ class EngineSpec extends SparkSpec {
     assertThrows[graft.ql.ParseException](e.execute("SELECT count(value) FROM treasures"))
   }
 
+  test("line-protocol writes into a rawTimeNs measurement stay time-queryable (regression)") {
+    val e = newEngine
+    val meta = TableMeta("rt", "ts_us", Seq("type"),
+      Seq(FieldMeta("value", Some(100L))), rawTimeNs = Some("ts_ns"))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq(
+      "rt,type=a value=1 1000000000000",
+      "rt,type=b value=2 2000000000000"), "rt")
+    // time predicate forces resolution of the raw ns pushdown column
+    // (points are at epoch 1000s and 2000s; split at 1500s)
+    val out = e.execute("SELECT value FROM rt WHERE time >= '1970-01-01 00:25:00'").collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 2.0)
+  }
+
   test("multi-statement request: results accumulate per statement") {
     val e = newEngine
     val out = e.executeAll(
