@@ -28,6 +28,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   val partitionKeys = new PartitionKeyStore
   val replication = new ReplicationSettings
   val databases = new DbCatalog
+  val users = new UserStore
   private val admin = new Admin(partitionKeys, replication)
   private val tables = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, TableMeta)]
 
@@ -55,10 +56,25 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     case ShowStmt("CONTINUOUS QUERIES", on) =>
       import spark.implicits._
       databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
+    case ShowStmt("USERS", _) =>
+      { import spark.implicits._; users.list.toDF("user", "admin") }
     case ShowStmt(what, _) => Meta.show(spark, sfDir, what)
     case ddl: DdlStmt      => executeDdl(ddl)
     case adm: AdminStmt    => admin.execute(spark, adm)
+    case auth: AuthStmt    => executeAuth(auth)
     case other             => throw ParseException(s"unsupported statement: $other")
+  }
+
+  private def executeAuth(stmt: AuthStmt): DataFrame = {
+    import spark.implicits._
+    stmt match {
+      case CreateUser(n, pw, admin) => users.createUser(n, pw, admin)
+      case DropUser(n)              => users.dropUser(n)
+      case SetPassword(n, pw)       => users.setPassword(n, pw)
+      case Grant(p, db, u)          => users.grant(p, db, u)
+      case Revoke(p, db, u)         => users.revoke(p, db, u)
+    }
+    Seq.empty[(String, String)].toDF("k", "v").limit(0)
   }
 
   private def runSelect(sel: SelectStmt): DataFrame = {

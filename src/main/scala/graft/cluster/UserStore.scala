@@ -1,0 +1,70 @@
+package graft.cluster
+
+/** User catalog + privilege checks (reference `service/auth.go:26-53`,
+  * `cluster/auth_storage`): first-user-must-be-admin bootstrap, per-db
+  * READ/WRITE/ALL grants, authorize() = the 403 gate
+  * (`service/query_handler_test.go:51-81` behaviors).
+  *
+  * Passwords are salted-SHA-256 metadata, NOT production crypto — the
+  * reference uses bcrypt; this preserves the interface and semantics (no
+  * plaintext at rest, per-user salt) without pulling a dependency.
+  */
+final class UserStore {
+
+  final case class User(name: String, pwHash: String, admin: Boolean,
+      grants: Map[String, String]) // db → READ|WRITE|ALL
+
+  final case class AuthException(msg: String) extends RuntimeException(msg)
+
+  private val users = scala.collection.concurrent.TrieMap.empty[String, User]
+
+  private def hash(name: String, pw: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"graft:$name:$pw".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  def createUser(name: String, password: String, admin: Boolean): Unit = {
+    if (users.isEmpty && !admin)
+      throw AuthException("the first user must be an admin") // bootstrap rule
+    if (users.putIfAbsent(name, User(name, hash(name, password), admin, Map.empty)).isDefined)
+      throw AuthException(s"user already exists: $name")
+  }
+
+  def dropUser(name: String): Unit =
+    if (users.remove(name).isEmpty) throw AuthException(s"user not found: $name")
+
+  def setPassword(name: String, password: String): Unit =
+    users.updateWith(name) {
+      case Some(u) => Some(u.copy(pwHash = hash(name, password)))
+      case None    => throw AuthException(s"user not found: $name")
+    }
+
+  def grant(priv: String, db: String, user: String): Unit =
+    users.updateWith(user) {
+      case Some(u) => Some(u.copy(grants = u.grants.updated(db, priv.toUpperCase)))
+      case None    => throw AuthException(s"user not found: $user")
+    }
+
+  def revoke(priv: String, db: String, user: String): Unit =
+    users.updateWith(user) {
+      case Some(u) => Some(u.copy(grants = u.grants.removed(db)))
+      case None    => throw AuthException(s"user not found: $user")
+    }
+
+  def authenticate(name: String, password: String): Boolean =
+    users.get(name).exists(_.pwHash == hash(name, password))
+
+  /** The 403 gate: admins pass everything; ALL covers READ and WRITE. */
+  def authorize(name: String, db: String, priv: String): Boolean =
+    users.get(name).exists { u =>
+      u.admin || (u.grants.get(db) match {
+        case Some("ALL") => true
+        case Some(p)     => p == priv.toUpperCase
+        case None        => false
+      })
+    }
+
+  def list: Seq[(String, Boolean)] =
+    users.values.toSeq.sortBy(_.name).map(u => (u.name, u.admin))
+
+  def isEmpty: Boolean = users.isEmpty
+}

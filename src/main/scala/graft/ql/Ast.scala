@@ -81,4 +81,14 @@ final case class DropContinuousQuery(name: String, db: String) extends DdlStmt
 final case class DeleteSeries(from: String, where: Option[Expr]) extends DdlStmt
 final case class DropMeasurement(name: String) extends DdlStmt
 
+/** User/privilege statements (reference RouteAuthService,
+  * `service/routing.go:78-87`; behaviors from `service/auth.go:26-53` and
+  * `service/query_handler_test.go:51-81`). */
+sealed trait AuthStmt extends Statement
+final case class CreateUser(name: String, password: String, admin: Boolean) extends AuthStmt
+final case class DropUser(name: String) extends AuthStmt
+final case class SetPassword(name: String, password: String) extends AuthStmt
+final case class Grant(privilege: String, db: String, user: String) extends AuthStmt
+final case class Revoke(privilege: String, db: String, user: String) extends AuthStmt
+
 final case class ParseException(msg: String) extends RuntimeException(msg)

@@ -114,9 +114,23 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       val m = ident()
       DeleteSeries(m, if (acceptKw("WHERE")) Some(parseExpr(0)) else None)
     }
+    else if (isKw(peek, "GRANT") || isKw(peek, "REVOKE")) parseGrantRevoke()
     else if (isKw(peek, "CREATE") || isKw(peek, "DROP") ||
              isKw(peek, "REMOVE") || isKw(peek, "SET")) Admin.parse(this)
     else throw ParseException(s"unsupported statement start: ${peek.text}")
+
+  // GRANT ALL|READ|WRITE ON db TO user / REVOKE ... ON db FROM user
+  private def parseGrantRevoke(): AuthStmt = {
+    val isGrant = acceptKw("GRANT")
+    if (!isGrant) expectKw("REVOKE")
+    val priv = ident().toUpperCase match {
+      case p @ ("ALL" | "READ" | "WRITE") => acceptKw("PRIVILEGES"); p
+      case p => throw ParseException(s"unknown privilege $p")
+    }
+    expectKw("ON"); val db = ident()
+    if (isGrant) { expectKw("TO"); Grant(priv, db, ident()) }
+    else { expectKw("FROM"); Revoke(priv, db, ident()) }
+  }
 
   def parseStatement(): Statement = {
     val st = parseOne()
@@ -320,6 +334,18 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     def parse(p: Parser): Statement = {
       if (p.acceptKw("CREATE")) {
         if (p.acceptKw("DATABASE")) return CreateDatabase(p.ident())
+        if (p.acceptKw("USER")) {
+          val name = p.ident()
+          p.expectKw("WITH"); p.expectKw("PASSWORD")
+          val pw = p.next() match {
+            case TStr(s) => s
+            case t       => throw ParseException(s"expected quoted password, found ${t.text}")
+          }
+          val admin = p.acceptKw("WITH") && {
+            p.expectKw("ALL"); p.expectKw("PRIVILEGES"); true
+          }
+          return CreateUser(name, pw, admin)
+        }
         if (p.acceptKw("RETENTION")) {
           p.expectKw("POLICY")
           val name = p.ident()
@@ -364,6 +390,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         }
       } else if (p.acceptKw("DROP")) {
         if (p.acceptKw("DATABASE")) return DropDatabase(p.ident())
+        if (p.acceptKw("USER")) return DropUser(p.ident())
         if (p.acceptKw("MEASUREMENT")) return DropMeasurement(p.ident())
         if (p.acceptKw("SERIES")) {
           p.expectKw("FROM")
@@ -388,6 +415,15 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         p.expectKw("NODE")
         RemoveNode(p.ident())
       } else if (p.acceptKw("SET")) {
+        if (p.acceptKw("PASSWORD")) {
+          p.expectKw("FOR")
+          val name = p.ident()
+          p.expectSym("=")
+          return p.next() match {
+            case TStr(s) => SetPassword(name, s)
+            case t       => throw ParseException(s"expected quoted password, found ${t.text}")
+          }
+        }
         p.expectKw("REPLICATION"); p.expectKw("FACTOR")
         val n = p.next() match {
           case TNum(x) => x.toInt
