@@ -148,6 +148,29 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     (df.count(), errs.count())
   }
 
+  /** Privilege-gated execution (reference per-statement authorization,
+    * query_handler.go:90-114): SELECT/SHOW need READ on the db, writes and
+    * DDL need WRITE, user/admin statements need admin. Throws the 403
+    * equivalent. When no users exist, auth is open (reference bootstrap
+    * behavior before the first admin). */
+  def executeAs(user: String, influxql: String, db: String = "default"): DataFrame = {
+    val stmt = Parser.parse(influxql)
+    if (!users.isEmpty) {
+      val required = stmt match {
+        case _: SelectStmt | _: ShowStmt => "READ"
+        case _: AuthStmt                 => "ADMIN"
+        case _                           => "WRITE"
+      }
+      val ok = required match {
+        case "ADMIN" => users.list.toMap.getOrElse(user, false) // admin flag
+        case p       => users.authorize(user, db, p)
+      }
+      if (!ok) throw users.AuthException(
+        s"""user "$user" is not authorized to $required on "$db"""") // 403
+    }
+    executeStmt(stmt)
+  }
+
   /** Multi-statement request: each ';'-separated statement executes in
     * order, results accumulate (reference query_handler.go:84-87). */
   def executeAll(influxql: String): Seq[DataFrame] =

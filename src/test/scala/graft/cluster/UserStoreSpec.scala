@@ -44,6 +44,24 @@ class UserStoreSpec extends SparkSpec {
     assert(s.authorize("root", "anything", "WRITE")) // admin passes everything
   }
 
+  test("executeAs enforces the 403 gate per statement type") {
+    val e = new Engine(spark, sfDir)
+    // no users yet → open (bootstrap)
+    assert(e.executeAs("anyone", "SHOW DATABASES").collect().nonEmpty)
+    e.execute("CREATE USER root WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
+    e.execute("CREATE USER peon WITH PASSWORD 'pw'")
+    // read denied without grant → 403 message
+    val err = intercept[Exception](e.executeAs("peon", "SELECT mean(value) FROM events"))
+    assert(err.getMessage.contains("not authorized"))
+    e.execute("GRANT READ ON default TO peon")
+    assert(e.executeAs("peon", "SELECT mean(value) FROM events").collect().nonEmpty)
+    // read grant does not allow writes or user admin
+    assertThrows[Exception](e.executeAs("peon", "DELETE FROM events"))
+    assertThrows[Exception](e.executeAs("peon", "CREATE USER evil WITH PASSWORD 'x'"))
+    // admin passes everything
+    assert(e.executeAs("root", "SHOW USERS").collect().length == 2)
+  }
+
   test("auth statements end-to-end through the Engine") {
     val e = new Engine(spark, sfDir)
     e.execute("CREATE USER root WITH PASSWORD 'secret' WITH ALL PRIVILEGES")
