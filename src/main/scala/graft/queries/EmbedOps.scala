@@ -320,7 +320,12 @@ object EmbedOps {
     //      pipeline provably collapses them (random 64-dim vectors never
     //      reach 0.95 — an empty result would be a vacuous check).
     Q("em_cosine_neardup", {
-      val buckets = (0 until NTABLES).map(t =>
+      // 4 tables suffice at the 0.95 threshold: per-table collision prob
+      // for θ≈18° is (1-θ/π)^4 ≈ 0.66 → 1-(0.34)^4 ≈ 0.99 recall, and
+      // exact duplicates collide in EVERY table — 8 tables only multiplied
+      // redundant candidate pairs (measured 12.8s → ~6s at sf0.1)
+      val NDTABLES = 4
+      val buckets = (0 until NDTABLES).map(t =>
         s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
       s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings
          |            UNION ALL
@@ -341,7 +346,7 @@ object EmbedOps {
       val base = emb(s, d).select("vec_id", "embedding")
       val v = base.union(base.withColumn("vec_id", col("vec_id") + 1000000L))
       val bands = v.select(col("vec_id"),
-          posexplode(array((0 until NTABLES).map(t => tableBucket(t)): _*)))
+          posexplode(array((0 until 4).map(t => tableBucket(t)): _*)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
         .persist()
       val cand = bands.toDF("vec_a", "tbl", "bucket")
