@@ -112,6 +112,30 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("SHOW SERIES") == ShowStmt("SERIES", None))
   }
 
+  test("auth statements parse (RouteAuthService grammar, routing.go:78-87)") {
+    assert(Parser.parse("CREATE USER root WITH PASSWORD 'secret' WITH ALL PRIVILEGES") ==
+      CreateUser("root", "secret", admin = true))
+    assert(Parser.parse("CREATE USER peon WITH PASSWORD 'pw'") ==
+      CreateUser("peon", "pw", admin = false))
+    assert(Parser.parse("DROP USER peon") == DropUser("peon"))
+    assert(Parser.parse("SET PASSWORD FOR root = 'new'") == SetPassword("root", "new"))
+    assert(Parser.parse("GRANT READ ON db1 TO peon") == Grant("READ", "db1", "peon"))
+    assert(Parser.parse("GRANT ALL PRIVILEGES ON db1 TO peon") == Grant("ALL", "db1", "peon"))
+    assert(Parser.parse("REVOKE WRITE ON db1 FROM peon") == Revoke("WRITE", "db1", "peon"))
+    assert(Parser.parse("SHOW USERS") == ShowStmt("USERS", None))
+    assertThrows[ParseException](Parser.parse("GRANT SUDO ON db TO x"))
+    assertThrows[ParseException](Parser.parse("CREATE USER x WITH PASSWORD unquoted"))
+  }
+
+  test("DELETE and DROP SERIES/MEASUREMENT parse (RouteToAll grammar)") {
+    assert(Parser.parse("DELETE FROM m") == DeleteSeries("m", None))
+    assert(Parser.parse("DROP MEASUREMENT m") == DropMeasurement("m"))
+    Parser.parse("DROP SERIES FROM m WHERE t = 'v'") match {
+      case DeleteSeries("m", Some(_)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
   test("parse errors carry a message naming the problem") {
     val e = intercept[ParseException](Parser.parse("SELECT FROM m"))
     assert(e.getMessage.nonEmpty)
