@@ -369,9 +369,15 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       case List(Ident(x), IntLit(k)) => (x, k.toInt)
       case _ => throw ParseException(s"$fn(field, N) expected")
     }
+    // GROUP BY time(iv) selects top/bottom N PER BUCKET (InfluxQL)
+    val bucketed = sel.groupByTime
+      .map(iv => base.withColumn("__bucket",
+        time - pmod(time - lit(sel.groupByTimeOffset), lit(iv))))
+      .getOrElse(base)
+    val parts = (if (sel.groupByTime.isDefined) Seq(col("__bucket")) else Nil) ++ tags.map(col)
     val ord = if (fn == "top") Seq(col(f).desc, time.asc) else Seq(col(f).asc, time.asc)
-    val w = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
-    base.withColumn("__rn", row_number().over(w))
+    val w = Window.partitionBy(parts: _*).orderBy(ord: _*)
+    bucketed.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse(fn)): _*)
   }

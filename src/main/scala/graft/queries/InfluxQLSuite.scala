@@ -102,6 +102,17 @@ object InfluxQLSuite {
          |SELECT time, event_type, value AS bottom FROM r WHERE rn <= 2""".stripMargin)(
       "SELECT bottom(value, 2) FROM events GROUP BY event_type"),
 
+    // ---- top-N per TIME BUCKET (InfluxQL: GROUP BY time + top selects per
+    //      bucket; the un-bucketed path returned a global top-N — regression)
+    iql("iql_top_per_bucket",
+      s"""WITH $EV, r AS (
+         |  SELECT ts_us AS time, value,
+         |    row_number() OVER (PARTITION BY ts_us - ts_us % $DAY_US
+         |                       ORDER BY value DESC, ts_us ASC) AS rn
+         |  FROM ev)
+         |SELECT time, value AS top FROM r WHERE rn <= 2""".stripMargin)(
+      "SELECT top(value, 2) FROM events GROUP BY time(1d)"),
+
     // ---- nearest-rank percentile: an actual point value (InfluxQL spec)
     iql("iql_percentile90",
       s"""WITH $EV, r AS (
