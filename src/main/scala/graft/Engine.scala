@@ -31,6 +31,16 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   val users = new UserStore
   private val admin = new Admin(partitionKeys, replication)
   private val tables = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, TableMeta)]
+  // live continuous queries: name → (source measurement, SELECT ... INTO)
+  private val cqs = scala.collection.concurrent.TrieMap.empty[String, (String, SelectStmt)]
+  // per-measurement ingest bookkeeping (lineage compaction, cache reaping)
+  private val writeSeq = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val pendingCaches = scala.collection.concurrent.TrieMap.empty[String, List[DataFrame]]
+  private val CheckpointEvery = 8
+  // recent-query ring for SHOW QUERIES (reference routing.go:43-58); the
+  // proxy surface, not an execution tracker — plans are lazy here
+  private val qid = new java.util.concurrent.atomic.AtomicLong(0)
+  private val queryLog = new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]
 
   databases.createDatabase("default")
 
@@ -40,12 +50,31 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   private def load(measurement: String): (DataFrame, TableMeta) =
     tables.getOrElse(measurement, Catalog.load(spark, sfDir, measurement))
 
+  private def measurementNames: Seq[String] =
+    (tables.keys.toSeq ++ Seq(Catalog.events.measurement)).distinct.sorted
+
   /** Execute any InfluxQL statement; SELECT/SHOW return data, DDL/admin
     * return empty or listing frames (the reference's Result rows). */
-  def execute(influxql: String): DataFrame = executeStmt(Parser.parse(influxql))
+  def execute(influxql: String): DataFrame = {
+    val stmt = Parser.parse(influxql)
+    stmt match { // SHOW QUERIES surface: remember recent SELECT texts
+      case _: SelectStmt =>
+        queryLog.addFirst((qid.incrementAndGet(), influxql, "default"))
+        while (queryLog.size > 100) queryLog.pollLast()
+      case _ =>
+    }
+    executeStmt(stmt)
+  }
 
   def executeStmt(stmt: Statement): DataFrame = stmt match {
     case sel: SelectStmt => runSelect(sel)
+    case ShowGrantsStmt(user) =>
+      import spark.implicits._
+      users.grantsFor(user).toDF("database", "privilege")
+    case ShowQueriesStmt =>
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      queryLog.iterator.asScala.toSeq.toDF("qid", "query", "database")
     case ShowStmt("DATABASES", _) =>
       { import spark.implicits._; databases.databases.toDF("name") }
     case ShowStmt("RETENTION POLICIES", on) =>
@@ -78,7 +107,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   }
 
   private def runSelect(sel: SelectStmt): DataFrame = {
-    val (df, meta) = Translator.resolve(sel.from, load)
+    val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
     val out = new Translator(df, meta).run(sel)
     sel.into.foreach { target => // SELECT INTO: materialize as a measurement
       registerMeasurement(TableMeta(target, "time",
@@ -97,11 +126,20 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       case DropRetentionPolicy(n, db) => databases.dropRp(db, n)
       case CreateContinuousQuery(n, db, sel) =>
         databases.createCq(databases.CqDef(n, db, sel))
-        // reference semantics: CQ recomputes over history on creation —
-        // backfill INTO the target measurement now (streaming continuation
-        // is ContinuousQuery.start on a stream of the same source)
+        // reference semantics: a CQ recomputes over history on creation
+        // (backfill INTO the target now) AND keeps running — the reference
+        // replicates CQs precisely so they stay live on every node
+        // (`/root/reference/syncing/importer.go:323-333`). Here the live
+        // half is micro-batch continuation: every writeLineProtocol into
+        // the CQ's source re-runs the INTO select over the merged table,
+        // so the target observes each ingest batch (read-your-writes). A
+        // true unbounded stream swaps this for ContinuousQuery.start on a
+        // readStream of the same source — identical plan, streaming sink.
+        cqs(n) = (Translator.measurementName(sel.from), sel)
         runSelect(sel)
-      case DropContinuousQuery(n, db) => databases.dropCq(db, n)
+      case DropContinuousQuery(n, db) =>
+        databases.dropCq(db, n)
+        cqs.remove(n)
       case DeleteSeries(from, where) =>
         // delete = retain the complement; read-your-writes through the
         // registry (at rest this is a partition-overwrite compaction)
@@ -129,14 +167,26 @@ final class Engine(val spark: SparkSession, sfDir: String) {
         sources.SchemaInfer.infer(measurement, pts).toTableMeta
       }
     val floatFields = meta.fields.map(_.name)
-    val (df, errs) = LineProtocol.parse(spark, spark.createDataset(lines),
-      measurement, meta.tags, floatFields)
-    val withTime0 = df.withColumn(meta.timeCol, expr("time_ns div 1000"))
+    // ingest hygiene (100 TB bar): parse ONCE into a cached batch carrying
+    // the dead-letter column, take point+error counts from a single
+    // aggregation (the old path ran two extra actions that each re-parsed
+    // the whole batch), and truncate the union lineage every
+    // CheckpointEvery writes so sustained ingest keeps a bounded plan
+    // (at rest this is parquet compaction; localCheckpoint is its
+    // single-JVM analog)
+    val raw = LineProtocol.parseRaw(spark, spark.createDataset(lines),
+      measurement, meta.tags, floatFields).persist()
+    val cnts = raw.agg(
+      count(when(col("err").isNull, lit(1))).as("ok"),
+      count(col("err")).as("bad")).head()
+    val (nOk, nErr) = (cnts.getLong(0), cnts.getLong(1))
+    val ok = raw.where(col("err").isNull).drop("err")
+    val withTime0 = ok.withColumn(meta.timeCol, expr("time_ns div 1000"))
     // measurements with a declared raw-ns pushdown column must carry it on
     // the write path too, or time-filtered reads fail resolution
     val withTime = meta.rawTimeNs match {
-      case Some(raw) => withTime0.withColumn(raw, col("time_ns"))
-      case None      => withTime0
+      case Some(rawNs) => withTime0.withColumn(rawNs, col("time_ns"))
+      case None        => withTime0
     }
     val existing = tables.get(measurement).map(_._1)
     val merged = existing match {
@@ -144,8 +194,25 @@ final class Engine(val spark: SparkSession, sfDir: String) {
         old.unionByName(withTime)
       case _ => withTime
     }
-    registerMeasurement(meta, merged)
-    (df.count(), errs.count())
+    val seq = writeSeq.updateWith(measurement) {
+      case Some(n) => Some(n + 1)
+      case None    => Some(1)
+    }.get
+    val stored =
+      if (seq % CheckpointEvery == 0) {
+        val cp = merged.localCheckpoint(true) // materialize + cut lineage
+        (raw :: pendingCaches.getOrElse(measurement, Nil)).foreach(_.unpersist(false))
+        pendingCaches.remove(measurement)
+        cp
+      } else {
+        pendingCaches.updateWith(measurement)(l => Some(raw :: l.getOrElse(Nil)))
+        merged
+      }
+    registerMeasurement(meta, stored)
+    // live CQ continuation: refresh every CQ whose source is this
+    // measurement (micro-batch semantics — see CreateContinuousQuery)
+    cqs.values.foreach { case (src, sel) if src == measurement => runSelect(sel); case _ => }
+    (nOk, nErr)
   }
 
   /** Privilege-gated execution (reference per-statement authorization,
@@ -157,9 +224,9 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     val stmt = Parser.parse(influxql)
     if (!users.isEmpty) {
       val required = stmt match {
-        case _: SelectStmt | _: ShowStmt => "READ"
-        case _: AuthStmt                 => "ADMIN"
-        case _                           => "WRITE"
+        case _: SelectStmt | _: ShowStmt | ShowQueriesStmt => "READ"
+        case _: AuthStmt | _: ShowGrantsStmt               => "ADMIN"
+        case _                                             => "WRITE"
       }
       val ok = required match {
         case "ADMIN" => users.list.toMap.getOrElse(user, false) // admin flag
@@ -182,7 +249,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   def queryJson(influxql: String, epoch: Option[String] = Some("u")): String =
     Parser.parse(influxql) match {
       case sel: SelectStmt =>
-        val (df, meta) = Translator.resolve(sel.from, load)
+        val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
         val out = new Translator(df, meta).run(sel)
         val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
         InfluxJson.serialize(Translator.measurementName(sel.from), out, tags, epoch)

@@ -66,5 +66,13 @@ final class UserStore {
   def list: Seq[(String, Boolean)] =
     users.values.toSeq.sortBy(_.name).map(u => (u.name, u.admin))
 
+  /** SHOW GRANTS FOR user listing (reference routes it to the auth
+    * service, `service/routing.go:78-87`). */
+  def grantsFor(name: String): Seq[(String, String)] =
+    users.get(name) match {
+      case Some(u) => u.grants.toSeq.sortBy(_._1)
+      case None    => throw AuthException(s"user not found: $name")
+    }
+
   def isEmpty: Boolean = users.isEmpty
 }

@@ -37,6 +37,9 @@ final case class Field(expr: Expr, alias: Option[String])
   * README.md:188-191); first-class here. */
 sealed trait Source
 final case class FromMeasurement(name: String) extends Source
+/** FROM /re/ — regex over measurement names (reference TODO at
+  * `service/merge/query_merge.go:128`; SURVEY §2.2 parser sugar). */
+final case class FromMeasurementRegex(pattern: String) extends Source
 final case class FromSubquery(sel: SelectStmt) extends Source
 
 final case class SelectStmt(
@@ -54,6 +57,10 @@ final case class SelectStmt(
     groupByTimeOffset: Long = 0L) extends Statement // time(iv, offset)
 
 final case class ShowStmt(what: String, on: Option[String]) extends Statement
+/** SHOW GRANTS FOR user / SHOW QUERIES — routed by the reference's proxy
+  * (`service/routing.go:43-58`). */
+final case class ShowGrantsStmt(user: String) extends Statement
+case object ShowQueriesStmt extends Statement
 
 /** Cluster-admin DSL (reference "clusterql",
   * `/root/reference/service/clusterql/language.go:7-63`). */

@@ -49,9 +49,14 @@ object Lexer {
         var j = i
         while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
         out += TIdent(s.substring(i, j)); i = j
-      } else if (c == '/' && out.lastOption.exists(t => t == TSym("=~") || t == TSym("!~"))) {
-        // regex literal: only valid directly after a match operator, which
-        // disambiguates it from division
+      } else if (c == '/' && out.lastOption.exists {
+        // regex literal: valid after a match operator, or in operand-start
+        // position (after SELECT / FROM / ','), which disambiguates it from
+        // division — '/' as DIVISION only ever follows a complete operand
+        case TSym("=~") | TSym("!~") | TSym(",") => true
+        case TIdent(x) => x.equalsIgnoreCase("SELECT") || x.equalsIgnoreCase("FROM")
+        case _ => false
+      }) {
         var j = i + 1
         while (j < s.length && !(s(j) == '/' && s(j - 1) != '\\')) j += 1
         if (j >= s.length) throw ParseException(s"unterminated regex at $i")
@@ -166,7 +171,10 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         val sub = parseSelect()
         expectSym(")")
         FromSubquery(sub)
-      } else FromMeasurement(ident())
+      } else peek match {
+        case TRegex(p) => pos += 1; FromMeasurementRegex(p)
+        case _         => FromMeasurement(ident())
+      }
     val where = if (acceptKw("WHERE")) Some(parseExpr(0)) else None
     var gbTime: Option[Long] = None
     var gbTimeOffset = 0L
@@ -315,6 +323,8 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       return ShowPartitionKeys(on)
     }
     if (acceptKw("NODES")) return ShowNodes
+    if (acceptKw("GRANTS")) { expectKw("FOR"); return ShowGrantsStmt(ident()) }
+    if (acceptKw("QUERIES")) return ShowQueriesStmt
     val what = ident().toUpperCase match {
       case "RETENTION" => expectKw("POLICIES"); "RETENTION POLICIES"
       case "CONTINUOUS" => expectKw("QUERIES"); "CONTINUOUS QUERIES"

@@ -61,15 +61,15 @@ final class Translator(df: DataFrame, meta: TableMeta) {
           case List(Field(Call(n @ ("top" | "bottom"), args), alias)) =>
             topBottom(base0, sel, tags, n, args, alias)
           case List(Field(Call("distinct", List(Ident(f))), alias)) =>
-            distinctSelect(base0, tags, f, alias)
+            distinctSelect(base0, sel, tags, f, alias)
           case List(Field(Call("sample", List(Ident(f), IntLit(n))), alias)) =>
-            sampleSelect(base0, tags, f, n.toInt, alias)
+            sampleSelect(base0, sel, tags, f, n.toInt, alias)
           case List(Field(Call("mode", List(Ident(f))), alias)) =>
-            modeSelect(base0, tags, f, alias)
+            modeSelect(base0, sel, tags, f, alias)
           case List(Field(Call("percentile", List(Ident(f), p)), alias)) =>
-            percentileSelect(base0, tags, f, p, alias)
-          case List(Field(Call("integral", args), alias)) if sel.groupByTime.isEmpty =>
-            integralSelect(base0, tags, args, alias)
+            percentileSelect(base0, sel, tags, f, p, alias)
+          case List(Field(Call("integral", args), alias)) =>
+            integralSelect(base0, sel, tags, args, alias)
           case _ => aggSelect(base0, sel, tags)
         }
       } else rawSelect(base0, sel, tags)
@@ -220,6 +220,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val cols = sel.fields.flatMap {
       case Field(Wildcard, _) => // SELECT * expands to all tags + fields
         (meta.tags.filterNot(tags.contains) ++ meta.fields.map(_.name)).map(col)
+      case Field(RegexLit(p), _) => // SELECT /re/ — unanchored match over tag+field keys
+        val re = java.util.regex.Pattern.compile(p)
+        val matched = (meta.tags.filterNot(tags.contains) ++ meta.fields.map(_.name))
+          .filter(n => re.matcher(n).find())
+        if (matched.isEmpty) throw ParseException(s"no field or tag key matches /$p/")
+        matched.map(col)
       case Field(Ident(n), alias) => Seq(col(n).as(alias.getOrElse(n)))
       case Field(e, alias)        => Seq(scalarCol(e, col(_)).as(alias.getOrElse(exprName(e))))
     }
@@ -261,6 +267,10 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   /** Translate an expression over aggregates; `reg` registers an aggregate
     * column and returns its post-aggregation reference. */
   private def buildAgg(e: Expr, reg: Column => Column): Column = e match {
+    // count(distinct f): exact distributed distinct-count (expands to a
+    // two-phase partial/final aggregate under Catalyst)
+    case Call("count", List(Call("distinct", List(Ident(f))))) =>
+      reg(count_distinct(col(f)))
     case Call("count", List(Ident(f)))  => reg(count(col(f)))
     case Call("count", List(Wildcard))  => reg(count(lit(1)))
     case Call("sum", List(Ident(f))) => scaleOf(f) match {
@@ -289,15 +299,15 @@ final class Translator(df: DataFrame, meta: TableMeta) {
           / (n - 1).cast("double"))
       case None => reg(stddev_samp(col(f)))
     }
-    case Call("percentile", List(Ident(f), pArg)) =>
-      throw ParseException("internal: percentile handled by dedicated rule") // see percentileSelect
+    case Call("percentile", List(Ident(f), pArg)) => // multi-row selector: only valid alone (percentileSelect)
+      throw ParseException("percentile() cannot be combined with other fields") // reference 400
     case Call("median", List(Ident(f))) => scaleOf(f) match {
       // exact interpolation over fixed-point integers (k or k+0.5 exactly)
       case Some(_) => unscale(reg(expr(s"percentile(${fxSql(f)}, 0.5)")), f)
       case None    => reg(expr(s"percentile($f, 0.5)"))
     }
-    case Call("integral", _) =>
-      throw ParseException("internal: integral handled by dedicated rule") // see integralSelect
+    case Call("integral", _) => // multi-row transform: only valid alone (integralSelect)
+      throw ParseException("integral() cannot be combined with other fields") // reference 400
     case Bin(op, l, r) =>
       val (lc, rc) = (buildAgg(l, reg), buildAgg(r, reg))
       op match {
@@ -363,6 +373,21 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   // ---------------- multi-row aggregates
 
+  /** Shared GROUP BY time(iv[,off]) handling for the multi-row selectors
+    * (top/bottom/distinct/mode/percentile/sample/integral): the reference
+    * merges these WITHIN each time step (`service/coordinator.go:128-161`;
+    * `service/merge/calls.go:46-73,252-333`), so the window/group partition
+    * must include the offset-aware bucket. Returns (frame with `__bucket`,
+    * partition columns, output time prefix). */
+  private def multirowBucket(base: DataFrame, sel: SelectStmt, tags: List[String])
+      : (DataFrame, Seq[Column], Seq[Column]) = sel.groupByTime match {
+    case Some(iv) =>
+      val d = base.withColumn("__bucket",
+        time - pmod(time - lit(sel.groupByTimeOffset), lit(iv)))
+      (d, col("__bucket") +: tags.map(col), Seq(col("__bucket").as("time")))
+    case None => (base, tags.map(col), Nil)
+  }
+
   private def topBottom(base: DataFrame, sel: SelectStmt, tags: List[String],
       fn: String, args: List[Expr], alias: Option[String]): DataFrame = {
     val (f, n) = args match {
@@ -370,11 +395,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       case _ => throw ParseException(s"$fn(field, N) expected")
     }
     // GROUP BY time(iv) selects top/bottom N PER BUCKET (InfluxQL)
-    val bucketed = sel.groupByTime
-      .map(iv => base.withColumn("__bucket",
-        time - pmod(time - lit(sel.groupByTimeOffset), lit(iv))))
-      .getOrElse(base)
-    val parts = (if (sel.groupByTime.isDefined) Seq(col("__bucket")) else Nil) ++ tags.map(col)
+    val (bucketed, parts, _) = multirowBucket(base, sel, tags)
     val ord = if (fn == "top") Seq(col(f).desc, time.asc) else Seq(col(f).asc, time.asc)
     val w = Window.partitionBy(parts: _*).orderBy(ord: _*)
     bucketed.withColumn("__rn", row_number().over(w))
@@ -382,47 +403,60 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse(fn)): _*)
   }
 
-  private def distinctSelect(base: DataFrame, tags: List[String], f: String,
-      alias: Option[String]): DataFrame =
-    base.select(tags.map(col) :+ col(f).as(alias.getOrElse("distinct")): _*).distinct()
-
-  /** Exact mode with deterministic (count DESC, value ASC) tie-break —
-    * strictly better than the reference's mode-of-modes (calls.go:305-333). */
-  private def modeSelect(base: DataFrame, tags: List[String], f: String,
-      alias: Option[String]): DataFrame = {
-    val counted = base.groupBy((tags.map(col) :+ col(f)): _*).agg(count(lit(1)).as("__cnt"))
-    val w = Window.partitionBy(tags.map(col): _*)
-      .orderBy(col("__cnt").desc, col(f).asc)
-    counted.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(tags.map(col) :+ col(f).as(alias.getOrElse("mode")): _*)
+  private def distinctSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
+      f: String, alias: Option[String]): DataFrame = {
+    val (d, _, timeOut) = multirowBucket(base, sel, tags)
+    d.select(timeOut ++ tags.map(col) :+ col(f).as(alias.getOrElse("distinct")): _*)
+      .distinct()
   }
 
-  /** InfluxQL percentile: nearest-rank, returns an actual point value. */
-  private def percentileSelect(base: DataFrame, tags: List[String], f: String,
-      p: Expr, alias: Option[String]): DataFrame = {
+  /** Exact mode with deterministic (count DESC, value ASC) tie-break —
+    * strictly better than the reference's mode-of-modes (calls.go:305-333);
+    * per time bucket under GROUP BY time (calls.go:305-333 runs inside the
+    * coordinator's per-step merge, coordinator.go:128-161). */
+  private def modeSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
+      f: String, alias: Option[String]): DataFrame = {
+    val (d, parts, timeOut) = multirowBucket(base, sel, tags)
+    val counted = d.groupBy((parts :+ col(f)): _*).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(parts: _*).orderBy(col("__cnt").desc, col(f).asc)
+    counted.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(timeOut ++ tags.map(col) :+ col(f).as(alias.getOrElse("mode")): _*)
+  }
+
+  /** InfluxQL percentile: nearest-rank, returns an actual point value —
+    * one per (bucket, tags) partition under GROUP BY time. */
+  private def percentileSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
+      f: String, p: Expr, alias: Option[String]): DataFrame = {
     val pv = p match {
       case IntLit(v) => v.toDouble
       case NumLit(v) => v
       case _ => throw ParseException("percentile(field, N) expected")
     }
-    val w = Window.partitionBy(tags.map(col): _*).orderBy(col(f).asc, time.asc)
-    val wAll = Window.partitionBy(tags.map(col): _*)
-    base.withColumn("__rn", row_number().over(w))
+    val (d, parts, timeOut) = multirowBucket(base, sel, tags)
+    val w = Window.partitionBy(parts: _*).orderBy(col(f).asc, time.asc)
+    val wAll = Window.partitionBy(parts: _*)
+    d.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       .where(col("__rn") === ceil(lit(pv) / 100.0 * col("__n")).cast("long"))
-      .select(tags.map(col) :+ col(f).as(alias.getOrElse("percentile")): _*)
+      .select(timeOut ++ tags.map(col) :+ col(f).as(alias.getOrElse("percentile")): _*)
   }
 
   /** Trapezoidal integral per series in units of field·unit (EventAggs
-    * e_integral; exact integer terms, DECIMAL accumulation). */
-  private def integralSelect(base: DataFrame, tags: List[String], args: List[Expr],
-      alias: Option[String]): DataFrame = {
+    * e_integral; exact integer terms, DECIMAL accumulation). Under
+    * GROUP BY time the partition includes the bucket, so each bucket
+    * integrates only its own consecutive-point pairs (boundary-crossing
+    * pairs contribute to neither bucket — documented divergence from
+    * InfluxQL's boundary interpolation; the reference rejects integral in
+    * its merge layer outright, query_merge.go:171-184). */
+  private def integralSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
+      args: List[Expr], alias: Option[String]): DataFrame = {
     val f = args.headOption match {
       case Some(Ident(x)) => x
       case _ => throw ParseException("integral(field[, unit]) expected")
     }
     val unitUs = args.collectFirst { case DurLit(us) => us }.getOrElse(1000000L)
-    val series = Window.partitionBy(tags.map(col): _*).orderBy(time.asc)
+    val (d, parts, timeOut) = multirowBucket(base, sel, tags)
+    val series = Window.partitionBy(parts: _*).orderBy(time.asc)
     val aggCol = scaleOf(f) match {
       case Some(k) => // exact integer trapezoid terms, DECIMAL accumulation
         sum((fx(f) + col("__pc")).cast("decimal(38,0)") * (time - col("__pt")))
@@ -430,23 +464,27 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       case None =>
         sum((col(f) + col("__pc")) * (time - col("__pt")).cast("double")) / (2.0 * unitUs)
     }
-    base
+    val name = alias.getOrElse("integral")
+    d
       .withColumn("__pc", scaleOf(f) match {
         case Some(_) => lag(fx(f), 1).over(series)
         case None    => lag(col(f), 1).over(series)
       })
       .withColumn("__pt", lag(time, 1).over(series))
       .where(col("__pt").isNotNull)
-      .groupBy(tags.map(col): _*)
-      .agg(aggCol.as(alias.getOrElse("integral")))
+      .groupBy(parts: _*)
+      .agg(aggCol.as(name))
+      .select(timeOut ++ tags.map(col) :+ col(name): _*)
   }
 
-  private def sampleSelect(base: DataFrame, tags: List[String], f: String, n: Int,
-      alias: Option[String]): DataFrame = {
+  private def sampleSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
+      f: String, n: Int, alias: Option[String]): DataFrame = {
     // deterministic pseudo-random sample: hash order (sample() is
-    // non-deterministic by spec — calls.go:136-151 — so any fixed choice ok)
-    val w = Window.partitionBy(tags.map(col): _*).orderBy(xxhash64(time, col(f)))
-    base.withColumn("__rn", row_number().over(w))
+    // non-deterministic by spec — calls.go:136-151 — so any fixed choice
+    // ok); N drawn per (bucket, tags) partition under GROUP BY time
+    val (d, parts, _) = multirowBucket(base, sel, tags)
+    val w = Window.partitionBy(parts: _*).orderBy(xxhash64(time, col(f)))
+    d.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
   }
@@ -584,11 +622,23 @@ object Translator {
     * nested SELECT and treat its output as a derived measurement (the
     * reference's unimplemented subquery path, README.md:188-191). */
   def resolve(src: Source,
-      loadMeasurement: String => (DataFrame, TableMeta)): (DataFrame, TableMeta) =
+      loadMeasurement: String => (DataFrame, TableMeta),
+      listMeasurements: () => Seq[String] = () => Seq(Catalog.events.measurement))
+      : (DataFrame, TableMeta) =
     src match {
       case FromMeasurement(n) => loadMeasurement(n)
+      case FromMeasurementRegex(p) =>
+        // FROM /re/: unanchored match over the measurement catalog; multiple
+        // matches union by name (InfluxQL scans each matching measurement —
+        // same-schema union covers this catalog; reference left it TODO at
+        // query_merge.go:128)
+        val re = java.util.regex.Pattern.compile(p)
+        val hits = listMeasurements().distinct.filter(n => re.matcher(n).find())
+        if (hits.isEmpty) throw ParseException(s"no measurement matches /$p/")
+        val loaded = hits.map(loadMeasurement)
+        (loaded.map(_._1).reduce(_ unionByName _), loaded.head._2)
       case FromSubquery(sub) =>
-        val (df, meta) = resolve(sub.from, loadMeasurement)
+        val (df, meta) = resolve(sub.from, loadMeasurement, listMeasurements)
         val out0 = new Translator(df, meta).run(sub)
         // tag-only aggregates have no time column; attach epoch 0 like
         // InfluxQL's aggregate timestamps
@@ -603,7 +653,8 @@ object Translator {
     }
 
   def measurementName(src: Source): String = src match {
-    case FromMeasurement(n) => n
-    case FromSubquery(sub)  => measurementName(sub.from)
+    case FromMeasurement(n)      => n
+    case FromMeasurementRegex(p) => p
+    case FromSubquery(sub)       => measurementName(sub.from)
   }
 }

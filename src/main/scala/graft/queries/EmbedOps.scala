@@ -100,23 +100,49 @@ object EmbedOps {
       s"(CASE WHEN (${duckPlaneDot(p.toString)}) > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
-  // Multi-table LSH (the standard recall construction): NTABLES independent
-  // hash tables of KPLANES hyperplanes each; candidates = union over tables
-  // of same-bucket vectors. One 8-plane table gave 4% recall@5 on this data
-  // (buckets of ~2); 8×4 recovers the neighborhood without the full cross
-  // product.
+  // Multi-table banded LSH, parameterized by (tables L, planes-per-table k).
+  // The math that sizes it (no sub-linearity claim — the knob is k):
+  //   - E[bucket occupancy] ≈ N / 2^k per table (hyperplane signs are
+  //     ~balanced for centered data), so E[spurious candidate pairs]
+  //     ≈ Σ_b n_b²/2 ≈ N² / 2^(k+1) PER TABLE. Candidate generation is
+  //     O(L·N²/2^k): quadratic at any FIXED k — bucket count must grow
+  //     with the corpus, k ≈ log2(N/c) for target occupancy c.
+  //   - A pair at angle θ collides in one table w.p. (1-θ/π)^k; recall
+  //     over L tables = 1-(1-(1-θ/π)^k)^L. Raising k demands more tables
+  //     for the same recall — k trades verify cost against table count.
   private val NTABLES = 8
-  private val KPLANES = 4
+  private val KPLANES = 4 // ANN tables: tuned for THIS corpus, see em_ann_lsh
 
-  /** Spark: bucket of table t = KPLANES-bit signature over planes t*K+p. */
-  private def tableBucket(t: Int): Column =
-    (0 until KPLANES).map(p =>
-      when(planeDot(t * KPLANES + p) > 0, lit(1L << p)).otherwise(lit(0L)))
+  /** Spark: bucket of table t = k-bit signature over planes off + t*k + p. */
+  private def tableBucketK(t: Int, k: Int, planeOff: Int): Column =
+    (0 until k).map(p =>
+      when(planeDot(planeOff + t * k + p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  private def tableBucket(t: Int): Column = tableBucketK(t, KPLANES, 0)
 
   private def duckTableBucket(t: Int): String =
     (0 until KPLANES).map(p =>
       s"(CASE WHEN (${duckPlaneDot((t * KPLANES + p).toString)}) > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Literal-weight oracle forms for WIDE signatures: the md5 oracle form
+    * evaluates 64 md5 calls per plane PER ROW in DuckDB (the weights are
+    * plan-time constants it cannot fold); at 8×12 planes that is ~6k
+    * hashes per row. Embed the same constants as literal lists — exactly
+    * the Spark side's typedLit constant fold, which the narrow md5-form
+    * queries (em_bucket_stats, em_ann_lsh) still cross-check. */
+  private def duckWeightsLit(p: Int): String =
+    planeWeights(p).map(w => f"$w%.3f").mkString("[", ", ", "]")
+
+  private def duckPlaneDotLit(p: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, $DIMS),
+       |    i -> CAST(embedding[i] AS DOUBLE) * (${duckWeightsLit(p)})[i])), (acc, x) -> acc + x)""".stripMargin
+
+  private def duckTableBucketLit(t: Int, k: Int, planeOff: Int): String =
+    (0 until k).map(p =>
+      s"(CASE WHEN (${duckPlaneDotLit(planeOff + t * k + p)}) > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
   def all: Seq[Q] = Seq(
@@ -161,8 +187,13 @@ object EmbedOps {
     // ---- LSH-bucketed ANN, multi-table: NTABLES×KPLANES hyperplane
     //      signatures (map-only expressions), candidates = union over tables
     //      of same-bucket vectors (distinct), cosine + top-k only on
-    //      candidates. Sub-linear at scale; recall measured against
-    //      em_knn_brute in the spec suite.
+    //      candidates. E[candidates/query] ≈ L·N/2^k = 8·N/16 here — k=4 is
+    //      deliberately small because this synthetic corpus clusters weakly
+    //      (true top-5 sims ≈ 0.2-0.5; measured recall@5: 0.60 at k=4 vs
+    //      0.04 at k=8 single-table), so recall, not candidate budget, binds
+    //      at this N. At real scale k grows as log2(L·N/C) for per-query
+    //      candidate budget C (N=10⁹, C=10⁵ → k≈16) — k is a deployment
+    //      parameter of tableBucketK, not a constant of the algorithm.
     Q("em_ann_lsh", {
       val buckets = (0 until NTABLES).map(t =>
         s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
@@ -187,13 +218,13 @@ object EmbedOps {
          |SELECT qid, vec_id, sim_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
     }) { (s, d) =>
       val v = emb(s, d)
-      // materialize the signature table: 32 hyperplane dot-folds per row,
-      // referenced by both sides of the bucket join (the persisted ANN
-      // index at real scale)
+      // signature table: 32 hyperplane dot-folds per row, map-only. NOT
+      // persist()ed: at real scale the corpus does not fit in cache (the
+      // durable form is a written-out index table); here the query side is
+      // a 10-row filter, so only the corpus side computes signatures once
       val bands = v.select(col("vec_id"), col("embedding"),
           posexplode(array((0 until NTABLES).map(t => tableBucket(t)): _*)))
         .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
-        .persist()
       val q = bands.where(col("vec_id") < NQUERIES)
         .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
       val cand = bands.select("vec_id", "tbl", "bucket")
@@ -320,13 +351,20 @@ object EmbedOps {
     //      pipeline provably collapses them (random 64-dim vectors never
     //      reach 0.95 — an empty result would be a vacuous check).
     Q("em_cosine_neardup", {
-      // 4 tables suffice at the 0.95 threshold: per-table collision prob
-      // for θ≈18° is (1-θ/π)^4 ≈ 0.66 → 1-(0.34)^4 ≈ 0.99 recall, and
-      // exact duplicates collide in EVERY table — 8 tables only multiplied
-      // redundant candidate pairs (measured 12.8s → ~6s at sf0.1)
-      val NDTABLES = 4
+      // 8 tables × 12 planes (4096 buckets/table). Sizing per the banding
+      // math above: E[occupancy] ≈ N/2^12 ≈ 2.4 at N=10⁴ (sf0.1 + planted
+      // replicas) → E[spurious pairs] ≈ L·N²/2^13 ≈ 10⁵ to verify, vs
+      // ≈ 1.2·10⁷ at the old 4×4-plane/16-bucket tables (the 18.6 s bench
+      // query: candidates grew as N²/16 — quadratic with a constant).
+      // Recall at the 0.95 boundary (θ≈18.2°): p₁ = 0.899^12 ≈ 0.28 per
+      // table → 1-(1-p₁)^8 ≈ 0.93, rising toward 1 above the threshold;
+      // exact duplicates (θ=0) collide in every table. k must grow as
+      // log2(N/c) at larger corpora — it parameterizes tableBucketK.
+      val NDTABLES = 8
+      val KD = 12
+      val PLANE_OFF = 100 // plane namespace disjoint from the ANN tables
       val buckets = (0 until NDTABLES).map(t =>
-        s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
+        s"STRUCT_PACK(t := $t, b := (${duckTableBucketLit(t, KD, PLANE_OFF)}))").mkString(", ")
       s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings
          |            UNION ALL
          |            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
@@ -345,10 +383,12 @@ object EmbedOps {
     }) { (s, d) =>
       val base = emb(s, d).select("vec_id", "embedding")
       val v = base.union(base.withColumn("vec_id", col("vec_id") + 1000000L))
+      // map-only signatures, un-persisted (see em_ann_lsh note): the
+      // self-join reuses the shuffle files of the single Exchange below,
+      // so the signature subtree is not recomputed per side
       val bands = v.select(col("vec_id"),
-          posexplode(array((0 until 4).map(t => tableBucket(t)): _*)))
+          posexplode(array((0 until 8).map(t => tableBucketK(t, 12, 100)): _*)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
-        .persist()
       val cand = bands.toDF("vec_a", "tbl", "bucket")
         .join(bands.toDF("vec_b", "tbl", "bucket"), Seq("tbl", "bucket"))
         .where(col("vec_a") < col("vec_b"))

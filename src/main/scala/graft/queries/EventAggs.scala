@@ -305,23 +305,27 @@ object EventAggs {
     //      sum = session id, then per-session stats. The batch form of
     //      session windows; the training-pipeline "assemble interaction
     //      episodes" op.
+    //      Windows tie-break on (ts_us, event_id) — the repo's determinism
+    //      discipline — and session_id is CAST to BIGINT: DuckDB's windowed
+    //      sum() yields HUGEINT, which the driver's type-sensitive hash
+    //      reads as float64 against Spark's int64 (the r02/r03 hash FAIL).
     Q("e_sessionize",
       s"""WITH $EV, l AS (
-         |  SELECT user_id, ts_us,
+         |  SELECT user_id, ts_us, event_id,
          |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR
          |              lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s,
          |    cents
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |s AS (SELECT user_id, ts_us, cents,
-         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |      FROM l)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(ts_us) AS session_start, max(ts_us) - min(ts_us) AS duration_us,
          |  CAST(sum(cents) AS DOUBLE) / 100.0 AS session_value
          |FROM s GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("ts_us")
-      val run = Window.partitionBy("user_id").orderBy("ts_us")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       ev(s, d)
         .withColumn("new_s",
@@ -513,14 +517,19 @@ object EventAggs {
     // ---- JSON field extraction (props is a JSON string column; the
     //      dynamic-schema surface SURVEY §1.2 — extraction stays in the
     //      codegen'd projection, no UDF)
+    //      Cast discipline: both engines go string → DOUBLE → trunc-to-BIGINT
+    //      (Spark's double→long cast truncates toward zero; DuckDB's rounds,
+    //      and bare sum(BIGINT) is HUGEINT → float64 under the driver's
+    //      type-sensitive hash), so values AND output types agree exactly.
     Q("e_json_extract",
-      """SELECT event_type,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+      """WITH j AS (SELECT event_type,
+        |    CAST(trunc(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         |       count(*) AS cnt
-        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+        |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
       ev(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double").cast("long"))
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("cnt"))
     },

@@ -124,6 +124,58 @@ object InfluxQLSuite {
          |WHERE rn = CAST(ceil(90.0 / 100.0 * n) AS BIGINT)""".stripMargin)(
       "SELECT percentile(value, 90) FROM events GROUP BY event_type"),
 
+    // ---- multi-row selectors UNDER GROUP BY time: the reference merges
+    //      percentile/mode/distinct within each time step
+    //      (service/coordinator.go:128-161; merge/calls.go:46-73,252-333) —
+    //      the window partition must include the offset-aware bucket
+    iql("iql_percentile_per_bucket",
+      s"""WITH $EV, r AS (
+         |  SELECT ts_us - ts_us % $DAY_US AS time, event_type, value,
+         |    row_number() OVER (PARTITION BY ts_us - ts_us % $DAY_US, event_type
+         |                       ORDER BY value ASC, ts_us ASC) AS rn,
+         |    count(*) OVER (PARTITION BY ts_us - ts_us % $DAY_US, event_type) AS n
+         |  FROM ev)
+         |SELECT time, event_type, value AS percentile FROM r
+         |WHERE rn = CAST(ceil(90.0 / 100.0 * n) AS BIGINT)""".stripMargin)(
+      "SELECT percentile(value, 90) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_mode_per_bucket",
+      s"""WITH $EV,
+         |c AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type, value, count(*) AS cnt
+         |      FROM ev GROUP BY 1, 2, 3),
+         |r AS (SELECT time, event_type, value,
+         |        row_number() OVER (PARTITION BY time, event_type
+         |                           ORDER BY cnt DESC, value ASC) AS rn
+         |      FROM c)
+         |SELECT time, event_type, value AS mode FROM r WHERE rn = 1""".stripMargin)(
+      "SELECT mode(value) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_distinct_per_bucket",
+      s"""WITH $EV
+         |SELECT DISTINCT ts_us - ts_us % $DAY_US AS time, value AS "distinct"
+         |FROM ev WHERE event_type = 'purchase'""".stripMargin)(
+      "SELECT distinct(value) FROM events WHERE event_type = 'purchase' GROUP BY time(1d)"),
+
+    iql("iql_integral_per_bucket",
+      s"""WITH $EV, l AS (
+         |  SELECT ts_us - ts_us % $DAY_US AS time, cents, ts_us,
+         |    lag(cents) OVER (PARTITION BY ts_us - ts_us % $DAY_US ORDER BY ts_us) AS pc,
+         |    lag(ts_us) OVER (PARTITION BY ts_us - ts_us % $DAY_US ORDER BY ts_us) AS pt
+         |  FROM ev)
+         |SELECT time,
+         |  CAST(sum(CAST(cents + pc AS HUGEINT) * (ts_us - pt)) AS DOUBLE) / 200000000.0 AS integral
+         |FROM l WHERE pt IS NOT NULL GROUP BY 1""".stripMargin)(
+      "SELECT integral(value, 1s) FROM events GROUP BY time(1d)"),
+
+    // sample per bucket: non-deterministic by spec → rows-only
+    iqlRowsOnly("iql_sample_per_bucket")(
+      "SELECT sample(value, 2) FROM events GROUP BY time(1d)"),
+
+    // ---- count(distinct f): nested-call form through the full front-end
+    iql("iql_count_distinct",
+      "SELECT event_type, count(DISTINCT user_id) AS count FROM events GROUP BY 1")(
+      "SELECT count(distinct(user_id)) FROM events GROUP BY event_type"),
+
     iql("iql_median",
       s"""WITH $EV
          |SELECT event_type, quantile_cont(cents, 0.5) / 100.0 AS median
@@ -283,6 +335,21 @@ object InfluxQLSuite {
       """SELECT event_type, count(value) AS count FROM events
         |WHERE regexp_matches(event_type, '^(click|view)$') GROUP BY 1""".stripMargin)(
       "SELECT count(value) FROM events WHERE event_type =~ /^(click|view)$/ GROUP BY event_type"),
+
+    // ---- regex FIELD selection (SELECT /re/) and regex MEASUREMENT in
+    //      FROM — the reference's declared TODO (query_merge.go:128),
+    //      parser sugar here (SURVEY §2.2)
+    iql("iql_regex_field",
+      s"""WITH $EV
+         |SELECT ts_us AS time, value FROM ev
+         |WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-05') AND ts_us < epoch_us(TIMESTAMP '2024-01-06')
+         |  AND event_type = 'click'
+         |ORDER BY 1, 2 LIMIT 40""".stripMargin)(
+      "SELECT /^val/ FROM events WHERE time >= '2024-01-05' AND time < '2024-01-06' AND event_type = 'click' ORDER BY time ASC LIMIT 40"),
+
+    iql("iql_regex_measurement",
+      """SELECT event_type, count(value) AS count FROM events GROUP BY 1""")(
+      "SELECT count(value) FROM /^ev/ GROUP BY event_type"),
 
     iql("iql_regex_neg",
       """SELECT event_type, count(value) AS count FROM events

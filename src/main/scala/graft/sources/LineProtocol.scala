@@ -123,8 +123,12 @@ object LineProtocol {
     * DataFrame for one measurement, dead-letter errors). Schema: time_ns
     * LONG, ts TIMESTAMP(µs), tags STRING..., fields typed by inference on
     * the first batch (conflicts widen to double/string — SURVEY §1.2). */
-  def parse(spark: SparkSession, lines: Dataset[String], measurement: String,
-      tagKeys: Seq[String], floatFields: Seq[String]): (DataFrame, Dataset[String]) = {
+  /** One-pass parse keeping the dead-letter reason as an `err` column —
+    * callers that need point AND error counts get both from a single
+    * aggregation over this frame instead of re-parsing the batch per
+    * count (Engine.writeLineProtocol ingest hygiene). */
+  def parseRaw(spark: SparkSession, lines: Dataset[String], measurement: String,
+      tagKeys: Seq[String], floatFields: Seq[String]): DataFrame = {
     import spark.implicits._
     val parsed = lines.map { l =>
       parseLine(l) match {
@@ -140,13 +144,21 @@ object LineProtocol {
         case Left(err) => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"${err.reason}: ${err.line}")
       }
     }
-    val ok = parsed.filter(_._4 == null)
-    val errs = parsed.filter(_._4 != null).map(_._4)
-    val cols =
-      col("_1").as("time_ns") +:
+    val cols = // get() (not getItem): dead-letter rows carry EMPTY arrays
+      (col("_1").as("time_ns") +:
         timestamp_micros(expr("_1 div 1000")).as("ts") +:
-        tagKeys.zipWithIndex.map { case (t, i) => col("_2").getItem(i).as(t) } ++:
-        floatFields.zipWithIndex.map { case (f, i) => col("_3").getItem(i).as(f) }
-    (ok.toDF().select(cols: _*), errs)
+        tagKeys.zipWithIndex.map { case (t, i) => get(col("_2"), lit(i)).as(t) } ++:
+        floatFields.zipWithIndex.map { case (f, i) => get(col("_3"), lit(i)).as(f) }) :+
+        col("_4").as("err")
+    parsed.toDF().select(cols: _*)
+  }
+
+  def parse(spark: SparkSession, lines: Dataset[String], measurement: String,
+      tagKeys: Seq[String], floatFields: Seq[String]): (DataFrame, Dataset[String]) = {
+    import spark.implicits._
+    val raw = parseRaw(spark, lines, measurement, tagKeys, floatFields)
+    val ok = raw.where(col("err").isNull).drop("err")
+    val errs = raw.where(col("err").isNotNull).select(col("err")).as[String]
+    (ok, errs)
   }
 }
