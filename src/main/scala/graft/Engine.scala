@@ -256,4 +256,19 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       case _ => InfluxJson.serialize("results", execute(influxql))
     }
 
+  /** Streamed queryJson: O(one partition) driver memory via
+    * `toLocalIterator` — the path for raw SELECTs over big time ranges
+    * where the buffered proxy shape would OOM the driver. */
+  def queryJsonStream(influxql: String, out: java.io.Writer,
+      epoch: Option[String] = Some("u")): Unit =
+    Parser.parse(influxql) match {
+      case sel: SelectStmt =>
+        val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
+        val result = new Translator(df, meta).run(sel)
+        val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
+        InfluxJson.serializeStream(Translator.measurementName(sel.from), result,
+          out, tags, epoch)
+      case _ => out.write(InfluxJson.serialize("results", execute(influxql)))
+    }
+
 }

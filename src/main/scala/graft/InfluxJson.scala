@@ -12,9 +12,12 @@ import org.apache.spark.sql.DataFrame
   * `{"results":[{}]}`; `time` is column 0; per-series blocks keyed by the
   * tag combination.
   *
-  * Driver-side by design: serialization happens after collect() on final
-  * (small) results, exactly like the reference's proxy buffering — NOT in
-  * the distributed data path.
+  * Two serializers: `serialize` buffers via collect() — fine for final
+  * aggregates, exactly the reference's proxy buffering
+  * (`service/query_handler.go:84-87`) — and `serializeStream`, which
+  * walks `toLocalIterator()` over a tag-sorted plan and writes one row at
+  * a time: O(one partition) driver memory, so `SELECT *` over a huge raw
+  * range cannot kill the driver.
   */
 object InfluxJson {
 
@@ -86,5 +89,53 @@ object InfluxJson {
       }
       .mkString("[", ",", "]")
     s"""{"results":[{"statement_id":0,"series":$seriesJson}]}"""
+  }
+
+  /** Streamed serialization: sort by the tag columns so every series is
+    * contiguous, then emit rows straight off `toLocalIterator()` (Spark
+    * fetches one partition at a time — the driver never holds the result).
+    * Series-block boundaries open/close as the tag combination changes. */
+  def serializeStream(name: String, df: DataFrame, out: java.io.Writer,
+      tagCols: Seq[String] = Nil, epoch: Option[String] = Some("u")): Unit = {
+    import org.apache.spark.sql.functions.col
+    epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
+    val cols = df.columns
+    val tagIdx: Seq[Int] = tagCols.map(t => cols.indexOf(t)).filter(_ >= 0)
+    val valueIdx = cols.indices.filterNot(tagIdx.contains)
+    val valueCols = valueIdx.map(cols)
+    val timePos = valueCols.indexOf("time")
+    val ordered =
+      if (tagIdx.isEmpty) df
+      else df.orderBy(tagIdx.map(i => col(cols(i))) ++
+        (if (cols.contains("time")) Seq(col("time")) else Nil): _*)
+    val it = ordered.toLocalIterator()
+    if (!it.hasNext) { out.write("""{"results":[{}]}"""); return }
+    out.write("""{"results":[{"statement_id":0,"series":[""")
+    val colsJson = valueCols.map(c => "\"" + escape(c) + "\"").mkString("[", ",", "]")
+    var cur: Seq[(String, String)] = null
+    var firstRow = true
+    while (it.hasNext) {
+      val r = it.next()
+      val tags = tagIdx.map(i => cols(i) -> String.valueOf(r.get(i)))
+      if (cur == null || tags != cur) {
+        if (cur != null) out.write("]},")
+        cur = tags
+        val tagJson =
+          if (tags.isEmpty) ""
+          else tags.map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
+            .mkString(""""tags":{""", ",", "},")
+        out.write(s"""{"name":"${escape(name)}",$tagJson"columns":$colsJson,"values":[""")
+        firstRow = true
+      }
+      if (!firstRow) out.write(",")
+      firstRow = false
+      out.write(valueIdx.zipWithIndex.map { case (i, vi) =>
+        r.get(i) match {
+          case us: java.lang.Long if vi == timePos => formatTime(us, epoch)
+          case v => jsonValue(v)
+        }
+      }.mkString("[", ",", "]"))
+    }
+    out.write("]}]}]}")
   }
 }

@@ -383,9 +383,10 @@ object EmbedOps {
     }) { (s, d) =>
       val base = emb(s, d).select("vec_id", "embedding")
       val v = base.union(base.withColumn("vec_id", col("vec_id") + 1000000L))
-      // map-only signatures, un-persisted (see em_ann_lsh note): the
-      // self-join reuses the shuffle files of the single Exchange below,
-      // so the signature subtree is not recomputed per side
+      // map-only signatures, un-persisted (see em_ann_lsh note). Each join
+      // side recomputes the signature subtree (cheap, no shuffle); in the
+      // large-N shuffle-join regime both sides exchange on (tbl, bucket)
+      // with identical child plans, so ReuseExchange shares one shuffle
       val bands = v.select(col("vec_id"),
           posexplode(array((0 until 8).map(t => tableBucketK(t, 12, 100)): _*)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))

@@ -68,6 +68,66 @@ class EngineSpec extends SparkSpec {
     assert(e.execute("SHOW CONTINUOUS QUERIES").collect().isEmpty)
   }
 
+  test("continuous query stays live: ingest into the source refreshes the target") {
+    val e = newEngine
+    val meta = TableMeta("cqsrc", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq("cqsrc,type=gold value=100 1000000000"), "cqsrc")
+    e.execute(
+      """CREATE CONTINUOUS QUERY live_sum ON default BEGIN
+        |SELECT sum(value) INTO cq_target FROM cqsrc GROUP BY time(1d), type
+        |END""".stripMargin)
+    assert(e.execute("SELECT sum FROM cq_target").collect()
+      .map(_.getAs[Double]("sum")).toSet == Set(100.0))
+    // a new micro-batch into the SOURCE must show up in the TARGET
+    // (the reference keeps CQs running on every node, importer.go:323-333)
+    e.writeLineProtocol(Seq(
+      "cqsrc,type=gold value=50 2000000000",
+      "cqsrc,type=silver value=25 3000000000"), "cqsrc")
+    val refreshed = e.execute("SELECT sum FROM cq_target").collect()
+      .map(_.getAs[Double]("sum")).toSet
+    assert(refreshed == Set(150.0, 25.0))
+    // dropping the CQ stops the continuation
+    e.execute("DROP CONTINUOUS QUERY live_sum ON default")
+    e.writeLineProtocol(Seq("cqsrc,type=gold value=1 4000000000"), "cqsrc")
+    assert(e.execute("SELECT sum FROM cq_target").collect()
+      .map(_.getAs[Double]("sum")).toSet == Set(150.0, 25.0))
+  }
+
+  test("sustained ingest keeps a bounded plan (lineage compaction every 8 writes)") {
+    val e = newEngine
+    val meta = TableMeta("firehose", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    for (i <- 1 to 20)
+      e.writeLineProtocol(Seq(s"firehose,type=a value=$i ${i}000000000"), "firehose")
+    // all 20 points survive the compactions
+    assert(e.execute("SELECT count(value) FROM firehose").head.getLong(0) == 20)
+    // plan depth is bounded by writes-since-last-checkpoint, not total
+    // writes: unions accumulated since the last localCheckpoint < 8
+    val plan = e.execute("SELECT value FROM firehose").queryExecution.optimizedPlan
+    val unions = plan.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+      .map(_.children.size).sum
+    assert(unions < 8, s"expected < 8 accumulated union branches, got $unions")
+  }
+
+  test("SHOW GRANTS FOR user / SHOW QUERIES route (routing.go:43-58)") {
+    val e = newEngine
+    e.execute("CREATE USER root WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
+    e.execute("CREATE USER peon WITH PASSWORD 'pw'")
+    e.execute("GRANT READ ON db1 TO peon")
+    e.execute("GRANT ALL ON db2 TO peon")
+    val grants = e.execute("SHOW GRANTS FOR peon").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(grants == Seq(("db1", "READ"), ("db2", "ALL")))
+    assertThrows[e.users.AuthException](e.execute("SHOW GRANTS FOR ghost").collect())
+
+    e.execute("SELECT mean(value) FROM events")
+    val queries = e.execute("SHOW QUERIES").collect().map(_.getString(1))
+    assert(queries.contains("SELECT mean(value) FROM events"))
+  }
+
   test("CQ without INTO is rejected at parse time") {
     val e = newEngine
     assertThrows[ParseException](e.execute(

@@ -46,4 +46,23 @@ class InfluxJsonSpec extends SparkSpec {
     val json = InfluxJson.serialize("m", df)
     assert(json.contains("""a\"b\n\t"""))
   }
+
+  test("serializeStream emits byte-identical JSON without collect() (driver O(1) path)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1000000L, "gold", 100.0),
+      (2000000L, "gold", 50.0),
+      (1000000L, "trash", 0.0)
+    ).toDF("time", "type", "mean").orderBy("type", "time")
+    val buffered = InfluxJson.serialize("treasures", df, tagCols = Seq("type"))
+    val w = new java.io.StringWriter
+    InfluxJson.serializeStream("treasures", df, w, tagCols = Seq("type"))
+    assert(w.toString == buffered)
+
+    // empty-result quirk preserved on the streamed path too
+    val w2 = new java.io.StringWriter
+    InfluxJson.serializeStream("m", Seq.empty[(Long, Double)].toDF("time", "v"), w2)
+    assert(w2.toString == """{"results":[{}]}""")
+  }
 }

@@ -136,6 +136,21 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW GRANTS FOR user / SHOW QUERIES (routing.go:43-58)") {
+    assert(Parser.parse("SHOW GRANTS FOR peon") == ShowGrantsStmt("peon"))
+    assert(Parser.parse("SHOW QUERIES") == ShowQueriesStmt)
+    assertThrows[ParseException](Parser.parse("SHOW GRANTS")) // FOR required
+  }
+
+  test("regex field selection and regex measurement FROM (query_merge.go:128 TODO)") {
+    val f = sel("SELECT /^val/ FROM events")
+    assert(f.fields == List(Field(RegexLit("^val"), None)))
+    assert(sel("SELECT mean(v) FROM /^ev/ GROUP BY t").from == FromMeasurementRegex("^ev"))
+    // '/' after a complete operand is still division, not a regex
+    val div = sel("SELECT sum(v) / 100 FROM m")
+    assert(div.fields.head.expr == Bin("/", Call("sum", List(Ident("v"))), IntLit(100)))
+  }
+
   test("parse errors carry a message naming the problem") {
     val e = intercept[ParseException](Parser.parse("SELECT FROM m"))
     assert(e.getMessage.nonEmpty)
