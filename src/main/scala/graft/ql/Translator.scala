@@ -543,12 +543,52 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   // ---------------- fill
 
+  /** Constant time bounds implied by the WHERE conjuncts: (lo, hi), both
+    * INCLUSIVE µs (exclusive ops are shifted by 1). A disjunction anywhere
+    * means no single range → (None, None); non-time conjuncts contribute
+    * nothing. Drives the fill() spine per InfluxQL: an explicit queried
+    * range is filled end-to-end, not just the observed data span. */
+  private def whereTimeBounds(w: Option[Expr]): (Option[Long], Option[Long]) = {
+    def walk(e: Expr): Option[(Option[Long], Option[Long])] = e match {
+      case Bin("AND", l, r) =>
+        for ((l1, h1) <- walk(l); (l2, h2) <- walk(r)) yield (
+          (l1 ++ l2).reduceOption(_ max _),
+          (h1 ++ h2).reduceOption(_ min _))
+      case Bin("OR", _, _) => None
+      case Paren(x)        => walk(x)
+      case Bin(op, l, r) if isTimeRef(l) && constTimeUs(r).isDefined =>
+        val v = constTimeUs(r).get
+        op match {
+          case ">=" => Some((Some(v), None))
+          case ">"  => Some((Some(v + 1), None))
+          case "<"  => Some((None, Some(v - 1)))
+          case "<=" => Some((None, Some(v)))
+          case "="  => Some((Some(v), Some(v)))
+          case _    => Some((None, None))
+        }
+      case _ => Some((None, None))
+    }
+    w.flatMap(walk).getOrElse((None, None))
+  }
+
   private def applyFill(d: DataFrame, sel: SelectStmt, tags: List[String],
       valueCols: Seq[String]): DataFrame = {
     if (sel.groupByTime.isEmpty || sel.fill == FillNone) return d
     val iv = sel.groupByTime.get
-    val span = d.agg(min("time").as("lo"), max("time").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), lit(iv))).as("time"))
+    val off = sel.groupByTimeOffset
+    def align(t: Long): Long = t - (((t - off) % iv) + iv) % iv
+    val (loB, hiB) = whereTimeBounds(sel.where)
+    val (spineLo, spineHi) = (loB.map(align), hiB.map(align))
+    val span = (spineLo, spineHi) match {
+      case (Some(l), Some(h)) => // fully-bounded range: no pass over the data
+        d.sparkSession.range(1)
+          .select(explode(sequence(lit(l), lit(h), lit(iv))).as("time"))
+      case _ => // unbounded side(s) come from the observed bucket span
+        d.agg(min("time").as("lo"), max("time").as("hi"))
+          .select(explode(sequence(
+            spineLo.map(lit).getOrElse(col("lo")),
+            spineHi.map(lit).getOrElse(col("hi")), lit(iv))).as("time"))
+    }
     val spine =
       if (tags.isEmpty) span
       else span.crossJoin(d.select(tags.map(col): _*).distinct())

@@ -327,6 +327,39 @@ object InfluxQLSuite {
          |FROM w""".stripMargin)(
       "SELECT mean(value) FROM events WHERE event_type = 'purchase' GROUP BY time(1d), event_type fill(linear)"),
 
+    // ---- fill() spine from the WHERE time range: an explicit queried
+    //      range fills end-to-end (here through 2024-02-09, past the last
+    //      data point on 2024-01-30), not just the observed data span
+    iql("iql_fill_zero_range",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time,
+         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS sum
+         |      FROM ev
+         |      WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-10')
+         |        AND ts_us < epoch_us(TIMESTAMP '2024-02-10')
+         |      GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(
+         |            epoch_us(TIMESTAMP '2024-01-10'),
+         |            epoch_us(TIMESTAMP '2024-02-09'), $DAY_US)) AS time)
+         |SELECT s.time, coalesce(b.sum, 0.0) AS sum
+         |FROM spine s LEFT JOIN b ON b.time = s.time""".stripMargin)(
+      "SELECT sum(value) FROM events WHERE time >= '2024-01-10' AND time < '2024-02-10' GROUP BY time(1d) fill(0)"),
+
+    // lower bound only: the upper spine edge still comes from the data
+    iql("iql_fill_zero_lo",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time,
+         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS sum
+         |      FROM ev
+         |      WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-25') AND event_type = 'purchase'
+         |      GROUP BY 1),
+         |span AS (SELECT max(time) AS hi FROM b),
+         |spine AS (SELECT unnest(generate_series(
+         |            epoch_us(TIMESTAMP '2024-01-25'), hi, $DAY_US)) AS time FROM span)
+         |SELECT s.time, coalesce(b.sum, 0.0) AS sum
+         |FROM spine s LEFT JOIN b ON b.time = s.time""".stripMargin)(
+      "SELECT sum(value) FROM events WHERE time >= '2024-01-25' AND event_type = 'purchase' GROUP BY time(1d) fill(0)"),
+
     // ---- regex tag predicates (=~ /re/, !~ /re/) — passthrough-supported
     //      by the reference's nodes, unsupported in its merge layer
     //      (query_merge.go:128 TODO); first-class here. Java and RE2 agree
