@@ -37,6 +37,8 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Fnv1a32Expr.register(spark) // native codegen hash for the write path
+    graft.functions.SeqDotExpr.register(spark)  // native codegen dot-fold for the vector path
+    graft.functions.LshBucketsExpr.register(spark) // single-pass multi-table LSH signatures
     spark
   }
 }

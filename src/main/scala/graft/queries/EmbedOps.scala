@@ -38,14 +38,14 @@ object EmbedOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
-  /** Sequential left fold Σ f(a[i], b[i]) as doubles (Spark side). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential left fold Σ a[i]·b[i] as doubles (Spark side): the native
+    * codegen SeqDotExpr — bit-identical to the former
+    * `aggregate(zip_with(...))` HOF formulation (same left-to-right IEEE
+    * sequence) but inside WholeStageCodegen instead of interpreted lambda
+    * dispatch per element (graft.functions.SeqDotExpr). */
+  private def dot(a: Column, b: Column): Column = call_function("seqdot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(call_function("seqdot", a, a))
 
   /** floor(x*1e6+0.5) — micro-unit quantization, bit-identical cross-engine. */
   private def micro(c: Column): Column =
@@ -81,9 +81,7 @@ object EmbedOps {
   /** Spark: dot(v, plane p) — sequential fold against the literal weight
     * array (same op order as the oracle's generate_series fold). */
   private def planeDot(p: Int): Column =
-    aggregate(zip_with(col("embedding"), typedLit(planeWeights(p)),
-        (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("seqdot", col("embedding"), typedLit(planeWeights(p)))
 
   private def duckPlaneDot(p: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -113,13 +111,16 @@ object EmbedOps {
   private val NTABLES = 8
   private val KPLANES = 4 // ANN tables: tuned for THIS corpus, see em_ann_lsh
 
-  /** Spark: bucket of table t = k-bit signature over planes off + t*k + p. */
-  private def tableBucketK(t: Int, k: Int, planeOff: Int): Column =
-    (0 until k).map(p =>
-      when(planeDot(planeOff + t * k + p) > 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-
-  private def tableBucket(t: Int): Column = tableBucketK(t, KPLANES, 0)
+  /** ALL table buckets in one pass (array of tables × k-bit keys): the
+    * single-loop LshBucketsExpr — per-plane fold columns at 96 planes
+    * blew the generated method past the JIT threshold and the whole stage
+    * fell out of compiled execution (graft.functions.LshBucketsExpr).
+    * Bucket of table t = k-bit signature over planes off + t*k + p. */
+  private def tableBuckets(tables: Int, k: Int, planeOff: Int): Column =
+    call_function("lsh_buckets",
+      col("embedding"),
+      typedLit((0 until tables * k).map(p => planeWeights(planeOff + p))),
+      lit(k))
 
   private def duckTableBucket(t: Int): String =
     (0 until KPLANES).map(p =>
@@ -193,7 +194,7 @@ object EmbedOps {
     //      0.04 at k=8 single-table), so recall, not candidate budget, binds
     //      at this N. At real scale k grows as log2(L·N/C) for per-query
     //      candidate budget C (N=10⁹, C=10⁵ → k≈16) — k is a deployment
-    //      parameter of tableBucketK, not a constant of the algorithm.
+    //      parameter of tableBuckets, not a constant of the algorithm.
     Q("em_ann_lsh", {
       val buckets = (0 until NTABLES).map(t =>
         s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
@@ -223,7 +224,7 @@ object EmbedOps {
       // durable form is a written-out index table); here the query side is
       // a 10-row filter, so only the corpus side computes signatures once
       val bands = v.select(col("vec_id"), col("embedding"),
-          posexplode(array((0 until NTABLES).map(t => tableBucket(t)): _*)))
+          posexplode(tableBuckets(NTABLES, KPLANES, 0)))
         .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
       val q = bands.where(col("vec_id") < NQUERIES)
         .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
@@ -359,7 +360,7 @@ object EmbedOps {
       // Recall at the 0.95 boundary (θ≈18.2°): p₁ = 0.899^12 ≈ 0.28 per
       // table → 1-(1-p₁)^8 ≈ 0.93, rising toward 1 above the threshold;
       // exact duplicates (θ=0) collide in every table. k must grow as
-      // log2(N/c) at larger corpora — it parameterizes tableBucketK.
+      // log2(N/c) at larger corpora — it parameterizes tableBuckets.
       val NDTABLES = 8
       val KD = 12
       val PLANE_OFF = 100 // plane namespace disjoint from the ANN tables
@@ -388,7 +389,7 @@ object EmbedOps {
       // large-N shuffle-join regime both sides exchange on (tbl, bucket)
       // with identical child plans, so ReuseExchange shares one shuffle
       val bands = v.select(col("vec_id"),
-          posexplode(array((0 until 8).map(t => tableBucketK(t, 12, 100)): _*)))
+          posexplode(tableBuckets(8, 12, 100)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       val cand = bands.toDF("vec_a", "tbl", "bucket")
         .join(bands.toDF("vec_b", "tbl", "bucket"), Seq("tbl", "bucket"))
