@@ -135,6 +135,37 @@ object Relational {
     // ---- left-semi: orders with at least one high-quantity item.
     //      Stored doubles pass through untouched (no arithmetic → already
     //      bit-identical to what DuckDB reads from the same parquet).
+    // ---- TPC-H Q9-flavor: profit by SUPPLIER nation over one part type —
+    //      the four-way star (lineitem ⋈ part ⋈ supplier ⋈ nation) that
+    //      exercises the two remaining dimension tables. Every dim side is
+    //      an explicit broadcast (part is filtered before broadcasting, so
+    //      the exchanged build side is the selected subset, not the table);
+    //      the fact scans once and never shuffles for a join — the profit
+    //      product accumulates in DECIMAL(38,0)/HUGEINT.
+    Q("r_q9_profit_lite",
+      """WITH l AS (SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount*100) AS BIGINT) AS disc_c FROM lineitem)
+        |SELECT n_name,
+        |  CAST(sum(CAST(price_c AS HUGEINT) * (100 - disc_c)) AS DOUBLE) / 10000.0 AS profit
+        |FROM l
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_c"), cents(col("l_discount")).as("disc_c"))
+      val p = t(s, d, "part").where(col("p_type") === "ECONOMY").select("p_partkey")
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((sum(col("price_c").cast("decimal(38,0)") * (lit(100) - col("disc_c")))
+          .cast("double") / 10000.0).as("profit"))
+    },
+
     Q("r_semi_join",
       """SELECT o_orderkey, o_totalprice FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l
