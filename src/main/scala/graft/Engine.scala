@@ -87,6 +87,23 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
     case ShowStmt("USERS", _) =>
       { import spark.implicits._; users.list.toDF("user", "admin") }
+    // meta scans over registered in-memory measurements MERGED with the
+    // parquet catalog — written measurements are discoverable immediately
+    case ShowStmt("MEASUREMENTS", _) =>
+      { import spark.implicits._; measurementNames.toDF("name") }
+    case ShowStmt("TAG KEYS", _) =>
+      import spark.implicits._
+      (tables.values.map(_._2).toSeq :+ Catalog.events)
+        .distinctBy(_.measurement).sortBy(_.measurement)
+        .flatMap(m => m.tags.map(t => (m.measurement, t)))
+        .toDF("measurement", "tagKey")
+    case ShowStmt("FIELD KEYS", _) =>
+      import spark.implicits._
+      (tables.values.map(_._2).toSeq :+ Catalog.events)
+        .distinctBy(_.measurement).sortBy(_.measurement)
+        .flatMap(m => m.fields.map(f =>
+          (m.measurement, f.name, if (f.scale.isDefined) "float" else "integer")))
+        .toDF("measurement", "fieldKey", "fieldType")
     case ShowStmt(what, _) => Meta.show(spark, sfDir, what)
     case ddl: DdlStmt      => executeDdl(ddl)
     case adm: AdminStmt    => admin.execute(spark, adm)

@@ -40,6 +40,9 @@ final case class FromMeasurement(name: String) extends Source
 /** FROM /re/ — regex over measurement names (reference TODO at
   * `service/merge/query_merge.go:128`; SURVEY §2.2 parser sugar). */
 final case class FromMeasurementRegex(pattern: String) extends Source
+/** FROM m1, m2, … — multi-measurement scan (InfluxQL; the reference's
+  * merge layer assumes the first measurement only, query_merge.go:44-47). */
+final case class FromMulti(names: List[String]) extends Source
 final case class FromSubquery(sel: SelectStmt) extends Source
 
 final case class SelectStmt(

@@ -173,7 +173,14 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         FromSubquery(sub)
       } else peek match {
         case TRegex(p) => pos += 1; FromMeasurementRegex(p)
-        case _         => FromMeasurement(ident())
+        case _ =>
+          val first = ident()
+          if (!acceptSym(",")) FromMeasurement(first)
+          else { // FROM m1, m2, ... — union scan over the named measurements
+            val more = ListBuffer(first, ident())
+            while (acceptSym(",")) more += ident()
+            FromMulti(more.toList)
+          }
       }
     val where = if (acceptKw("WHERE")) Some(parseExpr(0)) else None
     var gbTime: Option[Long] = None

@@ -677,6 +677,11 @@ object Translator {
         if (hits.isEmpty) throw ParseException(s"no measurement matches /$p/")
         val loaded = hits.map(loadMeasurement)
         (loaded.map(_._1).reduce(_ unionByName _), loaded.head._2)
+      case FromMulti(names) =>
+        // FROM m1, m2: union scan (the reference's merge layer takes only
+        // the FIRST measurement, query_merge.go:44-47 — full InfluxQL here)
+        val loaded = names.map(loadMeasurement)
+        (loaded.map(_._1).reduce(_ unionByName _), loaded.head._2)
       case FromSubquery(sub) =>
         val (df, meta) = resolve(sub.from, loadMeasurement, listMeasurements)
         val out0 = new Translator(df, meta).run(sub)
@@ -695,6 +700,7 @@ object Translator {
   def measurementName(src: Source): String = src match {
     case FromMeasurement(n)      => n
     case FromMeasurementRegex(p) => p
+    case FromMulti(names)        => names.head
     case FromSubquery(sub)       => measurementName(sub.from)
   }
 }

@@ -384,6 +384,14 @@ object InfluxQLSuite {
       """SELECT event_type, count(value) AS count FROM events GROUP BY 1""")(
       "SELECT count(value) FROM /^ev/ GROUP BY event_type"),
 
+    // ---- FROM m1, m2: union scan over the named measurements (the
+    //      reference's merge layer reads only the FIRST, query_merge.go:44-47)
+    iql("iql_from_multi",
+      """SELECT event_type, count(value) AS count
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |GROUP BY 1""".stripMargin)(
+      "SELECT count(value) FROM events, events GROUP BY event_type"),
+
     iql("iql_regex_neg",
       """SELECT event_type, count(value) AS count FROM events
         |WHERE NOT regexp_matches(event_type, '^p') GROUP BY 1""".stripMargin)(

@@ -128,6 +128,28 @@ class EngineSpec extends SparkSpec {
     assert(queries.contains("SELECT mean(value) FROM events"))
   }
 
+  test("multi-measurement FROM unions scans; SHOW meta includes registered measurements") {
+    val e = newEngine
+    val meta1 = TableMeta("vault_a", "ts_us", Seq("type"), Seq(FieldMeta("value", Some(100L))))
+    val meta2 = TableMeta("vault_b", "ts_us", Seq("type"), Seq(FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta1, spark.emptyDataFrame)
+    e.registerMeasurement(meta2, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq("vault_a,type=gold value=100 1000000000"), "vault_a")
+    e.writeLineProtocol(Seq("vault_b,type=gold value=50 2000000000"), "vault_b")
+    // FROM m1, m2 scans both (the reference's merge layer reads only the first)
+    assert(e.execute("SELECT sum(value) FROM vault_a, vault_b")
+      .head.getAs[Double]("sum") == 150.0)
+    // registered measurements are discoverable through the meta surface
+    val shown = e.execute("SHOW MEASUREMENTS").collect().map(_.getString(0)).toSet
+    assert(Set("events", "vault_a", "vault_b").subsetOf(shown))
+    val tagKeys = e.execute("SHOW TAG KEYS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tagKeys.contains(("vault_a", "type")) && tagKeys.contains(("events", "event_type")))
+    val fieldKeys = e.execute("SHOW FIELD KEYS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fieldKeys.contains(("vault_b", "value")))
+  }
+
   test("CQ without INTO is rejected at parse time") {
     val e = newEngine
     assertThrows[ParseException](e.execute(

@@ -142,6 +142,12 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseException](Parser.parse("SHOW GRANTS")) // FOR required
   }
 
+  test("FROM m1, m2 parses to a multi-measurement source (query_merge.go:44-47 takes first only)") {
+    assert(sel("SELECT count(v) FROM m1, m2, m3 GROUP BY t").from ==
+      FromMulti(List("m1", "m2", "m3")))
+    assert(sel("SELECT v FROM m1 WHERE x = 1").from == FromMeasurement("m1"))
+  }
+
   test("regex field selection and regex measurement FROM (query_merge.go:128 TODO)") {
     val f = sel("SELECT /^val/ FROM events")
     assert(f.fields == List(Field(RegexLit("^val"), None)))
