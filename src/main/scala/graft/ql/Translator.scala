@@ -46,14 +46,20 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val calls = sel.fields.flatMap(f => collectCalls(f.expr))
     val hasAgg = calls.exists(c => AGGS(c.name) || MULTIROW(c.name))
     val hasTransform = calls.exists(c => TRANSFORMS(c.name))
+    // derivative(mean(v), …): collectCalls stops at the transform, so look
+    // one level into its arguments for the agg→transform pipeline form
+    val aggInsideTransform = calls.exists(c => TRANSFORMS(c.name) &&
+      c.args.exists { case Call(n, _) => AGGS(n); case _ => false })
     val bare = sel.fields.exists(f => collectIdents(f.expr).exists(n => !meta.isTag(n)) &&
       collectCalls(f.expr).isEmpty)
 
     val out =
       if (hasTransform) {
-        if (hasAgg || sel.groupByTime.isDefined)
+        if (aggInsideTransform && sel.groupByTime.isDefined)
+          aggTransformSelect(base0, sel, tags) // derivative(mean(v)) GROUP BY time
+        else if (hasAgg || aggInsideTransform || sel.groupByTime.isDefined)
           throw ParseException("transform functions cannot be combined with aggregates or time buckets")
-        transformSelect(base0, sel, tags)
+        else transformSelect(base0, sel, tags)
       } else if (hasAgg) {
         if (bare) throw ParseException(
           "mixing aggregate and non-aggregate queries is not supported") // reference 400
@@ -487,6 +493,51 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     d.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
+  }
+
+  // ---------------- transform-over-aggregate (derivative(mean(v)) GROUP BY time)
+
+  /** InfluxQL's agg→transform pipeline: aggregate per (bucket, tags) first,
+    * then run the transform over the BUCKET series. The unit argument
+    * defaults to the GROUP BY time interval (InfluxQL semantics for
+    * transforms over aggregates). The reference's merge layer rejects
+    * transforms entirely (query_merge.go:171-184) — first-class here. */
+  private def aggTransformSelect(base: DataFrame, sel: SelectStmt,
+      tags: List[String]): DataFrame = sel.fields match {
+    case List(Field(Call(tfn, tArgs), alias)) if TRANSFORMS(tfn) =>
+      val inner = tArgs.headOption match {
+        case Some(c @ Call(n, _)) if AGGS(n) => c
+        case _ => throw ParseException(
+          s"$tfn(<aggregate>(field)[, args]) expected under GROUP BY time")
+      }
+      val aggSel = SelectStmt(List(Field(inner, Some("__v"))), sel.from, sel.where,
+        sel.groupByTime, sel.groupByTags, sel.groupByAllTags, FillNone,
+        orderDesc = false, None, None, None, None, None, sel.groupByTimeOffset)
+      val agged = aggSelect(base, aggSel, tags)
+      val unitUs = tArgs.collectFirst { case DurLit(us) => us }
+        .getOrElse(sel.groupByTime.get)
+      val series = Window.partitionBy(tags.map(col): _*).orderBy(col("time").asc)
+      lazy val dv = (col("__v") - lag(col("__v"), 1).over(series)).cast("double")
+      lazy val dt = (col("time") - lag(col("time"), 1).over(series)).cast("double") / unitUs
+      val tcol = tfn match {
+        case "difference" => dv
+        case "derivative" => when(dt > 0, dv / dt)
+        case "non_negative_derivative" => when(dt > 0 && dv / dt >= 0, dv / dt)
+        case "cumulative_sum" =>
+          sum(col("__v")).over(series.rowsBetween(Window.unboundedPreceding, 0))
+        case "moving_average" =>
+          val n = tArgs.collectFirst { case IntLit(k) => k.toInt }
+            .getOrElse(throw ParseException("moving_average(agg(field), N) expected"))
+          avg(col("__v")).over(series.rowsBetween(-(n - 1), 0))
+        case "elapsed" =>
+          ((col("time") - lag(col("time"), 1).over(series)) / unitUs).cast("long")
+        case o => throw ParseException(s"unsupported transform $o over aggregates")
+      }
+      val name = alias.getOrElse(tfn)
+      agged.select((col("time") +: tags.map(col)) :+ tcol.as(name): _*)
+        .where(col(name).isNotNull)
+    case _ => throw ParseException(
+      "a transform over an aggregate must be the only selected field")
   }
 
   // ---------------- transform path (derivative & friends)

@@ -267,6 +267,34 @@ object InfluxQLSuite {
          |FROM l WHERE pt IS NOT NULL GROUP BY 1""".stripMargin)(
       "SELECT integral(value, 1s) FROM events GROUP BY event_type"),
 
+    // ---- transform OVER aggregate (the Grafana idiom: rate of a bucketed
+    //      mean) — aggregate per (bucket, tags), then window over the
+    //      bucket series; unit defaults to the GROUP BY interval
+    iql("iql_derivative_of_mean",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+         |             CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS v
+         |      FROM ev GROUP BY 1, 2),
+         |l AS (SELECT time, event_type, v,
+         |        lag(v)    OVER w AS pv,
+         |        lag(time) OVER w AS pt
+         |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY time))
+         |SELECT time, event_type,
+         |  (v - pv) / (CAST(time - pt AS DOUBLE) / $DAY_US) AS derivative
+         |FROM l WHERE pt IS NOT NULL AND time > pt""".stripMargin)(
+      "SELECT derivative(mean(value), 1d) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_cumsum_of_sum",
+      s"""WITH $EV,
+         |b AS (SELECT ts_us - ts_us % $DAY_US AS time,
+         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS v
+         |      FROM ev GROUP BY 1)
+         |SELECT time,
+         |  sum(v) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS cumulative_sum
+         |FROM b""".stripMargin)(
+      "SELECT cumulative_sum(sum(value)) FROM events GROUP BY time(1d)"),
+
     // ---- fill() family over time buckets (SURVEY §2.4 grouping surface)
     iql("iql_fill_zero",
       s"""WITH $EV,
