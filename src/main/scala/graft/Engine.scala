@@ -75,36 +75,43 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       import spark.implicits._
       import scala.jdk.CollectionConverters._
       queryLog.iterator.asScala.toSeq.toDF("qid", "query", "database")
-    case ShowStmt("DATABASES", _) =>
+    case KillQuery(id) =>
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      if (!queryLog.iterator.asScala.exists(_._1 == id))
+        throw ParseException(s"no such query: $id") // reference 400 shape
+      queryLog.removeIf(e => e._1 == id)
+      Seq.empty[(String, String)].toDF("k", "v").limit(0)
+    case ShowStmt("DATABASES", _, _) =>
       { import spark.implicits._; databases.databases.toDF("name") }
-    case ShowStmt("RETENTION POLICIES", on) =>
+    case ShowStmt("RETENTION POLICIES", on, _) =>
       import spark.implicits._
       databases.listRps(on.getOrElse("default"))
         .map(r => (r.name, s"${r.durationUs}us", r.replicas, r.default))
         .toDF("name", "duration", "replicaN", "default")
-    case ShowStmt("CONTINUOUS QUERIES", on) =>
+    case ShowStmt("CONTINUOUS QUERIES", on, _) =>
       import spark.implicits._
       databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
-    case ShowStmt("USERS", _) =>
+    case ShowStmt("USERS", _, _) =>
       { import spark.implicits._; users.list.toDF("user", "admin") }
     // meta scans over registered in-memory measurements MERGED with the
     // parquet catalog — written measurements are discoverable immediately
-    case ShowStmt("MEASUREMENTS", _) =>
+    case ShowStmt("MEASUREMENTS", _, _) =>
       { import spark.implicits._; measurementNames.toDF("name") }
-    case ShowStmt("TAG KEYS", _) =>
+    case ShowStmt("TAG KEYS", _, _) =>
       import spark.implicits._
       (tables.values.map(_._2).toSeq :+ Catalog.events)
         .distinctBy(_.measurement).sortBy(_.measurement)
         .flatMap(m => m.tags.map(t => (m.measurement, t)))
         .toDF("measurement", "tagKey")
-    case ShowStmt("FIELD KEYS", _) =>
+    case ShowStmt("FIELD KEYS", _, _) =>
       import spark.implicits._
       (tables.values.map(_._2).toSeq :+ Catalog.events)
         .distinctBy(_.measurement).sortBy(_.measurement)
         .flatMap(m => m.fields.map(f =>
           (m.measurement, f.name, if (f.scale.isDefined) "float" else "integer")))
         .toDF("measurement", "fieldKey", "fieldType")
-    case ShowStmt(what, _) => Meta.show(spark, sfDir, what)
+    case ShowStmt(what, _, key) => Meta.show(spark, sfDir, what, key)
     case ddl: DdlStmt      => executeDdl(ddl)
     case adm: AdminStmt    => admin.execute(spark, adm)
     case auth: AuthStmt    => executeAuth(auth)
@@ -242,7 +249,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     if (!users.isEmpty) {
       val required = stmt match {
         case _: SelectStmt | _: ShowStmt | ShowQueriesStmt => "READ"
-        case _: AuthStmt | _: ShowGrantsStmt               => "ADMIN"
+        case _: AuthStmt | _: ShowGrantsStmt | _: KillQuery => "ADMIN"
         case _                                             => "WRITE"
       }
       val ok = required match {

@@ -59,11 +59,14 @@ final case class SelectStmt(
     into: Option[String] = None,          // SELECT … INTO target (CQs)
     groupByTimeOffset: Long = 0L) extends Statement // time(iv, offset)
 
-final case class ShowStmt(what: String, on: Option[String]) extends Statement
-/** SHOW GRANTS FOR user / SHOW QUERIES — routed by the reference's proxy
-  * (`service/routing.go:43-58`). */
+/** `withKey` carries SHOW TAG VALUES' `WITH KEY = k` filter. */
+final case class ShowStmt(what: String, on: Option[String],
+    withKey: Option[String] = None) extends Statement
+/** SHOW GRANTS FOR user / SHOW QUERIES / KILL QUERY — routed by the
+  * reference's proxy (`service/routing.go:110-133`). */
 final case class ShowGrantsStmt(user: String) extends Statement
 case object ShowQueriesStmt extends Statement
+final case class KillQuery(qid: Long) extends Statement
 
 /** Cluster-admin DSL (reference "clusterql",
   * `/root/reference/service/clusterql/language.go:7-63`). */

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object Meta {
   private def measurements = Seq(Catalog.events)
 
-  def show(spark: SparkSession, sfDir: String, what: String): DataFrame = {
+  def show(spark: SparkSession, sfDir: String, what: String,
+      withKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     what match {
       case "DATABASES" => Seq("default").toDF("name")
@@ -33,9 +34,14 @@ object Meta {
               concat_ws("", m.tags.map(t => concat(lit(s",$t="), col(t))): _*)).as("key"))
         }.reduce(_ union _)
       case "TAG VALUES" =>
-        measurements.map { m =>
+        // WITH KEY = k restricts the scanned tag columns (influxql surface)
+        val picked = measurements.map(m =>
+          m -> m.tags.filter(t => withKey.forall(_ == t))).filter(_._2.nonEmpty)
+        if (picked.isEmpty)
+          throw ParseException(s"no tag key ${withKey.getOrElse("")} on any measurement")
+        picked.map { case (m, keys) =>
           val (df, _) = Catalog.load(spark, sfDir, m.measurement)
-          m.tags.map(t => df.select(lit(t).as("key"), col(t).as("value")).distinct())
+          keys.map(t => df.select(lit(t).as("key"), col(t).as("value")).distinct())
             .reduce(_ union _)
         }.reduce(_ union _)
       case "RETENTION POLICIES" =>

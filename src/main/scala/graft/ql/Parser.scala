@@ -120,6 +120,13 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       DeleteSeries(m, if (acceptKw("WHERE")) Some(parseExpr(0)) else None)
     }
     else if (isKw(peek, "GRANT") || isKw(peek, "REVOKE")) parseGrantRevoke()
+    else if (isKw(peek, "KILL")) {
+      pos += 1; expectKw("QUERY")
+      next() match {
+        case TNum(n) => KillQuery(n.toLong)
+        case t       => throw ParseException(s"expected query id after KILL QUERY, found ${t.text}")
+      }
+    }
     else if (isKw(peek, "CREATE") || isKw(peek, "DROP") ||
              isKw(peek, "REMOVE") || isKw(peek, "SET")) Admin.parse(this)
     else throw ParseException(s"unsupported statement start: ${peek.text}")
@@ -343,7 +350,12 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       case w => throw ParseException(s"unsupported SHOW $w")
     }
     val on = if (acceptKw("ON")) Some(ident()) else None
-    ShowStmt(what, on)
+    // SHOW TAG VALUES [ON db] WITH KEY = k (influxql surface)
+    val withKey =
+      if (what == "TAG VALUES" && acceptKw("WITH")) {
+        expectKw("KEY"); expectSym("="); Some(ident())
+      } else None
+    ShowStmt(what, on, withKey)
   }
 
   // -------- admin DSL (clusterql) + catalog DDL (routing.go:13-41)

@@ -472,6 +472,9 @@ object InfluxQLSuite {
       "SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events")("SHOW SERIES"),
     iql("iql_show_tag_values",
       "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")("SHOW TAG VALUES"),
+    iql("iql_show_tag_values_with_key",
+      "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")(
+      "SHOW TAG VALUES WITH KEY = event_type"),
 
     // sample(): non-deterministic by spec → rows-only check
     iqlRowsOnly("iql_sample")("SELECT sample(value, 5) FROM events GROUP BY event_type")

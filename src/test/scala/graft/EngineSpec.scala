@@ -124,8 +124,14 @@ class EngineSpec extends SparkSpec {
     assertThrows[e.users.AuthException](e.execute("SHOW GRANTS FOR ghost").collect())
 
     e.execute("SELECT mean(value) FROM events")
-    val queries = e.execute("SHOW QUERIES").collect().map(_.getString(1))
-    assert(queries.contains("SELECT mean(value) FROM events"))
+    val queries = e.execute("SHOW QUERIES").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(queries.map(_._2).contains("SELECT mean(value) FROM events"))
+
+    // KILL QUERY removes the entry from the ring; unknown ids 400
+    val id = queries.find(_._2 == "SELECT mean(value) FROM events").get._1
+    e.execute(s"KILL QUERY $id")
+    assert(!e.execute("SHOW QUERIES").collect().map(_.getLong(0)).contains(id))
+    assertThrows[ParseException](e.execute("KILL QUERY 999999"))
   }
 
   test("multi-measurement FROM unions scans; SHOW meta includes registered measurements") {

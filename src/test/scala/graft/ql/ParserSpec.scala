@@ -136,10 +136,20 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
-  test("SHOW GRANTS FOR user / SHOW QUERIES (routing.go:43-58)") {
+  test("SHOW GRANTS FOR user / SHOW QUERIES / KILL QUERY (routing.go:110-133)") {
     assert(Parser.parse("SHOW GRANTS FOR peon") == ShowGrantsStmt("peon"))
     assert(Parser.parse("SHOW QUERIES") == ShowQueriesStmt)
+    assert(Parser.parse("KILL QUERY 42") == KillQuery(42L))
     assertThrows[ParseException](Parser.parse("SHOW GRANTS")) // FOR required
+    assertThrows[ParseException](Parser.parse("KILL QUERY abc"))
+  }
+
+  test("SHOW TAG VALUES WITH KEY = k") {
+    assert(Parser.parse("SHOW TAG VALUES WITH KEY = event_type") ==
+      ShowStmt("TAG VALUES", None, Some("event_type")))
+    assert(Parser.parse("""SHOW TAG VALUES ON db WITH KEY = "type"""") ==
+      ShowStmt("TAG VALUES", Some("db"), Some("type")))
+    assert(Parser.parse("SHOW TAG VALUES") == ShowStmt("TAG VALUES", None, None))
   }
 
   test("FROM m1, m2 parses to a multi-measurement source (query_merge.go:44-47 takes first only)") {
