@@ -33,6 +33,11 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   private val tables = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, TableMeta)]
   // live continuous queries: name → (source measurement, SELECT ... INTO)
   private val cqs = scala.collection.concurrent.TrieMap.empty[String, (String, SelectStmt)]
+  // subscriptions: (db, rp, name) → (ALL|ANY, destinations) — catalog
+  // semantics only, like the reference's statement replication
+  // (routing.go:101-126); a firing subscription is a writeStream sink
+  private val subscriptions =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), (String, List[String])]
   // per-measurement ingest bookkeeping (lineage compaction, cache reaping)
   private val writeSeq = scala.collection.concurrent.TrieMap.empty[String, Int]
   private val pendingCaches = scala.collection.concurrent.TrieMap.empty[String, List[DataFrame]]
@@ -94,6 +99,11 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
     case ShowStmt("USERS", _, _) =>
       { import spark.implicits._; users.list.toDF("user", "admin") }
+    case ShowStmt("SUBSCRIPTIONS", _, _) =>
+      import spark.implicits._
+      subscriptions.toSeq.sortBy(_._1)
+        .map { case ((db, rp, n), (mode, dests)) => (db, rp, n, mode, dests.mkString(", ")) }
+        .toDF("database", "retention_policy", "name", "mode", "destinations")
     // meta scans over registered in-memory measurements MERGED with the
     // parquet catalog — written measurements are discoverable immediately
     case ShowStmt("MEASUREMENTS", _, _) =>
@@ -174,6 +184,14 @@ final class Engine(val spark: SparkSession, sfDir: String) {
         }
         registerMeasurement(meta, remaining)
       case DropMeasurement(n) => tables.remove(n)
+      case CreateSubscription(n, db, rp, mode, dests) =>
+        if (!databases.databases.contains(db))
+          throw databases.UnknownDatabaseException(db)
+        if (subscriptions.putIfAbsent((db, rp, n), (mode, dests)).isDefined)
+          throw databases.DuplicateException(s"subscription $n on $db.$rp")
+      case DropSubscription(n, db, rp) =>
+        if (subscriptions.remove((db, rp, n)).isEmpty)
+          throw ParseException(s"subscription not found: $n on $db.$rp")
     }
     Seq.empty[(String, String)].toDF("k", "v").limit(0)
   }

@@ -93,6 +93,13 @@ final case class DropContinuousQuery(name: String, db: String) extends DdlStmt
   * MEASUREMENT m (reference RouteToAll statements, routing.go:13-41). */
 final case class DeleteSeries(from: String, where: Option[Expr]) extends DdlStmt
 final case class DropMeasurement(name: String) extends DdlStmt
+/** Subscriptions — push feeds to external consumers; the reference
+  * replicates these statements to every node (routing.go:101-126). The
+  * Spark analog of a firing subscription is a `writeStream` sink on the
+  * subscribed measurement; the catalog semantics live here. */
+final case class CreateSubscription(name: String, db: String, rp: String,
+    mode: String, destinations: List[String]) extends DdlStmt
+final case class DropSubscription(name: String, db: String, rp: String) extends DdlStmt
 
 /** User/privilege statements (reference RouteAuthService,
   * `service/routing.go:78-87`; behaviors from `service/auth.go:26-53` and

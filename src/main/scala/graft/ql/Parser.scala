@@ -346,7 +346,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         if (acceptKw("KEYS")) "TAG KEYS"
         else { expectKw("VALUES"); "TAG VALUES" }
       case "FIELD" => expectKw("KEYS"); "FIELD KEYS"
-      case w @ ("DATABASES" | "MEASUREMENTS" | "SERIES" | "USERS") => w
+      case w @ ("DATABASES" | "MEASUREMENTS" | "SERIES" | "USERS" | "SUBSCRIPTIONS") => w
       case w => throw ParseException(s"unsupported SHOW $w")
     }
     val on = if (acceptKw("ON")) Some(ident()) else None
@@ -403,6 +403,28 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
           p.expectKw("END")
           return CreateContinuousQuery(name, db, sel)
         }
+        if (p.acceptKw("SUBSCRIPTION")) {
+          // CREATE SUBSCRIPTION "name" ON db.rp DESTINATIONS ALL|ANY 'url'[, 'url']
+          val name = p.ident()
+          p.expectKw("ON")
+          val (db, rp) = p.dbMsmt() match {
+            case (d, Some(r)) => (d, r)
+            case _ => throw ParseException("subscription requires ON db.rp")
+          }
+          p.expectKw("DESTINATIONS")
+          val mode =
+            if (p.acceptKw("ALL")) "ALL"
+            else { p.expectKw("ANY"); "ANY" }
+          val dests = ListBuffer(p.next() match {
+            case TStr(s) => s
+            case t => throw ParseException(s"expected quoted destination, found ${t.text}")
+          })
+          while (p.acceptSym(",")) dests += (p.next() match {
+            case TStr(s) => s
+            case t => throw ParseException(s"expected quoted destination, found ${t.text}")
+          })
+          return CreateSubscription(name, db, rp, mode, dests.toList)
+        }
         p.expectKw("PARTITION"); p.expectKw("KEY")
         // two argument orders accepted (language.go:15-36):
         //   CREATE PARTITION KEY t1,t2 ON db[.msmt]
@@ -436,6 +458,14 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
           p.expectKw("QUERY"); val name = p.ident()
           p.expectKw("ON")
           return DropContinuousQuery(name, p.ident())
+        }
+        if (p.acceptKw("SUBSCRIPTION")) {
+          val name = p.ident()
+          p.expectKw("ON")
+          return p.dbMsmt() match {
+            case (d, Some(r)) => DropSubscription(name, d, r)
+            case _ => throw ParseException("subscription requires ON db.rp")
+          }
         }
         p.expectKw("PARTITION"); p.expectKw("KEY"); p.expectKw("ON")
         val (db, m) = p.dbMsmt()

@@ -156,6 +156,23 @@ class EngineSpec extends SparkSpec {
     assert(fieldKeys.contains(("vault_b", "value")))
   }
 
+  test("subscription lifecycle: CREATE / SHOW / duplicate 409 / DROP") {
+    val e = newEngine
+    e.execute("CREATE DATABASE subs")
+    e.execute("CREATE SUBSCRIPTION s0 ON subs.autogen DESTINATIONS ALL 'http://h1:9092'")
+    e.execute("CREATE SUBSCRIPTION s1 ON subs.autogen DESTINATIONS ANY 'udp://h:8089'")
+    val shown = e.execute("SHOW SUBSCRIPTIONS").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4))).toSet
+    assert(shown == Set(("s0", "ALL", "http://h1:9092"), ("s1", "ANY", "udp://h:8089")))
+    assertThrows[e.databases.DuplicateException](
+      e.execute("CREATE SUBSCRIPTION s0 ON subs.autogen DESTINATIONS ALL 'x'"))
+    assertThrows[e.databases.UnknownDatabaseException](
+      e.execute("CREATE SUBSCRIPTION s9 ON nodb.autogen DESTINATIONS ALL 'x'"))
+    e.execute("DROP SUBSCRIPTION s0 ON subs.autogen")
+    assert(e.execute("SHOW SUBSCRIPTIONS").collect().length == 1)
+    assertThrows[ParseException](e.execute("DROP SUBSCRIPTION s0 ON subs.autogen"))
+  }
+
   test("CQ without INTO is rejected at parse time") {
     val e = newEngine
     assertThrows[ParseException](e.execute(

@@ -144,6 +144,20 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseException](Parser.parse("KILL QUERY abc"))
   }
 
+  test("subscription DDL parses (routing.go:101-126 replication surface)") {
+    assert(Parser.parse(
+      """CREATE SUBSCRIPTION "sub0" ON "db"."autogen" DESTINATIONS ALL 'http://h1:9092', 'http://h2:9092'""") ==
+      CreateSubscription("sub0", "db", "autogen", "ALL",
+        List("http://h1:9092", "http://h2:9092")))
+    assert(Parser.parse("CREATE SUBSCRIPTION s ON db.rp DESTINATIONS ANY 'udp://h:8089'") ==
+      CreateSubscription("s", "db", "rp", "ANY", List("udp://h:8089")))
+    assert(Parser.parse("""DROP SUBSCRIPTION "sub0" ON "db"."autogen"""") ==
+      DropSubscription("sub0", "db", "autogen"))
+    assert(Parser.parse("SHOW SUBSCRIPTIONS") == ShowStmt("SUBSCRIPTIONS", None))
+    assertThrows[ParseException](Parser.parse("CREATE SUBSCRIPTION s ON db DESTINATIONS ALL 'u'"))
+    assertThrows[ParseException](Parser.parse("CREATE SUBSCRIPTION s ON db.rp DESTINATIONS SOME 'u'"))
+  }
+
   test("SHOW TAG VALUES WITH KEY = k") {
     assert(Parser.parse("SHOW TAG VALUES WITH KEY = event_type") ==
       ShowStmt("TAG VALUES", None, Some("event_type")))
