@@ -298,6 +298,38 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       case _ => InfluxJson.serialize("results", execute(influxql))
     }
 
+  /** Launch the STREAMING form of a registered continuous query over an
+    * unbounded input with columns (ts TIMESTAMP, tags..., field): the
+    * stored `SELECT agg(f) INTO target FROM src GROUP BY time(iv)[, tags]`
+    * becomes a ContinuousQuery plan (watermark + dedup + tumbling window →
+    * update-mode sink named after the CQ), and the INTO target is
+    * re-registered over the live sink so InfluxQL reads observe every
+    * micro-batch. This is the unbounded-source half of SURVEY §2.11; the
+    * batch half is the writeLineProtocol continuation above. */
+  def startCqStream(name: String, input: DataFrame,
+      watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (src, sel) = cqs.getOrElse(name,
+      throw ParseException(s"no such continuous query: $name"))
+    val (field, agg) = sel.fields match {
+      case List(Field(Call(a @ ("mean" | "sum" | "count" | "min" | "max"),
+        List(Ident(f))), _)) => (f, a)
+      case other => throw ParseException(
+        s"streaming CQ supports a single simple aggregate, got $other")
+    }
+    val iv = sel.groupByTime.getOrElse(
+      throw ParseException("streaming CQ requires GROUP BY time(iv)"))
+    val cq = ContinuousQuery.CQ(name, src, field, agg,
+      s"$iv microseconds", sel.groupByTags, watermark)
+    val q = ContinuousQuery.start(spark, input, cq)
+    sel.into.foreach { target => // live read-your-writes through the sink
+      registerMeasurement(
+        TableMeta(target, "time", tags = sel.groupByTags,
+          fields = Seq(FieldMeta(agg, None))),
+        spark.table(name).withColumn("time", unix_micros(col("time"))))
+    }
+    q
+  }
+
   /** Streamed queryJson: O(one partition) driver memory via
     * `toLocalIterator` — the path for raw SELECTs over big time ranges
     * where the buffered proxy shape would OOM the driver. */

@@ -95,6 +95,34 @@ class EngineSpec extends SparkSpec {
       .map(_.getAs[Double]("sum")).toSet == Set(150.0, 25.0))
   }
 
+  test("startCqStream: a registered CQ runs as a standing streaming job feeding its target") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = newEngine
+    val meta = TableMeta("str_src", "ts_us", Seq("type"), Seq(FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq("str_src,type=gold value=1 1000000000"), "str_src")
+    e.execute(
+      """CREATE CONTINUOUS QUERY live5m ON default BEGIN
+        |SELECT sum(value) INTO str_tgt FROM str_src GROUP BY time(5m), type
+        |END""".stripMargin)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = e.startCqStream("live5m", input.toDF().toDF("ts", "type", "value"))
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "gold", 2.0),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "gold", 3.0))
+    q.processAllAvailable()
+    // the INTO target reads the live sink through the normal InfluxQL path
+    val out = e.execute("SELECT sum FROM str_tgt").collect()
+    assert(out.map(_.getAs[Double]("sum")).contains(5.0))
+    q.stop()
+    // unknown CQ name and unsupported shapes error cleanly
+    assertThrows[ParseException](e.startCqStream("ghost", input.toDF()))
+  }
+
   test("sustained ingest keeps a bounded plan (lineage compaction every 8 writes)") {
     val e = newEngine
     val meta = TableMeta("firehose", "ts_us",
