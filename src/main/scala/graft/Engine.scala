@@ -58,6 +58,16 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   private def measurementNames: Seq[String] =
     (tables.keys.toSeq ++ Seq(Catalog.events.measurement)).distinct.sorted
 
+  /** Registered + catalog metas, optionally restricted by SHOW's FROM m. */
+  private def metasFor(from: Option[String]): Seq[TableMeta] = {
+    val metas = (tables.values.map(_._2).toSeq :+ Catalog.events)
+      .distinctBy(_.measurement).sortBy(_.measurement)
+      .filter(m => from.forall(_ == m.measurement))
+    if (metas.isEmpty)
+      throw ParseException(s"unknown measurement '${from.getOrElse("")}'")
+    metas
+  }
+
   /** Execute any InfluxQL statement; SELECT/SHOW return data, DDL/admin
     * return empty or listing frames (the reference's Result rows). */
   def execute(influxql: String): DataFrame = {
@@ -87,41 +97,37 @@ final class Engine(val spark: SparkSession, sfDir: String) {
         throw ParseException(s"no such query: $id") // reference 400 shape
       queryLog.removeIf(e => e._1 == id)
       Seq.empty[(String, String)].toDF("k", "v").limit(0)
-    case ShowStmt("DATABASES", _, _) =>
+    case ShowStmt("DATABASES", _, _, _) =>
       { import spark.implicits._; databases.databases.toDF("name") }
-    case ShowStmt("RETENTION POLICIES", on, _) =>
+    case ShowStmt("RETENTION POLICIES", on, _, _) =>
       import spark.implicits._
       databases.listRps(on.getOrElse("default"))
         .map(r => (r.name, s"${r.durationUs}us", r.replicas, r.default))
         .toDF("name", "duration", "replicaN", "default")
-    case ShowStmt("CONTINUOUS QUERIES", on, _) =>
+    case ShowStmt("CONTINUOUS QUERIES", on, _, _) =>
       import spark.implicits._
       databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
-    case ShowStmt("USERS", _, _) =>
+    case ShowStmt("USERS", _, _, _) =>
       { import spark.implicits._; users.list.toDF("user", "admin") }
-    case ShowStmt("SUBSCRIPTIONS", _, _) =>
+    case ShowStmt("SUBSCRIPTIONS", _, _, _) =>
       import spark.implicits._
       subscriptions.toSeq.sortBy(_._1)
         .map { case ((db, rp, n), (mode, dests)) => (db, rp, n, mode, dests.mkString(", ")) }
         .toDF("database", "retention_policy", "name", "mode", "destinations")
     // meta scans over registered in-memory measurements MERGED with the
     // parquet catalog — written measurements are discoverable immediately
-    case ShowStmt("MEASUREMENTS", _, _) =>
+    case ShowStmt("MEASUREMENTS", _, _, _) =>
       { import spark.implicits._; measurementNames.toDF("name") }
-    case ShowStmt("TAG KEYS", _, _) =>
+    case ShowStmt("TAG KEYS", _, _, from) =>
       import spark.implicits._
-      (tables.values.map(_._2).toSeq :+ Catalog.events)
-        .distinctBy(_.measurement).sortBy(_.measurement)
-        .flatMap(m => m.tags.map(t => (m.measurement, t)))
+      metasFor(from).flatMap(m => m.tags.map(t => (m.measurement, t)))
         .toDF("measurement", "tagKey")
-    case ShowStmt("FIELD KEYS", _, _) =>
+    case ShowStmt("FIELD KEYS", _, _, from) =>
       import spark.implicits._
-      (tables.values.map(_._2).toSeq :+ Catalog.events)
-        .distinctBy(_.measurement).sortBy(_.measurement)
-        .flatMap(m => m.fields.map(f =>
+      metasFor(from).flatMap(m => m.fields.map(f =>
           (m.measurement, f.name, if (f.scale.isDefined) "float" else "integer")))
         .toDF("measurement", "fieldKey", "fieldType")
-    case ShowStmt(what, _, key) => Meta.show(spark, sfDir, what, key)
+    case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
     case ddl: DdlStmt      => executeDdl(ddl)
     case adm: AdminStmt    => admin.execute(spark, adm)
     case auth: AuthStmt    => executeAuth(auth)

@@ -59,9 +59,10 @@ final case class SelectStmt(
     into: Option[String] = None,          // SELECT … INTO target (CQs)
     groupByTimeOffset: Long = 0L) extends Statement // time(iv, offset)
 
-/** `withKey` carries SHOW TAG VALUES' `WITH KEY = k` filter. */
+/** `withKey` carries SHOW TAG VALUES' `WITH KEY = k` filter; `from`
+  * restricts the meta scan to one measurement (`SHOW TAG KEYS FROM m`). */
 final case class ShowStmt(what: String, on: Option[String],
-    withKey: Option[String] = None) extends Statement
+    withKey: Option[String] = None, from: Option[String] = None) extends Statement
 /** SHOW GRANTS FOR user / SHOW QUERIES / KILL QUERY — routed by the
   * reference's proxy (`service/routing.go:110-133`). */
 final case class ShowGrantsStmt(user: String) extends Statement

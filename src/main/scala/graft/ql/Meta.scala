@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * (dictionary-encoded parquet scan, no full-row materialization).
   */
 object Meta {
-  private def measurements = Seq(Catalog.events)
+  private def all = Seq(Catalog.events)
 
   def show(spark: SparkSession, sfDir: String, what: String,
-      withKey: Option[String] = None): DataFrame = {
+      withKey: Option[String] = None, from: Option[String] = None): DataFrame = {
     import spark.implicits._
+    // FROM m restricts the scan to one measurement (influxql)
+    val measurements = all.filter(m => from.forall(_ == m.measurement))
+    if (measurements.isEmpty)
+      throw ParseException(s"unknown measurement '${from.getOrElse("")}'")
     what match {
       case "DATABASES" => Seq("default").toDF("name")
       case "MEASUREMENTS" => measurements.map(_.measurement).toDF("name")

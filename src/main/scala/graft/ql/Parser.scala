@@ -350,12 +350,14 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       case w => throw ParseException(s"unsupported SHOW $w")
     }
     val on = if (acceptKw("ON")) Some(ident()) else None
-    // SHOW TAG VALUES [ON db] WITH KEY = k (influxql surface)
+    // SHOW … [ON db] [FROM m] — FROM restricts the meta scan (influxql)
+    val from = if (acceptKw("FROM")) Some(ident()) else None
+    // SHOW TAG VALUES [ON db] [FROM m] WITH KEY = k (influxql surface)
     val withKey =
       if (what == "TAG VALUES" && acceptKw("WITH")) {
         expectKw("KEY"); expectSym("="); Some(ident())
       } else None
-    ShowStmt(what, on, withKey)
+    ShowStmt(what, on, withKey, from)
   }
 
   // -------- admin DSL (clusterql) + catalog DDL (routing.go:13-41)

@@ -705,7 +705,7 @@ object Translator {
       case sel: SelectStmt =>
         val (df, meta) = resolve(sel.from, Catalog.load(spark, sfDir, _))
         new Translator(df, meta).run(sel)
-      case ShowStmt(what, _, key) => Meta.show(spark, sfDir, what, key)
+      case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
       case other => throw ParseException(s"not a query statement: $other")
     }
 

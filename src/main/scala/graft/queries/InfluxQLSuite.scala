@@ -472,6 +472,8 @@ object InfluxQLSuite {
       "SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events")("SHOW SERIES"),
     iql("iql_show_tag_values",
       "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")("SHOW TAG VALUES"),
+    iql("iql_show_tag_keys_from",
+      "SELECT 'events' AS measurement, 'event_type' AS tagKey")("SHOW TAG KEYS FROM events"),
     iql("iql_show_tag_values_with_key",
       "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")(
       "SHOW TAG VALUES WITH KEY = event_type"),

@@ -182,6 +182,10 @@ class EngineSpec extends SparkSpec {
     val fieldKeys = e.execute("SHOW FIELD KEYS").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(fieldKeys.contains(("vault_b", "value")))
+    // FROM m restricts the meta scan; unknown measurement errors
+    assert(e.execute("SHOW TAG KEYS FROM vault_a").collect()
+      .map(_.getString(0)).toSet == Set("vault_a"))
+    assertThrows[ParseException](e.execute("SHOW FIELD KEYS FROM ghost"))
   }
 
   test("subscription lifecycle: CREATE / SHOW / duplicate 409 / DROP") {

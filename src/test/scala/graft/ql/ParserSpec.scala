@@ -166,6 +166,15 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("SHOW TAG VALUES") == ShowStmt("TAG VALUES", None, None))
   }
 
+  test("SHOW ... FROM m restricts the meta scan") {
+    assert(Parser.parse("SHOW TAG KEYS FROM events") ==
+      ShowStmt("TAG KEYS", None, None, Some("events")))
+    assert(Parser.parse("SHOW SERIES ON db FROM events") ==
+      ShowStmt("SERIES", Some("db"), None, Some("events")))
+    assert(Parser.parse("""SHOW TAG VALUES FROM events WITH KEY = "event_type"""") ==
+      ShowStmt("TAG VALUES", None, Some("event_type"), Some("events")))
+  }
+
   test("FROM m1, m2 parses to a multi-measurement source (query_merge.go:44-47 takes first only)") {
     assert(sel("SELECT count(v) FROM m1, m2, m3 GROUP BY t").from ==
       FromMulti(List("m1", "m2", "m3")))
