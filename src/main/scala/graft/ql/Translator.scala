@@ -425,8 +425,10 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val (d, parts, timeOut) = multirowBucket(base, sel, tags)
     val counted = d.groupBy((parts :+ col(f)): _*).agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(parts: _*).orderBy(col("__cnt").desc, col(f).asc)
-    counted.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(timeOut ++ tags.map(col) :+ col(f).as(alias.getOrElse("mode")): _*)
+    val name = alias.getOrElse("mode")
+    val out = counted.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(timeOut ++ tags.map(col) :+ col(f).as(name): _*)
+    applyFill(out, sel, tags, Seq(name)) // single row per bucket → fillable
   }
 
   /** InfluxQL percentile: nearest-rank, returns an actual point value —
@@ -441,10 +443,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val (d, parts, timeOut) = multirowBucket(base, sel, tags)
     val w = Window.partitionBy(parts: _*).orderBy(col(f).asc, time.asc)
     val wAll = Window.partitionBy(parts: _*)
-    d.withColumn("__rn", row_number().over(w))
+    val name = alias.getOrElse("percentile")
+    val out = d.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       .where(col("__rn") === ceil(lit(pv) / 100.0 * col("__n")).cast("long"))
-      .select(timeOut ++ tags.map(col) :+ col(f).as(alias.getOrElse("percentile")): _*)
+      .select(timeOut ++ tags.map(col) :+ col(f).as(name): _*)
+    applyFill(out, sel, tags, Seq(name)) // single row per bucket → fillable
   }
 
   /** Trapezoidal integral per series in units of field·unit (EventAggs
@@ -471,7 +475,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         sum((col(f) + col("__pc")) * (time - col("__pt")).cast("double")) / (2.0 * unitUs)
     }
     val name = alias.getOrElse("integral")
-    d
+    val out = d
       .withColumn("__pc", scaleOf(f) match {
         case Some(_) => lag(fx(f), 1).over(series)
         case None    => lag(col(f), 1).over(series)
@@ -481,6 +485,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       .groupBy(parts: _*)
       .agg(aggCol.as(name))
       .select(timeOut ++ tags.map(col) :+ col(name): _*)
+    applyFill(out, sel, tags, Seq(name)) // single row per bucket → fillable
   }
 
   private def sampleSelect(base: DataFrame, sel: SelectStmt, tags: List[String],

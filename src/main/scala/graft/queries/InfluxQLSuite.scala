@@ -139,6 +139,26 @@ object InfluxQLSuite {
          |WHERE rn = CAST(ceil(90.0 / 100.0 * n) AS BIGINT)""".stripMargin)(
       "SELECT percentile(value, 90) FROM events GROUP BY time(1d), event_type"),
 
+    // per-bucket percentile + fill over the WHERE-range spine: buckets past
+    // the last data point (Jan 30) emit filled zeros through Feb 4
+    iql("iql_percentile_bucket_fill",
+      s"""WITH $EV,
+         |r AS (SELECT ts_us - ts_us % $DAY_US AS time, value,
+         |        row_number() OVER (PARTITION BY ts_us - ts_us % $DAY_US
+         |                           ORDER BY value ASC, ts_us ASC) AS rn,
+         |        count(*) OVER (PARTITION BY ts_us - ts_us % $DAY_US) AS n
+         |      FROM ev
+         |      WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-25')
+         |        AND ts_us < epoch_us(TIMESTAMP '2024-02-05')
+         |        AND event_type = 'purchase'),
+         |b AS (SELECT time, value FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+         |spine AS (SELECT unnest(generate_series(
+         |            epoch_us(TIMESTAMP '2024-01-25'),
+         |            epoch_us(TIMESTAMP '2024-02-04'), $DAY_US)) AS time)
+         |SELECT s.time, coalesce(b.value, 0.0) AS percentile
+         |FROM spine s LEFT JOIN b ON b.time = s.time""".stripMargin)(
+      "SELECT percentile(value, 50) FROM events WHERE time >= '2024-01-25' AND time < '2024-02-05' AND event_type = 'purchase' GROUP BY time(1d) fill(0)"),
+
     iql("iql_mode_per_bucket",
       s"""WITH $EV,
          |c AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type, value, count(*) AS cnt
