@@ -45,7 +45,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // self-recorded artifact: the driver's captured stdout tail can truncate
+    // the per-query map (it did in round 4) — the full line survives on disk
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -72,13 +72,18 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     * return empty or listing frames (the reference's Result rows). */
   def execute(influxql: String): DataFrame = {
     val stmt = Parser.parse(influxql)
-    stmt match { // SHOW QUERIES surface: remember recent SELECT texts
-      case _: SelectStmt =>
-        queryLog.addFirst((qid.incrementAndGet(), influxql, "default"))
-        while (queryLog.size > 100) queryLog.pollLast()
-      case _ =>
-    }
+    logQuery(stmt, influxql)
     executeStmt(stmt)
+  }
+
+  /** SHOW QUERIES surface: remember recent SELECT texts. Every entry path
+    * (execute, queryJson, queryJsonStream) funnels here so proxy-path
+    * queries are visible to SHOW QUERIES / KILL QUERY. */
+  private def logQuery(stmt: Statement, influxql: String): Unit = stmt match {
+    case _: SelectStmt =>
+      queryLog.addFirst((qid.incrementAndGet(), influxql, "default"))
+      while (queryLog.size > 100) queryLog.pollLast()
+    case _ =>
   }
 
   def executeStmt(stmt: Statement): DataFrame = stmt match {
@@ -150,8 +155,14 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
     val out = new Translator(df, meta).run(sel)
     sel.into.foreach { target => // SELECT INTO: materialize as a measurement
-      registerMeasurement(TableMeta(target, "time",
-        tags = sel.groupByTags, fields = Seq(FieldMeta(out.columns.last, None))), out)
+      // every non-time/non-tag output column is a field of the target (the
+      // same derivation FromSubquery uses) — a multi-field
+      // `SELECT mean(v), max(v) INTO t` must answer SELECT * with both
+      val tags = sel.groupByTags.filter(out.columns.contains)
+      val fields = out.columns.toSeq
+        .filterNot(c => c == "time" || tags.contains(c))
+        .map(FieldMeta(_, None))
+      registerMeasurement(TableMeta(target, "time", tags = tags, fields = fields), out)
     }
     out
   }
@@ -206,7 +217,8 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     * INFERRED from the batch with conflict widening (SchemaInfer —
     * SURVEY §1.2 dynamic schema). Returns (points written, dead-lettered
     * lines). */
-  def writeLineProtocol(lines: Seq[String], measurement: String): (Long, Long) = {
+  def writeLineProtocol(lines: Seq[String], measurement: String,
+      precision: String = "ns"): (Long, Long) = {
     import spark.implicits._
     val meta = tables.get(measurement).map(_._2)
       .orElse(scala.util.Try(Catalog.load(spark, sfDir, measurement)._2).toOption)
@@ -223,7 +235,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
     // (at rest this is parquet compaction; localCheckpoint is its
     // single-JVM analog)
     val raw = LineProtocol.parseRaw(spark, spark.createDataset(lines),
-      measurement, meta.tags, floatFields).persist()
+      measurement, meta.tags, floatFields, precision).persist()
     val cnts = raw.agg(
       count(when(col("err").isNull, lit(1))).as("ok"),
       count(col("err")).as("bad")).head()
@@ -297,6 +309,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   def queryJson(influxql: String, epoch: Option[String] = Some("u")): String =
     Parser.parse(influxql) match {
       case sel: SelectStmt =>
+        logQuery(sel, influxql) // proxy path counts for SHOW QUERIES too
         val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
         val out = new Translator(df, meta).run(sel)
         val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
@@ -343,6 +356,7 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       epoch: Option[String] = Some("u")): Unit =
     Parser.parse(influxql) match {
       case sel: SelectStmt =>
+        logQuery(sel, influxql)
         val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
         val result = new Translator(df, meta).run(sel)
         val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags

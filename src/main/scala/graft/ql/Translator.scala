@@ -725,19 +725,17 @@ object Translator {
       case FromMeasurement(n) => loadMeasurement(n)
       case FromMeasurementRegex(p) =>
         // FROM /re/: unanchored match over the measurement catalog; multiple
-        // matches union by name (InfluxQL scans each matching measurement —
-        // same-schema union covers this catalog; reference left it TODO at
-        // query_merge.go:128)
+        // matches union by name with null-padding for fields one measurement
+        // lacks (reference left it TODO at query_merge.go:128)
         val re = java.util.regex.Pattern.compile(p)
         val hits = listMeasurements().distinct.filter(n => re.matcher(n).find())
         if (hits.isEmpty) throw ParseException(s"no measurement matches /$p/")
-        val loaded = hits.map(loadMeasurement)
-        (loaded.map(_._1).reduce(_ unionByName _), loaded.head._2)
+        unionLoaded(hits.map(loadMeasurement), src)
       case FromMulti(names) =>
         // FROM m1, m2: union scan (the reference's merge layer takes only
-        // the FIRST measurement, query_merge.go:44-47 — full InfluxQL here)
-        val loaded = names.map(loadMeasurement)
-        (loaded.map(_._1).reduce(_ unionByName _), loaded.head._2)
+        // the FIRST measurement, query_merge.go:44-47 — full InfluxQL here);
+        // heterogeneous schemas null-pad missing fields like InfluxQL
+        unionLoaded(names.map(loadMeasurement), src)
       case FromSubquery(sub) =>
         val (df, meta) = resolve(sub.from, loadMeasurement, listMeasurements)
         val out0 = new Translator(df, meta).run(sub)
@@ -752,6 +750,27 @@ object Translator {
           .map(c => FieldMeta(c, None)) // derived values: raw double/long path
         (out, TableMeta(measurementName(src), "time", tags, fields))
     }
+
+  /** Union several loaded measurements into one derived measurement:
+    * `unionByName(allowMissingColumns = true)` null-pads fields a
+    * measurement lacks (InfluxQL semantics for multi-measurement scans),
+    * and the merged TableMeta carries the union of tags and fields. The
+    * raw-ns pushdown column survives only when every branch declares the
+    * same one — otherwise a null-padded ns column would break the
+    * redundant time bounds. */
+  private def unionLoaded(loaded: Seq[(DataFrame, TableMeta)], src: Source)
+      : (DataFrame, TableMeta) = {
+    val metas = loaded.map(_._2)
+    val head = metas.head
+    if (metas.exists(_.timeCol != head.timeCol))
+      throw ParseException(
+        s"multi-measurement FROM requires a common time column, got ${metas.map(_.timeCol).distinct.mkString(", ")}")
+    val df = loaded.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
+    val tags = metas.flatMap(_.tags).distinct
+    val fields = metas.flatMap(_.fields).distinctBy(_.name)
+    val rawNs = if (metas.forall(_.rawTimeNs == head.rawTimeNs)) head.rawTimeNs else None
+    (df, TableMeta(measurementName(src), head.timeCol, tags, fields, rawNs))
+  }
 
   def measurementName(src: Source): String = src match {
     case FromMeasurement(n)      => n

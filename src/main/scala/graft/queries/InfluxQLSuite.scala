@@ -440,6 +440,37 @@ object InfluxQLSuite {
         |GROUP BY 1""".stripMargin)(
       "SELECT count(value) FROM events, events GROUP BY event_type"),
 
+    // ---- heterogeneous FROM m1, m2: measurements with DIFFERING field sets
+    //      union with null-padding (InfluxQL nulls missing fields; the
+    //      reference's merge layer can't express this at all). Two derived
+    //      measurements over the events parquet — one carries only `value`,
+    //      the other only `user_id` — so the union exercises the
+    //      allowMissingColumns path end-to-end.
+    Q("iql_from_multi_hetero",
+      """WITH u AS (
+        |  SELECT event_type, value, CAST(NULL AS BIGINT) AS user_id FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(NULL AS DOUBLE) AS value, user_id FROM events)
+        |SELECT event_type, count(value) AS count, max(user_id) AS max
+        |FROM u GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.ql.{FieldMeta, Parser, SelectStmt, TableMeta}
+      val sel = Parser.parse(
+        "SELECT count(value), max(user_id) FROM ev_val, ev_uid GROUP BY event_type")
+        .asInstanceOf[SelectStmt]
+      val base = graft.Tables(s, d, "events")
+      val load: String => (org.apache.spark.sql.DataFrame, TableMeta) = {
+        case "ev_val" => (base.select("ts_us", "ts_ns", "event_type", "value"),
+          TableMeta("ev_val", "ts_us", Seq("event_type"),
+            Seq(FieldMeta("value", Some(100L))), Some("ts_ns")))
+        case "ev_uid" => (base.select("ts_us", "ts_ns", "event_type", "user_id"),
+          TableMeta("ev_uid", "ts_us", Seq("event_type"),
+            Seq(FieldMeta("user_id", None)), Some("ts_ns")))
+        case m => throw graft.ql.ParseException(s"unknown measurement '$m'")
+      }
+      val (df, meta) = Translator.resolve(sel.from, load)
+      new Translator(df, meta).run(sel)
+    },
+
     iql("iql_regex_neg",
       """SELECT event_type, count(value) AS count FROM events
         |WHERE NOT regexp_matches(event_type, '^p') GROUP BY 1""".stripMargin)(

@@ -127,9 +127,22 @@ object LineProtocol {
     * callers that need point AND error counts get both from a single
     * aggregation over this frame instead of re-parsing the batch per
     * count (Engine.writeLineProtocol ingest hygiene). */
+  /** Timestamp multiplier for the reference's `/write?precision=` URL param
+    * (write_handler.go precision scaling; public InfluxDB API): incoming
+    * timestamps arrive in the given unit and are scaled to nanoseconds. */
+  def precisionToNs(precision: String): Long = precision match {
+    case "ns" | "n" => 1L
+    case "u" | "us" | "µ" => 1000L
+    case "ms"       => 1000000L
+    case "s"        => 1000000000L
+    case o => throw new IllegalArgumentException(s"bad precision '$o' (want ns|u|ms|s)")
+  }
+
   def parseRaw(spark: SparkSession, lines: Dataset[String], measurement: String,
-      tagKeys: Seq[String], floatFields: Seq[String]): DataFrame = {
+      tagKeys: Seq[String], floatFields: Seq[String],
+      precision: String = "ns"): DataFrame = {
     import spark.implicits._
+    val mult = precisionToNs(precision) // resolved driver-side, once
     val parsed = lines.map { l =>
       parseLine(l) match {
         case Right(p) if p.measurement == measurement =>
@@ -139,7 +152,7 @@ object LineProtocol {
             case Some(FInt(x))   => java.lang.Double.valueOf(x.toDouble)
             case _               => null.asInstanceOf[java.lang.Double]
           })
-          (p.timeNs.getOrElse(-1L), tagVals, fieldVals.map(Option(_).map(_.doubleValue)), null.asInstanceOf[String])
+          (p.timeNs.map(_ * mult).getOrElse(-1L), tagVals, fieldVals.map(Option(_).map(_.doubleValue)), null.asInstanceOf[String])
         case Right(p)  => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"wrong measurement ${p.measurement}: $l")
         case Left(err) => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"${err.reason}: ${err.line}")
       }
@@ -154,9 +167,10 @@ object LineProtocol {
   }
 
   def parse(spark: SparkSession, lines: Dataset[String], measurement: String,
-      tagKeys: Seq[String], floatFields: Seq[String]): (DataFrame, Dataset[String]) = {
+      tagKeys: Seq[String], floatFields: Seq[String],
+      precision: String = "ns"): (DataFrame, Dataset[String]) = {
     import spark.implicits._
-    val raw = parseRaw(spark, lines, measurement, tagKeys, floatFields)
+    val raw = parseRaw(spark, lines, measurement, tagKeys, floatFields, precision)
     val ok = raw.where(col("err").isNull).drop("err")
     val errs = raw.where(col("err").isNotNull).select(col("err")).as[String]
     (ok, errs)
