@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   * over the parquet-backed catalog, so written points are immediately
   * queryable (the reference's read-your-writes through the proxy).
   */
-final class Engine(val spark: SparkSession, sfDir: String) {
+final class Engine(val spark: SparkSession, sfDir: String,
+    val dataDir: Option[String] = None) {
 
   val partitionKeys = new PartitionKeyStore
   val replication = new ReplicationSettings
@@ -47,13 +48,74 @@ final class Engine(val spark: SparkSession, sfDir: String) {
   private val qid = new java.util.concurrent.atomic.AtomicLong(0)
   private val queryLog = new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]
 
+  /** Injectable clock (epoch µs) — retention enforcement and its specs
+    * need deterministic "now". */
+  var nowUs: () => Long = () => System.currentTimeMillis() * 1000L
+  // measurement → (db, rp) it is written under; absent = default.autogen
+  // (infinite retention), the InfluxDB default target for writes
+  private val measurementRp = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   databases.createDatabase("default")
+  // durable restart: re-register every measurement persisted under dataDir
+  // (the reference's data nodes survive a proxy restart; here the parquet
+  // layout is the durable half — VERDICT r4 item 2)
+  dataDir.foreach { d =>
+    sources.MeasurementStore.list(spark, d).foreach { m =>
+      sources.MeasurementStore.read(spark, d, m).foreach { case (df, meta) =>
+        tables(m) = (df, meta)
+      }
+    }
+  }
 
   def registerMeasurement(meta: TableMeta, df: DataFrame): Unit =
     tables(meta.measurement) = (df, meta)
 
-  private def load(measurement: String): (DataFrame, TableMeta) =
-    tables.getOrElse(measurement, Catalog.load(spark, sfDir, measurement))
+  /** Associate a measurement with the retention policy its data lives
+    * under (the reference's db.rp write target). */
+  def setRetentionPolicy(measurement: String, db: String, rp: String): Unit =
+    measurementRp(measurement) = (db, rp)
+
+  private def retentionCutoffUs(measurement: String): Option[Long] = {
+    val (db, rp) = measurementRp.getOrElse(measurement, ("default", "autogen"))
+    databases.retentionCutoffUs(db, rp, nowUs())
+  }
+
+  private def load(measurement: String): (DataFrame, TableMeta) = {
+    val (df, meta) = tables.getOrElse(measurement, Catalog.load(spark, sfDir, measurement))
+    // read-time RP enforcement: expired rows are invisible even before the
+    // maintenance compaction runs (SURVEY §1.3)
+    retentionCutoffUs(measurement) match {
+      case Some(cut) => (df.where(col(meta.timeCol) >= cut), meta)
+      case None      => (df, meta)
+    }
+  }
+
+  /** Retention maintenance pass (SURVEY §1.3; reference RP durations at
+    * syncing/models.go:3-9): drop rows older than each measurement's RP
+    * cutoff. Durable measurements compact at rest via a tmp-dir swap;
+    * in-memory ones re-register the survivor plan. Expired rows are
+    * already invisible to reads via `load` — this reclaims the storage. */
+  def enforceRetention(): Unit =
+    tables.keys.toSeq.foreach { m =>
+      retentionCutoffUs(m).foreach { cut =>
+        val (df, meta) = tables(m)
+        val kept = df.where(col(meta.timeCol) >= cut)
+        durableDirFor(m) match {
+          case Some(dir) =>
+            sources.MeasurementStore.rewrite(spark, dir, meta, kept, keyTagsFor(m))
+            sources.MeasurementStore.read(spark, dir, m).foreach(t => tables(m) = t)
+          case None => tables(m) = (kept, meta)
+        }
+      }
+    }
+
+  /** dataDir when this measurement is actually persisted there. */
+  private def durableDirFor(m: String): Option[String] =
+    dataDir.filter(d => sources.MeasurementStore.loadMeta(spark, d, m).isDefined)
+
+  /** Partition-key tags for the durable directory layout. */
+  private def keyTagsFor(m: String): Seq[String] =
+    partitionKeys.resolve("default", m).map(_.tags).getOrElse(Nil)
 
   private def measurementNames: Seq[String] =
     (tables.keys.toSeq ++ Seq(Catalog.events.measurement)).distinct.sorted
@@ -192,15 +254,23 @@ final class Engine(val spark: SparkSession, sfDir: String) {
         databases.dropCq(db, n)
         cqs.remove(n)
       case DeleteSeries(from, where) =>
-        // delete = retain the complement; read-your-writes through the
-        // registry (at rest this is a partition-overwrite compaction)
+        // delete = retain the complement; durable measurements compact at
+        // rest (tmp-dir swap — the partition-overwrite analog), so the
+        // delete survives an engine restart
         val (df, meta) = load(from)
         val remaining = where match {
           case Some(w) => df.where(!new Translator(df, meta).wherePredicate(w))
           case None    => df.limit(0)
         }
-        registerMeasurement(meta, remaining)
-      case DropMeasurement(n) => tables.remove(n)
+        durableDirFor(from) match {
+          case Some(dir) =>
+            sources.MeasurementStore.rewrite(spark, dir, meta, remaining, keyTagsFor(from))
+            sources.MeasurementStore.read(spark, dir, from).foreach(t => tables(from) = t)
+          case None => registerMeasurement(meta, remaining)
+        }
+      case DropMeasurement(n) =>
+        tables.remove(n)
+        dataDir.foreach(sources.MeasurementStore.drop(spark, _, n))
       case CreateSubscription(n, db, rp, mode, dests) =>
         if (!databases.databases.contains(db))
           throw databases.UnknownDatabaseException(db)
@@ -248,26 +318,37 @@ final class Engine(val spark: SparkSession, sfDir: String) {
       case Some(rawNs) => withTime0.withColumn(rawNs, col("time_ns"))
       case None        => withTime0
     }
-    val existing = tables.get(measurement).map(_._1)
-    val merged = existing match {
-      case Some(old) if old.columns.sorted.sameElements(withTime.columns.sorted) =>
-        old.unionByName(withTime)
-      case _ => withTime
+    val stored = dataDir match {
+      case Some(dir) =>
+        // durable path: the batch lands as NEW parquet files — O(batch)
+        // per ingest, never O(table) — and the registered frame becomes a
+        // plain scan of the at-rest directory (read-your-writes from disk,
+        // no union lineage to compact). Write fan-out analog:
+        // service/write_handler.go:157-212.
+        sources.MeasurementStore.append(spark, dir, meta, withTime, keyTagsFor(measurement))
+        raw.unpersist(false)
+        sources.MeasurementStore.read(spark, dir, measurement).get._1
+      case None =>
+        val existing = tables.get(measurement).map(_._1)
+        val merged = existing match {
+          case Some(old) if old.columns.sorted.sameElements(withTime.columns.sorted) =>
+            old.unionByName(withTime)
+          case _ => withTime
+        }
+        val seq = writeSeq.updateWith(measurement) {
+          case Some(n) => Some(n + 1)
+          case None    => Some(1)
+        }.get
+        if (seq % CheckpointEvery == 0) {
+          val cp = merged.localCheckpoint(true) // materialize + cut lineage
+          (raw :: pendingCaches.getOrElse(measurement, Nil)).foreach(_.unpersist(false))
+          pendingCaches.remove(measurement)
+          cp
+        } else {
+          pendingCaches.updateWith(measurement)(l => Some(raw :: l.getOrElse(Nil)))
+          merged
+        }
     }
-    val seq = writeSeq.updateWith(measurement) {
-      case Some(n) => Some(n + 1)
-      case None    => Some(1)
-    }.get
-    val stored =
-      if (seq % CheckpointEvery == 0) {
-        val cp = merged.localCheckpoint(true) // materialize + cut lineage
-        (raw :: pendingCaches.getOrElse(measurement, Nil)).foreach(_.unpersist(false))
-        pendingCaches.remove(measurement)
-        cp
-      } else {
-        pendingCaches.updateWith(measurement)(l => Some(raw :: l.getOrElse(Nil)))
-        merged
-      }
     registerMeasurement(meta, stored)
     // live CQ continuation: refresh every CQ whose source is this
     // measurement (micro-batch semantics — see CreateContinuousQuery)

@@ -31,6 +31,10 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // durable measurements lay tag values out as partition directories;
+      // tags are strings by the data model — a tag value like "123" must
+      // not come back as an int after a restart
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       // keep managed-table data out of the repo cwd (bucketed-table specs)
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")

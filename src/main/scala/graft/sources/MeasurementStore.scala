@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.ql.{FieldMeta, TableMeta}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable measurement storage — the at-rest half of the write path the
+  * reference delegates to its data nodes (`service/write_handler.go:157-212`
+  * fans every batch out to nodes that persist it; an engine restart there
+  * loses nothing). Layout under a root directory:
+  *
+  *   dataDir/<measurement>/data/     parquet (partitionBy partition-key tags
+  *                                   when one is defined — read-side pruning
+  *                                   via PruneFileSourcePartitions for free)
+  *   dataDir/<measurement>/meta      one-line-per-attribute TableMeta
+  *
+  * Ingest is append-only: each batch lands as new parquet files — O(batch),
+  * never O(table), which is the property that holds at 100 TB. Deletes,
+  * retention expiry, and schema-widening rewrites go through `rewrite`:
+  * write the survivor set to a fresh `data.tmp`, then atomically swap
+  * directories — never overwrite a directory a lazy plan may still be
+  * reading (the classic self-overwrite corruption). All paths use the
+  * Hadoop FileSystem API, so the same code runs on HDFS/S3A.
+  */
+object MeasurementStore {
+
+  // U+001F (unit separator) never appears in identifiers; commas can
+  private val Sep = "\u001f"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dataPath(dir: String, m: String): String = s"$dir/$m/data"
+  private def metaPath(dir: String, m: String) = new Path(s"$dir/$m/meta")
+
+  def saveMeta(spark: SparkSession, dir: String, meta: TableMeta): Unit = {
+    val p = metaPath(dir, meta.measurement)
+    val f = fs(spark, p)
+    val body = Seq(
+      meta.measurement,
+      meta.timeCol,
+      meta.tags.mkString(Sep),
+      meta.fields.map(fm => s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}").mkString(Sep),
+      meta.rawTimeNs.getOrElse("")
+    ).mkString("\n")
+    val out = f.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  def loadMeta(spark: SparkSession, dir: String, m: String): Option[TableMeta] = {
+    val p = metaPath(dir, m)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = body.split("\n", -1)
+    def split(s: String) = if (s.isEmpty) Seq.empty[String] else s.split(Sep, -1).toSeq
+    Some(TableMeta(
+      measurement = lines(0),
+      timeCol = lines(1),
+      tags = split(lines(2)),
+      fields = split(lines(3)).map { fv =>
+        val i = fv.lastIndexOf(':')
+        FieldMeta(fv.substring(0, i),
+          Option(fv.substring(i + 1)).filter(_.nonEmpty).map(_.toLong))
+      },
+      rawTimeNs = Option(lines(4)).filter(_.nonEmpty)))
+  }
+
+  /** Append one ingest batch. `keyTags` (the partition key, when defined)
+    * become directory-partition columns; appends with a widened schema are
+    * legal — reads merge schemas and null-pad older files. */
+  def append(spark: SparkSession, dir: String, meta: TableMeta, batch: DataFrame,
+      keyTags: Seq[String] = Nil): Unit = {
+    val w = batch.write.mode("append")
+    val partCols = keyTags.filter(batch.columns.contains)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(dataPath(dir, meta.measurement))
+    saveMeta(spark, dir, meta)
+  }
+
+  /** Replace the at-rest contents with `df` (delete compaction, retention
+    * expiry): materialize into `data.tmp`, then swap via rename — the
+    * source plan may lazily read the live directory, so the write must not
+    * touch it. */
+  def rewrite(spark: SparkSession, dir: String, meta: TableMeta, df: DataFrame,
+      keyTags: Seq[String] = Nil): Unit = {
+    val live = new Path(dataPath(dir, meta.measurement))
+    val tmp = new Path(dataPath(dir, meta.measurement) + ".tmp")
+    val old = new Path(dataPath(dir, meta.measurement) + ".old")
+    val f = fs(spark, live)
+    val w = df.write.mode("overwrite")
+    val partCols = keyTags.filter(df.columns.contains)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(tmp.toString)
+    if (f.exists(old)) f.delete(old, true)
+    if (f.exists(live)) f.rename(live, old)
+    f.rename(tmp, live)
+    f.delete(old, true)
+    saveMeta(spark, dir, meta)
+  }
+
+  /** The write-path frame schema implied by a TableMeta (Engine
+    * writeLineProtocol layout: time_ns, ts, tags, fields, timeCol
+    * [, rawTimeNs]) — used to answer reads when the data directory holds
+    * zero rows (a full DELETE compaction may leave no parquet footers to
+    * infer a schema from). */
+  def writeSchema(meta: TableMeta): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    var s = new StructType().add("time_ns", LongType).add("ts", TimestampType)
+    meta.tags.foreach(t => s = s.add(t, StringType))
+    meta.fields.foreach(f => s = s.add(f.name, DoubleType))
+    if (!s.fieldNames.contains(meta.timeCol)) s = s.add(meta.timeCol, LongType)
+    meta.rawTimeNs.filterNot(s.fieldNames.contains).foreach(r => s = s.add(r, LongType))
+    s
+  }
+
+  /** Lazy scan of the durable measurement (mergeSchema: appended batches
+    * may have widened the field set). None if never written; a meta file
+    * with no readable data answers as an empty, correctly-typed frame. */
+  def read(spark: SparkSession, dir: String, m: String): Option[(DataFrame, TableMeta)] =
+    loadMeta(spark, dir, m).map { meta =>
+      val p = new Path(dataPath(dir, m))
+      val df =
+        if (!fs(spark, p).exists(p))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            writeSchema(meta))
+        else
+          try spark.read.option("mergeSchema", "true").parquet(dataPath(dir, m))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              writeSchema(meta))
+          }
+      (df, meta)
+    }
+
+  def drop(spark: SparkSession, dir: String, m: String): Unit = {
+    val p = new Path(s"$dir/$m")
+    val f = fs(spark, p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** Measurements present under the root (those with a meta file). */
+  def list(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(m => f.exists(metaPath(dir, m))).sorted
+  }
+}

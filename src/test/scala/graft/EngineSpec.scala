@@ -266,6 +266,40 @@ class EngineSpec extends SparkSpec {
     assert(out(2).columns.contains("mean"))
   }
 
+  test("write precision scales incoming timestamps (/write?precision= analog)") {
+    val e = newEngine
+    val meta = TableMeta("prec", "ts_us",
+      tags = Seq("t"), fields = Seq(FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq("prec,t=a v=1 5"), "prec", precision = "s")
+    e.writeLineProtocol(Seq("prec,t=b v=2 7"), "prec", precision = "ms")
+    e.writeLineProtocol(Seq("prec,t=c v=3 9"), "prec", precision = "u")
+    e.writeLineProtocol(Seq("prec,t=d v=4 11000"), "prec") // ns default
+    val rows = e.execute("SELECT v FROM prec").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("v"))).toSet
+    assert(rows == Set((5000000L, 1.0), (7000L, 2.0), (9L, 3.0), (11L, 4.0)))
+  }
+
+  test("SELECT INTO registers every output column as a field") {
+    val e = newEngine
+    e.execute("SELECT mean(value), max(value) INTO mm_target FROM events GROUP BY time(1d), event_type")
+    val fk = e.execute("SHOW FIELD KEYS FROM mm_target").collect()
+      .map(_.getString(1)).toSet
+    assert(fk == Set("mean", "max")) // round-4 defect: only `max` survived
+    val out = e.execute("SELECT mean, max FROM mm_target").collect()
+    assert(out.nonEmpty && out.forall(r => !r.isNullAt(r.fieldIndex("mean"))))
+  }
+
+  test("proxy-path queries are visible to SHOW QUERIES") {
+    val e = newEngine
+    e.queryJson("SELECT count(value) FROM events GROUP BY event_type")
+    val sw = new java.io.StringWriter
+    e.queryJsonStream("SELECT sum(value) FROM events GROUP BY event_type", sw)
+    val qs = e.execute("SHOW QUERIES").collect().map(_.getString(1))
+    assert(qs.exists(_.contains("count(value)")))
+    assert(qs.exists(_.contains("sum(value)")))
+  }
+
   test("retention cutoff arithmetic (RP expiry maintenance)") {
     val e = newEngine
     e.execute("CREATE DATABASE ttl")

@@ -48,6 +48,15 @@ class LineProtocolSpec extends AnyFunSuite {
     assert(parseLine(",=bad v=1").isLeft)
   }
 
+  test("precision param scales timestamps to ns (/write?precision=)") {
+    assert(precisionToNs("ns") == 1L)
+    assert(precisionToNs("u") == 1000L)
+    assert(precisionToNs("us") == 1000L)
+    assert(precisionToNs("ms") == 1000000L)
+    assert(precisionToNs("s") == 1000000000L)
+    assertThrows[IllegalArgumentException](precisionToNs("h"))
+  }
+
   test("serialize ∘ parse = identity (export path, importer.go:369-404)") {
     val p = Point("events", Map("event_type" -> "click"),
       Map("value" -> FFloat(55.75), "user_id" -> FInt(42)), Some(1704067200000000000L))
