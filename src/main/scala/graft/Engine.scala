@@ -442,7 +442,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
         val result = new Translator(df, meta).run(sel)
         val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
         InfluxJson.serializeStream(Translator.measurementName(sel.from), result,
-          out, tags, epoch)
+          out, tags, epoch, timeDesc = sel.orderDesc)
       case _ => out.write(InfluxJson.serialize("results", execute(influxql)))
     }
 

@@ -94,9 +94,19 @@ object InfluxJson {
   /** Streamed serialization: sort by the tag columns so every series is
     * contiguous, then emit rows straight off `toLocalIterator()` (Spark
     * fetches one partition at a time — the driver never holds the result).
-    * Series-block boundaries open/close as the tag combination changes. */
+    * Series-block boundaries open/close as the tag combination changes.
+    *
+    * `timeDesc` carries the query's ORDER BY direction into the
+    * tag-contiguity sort (tags asc, time in the query's direction) — a
+    * `GROUP BY tag ORDER BY time DESC` must stream each series newest-
+    * first. One sort satisfies both needs, and it is also the ONLY sort
+    * that executes: Catalyst's EliminateSorts drops the translator's own
+    * trailing global orderBy when this one immediately follows it
+    * (verified: the executed plan carries a single Sort node), so the
+    * streamed path costs one Exchange+Sort, not two. */
   def serializeStream(name: String, df: DataFrame, out: java.io.Writer,
-      tagCols: Seq[String] = Nil, epoch: Option[String] = Some("u")): Unit = {
+      tagCols: Seq[String] = Nil, epoch: Option[String] = Some("u"),
+      timeDesc: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
     val cols = df.columns
@@ -104,10 +114,12 @@ object InfluxJson {
     val valueIdx = cols.indices.filterNot(tagIdx.contains)
     val valueCols = valueIdx.map(cols)
     val timePos = valueCols.indexOf("time")
+    val timeSort =
+      if (!cols.contains("time")) Nil
+      else Seq(if (timeDesc) col("time").desc else col("time").asc)
     val ordered =
       if (tagIdx.isEmpty) df
-      else df.orderBy(tagIdx.map(i => col(cols(i))) ++
-        (if (cols.contains("time")) Seq(col("time")) else Nil): _*)
+      else df.orderBy(tagIdx.map(i => col(cols(i)).asc) ++ timeSort: _*)
     val it = ordered.toLocalIterator()
     if (!it.hasNext) { out.write("""{"results":[{}]}"""); return }
     out.write("""{"results":[{"statement_id":0,"series":[""")

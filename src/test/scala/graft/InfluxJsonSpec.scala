@@ -65,4 +65,36 @@ class InfluxJsonSpec extends SparkSpec {
     InfluxJson.serializeStream("m", Seq.empty[(Long, Double)].toDF("time", "v"), w2)
     assert(w2.toString == """{"results":[{}]}""")
   }
+
+  test("serializeStream honors ORDER BY time DESC (round-4 defect)") {
+    val s = spark
+    import s.implicits._
+    // translator output order for `GROUP BY type ORDER BY time DESC`
+    val df = Seq(
+      (2000000L, "gold", 50.0),
+      (1000000L, "gold", 100.0),
+      (2000000L, "trash", 1.0),
+      (1000000L, "trash", 0.0)
+    ).toDF("time", "type", "mean").orderBy(org.apache.spark.sql.functions.col("time").desc)
+    val buffered = InfluxJson.serialize("treasures",
+      df.orderBy($"type".asc, $"time".desc), tagCols = Seq("type"))
+    val w = new java.io.StringWriter
+    InfluxJson.serializeStream("treasures", df, w, tagCols = Seq("type"), timeDesc = true)
+    assert(w.toString == buffered) // byte-for-byte, each series newest-first
+    assert(w.toString.indexOf("2000000") < w.toString.indexOf("1000000"))
+  }
+
+  test("engine queryJsonStream streams DESC within each series") {
+    val e = new Engine(spark, sfDir)
+    val meta = graft.ql.TableMeta("djs", "ts_us",
+      tags = Seq("t"), fields = Seq(graft.ql.FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq(
+      "djs,t=a v=1 1000000000",
+      "djs,t=a v=2 2000000000"), "djs")
+    val w = new java.io.StringWriter
+    e.queryJsonStream("SELECT v FROM djs GROUP BY t ORDER BY time DESC", w)
+    val vals = """\[(\d+),""".r.findAllMatchIn(w.toString).map(_.group(1).toLong).toList
+    assert(vals == List(2000000L, 1000000L)) // newest first (epoch µs)
+  }
 }
