@@ -399,35 +399,125 @@ final class Engine(val spark: SparkSession, sfDir: String,
     }
 
   /** Launch the STREAMING form of a registered continuous query over an
-    * unbounded input with columns (ts TIMESTAMP, tags..., field): the
-    * stored `SELECT agg(f) INTO target FROM src GROUP BY time(iv)[, tags]`
-    * becomes a ContinuousQuery plan (watermark + dedup + tumbling window →
-    * update-mode sink named after the CQ), and the INTO target is
-    * re-registered over the live sink so InfluxQL reads observe every
-    * micro-batch. This is the unbounded-source half of SURVEY §2.11; the
-    * batch half is the writeLineProtocol continuation above. */
+    * unbounded input with columns (ts TIMESTAMP, tags..., field). Two
+    * physical forms behind one surface (the unbounded-source half of
+    * SURVEY §2.11; the batch half is the writeLineProtocol continuation
+    * above):
+    *
+    *  - mean/sum/count/min/max — incrementally MERGEABLE, so the stored
+    *    `SELECT agg(f) INTO target FROM src GROUP BY time(iv)[, tags]`
+    *    becomes a stateful ContinuousQuery plan (watermark + dedup +
+    *    tumbling window → update-mode sink). State is O(open windows),
+    *    zero recompute: the form you want at 100 TB/day ingest.
+    *  - everything else (percentile, stddev, top, median, spread, ...) —
+    *    holistic aggregates with no bounded merge state, handled by a
+    *    foreachBatch bridge that re-runs the stored SELECT through the
+    *    full Translator, restricted to the buckets the batch touched
+    *    (see startCqStreamGeneral). Full InfluxQL surface, bounded
+    *    per-batch recompute. */
   def startCqStream(name: String, input: DataFrame,
       watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
     val (src, sel) = cqs.getOrElse(name,
       throw ParseException(s"no such continuous query: $name"))
-    val (field, agg) = sel.fields match {
-      case List(Field(Call(a @ ("mean" | "sum" | "count" | "min" | "max"),
-        List(Ident(f))), _)) => (f, a)
-      case other => throw ParseException(
-        s"streaming CQ supports a single simple aggregate, got $other")
-    }
     val iv = sel.groupByTime.getOrElse(
       throw ParseException("streaming CQ requires GROUP BY time(iv)"))
-    val cq = ContinuousQuery.CQ(name, src, field, agg,
-      s"$iv microseconds", sel.groupByTags, watermark)
-    val q = ContinuousQuery.start(spark, input, cq)
-    sel.into.foreach { target => // live read-your-writes through the sink
-      registerMeasurement(
-        TableMeta(target, "time", tags = sel.groupByTags,
-          fields = Seq(FieldMeta(agg, None))),
-        spark.table(name).withColumn("time", unix_micros(col("time"))))
+    sel.fields match {
+      case List(Field(Call(a @ ("mean" | "sum" | "count" | "min" | "max"),
+        List(Ident(f))), _)) =>
+        val cq = ContinuousQuery.CQ(name, src, f, a,
+          s"$iv microseconds", sel.groupByTags, watermark)
+        val q = ContinuousQuery.start(spark, input, cq)
+        sel.into.foreach { target => // live read-your-writes through the sink
+          registerMeasurement(
+            TableMeta(target, "time", tags = sel.groupByTags,
+              fields = Seq(FieldMeta(a, None))),
+            spark.table(name).withColumn("time", unix_micros(col("time"))))
+        }
+        q
+      case _ => startCqStreamGeneral(name, src, sel, iv, input, watermark)
     }
-    q
+  }
+
+  /** foreachBatch bridge for CQs whose aggregate is NOT incrementally
+    * mergeable: each micro-batch (a) merges into the source measurement
+    * (read-your-writes, like writeLineProtocol), then (b) re-runs the
+    * stored SELECT through the Translator with the WHERE range narrowed
+    * to exactly the time buckets the batch touched, and (c) patches those
+    * buckets in the INTO target (complement ∪ recomputed slice). Per-batch
+    * cost is O(batch + touched-bucket history), never O(full history) —
+    * the same bound the stateful path gets from watermark eviction, so
+    * the bridge survives an unbounded stream. Matches the reference's CQ
+    * semantics (full-fidelity recompute per interval,
+    * /root/reference/syncing/importer.go:323-333). */
+  private def startCqStreamGeneral(name: String, src: String, sel: SelectStmt,
+      ivUs: Long, input: DataFrame,
+      watermark: String): org.apache.spark.sql.streaming.StreamingQuery =
+    input.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark() // at-least-once redelivery dedup
+      .writeStream
+      .queryName(name)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val srcMeta = tables.get(src).map(_._2).getOrElse(
+          TableMeta(src, "time", tags = sel.groupByTags,
+            fields = batch.columns.toSeq
+              .filterNot(c => c == "ts" || sel.groupByTags.contains(c))
+              .map(FieldMeta(_, None))))
+        // full write-path shape (time_ns + ts + timeCol), so the union with
+        // line-protocol-written history is column-compatible
+        val shaped0 = batch
+          .withColumn("time_ns", unix_micros(col("ts")) * 1000L)
+          .withColumn(srcMeta.timeCol, unix_micros(col("ts")))
+        val shaped = srcMeta.rawTimeNs match {
+          case Some(ns) => shaped0.withColumn(ns, col("time_ns"))
+          case None     => shaped0
+        }
+        // micro-batch frames are transient — materialize before retaining
+        val rows = shaped.localCheckpoint(true)
+        if (rows.head(1).nonEmpty) {
+          val merged = tables.get(src).map(_._1) match {
+            case Some(old) if old.columns.sorted.sameElements(rows.columns.sorted) =>
+              old.unionByName(rows)
+            case _ => rows
+          }
+          registerMeasurement(srcMeta, compactLineage(src, merged))
+          // bucket span this batch touched (bounded by the batch itself)
+          val mm = rows.agg(min(col(srcMeta.timeCol)), max(col(srcMeta.timeCol))).head()
+          val off = sel.groupByTimeOffset
+          val lo = Math.floorDiv(mm.getLong(0) - off, ivUs) * ivUs + off
+          val hi = (Math.floorDiv(mm.getLong(1) - off, ivUs) + 1L) * ivUs + off
+          val touched: Expr = Bin("AND",
+            Bin(">=", Ident("time"), IntLit(lo)),
+            Bin("<", Ident("time"), IntLit(hi)))
+          val restricted = sel.copy(into = None,
+            where = Some(sel.where.fold(touched)(w => Bin("AND", Paren(w), touched))))
+          val (df, m) = Translator.resolve(sel.from, load, () => measurementNames)
+          val patch = new Translator(df, m).run(restricted).localCheckpoint(true)
+          sel.into.foreach { target =>
+            val next = tables.get(target).map(_._1) match {
+              case Some(prev) if prev.columns.sorted.sameElements(patch.columns.sorted) =>
+                prev.where(col("time") < lo || col("time") >= hi).unionByName(patch)
+              case _ => patch
+            }
+            val tags = sel.groupByTags.filter(patch.columns.contains)
+            val fields = patch.columns.toSeq
+              .filterNot(c => c == "time" || tags.contains(c)).map(FieldMeta(_, None))
+            registerMeasurement(TableMeta(target, "time", tags = tags, fields = fields),
+              compactLineage(target, next))
+          }
+        }
+      }
+      .start()
+
+  /** Bounded-plan guard shared by sustained write paths: every
+    * CheckpointEvery merges, cut the union lineage with an eager
+    * localCheckpoint (single-JVM analog of at-rest compaction). */
+  private def compactLineage(measurement: String, df: DataFrame): DataFrame = {
+    val seq = writeSeq.updateWith(measurement) {
+      case Some(n) => Some(n + 1)
+      case None    => Some(1)
+    }.get
+    if (seq % CheckpointEvery == 0) df.localCheckpoint(true) else df
   }
 
   /** Streamed queryJson: O(one partition) driver memory via

@@ -61,6 +61,44 @@ class ContinuousQuerySpec extends SparkSpec {
     q.stop()
   }
 
+  test("general streaming CQ (percentile) matches the batch answer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = new graft.Engine(s, sfDir)
+    val meta = graft.ql.TableMeta("pq_src", "ts_us",
+      tags = Seq("type"), fields = Seq(graft.ql.FieldMeta("value", Some(100L))))
+    e.registerMeasurement(meta, s.emptyDataFrame)
+    // pre-stream history so the backfilled bucket must SURVIVE the patches
+    e.writeLineProtocol(Seq("pq_src,type=gold value=7 60000000000"), "pq_src")
+    e.execute(
+      """CREATE CONTINUOUS QUERY live_p90 ON default BEGIN
+        |SELECT percentile(value, 90) INTO pq_tgt FROM pq_src GROUP BY time(5m), type
+        |END""".stripMargin)
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = e.startCqStream("live_p90", input.toDF().toDF("ts", "type", "value"))
+    input.addData(
+      (ts(1), "gold", 10.0), (ts(2), "gold", 20.0), (ts(3), "gold", 30.0),
+      (ts(2), "gold", 20.0)) // at-least-once redelivery
+    q.processAllAvailable()
+    // second micro-batch touches a DIFFERENT bucket: only that bucket is
+    // recomputed; earlier buckets must come through the patch-merge intact
+    input.addData((ts(6), "silver", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[String]("type"),
+        r.getAs[Double]("percentile"))).toSet
+    val streamed = rows(e.execute("SELECT type, percentile FROM pq_tgt"))
+    val batch = rows(e.execute(
+      "SELECT percentile(value, 90) FROM pq_src GROUP BY time(5m), type"))
+    assert(streamed == batch)            // holistic agg, full surface
+    assert(streamed.size == 3)           // backfill bucket + 2 stream buckets
+    assert(streamed.exists(_._3 == 7.0)) // pre-stream history survived
+  }
+
   test("batch backfill produces the same answer as the streaming plan") {
     val s = spark
     import s.implicits._
