@@ -45,4 +45,8 @@ final class ReplicationSettings {
   def set(db: Option[String], msmt: Option[String], n: Int): Unit = m((db, msmt)) = n
   def get(db: Option[String], msmt: Option[String]): Int =
     m.getOrElse((db, msmt), m.getOrElse((db, None), m.getOrElse((None, None), 2))) // default RF=2 (resolver.go:36)
+  /** Durable-catalog snapshot (reference `settings_storage.go:59-87`). */
+  def records: Seq[(Option[String], Option[String], Int)] =
+    m.toSeq.sortBy(k => (k._1._1.getOrElse(""), k._1._2.getOrElse("")))
+      .map { case ((db, ms), n) => (db, ms, n) }
 }

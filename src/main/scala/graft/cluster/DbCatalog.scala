@@ -62,6 +62,18 @@ final class DbCatalog {
   def listCqs(db: Option[String] = None): Seq[CqDef] =
     cqs.values.toSeq.filter(c => db.forall(_ == c.db)).sortBy(c => (c.db, c.name))
 
+  // ---- durable-catalog snapshot/restore (Engine persistMeta round-trip;
+  // restore bypasses the duplicate/exists validation a replay would trip)
+  def rpRecords: Seq[(String, String, Long, Int, Boolean)] =
+    rps.toSeq.sortBy(_._1).map { case ((db, _), r) =>
+      (db, r.name, r.durationUs, r.replicas, r.default) }
+  def restoreDb(name: String): Unit = dbs.putIfAbsent(name, ())
+  def restoreRp(db: String, name: String, durationUs: Long, replicas: Int,
+      default: Boolean): Unit =
+    rps((db, name)) = Rp(name, durationUs, replicas, default)
+  def restoreCq(db: String, name: String, query: SelectStmt): Unit =
+    cqs((db, name)) = CqDef(name, db, query)
+
   /** RP expiry predicate: rows older than `now - duration` are expired
     * (duration 0 = keep forever). The maintenance job is
     * `df.where(!expired)` rewritten over the table — SURVEY §1.3. */

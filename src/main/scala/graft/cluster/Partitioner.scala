@@ -101,4 +101,8 @@ final class PartitionKeyStore {
   /** Measurement-level key, falling back to the DB-level key. */
   def resolve(db: String, msmt: String): Option[PartitionKey] =
     keys.get((db, Some(msmt))).orElse(keys.get((db, None)))
+
+  /** Durable-catalog restore (reference etcd `partition_key_storage.go`). */
+  def restore(db: String, msmt: Option[String], tags: List[String]): Unit =
+    keys((db, msmt)) = PartitionKey(db, msmt, tags)
 }

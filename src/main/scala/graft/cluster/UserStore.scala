@@ -75,4 +75,12 @@ final class UserStore {
     }
 
   def isEmpty: Boolean = users.isEmpty
+
+  // ---- durable-catalog snapshot/restore (the reference's EtcdAuthStorage,
+  // cluster/auth.go:120-158, persists exactly this state)
+  def records: Seq[(String, String, Boolean, Map[String, String])] =
+    users.values.toSeq.sortBy(_.name).map(u => (u.name, u.pwHash, u.admin, u.grants))
+  def restoreUser(name: String, pwHash: String, admin: Boolean,
+      grants: Map[String, String]): Unit =
+    users(name) = User(name, pwHash, admin, grants)
 }

@@ -135,7 +135,11 @@ object LineProtocol {
     case "u" | "us" | "µ" => 1000L
     case "ms"       => 1000000L
     case "s"        => 1000000000L
-    case o => throw new IllegalArgumentException(s"bad precision '$o' (want ns|u|ms|s)")
+    // the reference's /write accepts minute/hour precision too
+    // (models.Point precision param on the write handler)
+    case "m"        => 60000000000L
+    case "h"        => 3600000000000L
+    case o => throw new IllegalArgumentException(s"bad precision '$o' (want ns|u|ms|s|m|h)")
   }
 
   def parseRaw(spark: SparkSession, lines: Dataset[String], measurement: String,

@@ -33,50 +33,84 @@ object MeasurementStore {
   def dataPath(dir: String, m: String): String = s"$dir/$m/data"
   private def metaPath(dir: String, m: String) = new Path(s"$dir/$m/meta")
 
-  def saveMeta(spark: SparkSession, dir: String, meta: TableMeta): Unit = {
+  /** Persist TableMeta (+ the directory-partition key tags, line 6 — the
+    * layout must survive restart or a later append writes unpartitioned
+    * files into a partitioned directory and partition discovery fails with
+    * 'Conflicting directory structures'). tmp+rename: a crash mid-write
+    * leaves the previous intact meta, never a torn one. */
+  def saveMeta(spark: SparkSession, dir: String, meta: TableMeta,
+      keyTags: Seq[String] = Nil): Unit = {
     val p = metaPath(dir, meta.measurement)
+    val tmp = new Path(p.toString + ".tmp")
     val f = fs(spark, p)
     val body = Seq(
       meta.measurement,
       meta.timeCol,
       meta.tags.mkString(Sep),
       meta.fields.map(fm => s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}").mkString(Sep),
-      meta.rawTimeNs.getOrElse("")
+      meta.rawTimeNs.getOrElse(""),
+      keyTags.mkString(Sep)
     ).mkString("\n")
-    val out = f.create(p, true)
+    val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
   }
 
-  def loadMeta(spark: SparkSession, dir: String, m: String): Option[TableMeta] = {
-    val p = metaPath(dir, m)
-    val f = fs(spark, p)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = body.split("\n", -1)
-    def split(s: String) = if (s.isEmpty) Seq.empty[String] else s.split(Sep, -1).toSeq
-    Some(TableMeta(
-      measurement = lines(0),
-      timeCol = lines(1),
-      tags = split(lines(2)),
-      fields = split(lines(3)).map { fv =>
-        val i = fv.lastIndexOf(':')
-        FieldMeta(fv.substring(0, i),
-          Option(fv.substring(i + 1)).filter(_.nonEmpty).map(_.toLong))
-      },
-      rawTimeNs = Option(lines(4)).filter(_.nonEmpty)))
-  }
+  /** None when absent OR malformed — a corrupt meta (crash mid-write on a
+    * filesystem without atomic rename) must not prevent the whole Engine
+    * from starting; the measurement is simply not restored. */
+  def loadMeta(spark: SparkSession, dir: String, m: String): Option[TableMeta] =
+    readMetaLines(spark, dir, m).flatMap { lines =>
+      def split(s: String) = if (s.isEmpty) Seq.empty[String] else s.split(Sep, -1).toSeq
+      scala.util.Try(TableMeta(
+        measurement = lines(0),
+        timeCol = lines(1),
+        tags = split(lines(2)),
+        fields = split(lines(3)).map { fv =>
+          val i = fv.lastIndexOf(':')
+          require(i >= 0, s"bad field entry '$fv'")
+          FieldMeta(fv.substring(0, i),
+            Option(fv.substring(i + 1)).filter(_.nonEmpty).map(_.toLong))
+        },
+        rawTimeNs = Option(lines(4)).filter(_.nonEmpty))).toOption
+    }
+
+  /** The at-rest directory-partition columns (meta line 6; Nil for files
+    * written before the layout was persisted). */
+  def loadKeyTags(spark: SparkSession, dir: String, m: String): Seq[String] =
+    readMetaLines(spark, dir, m) match {
+      case Some(lines) if lines.length > 5 && lines(5).nonEmpty =>
+        lines(5).split(Sep, -1).toSeq
+      case _ => Nil
+    }
+
+  private def readMetaLines(spark: SparkSession, dir: String, m: String): Option[Array[String]] =
+    scala.util.Try {
+      val p = metaPath(dir, m)
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(body.split("\n", -1))
+      }
+    }.toOption.flatten.filter(_.length >= 5)
 
   /** Append one ingest batch. `keyTags` (the partition key, when defined)
     * become directory-partition columns; appends with a widened schema are
     * legal — reads merge schemas and null-pad older files. */
   def append(spark: SparkSession, dir: String, meta: TableMeta, batch: DataFrame,
       keyTags: Seq[String] = Nil): Unit = {
+    // an existing at-rest layout wins over the caller's (possibly empty)
+    // key: once a directory is tag-partitioned, every append must follow
+    // suit or the mixed layout breaks partition discovery
+    val layout = if (keyTags.nonEmpty) keyTags else loadKeyTags(spark, dir, meta.measurement)
     val w = batch.write.mode("append")
-    val partCols = keyTags.filter(batch.columns.contains)
+    val partCols = layout.filter(batch.columns.contains)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(dataPath(dir, meta.measurement))
-    saveMeta(spark, dir, meta)
+    saveMeta(spark, dir, meta, partCols)
   }
 
   /** Replace the at-rest contents with `df` (delete compaction, retention
@@ -89,15 +123,18 @@ object MeasurementStore {
     val tmp = new Path(dataPath(dir, meta.measurement) + ".tmp")
     val old = new Path(dataPath(dir, meta.measurement) + ".old")
     val f = fs(spark, live)
+    val layout = if (keyTags.nonEmpty) keyTags else loadKeyTags(spark, dir, meta.measurement)
     val w = df.write.mode("overwrite")
-    val partCols = keyTags.filter(df.columns.contains)
+    val partCols = layout.filter(df.columns.contains)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(tmp.toString)
     if (f.exists(old)) f.delete(old, true)
     if (f.exists(live)) f.rename(live, old)
     f.rename(tmp, live)
-    f.delete(old, true)
-    saveMeta(spark, dir, meta)
+    // keep .old until the NEXT rewrite (deleted above): a lazy plan handed
+    // out before this swap may still hold the pre-rewrite file listing —
+    // deleting immediately would fail it with FileNotFoundException
+    saveMeta(spark, dir, meta, partCols)
   }
 
   /** The write-path frame schema implied by a TableMeta (Engine

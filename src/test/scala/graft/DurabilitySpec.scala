@@ -96,6 +96,87 @@ class DurabilitySpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("v")).toSet == Set(2.0))
   }
 
+  test("metadata catalog survives restart: RPs, users, CQs, subscriptions, partition keys, RP bindings") {
+    val dir = tmpDir()
+    val now = 10L * 3600 * 1000000 // epoch +10h, µs
+    val e1 = new Engine(spark, sfDir, Some(dir))
+    e1.nowUs = () => now
+    e1.execute("CREATE RETENTION POLICY short ON default DURATION 1h REPLICATION 1")
+    e1.execute("CREATE USER boss WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
+    e1.execute("CREATE PARTITION KEY type ON default.dm")
+    e1.execute("CREATE SUBSCRIPTION hook ON default.autogen DESTINATIONS ALL 'dest-a', 'dest-b'")
+    e1.registerMeasurement(meta, spark.emptyDataFrame)
+    e1.setRetentionPolicy("dm", "default", "short")
+    e1.writeLineProtocol(Seq(
+      s"dm,type=a v=1 ${(now - 2L * 3600 * 1000000) * 1000}",  // expired under short
+      s"dm,type=b v=2 ${(now - 10L * 60 * 1000000) * 1000}"), "dm")
+    e1.execute("CREATE CONTINUOUS QUERY cqm ON default BEGIN " +
+      "SELECT mean(v) INTO dm_m FROM dm GROUP BY time(1h) END")
+
+    val e2 = new Engine(spark, sfDir, Some(dir)) // restart
+    e2.nowUs = () => now
+    assert(e2.execute("SHOW RETENTION POLICIES ON default").collect()
+      .map(_.getString(0)).contains("short"))
+    assert(e2.execute("SHOW USERS").collect().map(_.getString(0)).contains("boss"))
+    assert(e2.execute("SHOW CONTINUOUS QUERIES").collect()
+      .map(_.getString(1)).contains("cqm"))
+    assert(e2.execute("SHOW SUBSCRIPTIONS").collect()
+      .map(r => (r.getString(2), r.getString(4))).contains(("hook", "dest-a, dest-b")))
+    assert(e2.execute("SHOW PARTITION KEYS").collect()
+      .map(r => (r.getString(1), r.getString(2))).contains(("dm", "type")))
+    // auth stays CLOSED: the restored user catalog is non-empty, so an
+    // unknown user is rejected (r5's restart reopened auth entirely)
+    val denied = intercept[RuntimeException](e2.executeAs("nobody", "SELECT v FROM dm"))
+    assert(denied.getMessage.contains("not authorized"))
+    assert(e2.executeAs("boss", "SELECT v FROM dm").collect().nonEmpty)
+    // retention stays ENFORCED: the measurement→RP binding survived, so the
+    // 2h-old point is still invisible (r5's restart reverted to autogen)
+    assert(e2.execute("SELECT v FROM dm").collect()
+      .map(_.getAs[Double]("v")).toSet == Set(2.0))
+    // the CQ is still LIVE: a fresh write refreshes its INTO target
+    e2.writeLineProtocol(Seq(s"dm,type=b v=4 ${(now - 5L * 60 * 1000000) * 1000}"), "dm")
+    assert(e2.execute("SELECT mean FROM dm_m").collect()
+      .map(_.getAs[Double]("mean")).toSet == Set(3.0))
+  }
+
+  test("restart + append keeps the partitioned directory layout readable") {
+    val dir = tmpDir()
+    val e1 = new Engine(spark, sfDir, Some(dir))
+    e1.execute("CREATE PARTITION KEY type ON default.dm")
+    e1.registerMeasurement(meta, spark.emptyDataFrame)
+    e1.writeLineProtocol(Seq("dm,type=a v=1 1000000000"), "dm")
+
+    val e2 = new Engine(spark, sfDir, Some(dir)) // restart
+    e2.writeLineProtocol(Seq("dm,type=b v=2 2000000000"), "dm")
+    // both appends landed as tag=value partition directories — no mixed
+    // layout ('Conflicting directory structures'), no lost tag column
+    val entries = new java.io.File(s"$dir/dm/data").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
+    assert(entries.forall(_.isDirectory))
+    assert(entries.map(_.getName).toSet == Set("type=a", "type=b"))
+    assert(e2.execute("SELECT v FROM dm WHERE type = 'b'").collect()
+      .map(_.getAs[Double]("v")).toSet == Set(2.0))
+
+    // even after the key is dropped, the at-rest layout keeps winning
+    e2.execute("DROP PARTITION KEY ON default.dm")
+    e2.writeLineProtocol(Seq("dm,type=c v=3 3000000000"), "dm")
+    assert(e2.execute("SELECT v FROM dm").collect().length == 3)
+    val after = new java.io.File(s"$dir/dm/data").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
+    assert(after.forall(_.isDirectory) && after.map(_.getName).contains("type=c"))
+  }
+
+  test("a torn meta file skips that measurement but does not prevent engine start") {
+    val dir = tmpDir()
+    val e1 = new Engine(spark, sfDir, Some(dir))
+    e1.registerMeasurement(meta, spark.emptyDataFrame)
+    e1.writeLineProtocol(Seq("dm,type=a v=1 1000000000"), "dm")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/dm/meta"),
+      "corrupt".getBytes) // crash mid-write stand-in
+    val e2 = new Engine(spark, sfDir, Some(dir)) // must not throw
+    assert(!e2.execute("SHOW MEASUREMENTS").collect().map(_.getString(0)).contains("dm"))
+  }
+
   test("retention: expired rows invisible at read time, reclaimed by enforceRetention; autogen keeps all") {
     val dir = tmpDir()
     val e = new Engine(spark, sfDir, Some(dir))
@@ -122,9 +203,11 @@ class DurabilitySpec extends SparkSpec {
     assert(atRest.length == 1) // the expired row is physically gone
     assert(spark.read.parquet(s"$dir/dk/data").count() == 1) // infinite RP untouched
 
-    // survivors stay correct across a restart (rp mapping is re-declared
-    // by the operator; data itself is already compacted)
+    // survivors stay correct across a restart — and the RP binding itself
+    // is durable now, so the restarted engine keeps enforcing `short`
+    // (with the clock still pinned, the 10-minute-old point survives)
     val e2 = new Engine(spark, sfDir, Some(dir))
+    e2.nowUs = () => now
     assert(e2.execute("SELECT v FROM dm").collect().map(_.getAs[Double]("v")).toSet == Set(2.0))
   }
 }

@@ -54,7 +54,10 @@ class LineProtocolSpec extends AnyFunSuite {
     assert(precisionToNs("us") == 1000L)
     assert(precisionToNs("ms") == 1000000L)
     assert(precisionToNs("s") == 1000000000L)
-    assertThrows[IllegalArgumentException](precisionToNs("h"))
+    // the reference's /write accepts minute and hour precision too
+    assert(precisionToNs("m") == 60000000000L)
+    assert(precisionToNs("h") == 3600000000000L)
+    assertThrows[IllegalArgumentException](precisionToNs("fortnight"))
   }
 
   test("serialize ∘ parse = identity (export path, importer.go:369-404)") {
