@@ -495,14 +495,24 @@ final class Engine(val spark: SparkSession, sfDir: String,
     *    (see startCqStreamGeneral). Full InfluxQL surface, bounded
     *    per-batch recompute. */
   def startCqStream(name: String, input: DataFrame,
-      watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
+      watermark: String = "1 hour",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val (src, sel) = cqs.getOrElse(name,
       throw ParseException(s"no such continuous query: $name"))
     val iv = sel.groupByTime.getOrElse(
       throw ParseException("streaming CQ requires GROUP BY time(iv)"))
+    // durable engines default the checkpoint under dataDir, so a restarted
+    // engine can re-issue startCqStream(name) and RESUME from the last
+    // committed source offsets instead of reprocessing (or losing) history —
+    // the reference keeps CQs durable server state (importer.go:323-333)
+    val cp = checkpoint.orElse(dataDir.map(d => s"$d/_checkpoints/$name"))
     sel.fields match {
       case List(Field(Call(a @ ("mean" | "sum" | "count" | "min" | "max"),
-        List(Ident(f))), _)) =>
+        List(Ident(f))), _)) if dataDir.isEmpty =>
+        // incrementally-mergeable fast path: stateful window agg, state
+        // bounded by watermark eviction — the in-memory/live form. On a
+        // durable engine the general bridge below runs instead: its sink
+        // writes through MeasurementStore, which the memory sink cannot.
         val cq = ContinuousQuery.CQ(name, src, f, a,
           s"$iv microseconds", sel.groupByTags, watermark)
         val q = ContinuousQuery.start(spark, input, cq)
@@ -513,7 +523,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
             spark.table(name).withColumn("time", unix_micros(col("time"))))
         }
         q
-      case _ => startCqStreamGeneral(name, src, sel, iv, input, watermark)
+      case _ => startCqStreamGeneral(name, src, sel, iv, input, watermark, cp)
     }
   }
 
@@ -529,64 +539,120 @@ final class Engine(val spark: SparkSession, sfDir: String,
     * semantics (full-fidelity recompute per interval,
     * /root/reference/syncing/importer.go:323-333). */
   private def startCqStreamGeneral(name: String, src: String, sel: SelectStmt,
-      ivUs: Long, input: DataFrame,
-      watermark: String): org.apache.spark.sql.streaming.StreamingQuery =
-    input.withWatermark("ts", watermark)
+      ivUs: Long, input: DataFrame, watermark: String,
+      checkpoint: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = input.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark() // at-least-once redelivery dedup
       .writeStream
       .queryName(name)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val srcMeta = tables.get(src).map(_._2).getOrElse(
-          TableMeta(src, "time", tags = sel.groupByTags,
-            fields = batch.columns.toSeq
-              .filterNot(c => c == "ts" || sel.groupByTags.contains(c))
-              .map(FieldMeta(_, None))))
-        // full write-path shape (time_ns + ts + timeCol), so the union with
-        // line-protocol-written history is column-compatible
-        val shaped0 = batch
-          .withColumn("time_ns", unix_micros(col("ts")) * 1000L)
-          .withColumn(srcMeta.timeCol, unix_micros(col("ts")))
-        val shaped = srcMeta.rawTimeNs match {
-          case Some(ns) => shaped0.withColumn(ns, col("time_ns"))
-          case None     => shaped0
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // exactly-once across restarts: the checkpoint replays the last
+        // uncommitted batch on recovery, and a durable append must not land
+        // twice — skip batch ids at or below the recorded high-water mark
+        // (the standard foreachBatch idempotence pattern)
+        if (dataDir.isEmpty || batchId > lastCommittedBatch(name)) {
+          processCqBatch(name, src, sel, ivUs, batch)
+          dataDir.foreach(_ => recordCommittedBatch(name, batchId))
         }
-        // micro-batch frames are transient — materialize before retaining
-        val rows = shaped.localCheckpoint(true)
-        if (rows.head(1).nonEmpty) {
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
+  /** One general-CQ micro-batch: (a) merge into the source measurement —
+    * durably via MeasurementStore.append when dataDir is set (streamed rows
+    * previously lived only in the in-memory union and silently vanished on
+    * the next writeLineProtocol re-registration or a restart), (b) re-run
+    * the stored SELECT restricted to the touched buckets, (c) patch those
+    * buckets in the INTO target — durably via MeasurementStore.rewrite when
+    * dataDir is set, so standing-CQ results survive restart like raw writes
+    * do. Per-batch cost stays O(batch + touched-bucket history). */
+  private def processCqBatch(name: String, src: String, sel: SelectStmt,
+      ivUs: Long, batch: DataFrame): Unit = {
+    val srcMeta = tables.get(src).map(_._2).getOrElse(
+      TableMeta(src, "time", tags = sel.groupByTags,
+        fields = batch.columns.toSeq
+          .filterNot(c => c == "ts" || sel.groupByTags.contains(c))
+          .map(FieldMeta(_, None))))
+    // full write-path shape (time_ns + ts + timeCol), so the union with
+    // line-protocol-written history is column-compatible
+    val shaped0 = batch
+      .withColumn("time_ns", unix_micros(col("ts")) * 1000L)
+      .withColumn(srcMeta.timeCol, unix_micros(col("ts")))
+    val shaped = srcMeta.rawTimeNs match {
+      case Some(ns) => shaped0.withColumn(ns, col("time_ns"))
+      case None     => shaped0
+    }
+    // micro-batch frames are transient — materialize before retaining
+    val rows = shaped.localCheckpoint(true)
+    if (rows.head(1).nonEmpty) {
+      dataDir match {
+        case Some(dir) =>
+          sources.MeasurementStore.append(spark, dir, srcMeta, rows, keyTagsFor(src))
+          sources.MeasurementStore.read(spark, dir, src).foreach(t => tables(src) = t)
+        case None =>
           val merged = tables.get(src).map(_._1) match {
             case Some(old) if old.columns.sorted.sameElements(rows.columns.sorted) =>
               old.unionByName(rows)
             case _ => rows
           }
           registerMeasurement(srcMeta, compactLineage(src, merged))
-          // bucket span this batch touched (bounded by the batch itself)
-          val mm = rows.agg(min(col(srcMeta.timeCol)), max(col(srcMeta.timeCol))).head()
-          val off = sel.groupByTimeOffset
-          val lo = Math.floorDiv(mm.getLong(0) - off, ivUs) * ivUs + off
-          val hi = (Math.floorDiv(mm.getLong(1) - off, ivUs) + 1L) * ivUs + off
-          val touched: Expr = Bin("AND",
-            Bin(">=", Ident("time"), IntLit(lo)),
-            Bin("<", Ident("time"), IntLit(hi)))
-          val restricted = sel.copy(into = None,
-            where = Some(sel.where.fold(touched)(w => Bin("AND", Paren(w), touched))))
-          val (df, m) = Translator.resolve(sel.from, load, () => measurementNames)
-          val patch = new Translator(df, m).run(restricted).localCheckpoint(true)
-          sel.into.foreach { target =>
-            val next = tables.get(target).map(_._1) match {
-              case Some(prev) if prev.columns.sorted.sameElements(patch.columns.sorted) =>
-                prev.where(col("time") < lo || col("time") >= hi).unionByName(patch)
-              case _ => patch
-            }
-            val tags = sel.groupByTags.filter(patch.columns.contains)
-            val fields = patch.columns.toSeq
-              .filterNot(c => c == "time" || tags.contains(c)).map(FieldMeta(_, None))
-            registerMeasurement(TableMeta(target, "time", tags = tags, fields = fields),
-              compactLineage(target, next))
-          }
+      }
+      // bucket span this batch touched (bounded by the batch itself)
+      val mm = rows.agg(min(col(srcMeta.timeCol)), max(col(srcMeta.timeCol))).head()
+      val off = sel.groupByTimeOffset
+      val lo = Math.floorDiv(mm.getLong(0) - off, ivUs) * ivUs + off
+      val hi = (Math.floorDiv(mm.getLong(1) - off, ivUs) + 1L) * ivUs + off
+      val touched: Expr = Bin("AND",
+        Bin(">=", Ident("time"), IntLit(lo)),
+        Bin("<", Ident("time"), IntLit(hi)))
+      val restricted = sel.copy(into = None,
+        where = Some(sel.where.fold(touched)(w => Bin("AND", Paren(w), touched))))
+      val (df, m) = Translator.resolve(sel.from, load, () => measurementNames)
+      val patch = new Translator(df, m).run(restricted).localCheckpoint(true)
+      sel.into.foreach { target =>
+        val next = tables.get(target).map(_._1) match {
+          case Some(prev) if prev.columns.sorted.sameElements(patch.columns.sorted) =>
+            prev.where(col("time") < lo || col("time") >= hi).unionByName(patch)
+          case _ => patch
+        }
+        val tags = sel.groupByTags.filter(patch.columns.contains)
+        val fields = patch.columns.toSeq
+          .filterNot(c => c == "time" || tags.contains(c)).map(FieldMeta(_, None))
+        val tMeta = TableMeta(target, "time", tags = tags, fields = fields)
+        dataDir match {
+          case Some(dir) =>
+            sources.MeasurementStore.rewrite(spark, dir, tMeta, next, keyTagsFor(target))
+            sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
+          case None =>
+            registerMeasurement(tMeta, compactLineage(target, next))
         }
       }
-      .start()
+    }
+  }
+
+  // high-water mark for the foreachBatch idempotence guard, one tiny file
+  // per CQ beside its checkpoint (Hadoop FS — works on HDFS/S3A too)
+  private def batchMarkPath(name: String) =
+    new org.apache.hadoop.fs.Path(s"${dataDir.get}/_checkpoints/$name.lastbatch")
+  private def lastCommittedBatch(name: String): Long =
+    scala.util.Try {
+      val p = batchMarkPath(name)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) -1L
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    }.getOrElse(-1L)
+  private def recordCommittedBatch(name: String, id: Long): Unit = {
+    val p = batchMarkPath(name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Bounded-plan guard shared by sustained write paths: every
     * CheckpointEvery merges, cut the union lineage with an eager
