@@ -39,7 +39,7 @@ object MeasurementStore {
     * 'Conflicting directory structures'). tmp+rename: a crash mid-write
     * leaves the previous intact meta, never a torn one. */
   def saveMeta(spark: SparkSession, dir: String, meta: TableMeta,
-      keyTags: Seq[String] = Nil): Unit = {
+      keyTags: Seq[String] = Nil, uniform: Boolean = false): Unit = {
     val p = metaPath(dir, meta.measurement)
     val tmp = new Path(p.toString + ".tmp")
     val f = fs(spark, p)
@@ -49,7 +49,8 @@ object MeasurementStore {
       meta.tags.mkString(Sep),
       meta.fields.map(fm => s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}").mkString(Sep),
       meta.rawTimeNs.getOrElse(""),
-      keyTags.mkString(Sep)
+      keyTags.mkString(Sep),
+      if (uniform) "u" else "" // line 7: all data files share one schema
     ).mkString("\n")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -84,6 +85,28 @@ object MeasurementStore {
         lines(5).split(Sep, -1).toSeq
       case _ => Nil
     }
+
+  /** True when every data file shares one schema (meta line 7, set by
+    * rewrite/compaction, cleared by append) — lets `read` skip mergeSchema,
+    * which at 100 TB means NOT reading every parquet footer per scan. */
+  def isUniform(spark: SparkSession, dir: String, m: String): Boolean =
+    readMetaLines(spark, dir, m).exists(l => l.length > 6 && l(6) == "u")
+
+  /** (file count, total bytes) of the at-rest parquet data — drives the
+    * compaction trigger and the compacted file-count target. */
+  def dataFileStats(spark: SparkSession, dir: String, m: String): (Int, Long) = {
+    val p = new Path(dataPath(dir, m))
+    val f = fs(spark, p)
+    if (!f.exists(p)) return (0, 0L)
+    val it = f.listFiles(p, true)
+    var n = 0
+    var bytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) { n += 1; bytes += s.getLen }
+    }
+    (n, bytes)
+  }
 
   private def readMetaLines(spark: SparkSession, dir: String, m: String): Option[Array[String]] =
     scala.util.Try {
@@ -134,7 +157,7 @@ object MeasurementStore {
     // keep .old until the NEXT rewrite (deleted above): a lazy plan handed
     // out before this swap may still hold the pre-rewrite file listing —
     // deleting immediately would fail it with FileNotFoundException
-    saveMeta(spark, dir, meta, partCols)
+    saveMeta(spark, dir, meta, partCols, uniform = true) // one write = one schema
   }
 
   /** The write-path frame schema implied by a TableMeta (Engine
@@ -152,9 +175,12 @@ object MeasurementStore {
     s
   }
 
-  /** Lazy scan of the durable measurement (mergeSchema: appended batches
-    * may have widened the field set). None if never written; a meta file
-    * with no readable data answers as an empty, correctly-typed frame. */
+  /** Lazy scan of the durable measurement. mergeSchema only when appended
+    * batches may have widened the field set (meta says non-uniform) — after
+    * a compaction/rewrite a single footer read suffices, which is the
+    * difference between O(1) and O(files) metadata reads per scan at scale.
+    * None if never written; a meta file with no readable data answers as an
+    * empty, correctly-typed frame. */
   def read(spark: SparkSession, dir: String, m: String): Option[(DataFrame, TableMeta)] =
     loadMeta(spark, dir, m).map { meta =>
       val p = new Path(dataPath(dir, m))
@@ -162,12 +188,16 @@ object MeasurementStore {
         if (!fs(spark, p).exists(p))
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             writeSchema(meta))
-        else
-          try spark.read.option("mergeSchema", "true").parquet(dataPath(dir, m))
+        else {
+          val reader =
+            if (isUniform(spark, dir, m)) spark.read
+            else spark.read.option("mergeSchema", "true")
+          try reader.parquet(dataPath(dir, m))
           catch { case _: org.apache.spark.sql.AnalysisException =>
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               writeSchema(meta))
           }
+        }
       (df, meta)
     }
 

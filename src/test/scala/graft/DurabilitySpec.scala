@@ -177,6 +177,35 @@ class DurabilitySpec extends SparkSpec {
     assert(!e2.execute("SHOW MEASUREMENTS").collect().map(_.getString(0)).contains("dm"))
   }
 
+  test("compaction merges small files, keeps rows identical, and appends still work") {
+    val dir = tmpDir()
+    val e = new Engine(spark, sfDir, Some(dir))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    (1 to 20).foreach { i =>
+      e.writeLineProtocol(Seq(s"dm,type=t$i v=$i ${i.toLong * 1000000000}"), "dm")
+    }
+    def stats() = graft.sources.MeasurementStore.dataFileStats(spark, dir, "dm")
+    assert(stats()._1 >= 20) // one+ file per append
+    val before = e.execute("SELECT v FROM dm").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("v"))).toSet
+
+    e.maintain(compactIfMoreThan = 4)
+    assert(stats()._1 <= 4) // tiny table → ~1 file
+    // compaction marked the schema uniform: scans skip mergeSchema now
+    assert(graft.sources.MeasurementStore.isUniform(spark, dir, "dm"))
+    val after = e.execute("SELECT v FROM dm").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("v"))).toSet
+    assert(after == before) // purely physical
+
+    // appends keep working and stay visible (and clear the uniform flag)
+    e.writeLineProtocol(Seq("dm,type=z v=99 21000000000000"), "dm")
+    assert(!graft.sources.MeasurementStore.isUniform(spark, dir, "dm"))
+    assert(e.execute("SELECT v FROM dm").collect().length == 21)
+    // a restart sees the compacted + appended state
+    val e2 = new Engine(spark, sfDir, Some(dir))
+    assert(e2.execute("SELECT v FROM dm").collect().length == 21)
+  }
+
   test("retention: expired rows invisible at read time, reclaimed by enforceRetention; autogen keeps all") {
     val dir = tmpDir()
     val e = new Engine(spark, sfDir, Some(dir))

@@ -205,6 +205,44 @@ class EngineSpec extends SparkSpec {
     assertThrows[ParseException](e.execute("DROP SUBSCRIPTION s0 ON subs.autogen"))
   }
 
+  test("subscriptions fire: writes forward to destinations, DROP stops it, ANY round-robins") {
+    val e = newEngine
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    def lp(d: String) = new java.io.File(d).listFiles().filter(_.getName.endsWith(".lp"))
+    val meta = TableMeta("sm", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+
+    val (d1, d2) = (tmp(), tmp())
+    e.execute(s"CREATE SUBSCRIPTION fwd ON default.autogen DESTINATIONS ALL '$d1', '$d2'")
+    val lines = Seq("sm,type=a v=1 1000000000", "sm,type=b v=2 2000000000")
+    e.writeLineProtocol(lines, "sm")
+    // ALL fans the batch out to every destination, body = the raw write
+    assert(lp(d1).length == 1 && lp(d2).length == 1)
+    assert(new String(java.nio.file.Files.readAllBytes(lp(d1).head.toPath), "UTF-8")
+      == lines.mkString("\n"))
+
+    e.execute("DROP SUBSCRIPTION fwd ON default.autogen")
+    e.writeLineProtocol(Seq("sm,type=c v=3 3000000000"), "sm")
+    assert(lp(d1).length == 1 && lp(d2).length == 1) // no new forwards
+
+    val (d3, d4) = (tmp(), tmp())
+    e.execute(s"CREATE SUBSCRIPTION lb ON default.autogen DESTINATIONS ANY '$d3', '$d4'")
+    e.writeLineProtocol(Seq("sm,type=d v=4 4000000000"), "sm")
+    e.writeLineProtocol(Seq("sm,type=e v=5 5000000000"), "sm")
+    // ANY: each batch goes to exactly one destination, round-robin
+    assert(lp(d3).length == 1 && lp(d4).length == 1)
+
+    // a measurement bound to a different db.rp does not match default.autogen
+    val meta2 = TableMeta("so", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta2, spark.emptyDataFrame)
+    e.execute("CREATE DATABASE otherdb")
+    e.setRetentionPolicy("so", "otherdb", "autogen")
+    e.writeLineProtocol(Seq("so,type=a v=1 1000000000"), "so")
+    assert(lp(d3).length + lp(d4).length == 2) // unchanged
+  }
+
   test("CQ without INTO is rejected at parse time") {
     val e = newEngine
     assertThrows[ParseException](e.execute(

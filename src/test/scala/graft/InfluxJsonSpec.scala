@@ -97,4 +97,19 @@ class InfluxJsonSpec extends SparkSpec {
     val vals = """\[(\d+),""".r.findAllMatchIn(w.toString).map(_.group(1).toLong).toList
     assert(vals == List(2000000L, 1000000L)) // newest first (epoch µs)
   }
+
+  test("queryJson is stream-backed and byte-identical to the buffered serializer") {
+    val s = spark
+    import s.implicits._
+    val e = new Engine(spark, sfDir)
+    // a raw multi-series SELECT — the shape that would have buffered the
+    // whole result on the driver before the stream-first change
+    val q = "SELECT count(value) FROM events GROUP BY event_type"
+    val json = e.queryJson(q)
+    val w = new java.io.StringWriter
+    e.queryJsonStream(q, w)
+    assert(json == w.toString) // queryJson IS the streamed path
+    assert(json.startsWith("""{"results":[{"statement_id":0,"series":["""))
+    assert(json.contains(""""tags":{"event_type":"""))
+  }
 }
