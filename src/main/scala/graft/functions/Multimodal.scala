@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque BINARY + typed metadata,
   * processed batch-wise in executors (the Scala analog of `mapInPandas` —
-  * partition iterators chunked into fixed batches so a real decoder could
-  * amortize model/codec setup per batch).
+  * partition iterators chunked into fixed batches so a real decoder can
+  * amortize codec/model setup per batch).
   *
-  * The DECODE STEP IS A STUB (this container has no image/audio codecs —
-  * builder prompt): `stubDecode` derives deterministic pseudo-features from
-  * the bytes. Everything around it is real and tested: schema, binary
-  * column, batch shape, partition-parallel execution, and the feature
-  * table's join-ability. Swapping `stubDecode` for a JNI/ONNX call changes
-  * no plumbing.
+  * The IMAGE path is a REAL decode: image rows carry genuine PNG payloads
+  * (generated in the fixture with dimensions and a fill color derived
+  * arithmetically from doc_id) and `decodePng` reads them with the JDK's
+  * ImageIO — width, height, and the probed (0,0) pixel can only come from
+  * actually parsing the PNG, and the oracle recomputes them from the same
+  * arithmetic. AUDIO/VIDEO decode remains a labeled STUB (`stubDecode`,
+  * deterministic pseudo-features — this container has no media codecs);
+  * swapping it for a JNI/ONNX call changes no plumbing.
   *
   * Scale notes: mapPartitions keeps the decode distributed with zero
   * shuffle; batches bound peak memory; binary payloads stay columnar in
@@ -25,11 +27,15 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
   final case class MediaFeatures(
-      doc_id: Long, mime: String, bytes_len: Long, sha256: String,
-      width: Int, height: Int, n_frames: Int)
+      doc_id: Long, mime: String,
+      bytes_len: Option[Long],  // None for images: PNG byte count is
+      sha256: Option[String],   //   encoder-dependent, not oracle-checkable
+      width: Int, height: Int, n_frames: Int,
+      rgb0: Long)               // decoded (0,0) pixel, packed RGB; -1 non-image
 
-  /** Deterministic fake decoder: features derived purely from the payload
-    * bytes. Replace with a real codec; the signature is the contract. */
+  /** Deterministic fake decoder for the codec-less modalities: features
+    * derived purely from the payload bytes. Replace with a real codec; the
+    * signature is the contract. */
   def stubDecode(payload: Array[Byte], mime: String): (Int, Int, Int) = {
     val n = payload.length
     val width = 64 + (n % 577)          // pseudo "resolution"
@@ -38,31 +44,72 @@ object Multimodal {
     (width, height, frames)
   }
 
+  // fixture arithmetic for generated PNGs — the oracle mirrors these
+  def pngWidth(docId: Long): Int = (1L + docId % 8L).toInt
+  def pngHeight(docId: Long): Int = (1L + docId % 5L).toInt
+  def pngRgb(docId: Long): Int =
+    (((docId % 256L) << 16) | (((docId * 7L) % 256L) << 8) | ((docId * 13L) % 256L)).toInt
+
+  /** A real PNG payload: dimensions + constant fill color derived from
+    * doc_id. Encoded with ImageIO — decodable by any PNG reader. */
+  def makePng(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      pngWidth(docId), pngHeight(docId), java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = pngRgb(docId)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The real decode: JDK ImageIO over the binary payload. (width, height,
+    * packed (0,0) RGB); (-2, -2, -1) marks an undecodable payload — made
+    * visible, never silently stubbed. */
+  def decodePng(payload: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) (-2, -2, -1L)
+    else (img.getWidth, img.getHeight, (img.getRGB(0, 0) & 0xffffff).toLong)
+  }
+
   private def sha256Hex(b: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
     d.map(x => f"$x%02x").mkString
   }
 
-  /** documents → media table: payload = UTF-8 bytes of text (the stand-in
-    * binary), mime sniffed deterministically from content. */
-  def mediaTable(docs: DataFrame): DataFrame =
+  /** documents → media table: image rows (doc_id ≡ 0 mod 3) carry REAL
+    * PNG payloads; audio/video rows keep UTF-8 text bytes as the stand-in
+    * binary. Mime assignment is the same deterministic sniff as before. */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val mkPng = udf((docId: Long) => makePng(docId))
     docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      when(pmod(col("doc_id"), lit(3)) === 0, mkPng(col("doc_id")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
         .otherwise("video/mp4").as("mime"))
+  }
 
   /** Batch feature extraction over partition iterators — the mapInPandas-
-    * shaped hot path. */
+    * shaped hot path. Images decode for real; audio/video stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch setup would go here (codec/model init)
         batch.iterator.map { r =>
-          val (w, h, f) = stubDecode(r.payload, r.mime)
-          MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
-            sha256Hex(r.payload), w, h, f)
+          if (r.mime == "image/png") {
+            val (w, h, rgb) = decodePng(r.payload)
+            MediaFeatures(r.doc_id, r.mime, None, None, w, h, 1, rgb)
+          } else {
+            val (w, h, f) = stubDecode(r.payload, r.mime)
+            MediaFeatures(r.doc_id, r.mime, Some(r.payload.length.toLong),
+              Some(sha256Hex(r.payload)), w, h, f, -1L)
+          }
         }
       }
     }

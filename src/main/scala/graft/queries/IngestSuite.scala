@@ -40,19 +40,28 @@ object IngestSuite {
       parsed.select(col("time_ns"), col("event_type"), col("value"), col("user_id"))
     },
 
+    // image rows (doc_id ≡ 0 mod 3) are REAL PNGs decoded with ImageIO:
+    // width/height/pixel can only match by actually parsing the payload.
+    // bytes_len/sha256 are NULL there (PNG bytes are encoder-dependent);
+    // audio/video rows keep the labeled stub arithmetic the oracle mirrors.
     Q("mm_features",
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
-        |  CAST(n_chars AS BIGINT) AS bytes_len,
-        |  sha256(text) AS sha256,
-        |  CAST(64 + n_chars % 577 AS INT) AS width,
-        |  CAST(64 + (n_chars * 31) % 421 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + n_chars % 7 ELSE 1 END AS INT) AS n_frames
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(n_chars AS BIGINT) END AS bytes_len,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE sha256(text) END AS sha256,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8
+        |            ELSE 64 + n_chars % 577 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 5
+        |            ELSE 64 + (n_chars * 31) % 421 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + n_chars % 7 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |            THEN (doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256 + (doc_id * 13) % 256
+        |            ELSE -1 END AS BIGINT) AS rgb0
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
-        .select("doc_id", "mime", "bytes_len", "sha256", "width", "height", "n_frames")
+        .select("doc_id", "mime", "bytes_len", "sha256", "width", "height", "n_frames", "rgb0")
     }
   )
 }
