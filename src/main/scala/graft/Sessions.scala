@@ -42,6 +42,7 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Fnv1a32Expr.register(spark) // native codegen hash for the write path
     graft.functions.SeqDotExpr.register(spark)  // native codegen dot-fold for the vector path
+    graft.functions.SeqL2Expr.register(spark)   // native codegen squared-L2 fold (IVF quantizer)
     graft.functions.LshBucketsExpr.register(spark) // single-pass multi-table LSH signatures
     spark
   }

@@ -155,11 +155,13 @@ object EmbedOps {
 
   private val NPROBE = 2
 
-  /** Micro-quantized squared L2 between two double arrays — sequential
-    * left fold, same op order as the oracle's generate_series fold. */
+  /** Micro-quantized squared L2 between two double arrays — the codegen
+    * SeqL2Expr, bit-identical to the `aggregate(zip_with(...))` HOF fold
+    * (same left-to-right IEEE sequence as the oracle's generate_series
+    * fold) but inside WholeStageCodegen: the quantizer evaluates this
+    * N·k times per Lloyd pass, the build's entire cost. */
   private def l2micro(e: Column, c: Column): Column =
-    floor(aggregate(zip_with(e, c, (x, cc) => (x - cc) * (x - cc)),
-      lit(0.0), (a, x) => a + x) * 1000000.0 + 0.5).cast("long")
+    floor(call_function("seql2", e, c) * 1000000.0 + 0.5).cast("long")
 
   /** IVF search, list count parameterized (None → ⌊√N⌋). The index build
     * (seeds → assign → exact-integer centroid recompute → final assign) is
