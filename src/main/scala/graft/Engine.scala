@@ -34,6 +34,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
   private val tables = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, TableMeta)]
   // live continuous queries: name → (source measurement, SELECT ... INTO)
   private val cqs = scala.collection.concurrent.TrieMap.empty[String, (String, SelectStmt)]
+  // CQ INTO targets awaiting first-query backfill after a restart (the
+  // plan must be built at query time — retention cutoffs bind then)
+  private val pendingCqTargets =
+    scala.collection.concurrent.TrieMap.empty[String, SelectStmt]
   // subscriptions: (db, rp, name) → (ALL|ANY, destinations) — catalog
   // semantics only, like the reference's statement replication
   // (routing.go:101-126); a firing subscription is a writeStream sink
@@ -71,6 +75,18 @@ final class Engine(val spark: SparkSession, sfDir: String,
       sources.MeasurementStore.read(spark, d, m).foreach { case (df, meta) =>
         tables(m) = (df, meta)
       }
+    }
+    // restored CQs whose INTO target is not durably present become PENDING
+    // backfills: the first query of the target recomputes it from the
+    // (durable) source, so SELECT from the target answers after restart
+    // before any new write re-triggers the CQ. Deferred — not built here —
+    // because the retention cutoff is evaluated at plan-build time and
+    // must reflect the clock at QUERY time, not construction time. Targets
+    // that ARE durable (streaming-CQ patches) are left alone: a recompute
+    // could legitimately differ once the source RP has expired rows the
+    // downsampled target intentionally retains.
+    cqs.values.foreach { case (_, sel) =>
+      sel.into.filterNot(tables.contains).foreach(t => pendingCqTargets(t) = sel)
     }
   }
 
@@ -146,7 +162,12 @@ final class Engine(val spark: SparkSession, sfDir: String,
   }
 
   private def load(measurement: String): (DataFrame, TableMeta) = {
-    val (df, meta) = tables.getOrElse(measurement, Catalog.load(spark, sfDir, measurement))
+    val (df, meta) = tables.get(measurement)
+      .orElse(pendingCqTargets.remove(measurement).flatMap { sel =>
+        runSelect(sel) // deferred restart backfill registers the target
+        tables.get(measurement)
+      })
+      .getOrElse(Catalog.load(spark, sfDir, measurement))
     // read-time RP enforcement: expired rows are invisible even before the
     // maintenance compaction runs (SURVEY §1.3)
     retentionCutoffUs(measurement) match {
@@ -330,6 +351,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
     val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
     val out = new Translator(df, meta).run(sel)
     sel.into.foreach { target => // SELECT INTO: materialize as a measurement
+      pendingCqTargets.remove(target) // a fresh run supersedes the backfill
       // every non-time/non-tag output column is a field of the target (the
       // same derivation FromSubquery uses) — a multi-field
       // `SELECT mean(v), max(v) INTO t` must answer SELECT * with both

@@ -133,7 +133,11 @@ class DurabilitySpec extends SparkSpec {
     // 2h-old point is still invisible (r5's restart reverted to autogen)
     assert(e2.execute("SELECT v FROM dm").collect()
       .map(_.getAs[Double]("v")).toSet == Set(2.0))
-    // the CQ is still LIVE: a fresh write refreshes its INTO target
+    // the restored CQ's INTO target answers immediately (lazy backfill
+    // over the durable source), before any new write re-triggers the CQ
+    assert(e2.execute("SELECT mean FROM dm_m").collect()
+      .map(_.getAs[Double]("mean")).toSet == Set(2.0))
+    // and the CQ is still LIVE: a fresh write refreshes its INTO target
     e2.writeLineProtocol(Seq(s"dm,type=b v=4 ${(now - 5L * 60 * 1000000) * 1000}"), "dm")
     assert(e2.execute("SELECT mean FROM dm_m").collect()
       .map(_.getAs[Double]("mean")).toSet == Set(3.0))
