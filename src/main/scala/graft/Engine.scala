@@ -492,6 +492,23 @@ final class Engine(val spark: SparkSession, sfDir: String,
     (nOk, nErr)
   }
 
+  /** Credentialed write path (reference `service/write_handler.go:80-101`:
+    * when any users exist, a write must authenticate AND hold WRITE on the
+    * target db; 401 on bad credentials, 403 on missing privilege — both
+    * surface as AuthException here). Open before the first admin exists,
+    * matching the reference's bootstrap behavior (`service/auth.go:26-41`). */
+  def writeLineProtocolAs(user: String, password: String, lines: Seq[String],
+      measurement: String, db: String = "default",
+      precision: String = "ns"): (Long, Long) = {
+    if (!users.isEmpty) {
+      if (!users.authenticate(user, password))
+        throw users.AuthException("authentication failed") // the 401
+      if (!users.authorize(user, db, "WRITE"))
+        throw users.AuthException(s"forbidden to write to database: $db") // the 403
+    }
+    writeLineProtocol(lines, measurement, precision)
+  }
+
   // monotone sequence for subscription batch files + ANY round-robin
   private val subSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -769,6 +786,22 @@ final class Engine(val spark: SparkSession, sfDir: String,
         InfluxJson.serializeStream(Translator.measurementName(sel.from), result,
           out, tags, epoch, timeDesc = sel.orderDesc)
       case _ => out.write(InfluxJson.serialize("results", execute(influxql)))
+    }
+
+  /** `chunked=true` proxy form (reference query_utils.go:34-46,118-119):
+    * newline-delimited response objects, ≤ chunkSize values per line,
+    * `"partial":true` on every non-final chunk of a series. */
+  def queryJsonChunked(influxql: String, out: java.io.Writer,
+      chunkSize: Int = 10000, epoch: Option[String] = Some("u")): Unit =
+    Parser.parse(influxql) match {
+      case sel: SelectStmt =>
+        logQuery(sel, influxql)
+        val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
+        val result = new Translator(df, meta).run(sel)
+        val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
+        InfluxJson.serializeChunked(Translator.measurementName(sel.from), result,
+          out, chunkSize, tags, epoch, timeDesc = sel.orderDesc)
+      case _ => out.write(InfluxJson.serialize("results", execute(influxql)) + "\n")
     }
 
 }

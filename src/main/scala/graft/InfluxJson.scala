@@ -91,6 +91,72 @@ object InfluxJson {
     s"""{"results":[{"statement_id":0,"series":$seriesJson}]}"""
   }
 
+  /** Chunked serialization — the reference proxy's `chunked=true` wire
+    * protocol (`service/query_utils.go:34-46` parses newline-delimited
+    * response objects and concatenates their Results; InfluxDB emits one
+    * line per chunk with `"partial":true` on every non-final chunk of a
+    * series). Each output line is a complete results envelope holding one
+    * series block of ≤ chunkSize values, so the reference's own parser —
+    * and any Influx client — consumes it unchanged. Rows come off
+    * `toLocalIterator` like serializeStream: O(one partition + one chunk)
+    * driver memory. */
+  def serializeChunked(name: String, df: DataFrame, out: java.io.Writer,
+      chunkSize: Int = 10000, tagCols: Seq[String] = Nil,
+      epoch: Option[String] = Some("u"), timeDesc: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
+    require(chunkSize > 0, "chunkSize must be positive")
+    val cols = df.columns
+    val tagIdx: Seq[Int] = tagCols.map(t => cols.indexOf(t)).filter(_ >= 0)
+    val valueIdx = cols.indices.filterNot(tagIdx.contains)
+    val valueCols = valueIdx.map(cols)
+    val timePos = valueCols.indexOf("time")
+    val timeSort =
+      if (!cols.contains("time")) Nil
+      else Seq(if (timeDesc) col("time").desc else col("time").asc)
+    val ordered =
+      if (tagIdx.isEmpty) df
+      else df.orderBy(tagIdx.map(i => col(cols(i)).asc) ++ timeSort: _*)
+    val it = ordered.toLocalIterator()
+    if (!it.hasNext) { out.write("""{"results":[{}]}""" + "\n"); return }
+    val colsJson = valueCols.map(c => "\"" + escape(c) + "\"").mkString("[", ",", "]")
+    def rowJson(r: org.apache.spark.sql.Row): String =
+      valueIdx.zipWithIndex.map { case (i, vi) =>
+        r.get(i) match {
+          case us: java.lang.Long if vi == timePos => formatTime(us, epoch)
+          case v => jsonValue(v)
+        }
+      }.mkString("[", ",", "]")
+    def tagJson(tags: Seq[(String, String)]): String =
+      if (tags.isEmpty) ""
+      else tags.map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
+        .mkString(""""tags":{""", ",", "},")
+    def writeChunk(tags: Seq[(String, String)], vals: Seq[String], partial: Boolean): Unit = {
+      val p = if (partial) ""","partial":true""" else ""
+      out.write(s"""{"results":[{"statement_id":0,"series":[""" +
+        s"""{"name":"${escape(name)}",${tagJson(tags)}"columns":$colsJson,""" +
+        s""""values":${vals.mkString("[", ",", "]")}$p}]$p}]}""" + "\n")
+    }
+    import scala.jdk.CollectionConverters._
+    val bit = it.asScala.buffered // one-row lookahead decides `partial`
+    def tagsOf(r: org.apache.spark.sql.Row): Seq[(String, String)] =
+      tagIdx.map(i => cols(i) -> String.valueOf(r.get(i)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (bit.hasNext) {
+      val r = bit.next()
+      val cur = tagsOf(r)
+      buf += rowJson(r)
+      val seriesContinues = bit.hasNext && tagsOf(bit.head) == cur
+      if (!seriesContinues) { // last row of this series: final chunk
+        writeChunk(cur, buf.toSeq, partial = false)
+        buf.clear()
+      } else if (buf.size == chunkSize) { // full chunk, series continues
+        writeChunk(cur, buf.toSeq, partial = true)
+        buf.clear()
+      }
+    }
+  }
+
   /** Streamed serialization: sort by the tag columns so every series is
     * contiguous, then emit rows straight off `toLocalIterator()` (Spark
     * fetches one partition at a time — the driver never holds the result).

@@ -57,7 +57,8 @@ final case class SelectStmt(
     limit: Option[Int], offset: Option[Int],
     slimit: Option[Int], soffset: Option[Int],
     into: Option[String] = None,          // SELECT … INTO target (CQs)
-    groupByTimeOffset: Long = 0L) extends Statement // time(iv, offset)
+    groupByTimeOffset: Long = 0L,         // time(iv, offset)
+    tz: Option[String] = None) extends Statement // trailing tz('Zone')
 
 /** `withKey` carries SHOW TAG VALUES' `WITH KEY = k` filter; `from`
   * restricts the meta scan to one measurement (`SHOW TAG KEYS FROM m`). */

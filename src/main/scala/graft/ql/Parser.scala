@@ -260,8 +260,20 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     val offset = intAfter("OFFSET")
     val slimit = intAfter("SLIMIT")
     val soffset = intAfter("SOFFSET")
+    // trailing tz('Zone') — InfluxQL's timezone clause; local-aligned
+    // GROUP BY time buckets (the proxy passes it through to InfluxDB)
+    val tz =
+      if (isKw(peek, "tz") && tokens(pos + 1) == TSym("(")) {
+        pos += 2
+        val z = next() match {
+          case TStr(s) => s
+          case t => throw ParseException(s"expected quoted zone in tz(), found ${t.text}")
+        }
+        expectSym(")")
+        Some(z)
+      } else None
     SelectStmt(fields.toList, from, where, gbTime, gbTags.toList, gbAll,
-      fill, desc, limit, offset, slimit, soffset, into, gbTimeOffset)
+      fill, desc, limit, offset, slimit, soffset, into, gbTimeOffset, tz)
   }
 
   private def parseField(): Field = {

@@ -102,6 +102,7 @@ object Render {
     s.offset.foreach(n => sb ++= s" OFFSET $n")
     s.slimit.foreach(n => sb ++= s" SLIMIT $n")
     s.soffset.foreach(n => sb ++= s" SOFFSET $n")
+    s.tz.foreach(z => sb ++= s" tz('$z')")
     sb.toString
   }
 }

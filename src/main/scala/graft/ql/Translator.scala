@@ -39,7 +39,21 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   // ---------------- entry
 
   def run(sel: SelectStmt): DataFrame = {
-    val base0 = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
+    val filtered = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
+    // tz('Zone'): GROUP BY time buckets align to LOCAL boundaries. The
+    // WHERE filter above runs in UTC space (epoch literals are absolute);
+    // then the time axis shifts to wall-clock µs for all bucket math
+    // (shift-compute-unshift — the integer bucket arithmetic is untouched),
+    // and the output `time` unshifts back to the UTC instant of each local
+    // boundary. DST is honored per row by from/to_utc_timestamp.
+    val tzShift = sel.tz.filter(_ => sel.groupByTime.isDefined)
+    if (sel.tz.isDefined && sel.fill != FillNone)
+      throw ParseException("tz() with fill() is not supported")
+    val base0 = tzShift match {
+      case Some(z) => filtered.withColumn(meta.timeCol,
+        unix_micros(from_utc_timestamp(timestamp_micros(time), z)))
+      case None => filtered
+    }
     val tags = if (sel.groupByAllTags) meta.tags.toList else sel.groupByTags
     tags.foreach(t => if (!meta.isTag(t)) throw ParseException(s"'$t' is not a tag"))
 
@@ -80,7 +94,13 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         }
       } else rawSelect(base0, sel, tags)
 
-    val sorted = sortLimit(out, sel, tags)
+    val unshifted = tzShift match {
+      case Some(z) if out.columns.contains("time") =>
+        out.withColumn("time",
+          unix_micros(to_utc_timestamp(timestamp_micros(col("time")), z)))
+      case _ => out
+    }
+    val sorted = sortLimit(unshifted, sel, tags)
     slimit(sorted, sel, tags)
   }
 

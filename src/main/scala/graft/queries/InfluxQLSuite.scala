@@ -45,6 +45,20 @@ object InfluxQLSuite {
          |FROM ev GROUP BY 1, 2""".stripMargin)(
       "SELECT mean(value) FROM events GROUP BY time(1d), event_type"),
 
+    // ---- tz('Zone'): buckets align to LOCAL day boundaries; output time
+    //      is the UTC instant of each local boundary. Both engines compute
+    //      the identical shift-bucket-unshift (Spark from/to_utc_timestamp
+    //      ≡ DuckDB timezone(Z, instant)/timezone(Z, wall), ICU tzdb).
+    iql("iql_tz",
+      s"""WITH $EV,
+         |sh AS (SELECT *, epoch_us(timezone('America/New_York', make_timestamptz(ts_us))) AS wus
+         |       FROM ev)
+         |SELECT epoch_us(timezone('America/New_York', make_timestamp(wus - wus % $DAY_US))) AS time,
+         |       event_type,
+         |       CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean
+         |FROM sh GROUP BY 1, 2""".stripMargin)(
+      "SELECT mean(value) FROM events GROUP BY time(1d), event_type tz('America/New_York')"),
+
     iql("iql_count_sum_1d",
       s"""WITH $EV
          |SELECT ts_us - ts_us % $DAY_US AS time,

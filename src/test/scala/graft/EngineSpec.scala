@@ -243,6 +243,28 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("credentialed writes: 401 on bad password, 403 without WRITE, open pre-bootstrap") {
+    val e = newEngine
+    val meta = TableMeta("wa", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    // no users yet → open, like the reference before the first admin
+    assert(e.writeLineProtocolAs("anon", "x", Seq("wa,type=a v=1 1000000000"), "wa")._1 == 1L)
+    e.execute("CREATE USER root WITH PASSWORD 'pw' WITH ALL PRIVILEGES")
+    e.execute("CREATE USER scribe WITH PASSWORD 's3'")
+    // bad password → the 401
+    val e401 = intercept[RuntimeException](
+      e.writeLineProtocolAs("root", "wrong", Seq("wa,type=a v=2 2000000000"), "wa"))
+    assert(e401.getMessage.contains("authentication failed"))
+    // authenticated but no WRITE grant → the 403
+    val e403 = intercept[RuntimeException](
+      e.writeLineProtocolAs("scribe", "s3", Seq("wa,type=a v=2 2000000000"), "wa"))
+    assert(e403.getMessage.contains("forbidden to write"))
+    e.execute("GRANT WRITE ON default TO scribe")
+    assert(e.writeLineProtocolAs("scribe", "s3", Seq("wa,type=a v=2 2000000000"), "wa")._1 == 1L)
+    assert(e.execute("SELECT v FROM wa").collect().length == 2)
+  }
+
   test("CQ without INTO is rejected at parse time") {
     val e = newEngine
     assertThrows[ParseException](e.execute(

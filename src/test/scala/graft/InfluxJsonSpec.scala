@@ -98,6 +98,38 @@ class InfluxJsonSpec extends SparkSpec {
     assert(vals == List(2000000L, 1000000L)) // newest first (epoch µs)
   }
 
+  test("chunked responses: newline-delimited, partial flags, lossless merge") {
+    val e = new Engine(spark, sfDir)
+    val meta = graft.ql.TableMeta("djc", "ts_us",
+      tags = Seq("t"), fields = Seq(graft.ql.FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.writeLineProtocol(Seq(
+      "djc,t=a v=1 1000000000", "djc,t=a v=2 2000000000",
+      "djc,t=a v=3 3000000000", "djc,t=b v=4 4000000000"), "djc")
+    val w = new java.io.StringWriter
+    e.queryJsonChunked("SELECT v FROM djc GROUP BY t", w, chunkSize = 2)
+    val lines = w.toString.split("\n").toSeq
+    // series a (3 rows) → one partial chunk of 2 + one final chunk of 1;
+    // series b (1 row) → one final chunk
+    assert(lines.length == 3)
+    assert(lines(0).contains("\"partial\":true") && lines(0).contains("\"t\":\"a\""))
+    assert(!lines(1).contains("partial") && lines(1).contains("\"t\":\"a\""))
+    assert(!lines(2).contains("partial") && lines(2).contains("\"t\":\"b\""))
+    // every line is a complete results envelope (the reference's parseResp
+    // unmarshals each line independently and concatenates Results)
+    lines.foreach(l => assert(
+      l.startsWith("""{"results":[{"statement_id":0,"series":[""") && l.endsWith("}]}")))
+    // lossless: values across chunks == the unchunked stream's values
+    val all = """\[(\d+),([\d.]+)\]""".r.findAllIn(w.toString).toList
+    val wu = new java.io.StringWriter
+    e.queryJsonStream("SELECT v FROM djc GROUP BY t", wu)
+    assert(all == """\[(\d+),([\d.]+)\]""".r.findAllIn(wu.toString).toList)
+    // empty result → the canonical empty envelope, one line
+    val we = new java.io.StringWriter
+    e.queryJsonChunked("SELECT v FROM djc WHERE t = 'zzz'", we, chunkSize = 2)
+    assert(we.toString == "{\"results\":[{}]}\n")
+  }
+
   test("queryJson is stream-backed and byte-identical to the buffered serializer") {
     val s = spark
     import s.implicits._

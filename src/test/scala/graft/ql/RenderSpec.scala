@@ -36,7 +36,8 @@ class RenderSpec extends AnyFunSuite {
       "SELECT count(distinct(value)) FROM cpu GROUP BY time(12m)",
       "SELECT value FROM cpu WHERE time >= '2019' AND value != 3.25",
       "SELECT top(value, 3), host FROM cpu",
-      "SELECT value FROM cpu WHERE v % 2 = 0 AND v / 2 > 1"
+      "SELECT value FROM cpu WHERE v % 2 = 0 AND v / 2 > 1",
+      "SELECT mean(value) FROM cpu GROUP BY time(1d), host tz('America/New_York')"
     ).foreach(roundTrip)
   }
 
