@@ -359,6 +359,99 @@ object DocText {
         when(bal > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       dt.select(col("doc_id"), simhash.as("simhash48"))
+    },
+
+    // ---- deterministic train/val/test split assignment: the standard
+    //      hash-bucket split a training pipeline needs (reproducible at
+    //      any scale, no shuffle, no RNG state — re-running the pipeline
+    //      or adding machines never moves a document between splits).
+    //      80/10/10 on h60("split:"+doc_id) % 100.
+    Q("d_split_assign",
+      s"""SELECT doc_id,
+         |  ${H("'split:'||CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${H("'split:'||CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${H("'split:'||CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin) { (s, d) =>
+      val bucket = h60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+      docs(s, d).select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    },
+
+    // ---- near-dup CLUSTER canonicalization: connected components over the
+    //      verified LSH pair graph (the step after pair generation in a
+    //      dedup pipeline — each cluster keeps one canonical doc). Spark
+    //      side is Pregel-style min-label propagation: O(diameter) rounds
+    //      of join+groupBy, lineage cut per round, convergence detected by
+    //      the monotone sum of labels — the DataFrame-native form of what
+    //      GraphX/GraphFrames would run, distributed at any scale. The
+    //      oracle computes the same unique fixpoint via a recursive CTE,
+    //      so the hash-match proves the iteration converged exactly.
+    Q("d_dup_clusters",
+      s"""WITH RECURSIVE $DOCS2,
+         |${shCte("d2")},
+         |$SIG_CTE,
+         |bd AS (SELECT doc_id, b.b AS band,
+         |         CAST(max(CASE WHEN seed = 2*b.b THEN mh END) AS VARCHAR) || ':' ||
+         |         CAST(max(CASE WHEN seed = 2*b.b+1 THEN mh END) AS VARCHAR) AS bkey
+         |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${NBANDS - 1})) AS b) b
+         |       GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+         |                            AND x.doc_id < y.doc_id),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |          / (len(sa.shingles) + len(sb.shingles)
+         |             - len(list_intersect(sa.shingles, sb.shingles))) AS j
+         |      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |                  JOIN sh sb ON sb.doc_id = c.doc_b),
+         |bi AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.8
+         |       UNION ALL SELECT doc_b, doc_a FROM v WHERE j >= 0.8),
+         |reach AS (SELECT doc_id AS v, doc_id AS r FROM d2
+         |          UNION
+         |          SELECT bi.b AS v, reach.r FROM bi JOIN reach ON reach.v = bi.a),
+         |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM cl""".stripMargin) { (s, d) =>
+      // edges: the same LSH candidate→verify pipeline as d_lsh_pairs
+      val sh = withShingles(docs2(s, d)).select("doc_id", "shingles").persist()
+      val sig = withSig(sh).persist()
+      val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
+          concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
+        }: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      val cand = bands.toDF("doc_a", "band", "bkey")
+        .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+      val edges = cand
+        .join(sh.toDF("doc_a", "sh_a"), Seq("doc_a"))
+        .join(sh.toDF("doc_b", "sh_b"), Seq("doc_b"))
+        .where(inter / uni >= 0.8)
+        .select("doc_a", "doc_b")
+      val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .localCheckpoint(true) // reused every round: materialize once
+      // min-label propagation to the unique fixpoint
+      var labels = docs2(s, d)
+        .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
+      var prevSum = Long.MaxValue
+      var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+      while (sum < prevSum) { // Σ labels strictly decreases until converged
+        val prop = bi.join(labels, bi("a") === labels("doc_id"))
+          .groupBy(bi("b").as("nbr_of")).agg(min("cluster_id").as("nbr_min"))
+        labels = labels.join(prop, labels("doc_id") === col("nbr_of"), "left")
+          .select(labels("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint(true) // cut lineage: O(1) plan depth per round
+        prevSum = sum
+        sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+      }
+      labels.withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
     }
   )
 }
