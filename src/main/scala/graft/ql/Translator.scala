@@ -36,19 +36,24 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   private def time: Column = col(meta.timeCol)
 
+  // tz('Zone') in effect for this query: time STRING literals are local
+  // wall-clock in the zone (InfluxQL semantics), GROUP BY time buckets
+  // align to local boundaries, fill spines step in local space
+  private var tzZone: Option[String] = None
+
   // ---------------- entry
 
   def run(sel: SelectStmt): DataFrame = {
+    tzZone = sel.tz // literals below parse under the query's zone
     val filtered = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
     // tz('Zone'): GROUP BY time buckets align to LOCAL boundaries. The
-    // WHERE filter above runs in UTC space (epoch literals are absolute);
+    // WHERE filter above runs in UTC space (string literals already
+    // resolved to the zone's UTC instants; epoch literals are absolute);
     // then the time axis shifts to wall-clock µs for all bucket math
     // (shift-compute-unshift — the integer bucket arithmetic is untouched),
     // and the output `time` unshifts back to the UTC instant of each local
     // boundary. DST is honored per row by from/to_utc_timestamp.
     val tzShift = sel.tz.filter(_ => sel.groupByTime.isDefined)
-    if (sel.tz.isDefined && sel.fill != FillNone)
-      throw ParseException("tz() with fill() is not supported")
     val base0 = tzShift match {
       case Some(z) => filtered.withColumn(meta.timeCol,
         unix_micros(from_utc_timestamp(timestamp_micros(time), z)))
@@ -198,8 +203,23 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val ldt =
       if (norm.length <= 10) LocalDate.parse(norm).atStartOfDay()
       else LocalDateTime.parse(norm.replace(" ", "T"))
-    ldt.toInstant(ZoneOffset.UTC).toEpochMilli * 1000L +
-      (ldt.getNano / 1000) % 1000
+    // under tz('Zone') a time string is LOCAL wall-clock (InfluxQL);
+    // otherwise UTC. An explicit trailing Z means UTC either way.
+    val instant = tzZone match {
+      case Some(z) if !s.endsWith("Z") => ldt.atZone(ZoneId.of(z)).toInstant
+      case _                           => ldt.toInstant(ZoneOffset.UTC)
+    }
+    instant.toEpochMilli * 1000L + (instant.getNano / 1000) % 1000
+  }
+
+  /** UTC µs → wall-clock µs in the query's zone (plan-time constants: the
+    * fill spine steps in shifted space, so its bounds must shift too). */
+  private def toWallUs(us: Long): Long = tzZone match {
+    case Some(z) =>
+      val zone = java.time.ZoneId.of(z)
+      us + zone.getRules.getOffset(java.time.Instant.ofEpochMilli(us / 1000L))
+        .getTotalSeconds * 1000000L
+    case None => us
   }
 
   // ---------------- helpers
@@ -653,8 +673,10 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val iv = sel.groupByTime.get
     val off = sel.groupByTimeOffset
     def align(t: Long): Long = t - (((t - off) % iv) + iv) % iv
+    // under tz the agg output's time axis is wall-clock (see run) — the
+    // spine bounds shift from UTC to the same space before aligning
     val (loB, hiB) = whereTimeBounds(sel.where)
-    val (spineLo, spineHi) = (loB.map(align), hiB.map(align))
+    val (spineLo, spineHi) = (loB.map(toWallUs).map(align), hiB.map(toWallUs).map(align))
     val span = (spineLo, spineHi) match {
       case (Some(l), Some(h)) => // fully-bounded range: no pass over the data
         d.sparkSession.range(1)

@@ -59,6 +59,28 @@ object InfluxQLSuite {
          |FROM sh GROUP BY 1, 2""".stripMargin)(
       "SELECT mean(value) FROM events GROUP BY time(1d), event_type tz('America/New_York')"),
 
+    // ---- tz + fill + local time literals: WHERE strings are wall-clock
+    //      in the zone, the fill spine steps over LOCAL days, empty days
+    //      coalesce to 0, and output times are UTC instants of local
+    //      midnights. The oracle builds the identical wall-space spine.
+    iql("iql_tz_fill",
+      s"""WITH $EV,
+         |f AS (SELECT * FROM ev
+         |      WHERE ts_us >= epoch_us(timezone('America/New_York', TIMESTAMP '2024-01-02'))
+         |        AND ts_us <  epoch_us(timezone('America/New_York', TIMESTAMP '2024-01-20'))),
+         |sh2 AS (SELECT *, epoch_us(timezone('America/New_York', make_timestamptz(ts_us))) AS wus
+         |        FROM f),
+         |agg AS (SELECT wus - wus % $DAY_US AS wb,
+         |          CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean
+         |        FROM sh2 GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(epoch_us(TIMESTAMP '2024-01-02'),
+         |                                        epoch_us(TIMESTAMP '2024-01-19'), $DAY_US)) AS wb)
+         |SELECT epoch_us(timezone('America/New_York', make_timestamp(s.wb))) AS time,
+         |       coalesce(a.mean, 0.0) AS mean
+         |FROM spine s LEFT JOIN agg a ON a.wb = s.wb""".stripMargin)(
+      "SELECT mean(value) FROM events WHERE time >= '2024-01-02' AND time < '2024-01-20' " +
+        "GROUP BY time(1d) fill(0) tz('America/New_York')"),
+
     iql("iql_count_sum_1d",
       s"""WITH $EV
          |SELECT ts_us - ts_us % $DAY_US AS time,
