@@ -124,7 +124,11 @@ final class Engine(val spark: SparkSession, sfDir: String,
   /** Snapshot every metadata store to dataDir/_catalog (tmp+rename; see
     * MetaCatalog). Called after each successful mutating statement — the
     * same write-through durability etcd gives the reference. */
-  private def persistMeta(): Unit = dataDir.foreach { d =>
+  private def persistMeta(): Unit =
+    dataDir.foreach(d => sources.MetaCatalog.write(spark, d, metaRecords))
+
+  /** The full metadata state as catalog records (persistMeta + mirrorTo). */
+  private def metaRecords: Seq[Seq[String]] = {
     val recs = Seq.newBuilder[Seq[String]]
     databases.databases.foreach(n => recs += Seq("db", n))
     databases.rpRecords.foreach { case (db, n, dur, repl, dflt) =>
@@ -141,7 +145,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
       recs += Seq("mrp", m, db, rp) }
     replication.records.foreach { case (db, m, n) =>
       recs += Seq("repl", db.getOrElse(""), m.getOrElse(""), n.toString) }
-    sources.MetaCatalog.write(spark, d, recs.result())
+    recs.result()
   }
 
   def registerMeasurement(meta: TableMeta, df: DataFrame): Unit =
@@ -507,6 +511,81 @@ final class Engine(val spark: SparkSession, sfDir: String,
         throw users.AuthException(s"forbidden to write to database: $db") // the 403
     }
     writeLineProtocol(lines, measurement, precision)
+  }
+
+  /** Full-mirror EXPORT (the reference's `cmd/mirror` tool,
+    * cmd/mirror/main.go:13-147 + syncing/importer.go:106-139: copy meta
+    * first, then every measurement, with a resume bookmark). Layout:
+    * `dir/_catalog` (metadata snapshot), `dir/<m>/meta` (TableMeta) +
+    * `dir/<m>/lp/` (line-protocol text, written DISTRIBUTED — one task
+    * per partition, no driver collection) + `dir/<m>/_done` bookmark.
+    * Measurements already bookmarked are skipped, so an interrupted
+    * mirror resumes where it stopped. */
+  def mirrorTo(dir: String): Unit = {
+    import spark.implicits._
+    sources.MetaCatalog.write(spark, dir, metaRecords)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    tables.toSeq.sortBy(_._1).foreach { case (m, (df, tm)) =>
+      val done = new org.apache.hadoop.fs.Path(s"$dir/$m/_done")
+      val f = done.getFileSystem(hconf)
+      if (!f.exists(done)) {
+        val tags = tm.tags.filter(df.columns.contains)
+        val fields = tm.fields.map(_.name).filter(df.columns.contains)
+        val timeCol = tm.timeCol
+        val lines = df.map { r =>
+          val tagMap = tags.flatMap(t =>
+            Option(r.getAs[String](t)).map(t -> _)).toMap
+          val fieldMap = fields.flatMap { fn =>
+            val i = r.fieldIndex(fn)
+            if (r.isNullAt(i)) None
+            else Some(fn -> (r.get(i) match {
+              case d: java.lang.Double => LineProtocol.FFloat(d)
+              case l: java.lang.Long   => LineProtocol.FInt(l)
+              case o                   => LineProtocol.FStr(String.valueOf(o))
+            }))
+          }.toMap
+          LineProtocol.serialize(LineProtocol.Point(m, tagMap, fieldMap,
+            Some(r.getAs[Long](timeCol) * 1000L)))
+        }
+        lines.write.mode("overwrite").text(s"$dir/$m/lp")
+        sources.MeasurementStore.saveMeta(spark, dir, tm)
+        f.create(done, true).close() // bookmark: this measurement is complete
+      }
+    }
+  }
+
+  /** Full-mirror IMPORT: replay the catalog (meta before data, like the
+    * reference importer), then distributed-parse each bookmarked
+    * measurement's line protocol and register it — durably when this
+    * engine has a dataDir. Measurements already present are skipped
+    * (idempotent re-run). */
+  def mirrorFrom(dir: String): Unit = {
+    sources.MetaCatalog.read(spark, dir).foreach(_.foreach(restoreRecord))
+    persistMeta()
+    sources.MeasurementStore.list(spark, dir)
+      .filterNot(tables.contains)
+      .foreach { m =>
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val done = new org.apache.hadoop.fs.Path(s"$dir/$m/_done")
+        if (done.getFileSystem(hconf).exists(done)) {
+          sources.MeasurementStore.loadMeta(spark, dir, m).foreach { tm =>
+            val lines = spark.read.textFile(s"$dir/$m/lp")
+            val (parsed, _) = LineProtocol.parse(spark, lines, m,
+              tm.tags, tm.fields.map(_.name))
+            val withTime0 = parsed.withColumn(tm.timeCol, expr("time_ns div 1000"))
+            val shaped = tm.rawTimeNs match {
+              case Some(ns) => withTime0.withColumn(ns, col("time_ns"))
+              case None     => withTime0
+            }
+            dataDir match {
+              case Some(dd) =>
+                sources.MeasurementStore.append(spark, dd, tm, shaped, keyTagsFor(m))
+                sources.MeasurementStore.read(spark, dd, m).foreach(t => tables(m) = t)
+              case None => registerMeasurement(tm, shaped.localCheckpoint(true))
+            }
+          }
+        }
+      }
   }
 
   // monotone sequence for subscription batch files + ANY round-robin
