@@ -452,6 +452,36 @@ object DocText {
       }
       labels.withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
+    },
+
+    // ---- benchmark DECONTAMINATION: flag training docs sharing any
+    //      shingle with a held-out benchmark set (doc_id < 10 stands in
+    //      for the eval suite) — the n-gram-overlap check every LLM data
+    //      pipeline runs before training. Benchmark shingles are tiny →
+    //      broadcast; the corpus side is one exploded semi-join keyed on
+    //      the shingle — an inverted-index probe, never corpus×benchmark.
+    Q("d_decontaminate",
+      s"""WITH ${shCte("documents")},
+         |bs AS (SELECT DISTINCT unnest(shingles) AS sgl FROM sh WHERE doc_id < 10),
+         |ex AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh WHERE doc_id >= 10),
+         |hits AS (SELECT ex.doc_id, count(DISTINCT ex.sgl) AS n_hits
+         |         FROM ex JOIN bs ON ex.sgl = bs.sgl GROUP BY 1)
+         |SELECT s.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM sh WHERE doc_id >= 10) s
+         |LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin) { (s, d) =>
+      val sh = withShingles(docs(s, d)).select("doc_id", "shingles")
+      val bench = sh.where(col("doc_id") < 10)
+        .select(explode(col("shingles")).as("sgl")).distinct()
+      val corpus = sh.where(col("doc_id") >= 10)
+      val hits = corpus.select(col("doc_id"), explode(col("shingles")).as("sgl"))
+        .join(broadcast(bench), Seq("sgl"))
+        .groupBy("doc_id").agg(countDistinct("sgl").as("n_hits"))
+      corpus.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
     }
   )
 }
