@@ -249,7 +249,8 @@ final class Engine(val spark: SparkSession, sfDir: String,
   }
 
   private def measurementNames: Seq[String] =
-    (tables.keys.toSeq ++ Seq(Catalog.events.measurement)).distinct.sorted
+    (tables.keys.toSeq ++ pendingCqTargets.keys.toSeq ++
+      Seq(Catalog.events.measurement)).distinct.sorted
 
   /** Registered + catalog metas, optionally restricted by SHOW's FROM m. */
   private def metasFor(from: Option[String]): Seq[TableMeta] = {
