@@ -497,6 +497,17 @@ final class Engine(val spark: SparkSession, sfDir: String,
     (nOk, nErr)
   }
 
+  /** Gzip write body (reference `service/write_handler.go:55-63`: the
+    * /write endpoint accepts Content-Encoding: gzip and decompresses
+    * before parsing). Decompress with the JDK, split lines, and feed the
+    * standard path — byte-identical semantics to a plain-text write. */
+  def writeLineProtocolGzip(body: Array[Byte], measurement: String,
+      precision: String = "ns"): (Long, Long) = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    writeLineProtocol(text.split("\n", -1).toSeq.filter(_.nonEmpty), measurement, precision)
+  }
+
   /** Credentialed write path (reference `service/write_handler.go:80-101`:
     * when any users exist, a write must authenticate AND hold WRITE on the
     * target db; 401 on bad credentials, 403 on missing privilege — both

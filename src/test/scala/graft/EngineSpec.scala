@@ -243,6 +243,21 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("gzip write bodies decompress to the identical write path") {
+    val e = newEngine
+    val meta = TableMeta("gz", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    val body = "gz,type=a v=1.5 1000000000\ngz,type=b v=2.25 2000000000\nnot a line"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.GZIPOutputStream(bos)
+    z.write(body.getBytes("UTF-8")); z.close()
+    val (ok, bad) = e.writeLineProtocolGzip(bos.toByteArray, "gz")
+    assert(ok == 2 && bad == 1) // dead-letter channel works through gzip too
+    assert(e.execute("SELECT v FROM gz").collect()
+      .map(_.getAs[Double]("v")).toSet == Set(1.5, 2.25))
+  }
+
   test("credentialed writes: 401 on bad password, 403 without WRITE, open pre-bootstrap") {
     val e = newEngine
     val meta = TableMeta("wa", "ts_us",
