@@ -119,4 +119,35 @@ class TranslatorSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("time", "event_type", "mean"))
     assert(df.count() > 0)
   }
+
+  test("tz buckets honor the DST transition: local midnights shift EST→EDT") {
+    // America/New_York springs forward 2024-03-10: local midnight is
+    // 05:00 UTC before, 04:00 UTC after; the 1d bucket for Mar 10 itself
+    // is a 23-hour day. A point at 12:00 UTC each day lands in that
+    // local day's bucket, whose reported time is the UTC instant of the
+    // LOCAL midnight — not a fixed offset.
+    val e = new graft.Engine(spark, sfDir)
+    val meta = graft.ql.TableMeta("dst", "ts_us",
+      tags = Seq("t"), fields = Seq(graft.ql.FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    def noonUtcNs(day: Int): Long = // 2024-03-<day> 12:00 UTC, ns
+      (java.time.LocalDate.of(2024, 3, day).atTime(12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond) * 1000000000L
+    e.writeLineProtocol(Seq(
+      s"dst,t=a v=1 ${noonUtcNs(9)}",
+      s"dst,t=a v=2 ${noonUtcNs(10)}",
+      s"dst,t=a v=3 ${noonUtcNs(11)}"), "dst")
+    val rows = e.execute(
+      "SELECT mean(v) FROM dst GROUP BY time(1d) tz('America/New_York')")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("mean"))).toMap
+    def localMidnightUs(day: Int): Long =
+      java.time.LocalDate.of(2024, 3, day).atStartOfDay(
+        java.time.ZoneId.of("America/New_York")).toInstant.getEpochSecond * 1000000L
+    assert(rows == Map(
+      localMidnightUs(9)  -> 1.0,  // 05:00 UTC (EST)
+      localMidnightUs(10) -> 2.0,  // 05:00 UTC — the 23-hour day
+      localMidnightUs(11) -> 3.0)) // 04:00 UTC (EDT)
+    // and the boundaries really differ: EST vs EDT midnight
+    assert(localMidnightUs(11) - localMidnightUs(10) == 23L * 3600 * 1000000)
+  }
 }
