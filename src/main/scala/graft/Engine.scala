@@ -123,9 +123,14 @@ final class Engine(val spark: SparkSession, sfDir: String,
 
   /** Snapshot every metadata store to dataDir/_catalog (tmp+rename; see
     * MetaCatalog). Called after each successful mutating statement — the
-    * same write-through durability etcd gives the reference. */
-  private def persistMeta(): Unit =
+    * same write-through durability etcd gives the reference. Serialized:
+    * concurrent mutating statements each snapshot the full (thread-safe)
+    * store state, and the lock orders the file swaps so one writer can't
+    * rename the other's tmp out from under it. */
+  private val metaLock = new Object
+  private def persistMeta(): Unit = metaLock.synchronized {
     dataDir.foreach(d => sources.MetaCatalog.write(spark, d, metaRecords))
+  }
 
   /** The full metadata state as catalog records (persistMeta + mirrorTo). */
   private def metaRecords: Seq[Seq[String]] = {

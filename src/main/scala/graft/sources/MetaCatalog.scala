@@ -49,9 +49,13 @@ object MetaCatalog {
     sb.toString
   }
 
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def write(spark: SparkSession, dir: String, records: Seq[Seq[String]]): Unit = {
     val p = path(dir)
-    val tmp = new Path(s"$dir/_catalog.tmp")
+    // unique tmp per write: even racing writers (which the Engine already
+    // serializes) never share a tmp path
+    val tmp = new Path(s"$dir/_catalog.tmp.${tmpSeq.getAndIncrement()}")
     val f = fs(spark, p)
     val body = ("v1" +: records.map(_.map(esc).mkString(Sep.toString))).mkString("\n")
     val out = f.create(tmp, true)

@@ -243,6 +243,34 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("concurrent writes and DDL do not corrupt state (TrieMap + tmp-rename catalog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    val e = new Engine(spark, sfDir, Some(dir))
+    val ms = (0 until 4).map(i => s"cm$i")
+    ms.foreach { m =>
+      e.registerMeasurement(TableMeta(m, "ts_us",
+        tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L)))), spark.emptyDataFrame)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val work = ms.zipWithIndex.map { case (m, i) => Future {
+      (1 to 5).foreach { k =>
+        e.writeLineProtocol(Seq(s"$m,type=t$k v=$k ${(i * 100 + k).toLong * 1000000000}"), m)
+      }
+      e.execute(s"CREATE RETENTION POLICY rp_$m ON default DURATION 30d REPLICATION 1")
+    }}
+    Await.result(Future.sequence(work), 5.minutes)
+    ms.foreach(m => assert(e.execute(s"SELECT v FROM $m").collect().length == 5))
+    val rps = e.execute("SHOW RETENTION POLICIES ON default").collect().map(_.getString(0)).toSet
+    ms.foreach(m => assert(rps.contains(s"rp_$m")))
+    // the concurrently-written catalog restores complete on a fresh engine
+    val e2 = new Engine(spark, sfDir, Some(dir))
+    val rps2 = e2.execute("SHOW RETENTION POLICIES ON default").collect().map(_.getString(0)).toSet
+    ms.foreach(m => assert(rps2.contains(s"rp_$m")))
+    ms.foreach(m => assert(e2.execute(s"SELECT v FROM $m").collect().length == 5))
+  }
+
   test("gzip write bodies decompress to the identical write path") {
     val e = newEngine
     val meta = TableMeta("gz", "ts_us",
