@@ -610,11 +610,17 @@ final class Engine(val spark: SparkSession, sfDir: String,
 
   /** Subscription FIRING (reference `service/routing.go:101-126`: the
     * statement is replicated to nodes where InfluxDB forwards every write
-    * under the subscribed db.rp to the destinations). Here a destination is
-    * a directory — the test stand-in for a remote endpoint; a deployment
-    * would swap the file write for an HTTP POST of the same body. Each
-    * write batch lands as one line-protocol file; ALL fans out to every
-    * destination, ANY round-robins across them (InfluxDB semantics). */
+    * under the subscribed db.rp to the destinations). Two destination
+    * kinds: `http(s)://…` POSTs the batch to the remote's InfluxDB
+    * `/write` endpoint (SubscriptionHttp — the real subscriber-service
+    * behavior); anything else is a directory, the test stand-in, where
+    * each batch lands as one line-protocol file. ALL fans out to every
+    * destination, ANY round-robins across them (InfluxDB semantics).
+    * A failed HTTP delivery is spooled under dataDir/_subs/pending and
+    * replayed by retrySubscriptionBacklog — the same hinted-handoff
+    * pattern the reference applies to replica writes
+    * (`cluster/recovery.go:89-175`); without a dataDir it is dropped,
+    * matching the subscriber service's log-and-drop. */
   private def forwardToSubscriptions(measurement: String, lines: Seq[String]): Unit = {
     val (db, rp) = measurementRp.getOrElse(measurement, ("default", "autogen"))
     val matching = subscriptions.toSeq.collect {
@@ -629,10 +635,50 @@ final class Engine(val spark: SparkSession, sfDir: String,
         case _     => dests
       }
       targets.foreach { dest =>
-        val p = new org.apache.hadoop.fs.Path(s"$dest/$db.$rp.$measurement-$seq-$name.lp")
-        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val out = f.create(p, true)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
+        if (dest.startsWith("http://") || dest.startsWith("https://")) {
+          if (!sources.SubscriptionHttp.post(dest, db, rp, body))
+            dataDir.foreach { dd =>
+              // header line carries the routing triple; '#' is a
+              // line-protocol comment so the body stays a valid batch
+              writeFile(s"$dd/_subs/pending/$seq-$name.lp",
+                s"# dest=$dest db=$db rp=$rp\n$body")
+            }
+        } else {
+          writeFile(s"$dest/$db.$rp.$measurement-$seq-$name.lp", body)
+        }
+      }
+    }
+  }
+
+  private def writeFile(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Replay spooled subscription batches whose HTTP delivery failed.
+    * Returns the number of batches delivered; delivered spool files are
+    * deleted, still-failing ones stay for the next pass (the reference's
+    * RecoverNodes cycle, `cluster/recovery.go:187-229`). */
+  def retrySubscriptionBacklog(): Int = dataDir.fold(0) { dd =>
+    val dir = new org.apache.hadoop.fs.Path(s"$dd/_subs/pending")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) return 0
+    val Header = """# dest=(\S+) db=(\S+) rp=(\S+)""".r
+    f.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".lp"))
+      .sortBy(_.getPath.getName).count { st =>
+      val in = f.open(st.getPath)
+      val text = try {
+        val bs = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
+        bs.toString("UTF-8")
+      } finally in.close()
+      text.split("\n", 2) match {
+        case Array(Header(dest, db, rp), body)
+            if sources.SubscriptionHttp.post(dest, db, rp, body) =>
+          f.delete(st.getPath, false); true
+        case _ => false
       }
     }
   }

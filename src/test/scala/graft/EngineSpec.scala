@@ -243,6 +243,60 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("http subscriptions POST to the /write endpoint; failures spool and replay") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    def serve(): HttpServer = {
+      val s = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/write", new HttpHandler {
+        def handle(x: HttpExchange): Unit = {
+          val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          received.add((x.getRequestURI.toString, body))
+          x.sendResponseHeaders(204, -1); x.close()
+        }
+      })
+      s.start(); s
+    }
+    val srv = serve()
+    val dir = java.nio.file.Files.createTempDirectory("graft_subhttp").toString
+    val e = new Engine(spark, sfDir, Some(dir))
+    e.registerMeasurement(TableMeta("hm", "ts_us",
+      tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L)))), spark.emptyDataFrame)
+    val port = srv.getAddress.getPort
+    e.execute(s"CREATE SUBSCRIPTION web ON default.autogen DESTINATIONS ALL 'http://127.0.0.1:$port'")
+
+    val lines = Seq("hm,type=a v=1 1000000000", "hm,type=b v=2 2000000000")
+    e.writeLineProtocol(lines, "hm")
+    val got = received.poll()
+    assert(got != null && received.isEmpty)
+    assert(got._1 == "/write?db=default&rp=autogen&precision=ns")
+    assert(got._2 == lines.mkString("\n"))
+
+    // server down: the batch spools under dataDir/_subs/pending instead
+    srv.stop(0)
+    e.writeLineProtocol(Seq("hm,type=c v=3 3000000000"), "hm")
+    val pending = new java.io.File(s"$dir/_subs/pending")
+    def spooled() = pending.listFiles().filter(_.getName.endsWith(".lp"))
+    assert(spooled().length == 1)
+
+    // server back (same port): replay delivers and clears the spool
+    val srv2 = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    srv2.createContext("/write", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        received.add((x.getRequestURI.toString, new String(x.getRequestBody.readAllBytes(), "UTF-8")))
+        x.sendResponseHeaders(204, -1); x.close()
+      }
+    })
+    srv2.start()
+    try {
+      assert(e.retrySubscriptionBacklog() == 1)
+      assert(spooled().isEmpty)
+      val replayed = received.poll()
+      assert(replayed._2 == "hm,type=c v=3 3000000000")
+      assert(e.retrySubscriptionBacklog() == 0) // idempotent when empty
+    } finally srv2.stop(0)
+  }
+
   test("concurrent writes and DDL do not corrupt state (TrieMap + tmp-rename catalog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
     val e = new Engine(spark, sfDir, Some(dir))
