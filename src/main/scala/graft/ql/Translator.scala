@@ -32,7 +32,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     "median", "percentile", "mode", "first", "last", "integral", "distinct")
   private val MULTIROW = Set("top", "bottom", "sample", "distinct", "mode", "percentile")
   private val TRANSFORMS = Set("derivative", "non_negative_derivative", "difference",
-    "cumulative_sum", "moving_average", "elapsed")
+    "cumulative_sum", "moving_average", "elapsed", "holt_winters") ++
+    SeriesAnalytics.FOLD_FNS
 
   private def time: Column = col(meta.timeCol)
 
@@ -559,6 +560,20 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         sel.groupByTime, sel.groupByTags, sel.groupByAllTags, FillNone,
         orderDesc = false, None, None, None, None, None, sel.groupByTimeOffset)
       val agged = aggSelect(base, aggSel, tags)
+      // analytics recurrences (EMA family, RSI, CMO, Kaufman, Holt-Winters)
+      // run as per-series folds over the bucket series — SeriesAnalytics
+      if (SeriesAnalytics.FOLD_FNS(tfn)) {
+        val n = tArgs.collectFirst { case IntLit(k) => k.toInt }
+          .getOrElse(throw ParseException(s"$tfn(agg(field), N) expected"))
+        return SeriesAnalytics(agged, tags, "__v", tfn, n, alias.getOrElse(tfn))
+      }
+      if (tfn == "holt_winters") {
+        val ints = tArgs.collect { case IntLit(k) => k.toInt }
+        if (ints.length != 2)
+          throw ParseException("holt_winters(agg(field), N, S) expected")
+        return SeriesAnalytics.applyHoltWinters(agged, tags, "__v",
+          ints(0), ints(1), sel.groupByTime.get, alias.getOrElse("holt_winters"))
+      }
       val unitUs = tArgs.collectFirst { case DurLit(us) => us }
         .getOrElse(sel.groupByTime.get)
       val series = Window.partitionBy(tags.map(col): _*).orderBy(col("time").asc)
@@ -588,6 +603,22 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   // ---------------- transform path (derivative & friends)
 
   private def transformSelect(base: DataFrame, sel: SelectStmt, tags: List[String]): DataFrame = {
+    // analytics recurrences over the raw series: per-series fold (input =
+    // the stored double values, identical bits on any engine)
+    sel.fields match {
+      case List(Field(Call(fn, args), alias)) if SeriesAnalytics.FOLD_FNS(fn) =>
+        val f = args.headOption match {
+          case Some(Ident(x)) => x
+          case _ => throw ParseException(s"$fn(field, N) expected")
+        }
+        val n = args.collectFirst { case IntLit(k) => k.toInt }
+          .getOrElse(throw ParseException(s"$fn(field, N) expected"))
+        val in = base.select(time.as("time") +: tags.map(col) :+ col(f).cast("double").as("__v"): _*)
+        return SeriesAnalytics(in, tags, "__v", fn, n, alias.getOrElse(fn))
+      case List(Field(Call("holt_winters", _), _)) =>
+        throw ParseException("holt_winters requires an aggregate and GROUP BY time")
+      case _ =>
+    }
     val series = Window.partitionBy(tags.map(col): _*).orderBy(time.asc)
     val outs = sel.fields.map {
       case Field(c @ Call(fn, args), alias) =>

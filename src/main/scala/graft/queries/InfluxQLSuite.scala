@@ -19,6 +19,17 @@ object InfluxQLSuite {
   private val EV =
     "ev AS (SELECT *, epoch_us(ts) AS ts_us, CAST(round(value*100) AS BIGINT) AS cents FROM events)"
   private val DAY_US = 86400000000L
+  // daily-mean bucket series per tag + its row numbering — the shared input
+  // of the analytics recurrences (identical doubles to the Spark side, the
+  // iql_derivative_of_mean-proven pattern)
+  private val BKT =
+    s"""b AS (SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+       |       CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS v
+       |     FROM ev GROUP BY 1, 2)""".stripMargin
+  private val RN =
+    "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY time) AS BIGINT) AS rn FROM b)"
+  private val LASTN =
+    "PARTITION BY event_type ORDER BY time ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
 
   private def iql(name: String, oracleSql: String)(influxql: String): Q =
     Q(name, oracleSql) { (s, d) => Translator.query(s, d, influxql) }
@@ -350,6 +361,178 @@ object InfluxQLSuite {
          |    AS cumulative_sum
          |FROM b""".stripMargin)(
       "SELECT cumulative_sum(sum(value)) FROM events GROUP BY time(1d)"),
+
+    // ---- analytics recurrences over the bucketed series (InfluxQL 1.x
+    //      technical-analysis surface: EMA family, RSI, CMO, Kaufman — all
+    //      rejected by the reference's merge layer, first-class here via
+    //      SeriesAnalytics). Oracles step the IDENTICAL double arithmetic
+    //      as a recursive CTE / windowed-list left fold, so the compare is
+    //      bit-exact. `r` numbers each tag's bucket series; warmup
+    //      boundaries are closed-form in rn (see SeriesAnalytics scaladoc).
+    iql("iql_ema",
+      s"""WITH RECURSIVE $EV, $BKT, $RN,
+         |e AS (
+         |  SELECT event_type, time, v, rn, v AS acc, CAST(NULL AS DOUBLE) AS ema FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.time, r.v, r.rn,
+         |         CASE WHEN r.rn < 4 THEN e.acc + r.v ELSE 0.0 END,
+         |         CASE WHEN r.rn < 4 THEN NULL
+         |              WHEN r.rn = 4 THEN (e.acc + r.v) / 4
+         |              ELSE (2.0/5.0) * r.v + (1 - 2.0/5.0) * e.ema END
+         |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+         |SELECT time, event_type, ema AS exponential_moving_average
+         |FROM e WHERE ema IS NOT NULL""".stripMargin)(
+      "SELECT exponential_moving_average(mean(value), 4) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_dema",
+      s"""WITH RECURSIVE $EV, $BKT, $RN,
+         |e AS (
+         |  SELECT event_type, time, v, rn, v AS acc1, CAST(NULL AS DOUBLE) AS ema1,
+         |         CAST(0.0 AS DOUBLE) AS acc2, CAST(NULL AS DOUBLE) AS ema2 FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.time, r.v, r.rn,
+         |         CASE WHEN r.rn < 4 THEN e.acc1 + r.v ELSE 0.0 END,
+         |         CASE WHEN r.rn < 4 THEN NULL
+         |              WHEN r.rn = 4 THEN (e.acc1 + r.v) / 4
+         |              ELSE (2.0/5.0) * r.v + (1 - 2.0/5.0) * e.ema1 END AS ema1n,
+         |         CASE WHEN r.rn >= 4 AND r.rn < 7 THEN e.acc2 + ema1n ELSE e.acc2 END,
+         |         CASE WHEN r.rn < 7 THEN NULL
+         |              WHEN r.rn = 7 THEN (e.acc2 + ema1n) / 4
+         |              ELSE (2.0/5.0) * ema1n + (1 - 2.0/5.0) * e.ema2 END
+         |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+         |SELECT time, event_type, 2 * ema1 - ema2 AS double_exponential_moving_average
+         |FROM e WHERE ema2 IS NOT NULL""".stripMargin)(
+      "SELECT double_exponential_moving_average(mean(value), 4) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_tema",
+      s"""WITH RECURSIVE $EV, $BKT, $RN,
+         |e AS (
+         |  SELECT event_type, time, v, rn, v AS acc1, CAST(NULL AS DOUBLE) AS ema1,
+         |         CAST(0.0 AS DOUBLE) AS acc2, CAST(NULL AS DOUBLE) AS ema2,
+         |         CAST(0.0 AS DOUBLE) AS acc3, CAST(NULL AS DOUBLE) AS ema3 FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.time, r.v, r.rn,
+         |         CASE WHEN r.rn < 3 THEN e.acc1 + r.v ELSE 0.0 END,
+         |         CASE WHEN r.rn < 3 THEN NULL
+         |              WHEN r.rn = 3 THEN (e.acc1 + r.v) / 3
+         |              ELSE (2.0/4.0) * r.v + (1 - 2.0/4.0) * e.ema1 END AS ema1n,
+         |         CASE WHEN r.rn >= 3 AND r.rn < 5 THEN e.acc2 + ema1n ELSE e.acc2 END,
+         |         CASE WHEN r.rn < 5 THEN NULL
+         |              WHEN r.rn = 5 THEN (e.acc2 + ema1n) / 3
+         |              ELSE (2.0/4.0) * ema1n + (1 - 2.0/4.0) * e.ema2 END AS ema2n,
+         |         CASE WHEN r.rn >= 5 AND r.rn < 7 THEN e.acc3 + ema2n ELSE e.acc3 END,
+         |         CASE WHEN r.rn < 7 THEN NULL
+         |              WHEN r.rn = 7 THEN (e.acc3 + ema2n) / 3
+         |              ELSE (2.0/4.0) * ema2n + (1 - 2.0/4.0) * e.ema3 END
+         |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+         |SELECT time, event_type, 3 * ema1 - 3 * ema2 + ema3 AS triple_exponential_moving_average
+         |FROM e WHERE ema3 IS NOT NULL""".stripMargin)(
+      "SELECT triple_exponential_moving_average(mean(value), 3) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_trix",
+      s"""WITH RECURSIVE $EV, $BKT, $RN,
+         |e AS (
+         |  SELECT event_type, time, v, rn, v AS acc1, CAST(NULL AS DOUBLE) AS ema1,
+         |         CAST(0.0 AS DOUBLE) AS acc2, CAST(NULL AS DOUBLE) AS ema2,
+         |         CAST(0.0 AS DOUBLE) AS acc3, CAST(NULL AS DOUBLE) AS ema3,
+         |         CAST(NULL AS DOUBLE) AS prev3 FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.time, r.v, r.rn,
+         |         CASE WHEN r.rn < 3 THEN e.acc1 + r.v ELSE 0.0 END,
+         |         CASE WHEN r.rn < 3 THEN NULL
+         |              WHEN r.rn = 3 THEN (e.acc1 + r.v) / 3
+         |              ELSE (2.0/4.0) * r.v + (1 - 2.0/4.0) * e.ema1 END AS ema1n,
+         |         CASE WHEN r.rn >= 3 AND r.rn < 5 THEN e.acc2 + ema1n ELSE e.acc2 END,
+         |         CASE WHEN r.rn < 5 THEN NULL
+         |              WHEN r.rn = 5 THEN (e.acc2 + ema1n) / 3
+         |              ELSE (2.0/4.0) * ema1n + (1 - 2.0/4.0) * e.ema2 END AS ema2n,
+         |         CASE WHEN r.rn >= 5 AND r.rn < 7 THEN e.acc3 + ema2n ELSE e.acc3 END,
+         |         CASE WHEN r.rn < 7 THEN NULL
+         |              WHEN r.rn = 7 THEN (e.acc3 + ema2n) / 3
+         |              ELSE (2.0/4.0) * ema2n + (1 - 2.0/4.0) * e.ema3 END AS ema3n,
+         |         e.ema3
+         |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+         |SELECT time, event_type, 100.0 * (ema3 - prev3) / prev3 AS triple_exponential_derivative
+         |FROM e WHERE ema3 IS NOT NULL AND prev3 IS NOT NULL AND prev3 <> 0""".stripMargin)(
+      "SELECT triple_exponential_derivative(mean(value), 3) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_rsi",
+      s"""WITH RECURSIVE $EV, $BKT, $RN,
+         |e AS (
+         |  SELECT event_type, time, v, rn, CAST(0.0 AS DOUBLE) AS au, CAST(0.0 AS DOUBLE) AS ad
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.time, r.v, r.rn,
+         |         CASE WHEN r.rn - 1 < 4 THEN e.au + greatest(r.v - e.v, 0.0)
+         |              WHEN r.rn - 1 = 4 THEN (e.au + greatest(r.v - e.v, 0.0)) / 4
+         |              ELSE (e.au * 3 + greatest(r.v - e.v, 0.0)) / 4 END,
+         |         CASE WHEN r.rn - 1 < 4 THEN e.ad + greatest(e.v - r.v, 0.0)
+         |              WHEN r.rn - 1 = 4 THEN (e.ad + greatest(e.v - r.v, 0.0)) / 4
+         |              ELSE (e.ad * 3 + greatest(e.v - r.v, 0.0)) / 4 END
+         |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+         |SELECT time, event_type,
+         |       CASE WHEN ad = 0.0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + au / ad) END
+         |         AS relative_strength_index
+         |FROM e WHERE rn - 1 >= 4""".stripMargin)(
+      "SELECT relative_strength_index(mean(value), 4) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_cmo",
+      s"""WITH $EV, $BKT, $RN,
+         |d AS (SELECT event_type, time, rn, v - lag(v) OVER w AS dv
+         |      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY time)),
+         |f AS (SELECT event_type, time, rn,
+         |        list_reduce(list_prepend(0.0, list_transform(
+         |          list(dv) OVER ($LASTN), x -> greatest(x, 0.0))), (a, b) -> a + b) AS su,
+         |        list_reduce(list_prepend(0.0, list_transform(
+         |          list(dv) OVER ($LASTN), x -> greatest(-x, 0.0))), (a, b) -> a + b) AS sd
+         |      FROM d WHERE dv IS NOT NULL)
+         |SELECT time, event_type,
+         |       CASE WHEN su + sd = 0.0 THEN 0.0 ELSE 100.0 * (su - sd) / (su + sd) END
+         |         AS chande_momentum_oscillator
+         |FROM f WHERE rn > 4""".stripMargin)(
+      "SELECT chande_momentum_oscillator(mean(value), 4) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_kaufman_er",
+      s"""WITH $EV, $BKT, $RN,
+         |d AS (SELECT event_type, time, rn, v, v - lag(v) OVER w AS dv, lag(v, 4) OVER w AS vn
+         |      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY time)),
+         |f AS (SELECT event_type, time, rn, v, vn,
+         |        list_reduce(list_prepend(0.0, list_transform(
+         |          list(dv) OVER ($LASTN), x -> abs(x))), (a, b) -> a + b) AS vol
+         |      FROM d WHERE dv IS NOT NULL)
+         |SELECT time, event_type,
+         |       CASE WHEN vol = 0.0 THEN 0.0 ELSE abs(v - vn) / vol END
+         |         AS kaufmans_efficiency_ratio
+         |FROM f WHERE rn > 4""".stripMargin)(
+      "SELECT kaufmans_efficiency_ratio(mean(value), 4) FROM events GROUP BY time(1d), event_type"),
+
+    iql("iql_kama",
+      s"""WITH RECURSIVE $EV, $BKT, $RN,
+         |d AS (SELECT event_type, time, rn, v, v - lag(v) OVER w AS dv, lag(v, 4) OVER w AS vn
+         |      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY time)),
+         |f AS (SELECT event_type, time, rn, v,
+         |        CASE WHEN rn <= 4 THEN NULL
+         |             WHEN vol = 0.0 THEN 0.0 ELSE abs(v - vn) / vol END AS er
+         |      FROM (SELECT *, list_reduce(list_prepend(0.0, list_transform(
+         |              list(dv) OVER ($LASTN), x -> abs(x))), (a, b) -> a + b) AS vol
+         |            FROM d)),
+         |e AS (
+         |  SELECT event_type, time, rn, er, v AS kama FROM f WHERE rn = 4
+         |  UNION ALL
+         |  SELECT f.event_type, f.time, f.rn, f.er,
+         |         e.kama + ((f.er * (2.0/3 - 2.0/31) + 2.0/31) * (f.er * (2.0/3 - 2.0/31) + 2.0/31))
+         |                * (f.v - e.kama)
+         |  FROM f JOIN e ON f.event_type = e.event_type AND f.rn = e.rn + 1)
+         |SELECT time, event_type, kama AS kaufmans_adaptive_moving_average
+         |FROM e WHERE rn > 4""".stripMargin)(
+      "SELECT kaufmans_adaptive_moving_average(mean(value), 4) FROM events GROUP BY time(1d), event_type"),
+
+    // holt_winters: deterministic grid-fit forecast (SeriesAnalytics
+    // scaladoc) — a nested recursion under an argmin is not practically
+    // SQL-expressible, so the driver check is rows-only and the semantics
+    // are pinned by SeriesAnalyticsSpec instead
+    iqlRowsOnly("iql_holt_winters")(
+      "SELECT holt_winters(mean(value), 5, 7) FROM events GROUP BY time(1d), event_type"),
 
     // ---- fill() family over time buckets (SURVEY §2.4 grouping surface)
     iql("iql_fill_zero",
