@@ -369,7 +369,16 @@ final class Engine(val spark: SparkSession, sfDir: String,
       val fields = out.columns.toSeq
         .filterNot(c => c == "time" || tags.contains(c))
         .map(FieldMeta(_, None))
-      registerMeasurement(TableMeta(target, "time", tags = tags, fields = fields), out)
+      val tMeta = TableMeta(target, "time", tags = tags, fields = fields)
+      dataDir match {
+        case Some(dir) =>
+          // durable INTO: the reference's SELECT INTO lands points in the
+          // target's shards, so they survive a restart; rewrite carries
+          // this path's full-recompute semantics to disk
+          sources.MeasurementStore.rewrite(spark, dir, tMeta, out, keyTagsFor(target))
+          sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
+        case None => registerMeasurement(tMeta, out)
+      }
     }
     out
   }
@@ -453,8 +462,14 @@ final class Engine(val spark: SparkSession, sfDir: String,
       measurement, meta.tags, floatFields, precision).persist()
     val cnts = raw.agg(
       count(when(col("err").isNull, lit(1))).as("ok"),
-      count(col("err")).as("bad")).head()
+      count(col("err")).as("bad"),
+      min(when(col("err").isNull, col("time_ns"))).as("lo_ns"),
+      max(when(col("err").isNull, col("time_ns"))).as("hi_ns")).head()
     val (nOk, nErr) = (cnts.getLong(0), cnts.getLong(1))
+    // batch time span (µs) for the CQ continuation's bucket restriction
+    val (tLoUs, tHiUs) =
+      if (nOk > 0) (Math.floorDiv(cnts.getLong(2), 1000L), Math.floorDiv(cnts.getLong(3), 1000L))
+      else (-1L, -1L)
     val ok = raw.where(col("err").isNull).drop("err")
     val withTime0 = ok.withColumn(meta.timeCol, expr("time_ns div 1000"))
     // measurements with a declared raw-ns pushdown column must carry it on
@@ -496,8 +511,19 @@ final class Engine(val spark: SparkSession, sfDir: String,
     }
     registerMeasurement(meta, stored)
     // live CQ continuation: refresh every CQ whose source is this
-    // measurement (micro-batch semantics — see CreateContinuousQuery)
-    cqs.values.foreach { case (src, sel) if src == measurement => runSelect(sel); case _ => }
+    // measurement (micro-batch semantics — see CreateContinuousQuery).
+    // Time-bucketed CQs patch only the buckets this batch touched; a CQ
+    // whose target still awaits restart backfill (or has no time buckets)
+    // takes the full recompute so the patch can't mask missing history.
+    if (nOk > 0) cqs.values.foreach {
+      case (src, sel) if src == measurement =>
+        sel.groupByTime match {
+          case Some(iv) if !sel.into.exists(pendingCqTargets.contains) =>
+            patchIntoTarget(sel, iv, tLoUs, tHiUs)
+          case _ => runSelect(sel)
+        }
+      case _ =>
+    }
     forwardToSubscriptions(measurement, lines)
     (nOk, nErr)
   }
@@ -850,33 +876,44 @@ final class Engine(val spark: SparkSession, sfDir: String,
       }
       // bucket span this batch touched (bounded by the batch itself)
       val mm = rows.agg(min(col(srcMeta.timeCol)), max(col(srcMeta.timeCol))).head()
-      val off = sel.groupByTimeOffset
-      val lo = Math.floorDiv(mm.getLong(0) - off, ivUs) * ivUs + off
-      val hi = (Math.floorDiv(mm.getLong(1) - off, ivUs) + 1L) * ivUs + off
-      val touched: Expr = Bin("AND",
-        Bin(">=", Ident("time"), IntLit(lo)),
-        Bin("<", Ident("time"), IntLit(hi)))
-      val restricted = sel.copy(into = None,
-        where = Some(sel.where.fold(touched)(w => Bin("AND", Paren(w), touched))))
-      val (df, m) = Translator.resolve(sel.from, load, () => measurementNames)
-      val patch = new Translator(df, m).run(restricted).localCheckpoint(true)
-      sel.into.foreach { target =>
-        val next = tables.get(target).map(_._1) match {
-          case Some(prev) if prev.columns.sorted.sameElements(patch.columns.sorted) =>
-            prev.where(col("time") < lo || col("time") >= hi).unionByName(patch)
-          case _ => patch
-        }
-        val tags = sel.groupByTags.filter(patch.columns.contains)
-        val fields = patch.columns.toSeq
-          .filterNot(c => c == "time" || tags.contains(c)).map(FieldMeta(_, None))
-        val tMeta = TableMeta(target, "time", tags = tags, fields = fields)
-        dataDir match {
-          case Some(dir) =>
-            sources.MeasurementStore.rewrite(spark, dir, tMeta, next, keyTagsFor(target))
-            sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
-          case None =>
-            registerMeasurement(tMeta, compactLineage(target, next))
-        }
+      patchIntoTarget(sel, ivUs, mm.getLong(0), mm.getLong(1))
+    }
+  }
+
+  /** Recompute a CQ's SELECT over just the buckets touched by the µs span
+    * [tLoUs, tHiUs] and patch those buckets into the INTO target —
+    * durably via MeasurementStore.rewrite when dataDir is set. Shared by
+    * the standing streaming path (processCqBatch) and the
+    * writeLineProtocol batch continuation, so both stay
+    * O(batch + touched-bucket history) per ingest, never O(full history). */
+  private def patchIntoTarget(sel: SelectStmt, ivUs: Long,
+      tLoUs: Long, tHiUs: Long): Unit = {
+    val off = sel.groupByTimeOffset
+    val lo = Math.floorDiv(tLoUs - off, ivUs) * ivUs + off
+    val hi = (Math.floorDiv(tHiUs - off, ivUs) + 1L) * ivUs + off
+    val touched: Expr = Bin("AND",
+      Bin(">=", Ident("time"), IntLit(lo)),
+      Bin("<", Ident("time"), IntLit(hi)))
+    val restricted = sel.copy(into = None,
+      where = Some(sel.where.fold(touched)(w => Bin("AND", Paren(w), touched))))
+    val (df, m) = Translator.resolve(sel.from, load, () => measurementNames)
+    val patch = new Translator(df, m).run(restricted).localCheckpoint(true)
+    sel.into.foreach { target =>
+      val next = tables.get(target).map(_._1) match {
+        case Some(prev) if prev.columns.sorted.sameElements(patch.columns.sorted) =>
+          prev.where(col("time") < lo || col("time") >= hi).unionByName(patch)
+        case _ => patch
+      }
+      val tags = sel.groupByTags.filter(patch.columns.contains)
+      val fields = patch.columns.toSeq
+        .filterNot(c => c == "time" || tags.contains(c)).map(FieldMeta(_, None))
+      val tMeta = TableMeta(target, "time", tags = tags, fields = fields)
+      dataDir match {
+        case Some(dir) =>
+          sources.MeasurementStore.rewrite(spark, dir, tMeta, next, keyTagsFor(target))
+          sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
+        case None =>
+          registerMeasurement(tMeta, compactLineage(target, next))
       }
     }
   }

@@ -45,6 +45,34 @@ class DurabilitySpec extends SparkSpec {
     assert(e2.execute("SHOW MEASUREMENTS").collect().map(_.getString(0)).contains("dm"))
   }
 
+  test("SELECT INTO targets are durable; CQ continuation patches them incrementally") {
+    val dir = tmpDir()
+    val e1 = new Engine(spark, sfDir, Some(dir))
+    e1.registerMeasurement(meta, spark.emptyDataFrame)
+    e1.writeLineProtocol(Seq(
+      "dm,type=a v=1 1000000000",
+      "dm,type=a v=3 2000000000",
+      "dm,type=b v=2 61000000000"), "dm")
+    // explicit batch SELECT INTO lands durably
+    e1.execute("SELECT mean(v) INTO dm_1m FROM dm GROUP BY time(1m)")
+    def m1(e: Engine) = e.execute("SELECT * FROM dm_1m").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("mean"))).toSet
+    assert(m1(e1) == Set((0L, 2.0), (60000000L, 2.0)))
+
+    val e2 = new Engine(spark, sfDir, Some(dir)) // restart
+    assert(m1(e2) == Set((0L, 2.0), (60000000L, 2.0)))
+
+    // a CQ's per-write continuation keeps the durable target current —
+    // and only the touched bucket changes, prior buckets stay as-is
+    e2.execute("CREATE CONTINUOUS QUERY cq1m ON default BEGIN " +
+      "SELECT mean(v) INTO dm_1m FROM dm GROUP BY time(1m) END")
+    e2.writeLineProtocol(Seq("dm,type=b v=4 62000000000"), "dm")
+    assert(m1(e2) == Set((0L, 2.0), (60000000L, 3.0)))
+
+    val e3 = new Engine(spark, sfDir, Some(dir)) // restart again
+    assert(m1(e3) == Set((0L, 2.0), (60000000L, 3.0)))
+  }
+
   test("DELETE FROM compacts at rest and survives restart") {
     val dir = tmpDir()
     val e1 = new Engine(spark, sfDir, Some(dir))
