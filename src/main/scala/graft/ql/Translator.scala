@@ -437,17 +437,41 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   private def topBottom(base: DataFrame, sel: SelectStmt, tags: List[String],
       fn: String, args: List[Expr], alias: Option[String]): DataFrame = {
-    val (f, n) = args match {
-      case List(Ident(x), IntLit(k)) => (x, k.toInt)
-      case _ => throw ParseException(s"$fn(field, N) expected")
+    val (f, tagKeys, n) = args match {
+      case List(Ident(x), IntLit(k)) => (x, Nil, k.toInt)
+      case _ => // tag-qualified form: top(field, tag_key…, N)
+        val idents = args.collect { case Ident(x) => x }
+        val k = args.lastOption.collect { case IntLit(k) => k.toInt }
+          .getOrElse(throw ParseException(s"$fn(field[, tag_key…], N) expected"))
+        if (idents.length < 2 || args.length != idents.length + 1)
+          throw ParseException(s"$fn(field[, tag_key…], N) expected")
+        (idents.head, idents.tail, k)
     }
+    tagKeys.foreach(t => if (!meta.isTag(t)) throw ParseException(s"'$t' is not a tag"))
     // GROUP BY time(iv) selects top/bottom N PER BUCKET (InfluxQL)
     val (bucketed, parts, _) = multirowBucket(base, sel, tags)
-    val ord = if (fn == "top") Seq(col(f).desc, time.asc) else Seq(col(f).asc, time.asc)
-    val w = Window.partitionBy(parts: _*).orderBy(ord: _*)
-    bucketed.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse(fn)): _*)
+    // deterministic total order: value, then time, then the tag values
+    val ord = (if (fn == "top") Seq(col(f).desc, time.asc) else Seq(col(f).asc, time.asc)) ++
+      tagKeys.map(col(_).asc)
+    val name = alias.getOrElse(fn)
+    if (tagKeys.isEmpty) {
+      val w = Window.partitionBy(parts: _*).orderBy(ord: _*)
+      bucketed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= n)
+        .select(time.as("time") +: tags.map(col) :+ col(f).as(name): _*)
+    } else {
+      // InfluxQL tag-qualified selection: the extreme value PER DISTINCT
+      // TAG COMBINATION first, then top/bottom N among those — each tag
+      // combo appears at most once per bucket, and the tag columns join
+      // the output. Two stacked row_numbers; both windows share the
+      // bucket partition so the whole thing is one shuffle.
+      val w1 = Window.partitionBy(parts ++ tagKeys.map(col): _*).orderBy(ord: _*)
+      val w2 = Window.partitionBy(parts: _*).orderBy(ord: _*)
+      bucketed.withColumn("__rn1", row_number().over(w1)).where(col("__rn1") === 1)
+        .withColumn("__rn2", row_number().over(w2)).where(col("__rn2") <= n)
+        .select((time.as("time") +: tags.map(col)) ++
+          (col(f).as(name) +: tagKeys.map(col)): _*)
+    }
   }
 
   private def distinctSelect(base: DataFrame, sel: SelectStmt, tags: List[String],

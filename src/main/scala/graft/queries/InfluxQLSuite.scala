@@ -362,6 +362,25 @@ object InfluxQLSuite {
          |FROM b""".stripMargin)(
       "SELECT cumulative_sum(sum(value)) FROM events GROUP BY time(1d)"),
 
+    // ---- tag-qualified top/bottom: the extreme value PER DISTINCT TAG
+    //      first, then top/bottom N of those; tag joins the output
+    //      (InfluxQL top(field, tag_key, N) semantics, deterministic
+    //      (value, time, tag) total order on both engines)
+    iql("iql_top_tag",
+      s"""WITH $EV,
+         |m AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, ts_us ASC) AS rn1 FROM ev),
+         |t AS (SELECT *, row_number() OVER (ORDER BY value DESC, ts_us ASC, event_type ASC) AS rn2 FROM m WHERE rn1 = 1)
+         |SELECT ts_us AS time, value AS top, event_type FROM t WHERE rn2 <= 3""".stripMargin)(
+      "SELECT top(value, event_type, 3) FROM events"),
+
+    iql("iql_bottom_tag_bucket",
+      s"""WITH $EV,
+         |eb AS (SELECT *, ts_us - ts_us % $DAY_US AS bkt FROM ev),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY bkt, event_type ORDER BY value ASC, ts_us ASC) AS rn1 FROM eb),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY value ASC, ts_us ASC, event_type ASC) AS rn2 FROM m WHERE rn1 = 1)
+         |SELECT ts_us AS time, value AS bottom, event_type FROM t WHERE rn2 <= 2""".stripMargin)(
+      "SELECT bottom(value, event_type, 2) FROM events GROUP BY time(1d)"),
+
     // ---- analytics recurrences over the bucketed series (InfluxQL 1.x
     //      technical-analysis surface: EMA family, RSI, CMO, Kaufman — all
     //      rejected by the reference's merge layer, first-class here via

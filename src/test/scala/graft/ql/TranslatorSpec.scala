@@ -150,4 +150,28 @@ class TranslatorSpec extends SparkSpec {
     // and the boundaries really differ: EST vs EDT midnight
     assert(localMidnightUs(11) - localMidnightUs(10) == 23L * 3600 * 1000000)
   }
+
+  test("tz string literal inside the DST gap resolves by shifting forward") {
+    // 2024-03-10 02:30 does not exist in America/New_York (clocks jump
+    // 02:00→03:00). Java zone rules resolve gap times by shifting forward
+    // by the gap length — '02:30' ≡ 03:30 EDT = 07:30 UTC. Pin that so the
+    // WHERE bound is deterministic and documented, not accidental.
+    val e = new graft.Engine(spark, sfDir)
+    val meta = graft.ql.TableMeta("dstgap", "ts_us",
+      tags = Seq("t"), fields = Seq(graft.ql.FieldMeta("v", Some(100L))))
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    def utcNs(h: Int, m: Int): Long = // 2024-03-10 <h>:<m> UTC, ns
+      java.time.LocalDate.of(2024, 3, 10).atTime(h, m)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    e.writeLineProtocol(Seq(
+      s"dstgap,t=a v=1 ${utcNs(7, 0)}",   // 03:00 EDT
+      s"dstgap,t=a v=2 ${utcNs(7, 45)}",  // 03:45 EDT
+      s"dstgap,t=a v=3 ${utcNs(8, 30)}"), "dstgap")
+    val got = e.execute(
+      "SELECT v FROM dstgap WHERE time >= '2024-03-10 02:30:00' AND time < '2024-03-10 04:00:00' tz('America/New_York')")
+      .collect().map(_.getAs[Double]("v")).toSet
+    // '02:30' gap → 03:30 EDT = 07:30 UTC; '04:00' = 08:00 UTC.
+    // 07:00 (before), 07:45 (inside), 08:30 (after) → only v=2 qualifies.
+    assert(got == Set(2.0))
+  }
 }
