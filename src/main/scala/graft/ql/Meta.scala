@@ -52,6 +52,31 @@ object Meta {
         Seq(("autogen", "0s", "168h0m0s", 1, true))
           .toDF("name", "duration", "shardGroupDuration", "replicaN", "default")
       case "CONTINUOUS QUERIES" => Seq.empty[(String, String)].toDF("name", "query")
+      // [EXACT] CARDINALITY family — answered exactly (the estimate
+      // variants are a strict upgrade, like exact mode/stddev). The series
+      // count is a distinct-aggregation over dictionary-encoded tag
+      // columns; everything else is catalog arithmetic.
+      case "SERIES CARDINALITY" =>
+        show(spark, sfDir, "SERIES", withKey, from)
+          .agg(count(lit(1)).cast("long").as("count"))
+      case "MEASUREMENT CARDINALITY" =>
+        Seq(measurements.length.toLong).toDF("count")
+      case "TAG KEY CARDINALITY" =>
+        measurements.map(m => (m.measurement, m.tags.length.toLong))
+          .toDF("measurement", "count")
+      case "FIELD KEY CARDINALITY" =>
+        measurements.map(m => (m.measurement, m.fields.length.toLong))
+          .toDF("measurement", "count")
+      case "TAG VALUES CARDINALITY" =>
+        val picked = measurements.map(m =>
+          m -> m.tags.filter(t => withKey.forall(_ == t))).filter(_._2.nonEmpty)
+        if (picked.isEmpty)
+          throw ParseException(s"no tag key ${withKey.getOrElse("")} on any measurement")
+        picked.map { case (m, keys) =>
+          val (df, _) = Catalog.load(spark, sfDir, m.measurement)
+          df.agg(keys.map(t => countDistinct(col(t))).reduce(_ + _).cast("long").as("count"))
+            .select(lit(m.measurement).as("measurement"), col("count"))
+        }.reduce(_ unionByName _)
       case w => throw ParseException(s"unsupported SHOW $w")
     }
   }

@@ -351,14 +351,29 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     if (acceptKw("NODES")) return ShowNodes
     if (acceptKw("GRANTS")) { expectKw("FOR"); return ShowGrantsStmt(ident()) }
     if (acceptKw("QUERIES")) return ShowQueriesStmt
+    // [EXACT] CARDINALITY suffix (influxql; the non-EXACT estimate answers
+    // with the exact count — a strict upgrade, like exact mode/stddev)
+    def cardinality(base: String): String = {
+      val exact = acceptKw("EXACT")
+      if (acceptKw("CARDINALITY")) base + " CARDINALITY"
+      else if (exact) throw ParseException("expected CARDINALITY after EXACT")
+      else base
+    }
     val what = ident().toUpperCase match {
       case "RETENTION" => expectKw("POLICIES"); "RETENTION POLICIES"
       case "CONTINUOUS" => expectKw("QUERIES"); "CONTINUOUS QUERIES"
       case "TAG" =>
         if (acceptKw("KEYS")) "TAG KEYS"
-        else { expectKw("VALUES"); "TAG VALUES" }
-      case "FIELD" => expectKw("KEYS"); "FIELD KEYS"
-      case w @ ("DATABASES" | "MEASUREMENTS" | "SERIES" | "USERS" | "SUBSCRIPTIONS") => w
+        else if (acceptKw("KEY")) { // SHOW TAG KEY [EXACT] CARDINALITY
+          acceptKw("EXACT"); expectKw("CARDINALITY"); "TAG KEY CARDINALITY"
+        }
+        else { expectKw("VALUES"); cardinality("TAG VALUES") }
+      case "FIELD" =>
+        if (acceptKw("KEYS")) "FIELD KEYS"
+        else { expectKw("KEY"); acceptKw("EXACT"); expectKw("CARDINALITY"); "FIELD KEY CARDINALITY" }
+      case "MEASUREMENT" => acceptKw("EXACT"); expectKw("CARDINALITY"); "MEASUREMENT CARDINALITY"
+      case "SERIES" => cardinality("SERIES")
+      case w @ ("DATABASES" | "MEASUREMENTS" | "USERS" | "SUBSCRIPTIONS") => w
       case w => throw ParseException(s"unsupported SHOW $w")
     }
     val on = if (acceptKw("ON")) Some(ident()) else None
@@ -366,7 +381,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     val from = if (acceptKw("FROM")) Some(ident()) else None
     // SHOW TAG VALUES [ON db] [FROM m] WITH KEY = k (influxql surface)
     val withKey =
-      if (what == "TAG VALUES" && acceptKw("WITH")) {
+      if (what.startsWith("TAG VALUES") && acceptKw("WITH")) {
         expectKw("KEY"); expectSym("="); Some(ident())
       } else None
     ShowStmt(what, on, withKey, from)

@@ -766,6 +766,14 @@ object InfluxQLSuite {
     iql("iql_show_tag_values_with_key",
       "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")(
       "SHOW TAG VALUES WITH KEY = event_type"),
+    iql("iql_show_series_cardinality",
+      "SELECT CAST(count(*) AS BIGINT) AS count FROM (SELECT DISTINCT event_type FROM events)")(
+      "SHOW SERIES CARDINALITY"),
+    iql("iql_show_tag_values_cardinality",
+      "SELECT 'events' AS measurement, CAST(count(DISTINCT event_type) AS BIGINT) AS count FROM events")(
+      "SHOW TAG VALUES EXACT CARDINALITY WITH KEY = event_type"),
+    iql("iql_show_measurement_cardinality",
+      "SELECT CAST(1 AS BIGINT) AS count")("SHOW MEASUREMENT CARDINALITY"),
 
     // sample(): non-deterministic by spec → rows-only check
     iqlRowsOnly("iql_sample")("SELECT sample(value, 5) FROM events GROUP BY event_type")
