@@ -32,8 +32,15 @@ final class Engine(val spark: SparkSession, sfDir: String,
   val users = new UserStore
   private val admin = new Admin(partitionKeys, replication)
   private val tables = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, TableMeta)]
-  // live continuous queries: name → (source measurement, SELECT ... INTO)
-  private val cqs = scala.collection.concurrent.TrieMap.empty[String, (String, SelectStmt)]
+  // live continuous queries: name → (source measurement, SELECT ... INTO,
+  // RESAMPLE everyUs, RESAMPLE forUs — 0 = unset)
+  private val cqs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, SelectStmt, Long, Long)]
+  // RESAMPLE bookkeeping, both in EVENT time (deterministic under replay):
+  // span of writes not yet recomputed, and the high-water mark of the last
+  // recompute per CQ
+  private val cqDirty = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  private val cqLastRun = scala.collection.concurrent.TrieMap.empty[String, Long]
   // CQ INTO targets awaiting first-query backfill after a restart (the
   // plan must be built at query time — retention cutoffs bind then)
   private val pendingCqTargets =
@@ -85,7 +92,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
     // that ARE durable (streaming-CQ patches) are left alone: a recompute
     // could legitimately differ once the source RP has expired rows the
     // downsampled target intentionally retains.
-    cqs.values.foreach { case (_, sel) =>
+    cqs.values.foreach { case (_, sel, _, _) =>
       sel.into.filterNot(tables.contains).foreach(t => pendingCqTargets(t) = sel)
     }
   }
@@ -100,11 +107,13 @@ final class Engine(val spark: SparkSession, sfDir: String,
       case Seq("db", n) => databases.restoreDb(n)
       case Seq("rp", db, n, dur, repl, dflt) =>
         databases.restoreRp(db, n, dur.toLong, repl.toInt, dflt.toBoolean)
-      case Seq("cq", db, n, q) =>
+      case Seq("cq", db, n, q, rest @ _*) if rest.length <= 2 =>
         Parser.parse(q) match {
           case sel: SelectStmt =>
-            databases.restoreCq(db, n, sel)
-            cqs(n) = (Translator.measurementName(sel.from), sel)
+            val every = rest.headOption.map(_.toLong).getOrElse(0L)
+            val forW = rest.lift(1).map(_.toLong).getOrElse(0L)
+            databases.restoreCq(db, n, sel, every, forW)
+            cqs(n) = (Translator.measurementName(sel.from), sel, every, forW)
           case _ =>
         }
       case Seq("user", n, hash, admin, grants) =>
@@ -138,7 +147,8 @@ final class Engine(val spark: SparkSession, sfDir: String,
     databases.databases.foreach(n => recs += Seq("db", n))
     databases.rpRecords.foreach { case (db, n, dur, repl, dflt) =>
       recs += Seq("rp", db, n, dur.toString, repl.toString, dflt.toString) }
-    databases.listCqs().foreach(c => recs += Seq("cq", c.db, c.name, Render.select(c.query)))
+    databases.listCqs().foreach(c => recs += Seq("cq", c.db, c.name,
+      Render.select(c.query), c.everyUs.toString, c.forUs.toString))
     users.records.foreach { case (n, hash, admin, grants) =>
       recs += Seq("user", n, hash, admin.toString,
         grants.toSeq.sorted.map { case (db, p) => "%s\u001d%s".format(db, p) }.mkString("\u001e")) }
@@ -310,7 +320,9 @@ final class Engine(val spark: SparkSession, sfDir: String,
         .toDF("name", "duration", "replicaN", "default")
     case ShowStmt("CONTINUOUS QUERIES", on, _, _) =>
       import spark.implicits._
-      databases.listCqs(on).map(c => (c.db, c.name)).toDF("database", "name")
+      databases.listCqs(on)
+        .map(c => (c.db, c.name, Render.cq(c.name, c.db, c.query, c.everyUs, c.forUs)))
+        .toDF("database", "name", "query")
     case ShowStmt("USERS", _, _, _) =>
       { import spark.implicits._; users.list.toDF("user", "admin") }
     case ShowStmt("SUBSCRIPTIONS", _, _, _) =>
@@ -391,8 +403,8 @@ final class Engine(val spark: SparkSession, sfDir: String,
       case CreateRetentionPolicy(n, db, dur, repl, dflt) =>
         databases.createRp(db, databases.Rp(n, dur, repl, dflt))
       case DropRetentionPolicy(n, db) => databases.dropRp(db, n)
-      case CreateContinuousQuery(n, db, sel) =>
-        databases.createCq(databases.CqDef(n, db, sel))
+      case CreateContinuousQuery(n, db, sel, everyUs, forUs) =>
+        databases.createCq(databases.CqDef(n, db, sel, everyUs, forUs))
         // reference semantics: a CQ recomputes over history on creation
         // (backfill INTO the target now) AND keeps running — the reference
         // replicates CQs precisely so they stay live on every node
@@ -402,11 +414,11 @@ final class Engine(val spark: SparkSession, sfDir: String,
         // so the target observes each ingest batch (read-your-writes). A
         // true unbounded stream swaps this for ContinuousQuery.start on a
         // readStream of the same source — identical plan, streaming sink.
-        cqs(n) = (Translator.measurementName(sel.from), sel)
+        cqs(n) = (Translator.measurementName(sel.from), sel, everyUs, forUs)
         runSelect(sel)
       case DropContinuousQuery(n, db) =>
         databases.dropCq(db, n)
-        cqs.remove(n)
+        cqs.remove(n); cqDirty.remove(n); cqLastRun.remove(n)
       case DeleteSeries(from, where) =>
         // delete = retain the complement; durable measurements compact at
         // rest (tmp-dir swap — the partition-overwrite analog), so the
@@ -515,11 +527,24 @@ final class Engine(val spark: SparkSession, sfDir: String,
     // Time-bucketed CQs patch only the buckets this batch touched; a CQ
     // whose target still awaits restart backfill (or has no time buckets)
     // takes the full recompute so the patch can't mask missing history.
-    if (nOk > 0) cqs.values.foreach {
-      case (src, sel) if src == measurement =>
+    // RESAMPLE (event-time clock, deterministic under replay): EVERY
+    // accumulates writes into a dirty span and recomputes only once the
+    // span's high edge has advanced a full EVERY past the last run; FOR
+    // widens every recompute to at least the trailing FOR window, so late
+    // points that land in already-patched buckets still get folded in.
+    if (nOk > 0) cqs.foreach {
+      case (name, (src, sel, everyUs, forUs)) if src == measurement =>
         sel.groupByTime match {
           case Some(iv) if !sel.into.exists(pendingCqTargets.contains) =>
-            patchIntoTarget(sel, iv, tLoUs, tHiUs)
+            val (dLo, dHi) = cqDirty.getOrElse(name, (tLoUs, tHiUs))
+            val span = (math.min(dLo, tLoUs), math.max(dHi, tHiUs))
+            val due = everyUs == 0L ||
+              cqLastRun.get(name).forall(last => span._2 >= last + everyUs)
+            if (due) {
+              val lo = if (forUs > 0) math.min(span._1, span._2 - forUs + 1) else span._1
+              patchIntoTarget(sel, iv, lo, span._2)
+              cqDirty.remove(name); cqLastRun(name) = span._2
+            } else cqDirty(name) = span
           case _ => runSelect(sel)
         }
       case _ =>
@@ -772,7 +797,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
   def startCqStream(name: String, input: DataFrame,
       watermark: String = "1 hour",
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (src, sel) = cqs.getOrElse(name,
+    val (src, sel, _, _) = cqs.getOrElse(name,
       throw ParseException(s"no such continuous query: $name"))
     val iv = sel.groupByTime.getOrElse(
       throw ParseException("streaming CQ requires GROUP BY time(iv)"))

@@ -12,7 +12,8 @@ import graft.ql.SelectStmt
 final class DbCatalog {
 
   final case class Rp(name: String, durationUs: Long, replicas: Int, default: Boolean)
-  final case class CqDef(name: String, db: String, query: SelectStmt)
+  final case class CqDef(name: String, db: String, query: SelectStmt,
+      everyUs: Long = 0L, forUs: Long = 0L) // RESAMPLE EVERY/FOR (0 = unset)
   final case class UnknownDatabaseException(db: String)
     extends RuntimeException(s"database not found: $db")
   final case class DuplicateException(what: String)
@@ -71,8 +72,9 @@ final class DbCatalog {
   def restoreRp(db: String, name: String, durationUs: Long, replicas: Int,
       default: Boolean): Unit =
     rps((db, name)) = Rp(name, durationUs, replicas, default)
-  def restoreCq(db: String, name: String, query: SelectStmt): Unit =
-    cqs((db, name)) = CqDef(name, db, query)
+  def restoreCq(db: String, name: String, query: SelectStmt,
+      everyUs: Long = 0L, forUs: Long = 0L): Unit =
+    cqs((db, name)) = CqDef(name, db, query, everyUs, forUs)
 
   /** RP expiry predicate: rows older than `now - duration` are expired
     * (duration 0 = keep forever). The maintenance job is

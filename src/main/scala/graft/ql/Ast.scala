@@ -89,7 +89,10 @@ final case class DropDatabase(name: String) extends DdlStmt
 final case class CreateRetentionPolicy(name: String, db: String, durationUs: Long,
     replication: Int, default: Boolean) extends DdlStmt
 final case class DropRetentionPolicy(name: String, db: String) extends DdlStmt
-final case class CreateContinuousQuery(name: String, db: String, query: SelectStmt) extends DdlStmt
+/** everyUs/forUs = the optional RESAMPLE clause (0 = unset): EVERY
+  * throttles recompute cadence, FOR widens the recomputed window. */
+final case class CreateContinuousQuery(name: String, db: String, query: SelectStmt,
+    everyUs: Long = 0L, forUs: Long = 0L) extends DdlStmt
 final case class DropContinuousQuery(name: String, db: String) extends DdlStmt
 /** DELETE FROM m [WHERE …] / DROP SERIES FROM m WHERE tag='v' / DROP
   * MEASUREMENT m (reference RouteToAll statements, routing.go:13-41). */

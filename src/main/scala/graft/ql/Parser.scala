@@ -425,12 +425,24 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         if (p.acceptKw("CONTINUOUS")) {
           p.expectKw("QUERY"); val name = p.ident()
           p.expectKw("ON"); val db = p.ident()
+          // RESAMPLE [EVERY <dur>] [FOR <dur>] (influxql advanced CQ)
+          var (everyUs, forUs) = (0L, 0L)
+          if (p.acceptKw("RESAMPLE")) {
+            def dur(): Long = p.next() match {
+              case TDur(t) => Lexer.durationUs(t)
+              case t => throw ParseException(s"expected duration, found ${t.text}")
+            }
+            if (p.acceptKw("EVERY")) everyUs = dur()
+            if (p.acceptKw("FOR")) forUs = dur()
+            if (everyUs == 0L && forUs == 0L)
+              throw ParseException("RESAMPLE requires EVERY and/or FOR")
+          }
           p.expectKw("BEGIN")
           val sel = p.parseSelect()
           if (sel.into.isEmpty)
             throw ParseException("continuous query requires SELECT ... INTO")
           p.expectKw("END")
-          return CreateContinuousQuery(name, db, sel)
+          return CreateContinuousQuery(name, db, sel, everyUs, forUs)
         }
         if (p.acceptKw("SUBSCRIPTION")) {
           // CREATE SUBSCRIPTION "name" ON db.rp DESTINATIONS ALL|ANY 'url'[, 'url']

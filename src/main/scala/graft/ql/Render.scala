@@ -105,4 +105,17 @@ object Render {
     s.tz.foreach(z => sb ++= s" tz('$z')")
     sb.toString
   }
+
+  /** Full CREATE CONTINUOUS QUERY text (SHOW CONTINUOUS QUERIES shape),
+    * RESAMPLE clause included — re-parseable like select(). */
+  def cq(name: String, db: String, sel: SelectStmt,
+      everyUs: Long = 0L, forUs: Long = 0L): String = {
+    val resample =
+      if (everyUs == 0L && forUs == 0L) ""
+      else "RESAMPLE " +
+        (if (everyUs > 0) s"EVERY ${duration(everyUs)} " else "") +
+        (if (forUs > 0) s"FOR ${duration(forUs)} " else "")
+    s"CREATE CONTINUOUS QUERY ${ident(name)} ON ${ident(db)} " +
+      s"${resample}BEGIN ${select(sel)} END"
+  }
 }

@@ -243,6 +243,39 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("CQ RESAMPLE: EVERY throttles on event time, FOR widens the window, survives restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_resample").toString
+    val e = new Engine(spark, sfDir, Some(dir))
+    e.registerMeasurement(TableMeta("rs", "ts_us",
+      tags = Seq("t"), fields = Seq(FieldMeta("v", Some(100L)))), spark.emptyDataFrame)
+    e.writeLineProtocol(Seq("rs,t=a v=1 60000000000"), "rs") // t = 1m
+    e.execute("CREATE CONTINUOUS QUERY rcq ON default RESAMPLE EVERY 2m FOR 10m BEGIN " +
+      "SELECT mean(v) INTO rs_1m FROM rs GROUP BY time(1m) END")
+    def tgt() = e.execute("SELECT * FROM rs_1m").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("mean"))).toMap
+    assert(tgt() == Map(60000000L -> 1.0)) // creation backfill
+
+    // first continuation write: no last-run mark → recomputes immediately
+    e.writeLineProtocol(Seq("rs,t=a v=2 120000000000"), "rs") // t = 2m
+    assert(tgt() == Map(60000000L -> 1.0, 120000000L -> 2.0))
+
+    // only 1m past the last run → deferred into the dirty span
+    e.writeLineProtocol(Seq("rs,t=a v=3 180000000000"), "rs") // t = 3m
+    assert(tgt() == Map(60000000L -> 1.0, 120000000L -> 2.0)) // EVERY not elapsed
+
+    // crosses EVERY → recompute covers the dirty span + the FOR window
+    e.writeLineProtocol(Seq("rs,t=a v=4 240000000000"), "rs") // t = 4m
+    assert(tgt() == Map(60000000L -> 1.0, 120000000L -> 2.0,
+      180000000L -> 3.0, 240000000L -> 4.0))
+
+    // the schedule is durable: a restarted engine shows the full clause
+    val e2 = new Engine(spark, sfDir, Some(dir))
+    val shown = e2.execute("SHOW CONTINUOUS QUERIES").collect()
+      .map(r => (r.getString(1), r.getString(2))).toMap
+    assert(shown("rcq").contains("RESAMPLE EVERY 2m FOR 10m"))
+    assert(shown("rcq").contains("BEGIN SELECT mean(v) INTO rs_1m FROM rs GROUP BY time(1m) END"))
+  }
+
   test("http subscriptions POST to the /write endpoint; failures spool and replay") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]

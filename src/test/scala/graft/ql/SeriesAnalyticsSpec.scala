@@ -89,6 +89,29 @@ class SeriesAnalyticsSpec extends SparkSpec {
     assert(SeriesAnalytics.holtWinters(p.take(3), 3, 4, 1000L).isEmpty)
   }
 
+  test("raw-series InfluxQL dispatch matches the fold applied to the raw points") {
+    // SELECT ema(value, N) FROM events (no GROUP BY time) routes through
+    // transformSelect → SeriesAnalytics over raw doubles; cross-check the
+    // whole front-end against the fold run on the collected series
+    val df = Translator.query(spark, sfDir,
+      "SELECT exponential_moving_average(value, 5) FROM events WHERE time < '2024-01-08' GROUP BY event_type")
+    val got = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("time"),
+        r.getAs[Double]("exponential_moving_average")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val raw = Translator.query(spark, sfDir,
+      "SELECT value FROM events WHERE time < '2024-01-08' GROUP BY event_type")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("time"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    assert(got.nonEmpty)
+    raw.foreach { case (tag, rows) =>
+      val pts = rows.map(t => (t._2, t._3)).sortBy(identity).toArray
+      val want = SeriesAnalytics.series("exponential_moving_average", 5, pts).toSeq
+      assert(got(tag) == want, s"raw EMA mismatch for $tag")
+    }
+  }
+
   test("DataFrame path groups by tag, sorts by (time, value), emits the fold") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq(
