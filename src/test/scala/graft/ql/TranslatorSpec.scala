@@ -151,6 +151,26 @@ class TranslatorSpec extends SparkSpec {
     assert(localMidnightUs(11) - localMidnightUs(10) == 23L * 3600 * 1000000)
   }
 
+  test("tag-qualified top pushes rank limits: one exchange, WindowGroupLimit") {
+    val df = Translator.query(spark, sfDir, "SELECT top(value, event_type, 3) FROM events")
+    val plan = df.queryExecution.executedPlan.toString
+    // per-tag extreme runs as partial+final rank pushdown before the only
+    // data shuffle; the global top-N then sees one row per tag
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("analytics-over-aggregate shuffles aggregated rows only (≤3 exchanges)") {
+    val df = Translator.query(spark, sfDir,
+      "SELECT exponential_moving_average(mean(value), 4) FROM events GROUP BY time(1d), event_type")
+    val plan = df.queryExecution.executedPlan.toString
+    // 1: raw→(bucket, tag) agg shuffle; 2: bucket rows→tag series for the
+    // fold (tiny: buckets × tags rows); 3: final ORDER BY range partition.
+    // A 4th exchange would mean the fold started re-shuffling raw data.
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 3, plan)
+    assert(plan.contains("MapGroups"), plan)
+  }
+
   test("tz string literal inside the DST gap resolves by shifting forward") {
     // 2024-03-10 02:30 does not exist in America/New_York (clocks jump
     // 02:00→03:00). Java zone rules resolve gap times by shifting forward
