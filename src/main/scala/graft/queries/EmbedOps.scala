@@ -258,6 +258,152 @@ object EmbedOps {
        |SELECT qid, vec_id, sim_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
   }
 
+  // ---- product quantization (PQ-ADC): the memory-compressed ANN scan.
+  //      M subspaces × K codewords: each vector stores M 1-byte codes
+  //      instead of DIMS floats (16× compression at 4×16 over 64 dims) —
+  //      at 100 TB the codes table fits where raw vectors cannot, and the
+  //      scan never touches the raw embeddings. Codebooks train like the
+  //      IVF quantizer (deterministic seeds → one Lloyd pass with
+  //      exact-integer centroid means); search computes per-query lookup
+  //      tables (M×K micro-int distances, broadcast) and the asymmetric
+  //      distance is an INTEGER sum of M table entries — order-free, so
+  //      the oracle compare is exact by construction.
+  private val PQ_M = 4     // subspaces
+  private val PQ_K = 16    // codewords per subspace
+  private val PQ_SUB = DIMS / PQ_M
+  private val PQ_SHORTLIST = 50 // ADC candidates per query fed to exact rerank
+
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val n = v.count() // offline index build: the one driver-side action
+    val step = math.max(1L, n / PQ_K)
+    val ranked = v.withColumn("rank",
+      row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+    def subCol(m: Int) = expr(s"slice(emb, ${m * PQ_SUB + 1}, $PQ_SUB)")
+    // per-subspace codebook: IVF's seed → assign → exact-integer mean
+    val codebook = (0 until PQ_M).map { m =>
+      val sv = ranked.select(col("vec_id"), col("rank"), subCol(m).as("sub"))
+      val seeds = sv.where(col("rank") % step === 0L && expr(s"rank div $step") < PQ_K)
+        .select(expr(s"rank div $step").as("cid"), col("sub").as("cvec"))
+      val a1 = sv.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("sub"), col("cid"), l2micro(col("sub"), col("cvec")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
+        .where(col("rn") === 1)
+      a1.select(col("cid"), posexplode(col("sub")))
+        .select(col("cid"), col("pos").as("dim"),
+          round(col("col") * 1048576).cast("long").as("iv"))
+        .groupBy("cid", "dim")
+        .agg((sum("iv").cast("double") / (lit(1048576.0) * count(lit(1)))).as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+        .select(lit(m).as("m"), col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
+    }.reduce(_ unionByName _) // M×K rows — broadcast everywhere below
+    // explode vectors into per-subspace rows once, reused for encode + LUT
+    val subs = array((0 until PQ_M).map(m =>
+      struct(lit(m).as("m"), subCol(m).as("sub"))): _*)
+    val vs = v.select(col("vec_id"), explode(subs).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    // encode: nearest codeword per (vector, subspace) — the PQ code
+    val codes = vs.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"), l2micro(col("sub"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cid").asc)))
+      .where(col("rn") === 1).select("vec_id", "m", "cid")
+    // per-query LUT: distance from the query subvector to EVERY codeword
+    val lut = vs.where(col("vec_id") < NQUERIES)
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        l2micro(col("sub"), col("cvec")).as("qd2"))
+    // ADC scan: codes ⋈ LUT on (m, cid), integer-sum the M entries —
+    // partial aggregation makes this a map-side combine over the codes.
+    // The compressed scan produces a SHORTLIST; only those rows touch the
+    // raw vectors again (exact rerank) — the two-stage shape that makes
+    // PQ usable at 100 TB: full scan in codes space, exact L2 on
+    // shortlist × queries rows only.
+    val shortlist = codes.join(broadcast(lut), Seq("m", "cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("qd2").as("d2_adc"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
+      .where(col("arn") <= PQ_SHORTLIST)
+    val qv = v.where(col("vec_id") < NQUERIES).select(col("vec_id").as("qid"), col("emb").as("qe"))
+    shortlist
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
+  /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
+    * argmin codes, and integer ADC sums, generated per subspace. */
+  def pqOracleSql: String = {
+    def l2n(n: Int)(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $n),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    def l2(e: String, c: String) = l2n(PQ_SUB)(e, c)
+    def fullL2(e: String, c: String) = l2n(DIMS)(e, c)
+    def sub(m: Int) = s"emb[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}]"
+    val perSub = (0 until PQ_M).map { m =>
+      s"""sv$m AS (SELECT vec_id, rank, ${sub(m)} AS sub FROM ranked),
+         |sd$m AS (SELECT rank // p.step AS cid, sub AS cvec
+         |         FROM sv$m CROSS JOIN params p
+         |         WHERE rank % p.step = 0 AND rank // p.step < $PQ_K),
+         |aa$m AS (SELECT vec_id, sub, cid FROM
+         |          (SELECT v.vec_id, v.sub, s.cid, ${l2("v.sub", "s.cvec")} AS d2,
+         |                  row_number() OVER (PARTITION BY v.vec_id
+         |                    ORDER BY ${l2("v.sub", "s.cvec")} ASC, s.cid ASC) AS rn
+         |           FROM sv$m v CROSS JOIN sd$m s) WHERE rn = 1),
+         |cm$m AS (SELECT cid, i - 1 AS dim,
+         |           CAST(sum(CAST(round(sub[i] * 1048576) AS BIGINT)) AS DOUBLE)
+         |             / (1048576.0 * count(*)) AS c
+         |         FROM aa$m CROSS JOIN unnest(generate_series(1, $PQ_SUB)) AS t(i)
+         |         GROUP BY 1, 2),
+         |cb$m AS (SELECT $m AS m, cid, list(c ORDER BY dim) AS cvec FROM cm$m GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until PQ_M).map(m => s"SELECT * FROM cb$m").mkString(" UNION ALL ")
+    val vsUnion = (0 until PQ_M).map(m =>
+      s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM ranked").mkString(" UNION ALL ")
+    s"""WITH e2 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |params AS (SELECT GREATEST(1, n // $PQ_K) AS step
+       |           FROM (SELECT count(*) AS n FROM e2) _n),
+       |ranked AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |$perSub,
+       |cb AS ($cbUnion),
+       |vs AS ($vsUnion),
+       |codes AS (SELECT vec_id, m, cid FROM
+       |           (SELECT v.vec_id, v.m, c.cid, ${l2("v.sub", "c.cvec")} AS d2,
+       |                   row_number() OVER (PARTITION BY v.vec_id, v.m
+       |                     ORDER BY ${l2("v.sub", "c.cvec")} ASC, c.cid ASC) AS rn
+       |            FROM vs v JOIN cb c ON v.m = c.m) WHERE rn = 1),
+       |lut AS (SELECT v.vec_id AS qid, v.m, c.cid, ${l2("v.sub", "c.cvec")} AS qd2
+       |        FROM vs v JOIN cb c ON v.m = c.m WHERE v.vec_id < $NQUERIES),
+       |adc AS (SELECT l.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_adc
+       |        FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+       |        WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |sl AS (SELECT qid, vec_id FROM
+       |        (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
+       |         FROM adc) WHERE arn <= $PQ_SHORTLIST),
+       |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
+       |       FROM sl s JOIN ranked x ON x.vec_id = s.vec_id
+       |                 JOIN ranked q ON q.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, d2_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
+       |      FROM rr)
+       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- L2 norms (micro-quantized), the shared building block
@@ -394,6 +540,7 @@ object EmbedOps {
     //      nprobe (probe cost ≈ nprobe·N/k) for the recall target rather
     //      than shrinking k, which would forfeit the sub-linear scan.
     Q("em_ivf_knn", ivfOracleSql(None))(ivfKnn(_, _, None)),
+    Q("em_pq_adc", pqOracleSql)(pqAdc),
 
     // ---- embedding-cosine near-dup pairs: the vector-space member of the
     //      dedup family — LSH-bucketed candidate generation (union over
