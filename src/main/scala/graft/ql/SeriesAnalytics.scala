@@ -166,10 +166,12 @@ object SeriesAnalytics {
       fn: String, n: Int, outName: String): DataFrame =
     applySeries(df, tags, vCol, outName)(series(fn, n, _))
 
-  /** HOLT_WINTERS over the bucketed series (see holtWinters below). */
+  /** HOLT_WINTERS[_WITH_FIT] over the bucketed series (see below). */
   def applyHoltWinters(df: DataFrame, tags: Seq[String], vCol: String,
-      n: Int, season: Int, intervalUs: Long, outName: String): DataFrame =
-    applySeries(df, tags, vCol, outName)(holtWinters(_, n, season, intervalUs))
+      n: Int, season: Int, intervalUs: Long, outName: String,
+      withFit: Boolean = false): DataFrame =
+    applySeries(df, tags, vCol, outName)(
+      holtWintersImpl(_, n, season, intervalUs, withFit))
 
   private def applySeries(df: DataFrame, tags: Seq[String], vCol: String,
       outName: String)(f: Array[(Long, Double)] => Array[(Long, Double)]): DataFrame = {
@@ -206,15 +208,28 @@ object SeriesAnalytics {
     * agree exactly. Not SQL-expressible in practice (nested recursion
     * under an argmin), so correctness is spec-pinned, not oracle-checked. */
   def holtWinters(pts: Array[(Long, Double)], n: Int, season: Int,
-      intervalUs: Long): Array[(Long, Double)] = {
+      intervalUs: Long): Array[(Long, Double)] =
+    holtWintersImpl(pts, n, season, intervalUs, withFit = false)
+
+  /** HOLT_WINTERS_WITH_FIT: the one-step-ahead fitted value at every
+    * observed point (from the second point on) followed by the N
+    * forecasts — the InfluxQL twin that exposes the fit quality. */
+  def holtWintersWithFit(pts: Array[(Long, Double)], n: Int, season: Int,
+      intervalUs: Long): Array[(Long, Double)] =
+    holtWintersImpl(pts, n, season, intervalUs, withFit = true)
+
+  private def holtWintersImpl(pts: Array[(Long, Double)], n: Int, season: Int,
+      intervalUs: Long, withFit: Boolean): Array[(Long, Double)] = {
     val m = pts.length
     val s = season
     if (m < math.max(2 * math.max(s, 1), 4)) return Array.empty
     val xs = pts.map(_._2)
     val grid = (0 until 10).map(i => 0.05 + 0.1 * i)
 
-    // evaluate one (α,β,γ): returns (sse, level, trend, seasonals) at end
-    def run(a: Double, b: Double, g: Double): (Double, Double, Double, Array[Double]) = {
+    // evaluate one (α,β,γ): returns (sse, level, trend, seasonals) at end;
+    // `fit` (when non-null) records the one-step-ahead prediction per step
+    def run(a: Double, b: Double, g: Double,
+        fit: Array[Double] = null): (Double, Double, Double, Array[Double]) = {
       var level = xs(0)
       var trend = if (s > 0) {
         var d = 0.0
@@ -235,6 +250,7 @@ object SeriesAnalytics {
         // observations 0..s-1); the slot was last updated a season ago
         val si = if (s > 0) seas(t % s) else 0.0
         val pred = level + trend + si
+        if (fit != null) fit(t - 1) = pred
         val err = xs(t) - pred
         sse = sse + err * err
         val newLevel =
@@ -248,17 +264,23 @@ object SeriesAnalytics {
       (sse, level, trend, seas)
     }
 
-    var best: (Double, Double, Double, Array[Double]) = null
+    var bestParams: (Double, Double, Double) = null
     var bestSse = Double.MaxValue
     for (a <- grid; b <- grid; g <- if (s > 0) grid else Seq(0.0)) {
-      val r = run(a, b, g)
-      if (r._1 < bestSse) { bestSse = r._1; best = r }
+      val sse = run(a, b, g)._1
+      if (sse < bestSse) { bestSse = sse; bestParams = (a, b, g) }
     }
-    val (_, level, trend, seas) = best
+    // one recording re-run with the winning constants
+    val fit = if (withFit) new Array[Double](m - 1) else null
+    val (_, level, trend, seas) = run(bestParams._1, bestParams._2, bestParams._3, fit)
     val lastT = pts(m - 1)._1
-    (1 to n).map { h =>
+    val forecast = (1 to n).map { h =>
       val si = if (s > 0) seas((m - 1 + h) % s) else 0.0 // forecast obs index
       (lastT + h * intervalUs, level + h * trend + si)
-    }.toArray
+    }
+    val fitted =
+      if (withFit) (1 until m).map(t => (pts(t)._1, fit(t - 1)))
+      else Seq.empty
+    (fitted ++ forecast).toArray
   }
 }

@@ -32,7 +32,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     "median", "percentile", "mode", "first", "last", "integral", "distinct")
   private val MULTIROW = Set("top", "bottom", "sample", "distinct", "mode", "percentile")
   private val TRANSFORMS = Set("derivative", "non_negative_derivative", "difference",
-    "cumulative_sum", "moving_average", "elapsed", "holt_winters") ++
+    "cumulative_sum", "moving_average", "elapsed", "holt_winters",
+    "holt_winters_with_fit") ++
     SeriesAnalytics.FOLD_FNS
 
   private def time: Column = col(meta.timeCol)
@@ -591,12 +592,13 @@ final class Translator(df: DataFrame, meta: TableMeta) {
           .getOrElse(throw ParseException(s"$tfn(agg(field), N) expected"))
         return SeriesAnalytics(agged, tags, "__v", tfn, n, alias.getOrElse(tfn))
       }
-      if (tfn == "holt_winters") {
+      if (tfn == "holt_winters" || tfn == "holt_winters_with_fit") {
         val ints = tArgs.collect { case IntLit(k) => k.toInt }
         if (ints.length != 2)
-          throw ParseException("holt_winters(agg(field), N, S) expected")
+          throw ParseException(s"$tfn(agg(field), N, S) expected")
         return SeriesAnalytics.applyHoltWinters(agged, tags, "__v",
-          ints(0), ints(1), sel.groupByTime.get, alias.getOrElse("holt_winters"))
+          ints(0), ints(1), sel.groupByTime.get, alias.getOrElse(tfn),
+          withFit = tfn == "holt_winters_with_fit")
       }
       val unitUs = tArgs.collectFirst { case DurLit(us) => us }
         .getOrElse(sel.groupByTime.get)

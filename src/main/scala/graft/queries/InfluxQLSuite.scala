@@ -552,6 +552,8 @@ object InfluxQLSuite {
     // are pinned by SeriesAnalyticsSpec instead
     iqlRowsOnly("iql_holt_winters")(
       "SELECT holt_winters(mean(value), 5, 7) FROM events GROUP BY time(1d), event_type"),
+    iqlRowsOnly("iql_holt_winters_with_fit")(
+      "SELECT holt_winters_with_fit(mean(value), 5, 7) FROM events GROUP BY time(1d), event_type"),
 
     // ---- fill() family over time buckets (SURVEY §2.4 grouping surface)
     iql("iql_fill_zero",

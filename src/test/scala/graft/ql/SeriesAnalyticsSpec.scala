@@ -81,6 +81,19 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holt_winters_with_fit emits fitted values then the forecast") {
+    val p = (1 to 12).map(i => (i * 1000L, 10.0 + 3.0 * i)).toArray
+    val f = SeriesAnalytics.holtWintersWithFit(p, 3, 0, 1000L)
+    // one fitted value per observed point (from the 2nd) + 3 forecasts
+    assert(f.length == 11 + 3)
+    assert(f.map(_._1).toSeq == ((2 to 12).map(_ * 1000L) ++ Seq(13000L, 14000L, 15000L)))
+    // fitted one-step-ahead predictions on a clean line converge onto it
+    val tail = f.slice(8, 11)
+    tail.foreach { case (t, v) => assert(math.abs(v - (10.0 + 3.0 * t / 1000)) < 0.5) }
+    // the forecast half is identical to plain holt_winters
+    assert(f.takeRight(3).toSeq == SeriesAnalytics.holtWinters(p, 3, 0, 1000L).toSeq)
+  }
+
   test("holt_winters is deterministic and too-short series yield no forecast") {
     val p = (1 to 10).map(i => (i * 1000L, math.sin(i) * 10)).toArray
     val a = SeriesAnalytics.holtWinters(p, 3, 0, 1000L)
