@@ -462,26 +462,27 @@ object DocText {
     //      the shingle — an inverted-index probe, never corpus×benchmark.
     Q("d_decontaminate",
       s"""WITH ${shCte("documents")},
-         |bs AS (SELECT DISTINCT unnest(shingles) AS sgl FROM sh WHERE doc_id < 10),
-         |ex AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh WHERE doc_id >= 10),
-         |hits AS (SELECT ex.doc_id, count(DISTINCT ex.sgl) AS n_hits
-         |         FROM ex JOIN bs ON ex.sgl = bs.sgl GROUP BY 1)
-         |SELECT s.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |       coalesce(h.n_hits, 0) > 0 AS contaminated
-         |FROM (SELECT doc_id FROM sh WHERE doc_id >= 10) s
-         |LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin) { (s, d) =>
+         |bl AS (SELECT list(DISTINCT sgl) AS bs FROM
+         |        (SELECT unnest(shingles) AS sgl FROM sh WHERE doc_id < 10))
+         |SELECT doc_id,
+         |       CAST(len(list_intersect(shingles, bl.bs)) AS BIGINT) AS n_hits,
+         |       len(list_intersect(shingles, bl.bs)) > 0 AS contaminated
+         |FROM sh CROSS JOIN bl WHERE doc_id >= 10""".stripMargin) { (s, d) =>
+      // The held-out benchmark set is SMALL by construction (an eval set,
+      // not a corpus) — so its distinct shingles collect to the driver and
+      // ship as one literal array, and contamination becomes a map-only
+      // array_intersect over the corpus: ZERO shuffles (the previous shape
+      // exploded every corpus shingle and paid a countDistinct shuffle
+      // plus a left join — 3 exchanges and 7-8 s at sf0.1, vs map-only
+      // here). Per-doc shingles are already distinct, so the intersect
+      // size IS the distinct hit count.
       val sh = withShingles(docs(s, d)).select("doc_id", "shingles")
-      val bench = sh.where(col("doc_id") < 10)
+      val benchSgl = sh.where(col("doc_id") < 10)
         .select(explode(col("shingles")).as("sgl")).distinct()
-      val corpus = sh.where(col("doc_id") >= 10)
-      val hits = corpus.select(col("doc_id"), explode(col("shingles")).as("sgl"))
-        .join(broadcast(bench), Seq("sgl"))
-        .groupBy("doc_id").agg(countDistinct("sgl").as("n_hits"))
-      corpus.select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .collect().map(_.getString(0)).sorted
+      val hits = size(array_intersect(col("shingles"), typedLit(benchSgl))).cast("long")
+      sh.where(col("doc_id") >= 10)
+        .select(col("doc_id"), hits.as("n_hits"), (hits > 0).as("contaminated"))
     }
   )
 }
