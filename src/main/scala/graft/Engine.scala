@@ -391,6 +391,14 @@ final class Engine(val spark: SparkSession, sfDir: String,
           sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
         case None => registerMeasurement(tMeta, out)
       }
+      // INTO "db"."rp"."m": the qualified target binds the measurement to
+      // that db.rp — retention follows the named policy, subscriptions on
+      // that db.rp see its writes (InfluxQL fully-qualified INTO)
+      sel.intoDbRp.foreach { case (db, rp) =>
+        if (!databases.databases.contains(db))
+          throw databases.UnknownDatabaseException(db)
+        setRetentionPolicy(target, db, rp)
+      }
     }
     out
   }

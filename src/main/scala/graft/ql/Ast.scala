@@ -58,7 +58,8 @@ final case class SelectStmt(
     slimit: Option[Int], soffset: Option[Int],
     into: Option[String] = None,          // SELECT … INTO target (CQs)
     groupByTimeOffset: Long = 0L,         // time(iv, offset)
-    tz: Option[String] = None) extends Statement // trailing tz('Zone')
+    tz: Option[String] = None,            // trailing tz('Zone')
+    intoDbRp: Option[(String, String)] = None) extends Statement // INTO "db"."rp"."m"
 
 /** `withKey` carries SHOW TAG VALUES' `WITH KEY = k` filter; `from`
   * restricts the meta scan to one measurement (`SHOW TAG KEYS FROM m`). */

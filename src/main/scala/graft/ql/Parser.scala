@@ -169,7 +169,22 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     expectKw("SELECT")
     val fields = ListBuffer(parseField())
     while (acceptSym(",")) fields += parseField()
-    val into = if (acceptKw("INTO")) Some(ident()) else None
+    // measurement names may be db.rp-qualified: "db"."rp"."m", rp.m
+    // (current db), db..m (default rp) — influxql fully-qualified form.
+    // Returns (measurement, Some(db → rp)) for qualified names.
+    def qualifiedName(): (String, Option[(String, String)]) = {
+      val p1 = ident()
+      if (!acceptSym(".")) (p1, None)
+      else if (acceptSym(".")) (ident(), Some((p1, "autogen"))) // db..m
+      else {
+        val p2 = ident()
+        if (acceptSym(".")) (ident(), Some((p1, p2)))           // db.rp.m
+        else (p2, Some(("default", p1)))                        // rp.m
+      }
+    }
+    val (into, intoDbRp) =
+      if (acceptKw("INTO")) { val (n, q) = qualifiedName(); (Some(n), q) }
+      else (None, None)
     expectKw("FROM")
     // single source (reference: first-measurement assumption); subqueries
     // are the reference's declared future work, supported here
@@ -181,11 +196,11 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       } else peek match {
         case TRegex(p) => pos += 1; FromMeasurementRegex(p)
         case _ =>
-          val first = ident()
+          val first = qualifiedName()._1 // db.rp qualifier names, not routes
           if (!acceptSym(",")) FromMeasurement(first)
           else { // FROM m1, m2, ... — union scan over the named measurements
-            val more = ListBuffer(first, ident())
-            while (acceptSym(",")) more += ident()
+            val more = ListBuffer(first, qualifiedName()._1)
+            while (acceptSym(",")) more += qualifiedName()._1
             FromMulti(more.toList)
           }
       }
@@ -273,7 +288,8 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
         Some(z)
       } else None
     SelectStmt(fields.toList, from, where, gbTime, gbTags.toList, gbAll,
-      fill, desc, limit, offset, slimit, soffset, into, gbTimeOffset, tz)
+      fill, desc, limit, offset, slimit, soffset, into, gbTimeOffset, tz,
+      intoDbRp)
   }
 
   private def parseField(): Field = {

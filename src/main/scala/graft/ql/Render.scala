@@ -77,7 +77,10 @@ object Render {
   def select(s: SelectStmt): String = {
     val sb = new StringBuilder("SELECT ")
     sb ++= s.fields.map(field).mkString(", ")
-    s.into.foreach(t => sb ++= s" INTO ${ident(t)}")
+    s.into.foreach { t =>
+      val q = s.intoDbRp.map { case (db, rp) => s"${ident(db)}.${ident(rp)}." }.getOrElse("")
+      sb ++= s" INTO $q${ident(t)}"
+    }
     sb ++= " FROM " + source(s.from)
     s.where.foreach(w => sb ++= s" WHERE ${expr(w)}")
     val gb = s.groupByTime.map { iv =>

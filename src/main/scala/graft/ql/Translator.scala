@@ -45,7 +45,14 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   // ---------------- entry
 
-  def run(sel: SelectStmt): DataFrame = {
+  def run(sel0: SelectStmt): DataFrame = {
+    // field-wildcard aggregates: mean(*) expands to one call per declared
+    // field, named <fn>_<field> (InfluxQL semantics)
+    val sel = sel0.copy(fields = sel0.fields.flatMap {
+      case Field(Call(fn, List(Wildcard)), None) if AGGS(fn) =>
+        meta.fields.map(f => Field(Call(fn, List(Ident(f.name))), Some(s"${fn}_${f.name}"))).toList
+      case f => List(f)
+    })
     tzZone = sel.tz // literals below parse under the query's zone
     val filtered = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
     // tz('Zone'): GROUP BY time buckets align to LOCAL boundaries. The

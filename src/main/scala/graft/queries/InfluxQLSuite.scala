@@ -362,6 +362,17 @@ object InfluxQLSuite {
          |FROM b""".stripMargin)(
       "SELECT cumulative_sum(sum(value)) FROM events GROUP BY time(1d)"),
 
+    // ---- field-wildcard aggregate: mean(*) expands per declared field,
+    //      named <fn>_<field> (InfluxQL). user_id sums stay far below
+    //      2^53, so double accumulation is exact on both engines.
+    iql("iql_mean_wildcard",
+      s"""WITH $EV
+         |SELECT ts_us - ts_us % $DAY_US AS time, event_type,
+         |  CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mean_value,
+         |  avg(user_id) AS mean_user_id
+         |FROM ev GROUP BY 1, 2""".stripMargin)(
+      "SELECT mean(*) FROM events GROUP BY time(1d), event_type"),
+
     // ---- tag-qualified top/bottom: the extreme value PER DISTINCT TAG
     //      first, then top/bottom N of those; tag joins the output
     //      (InfluxQL top(field, tag_key, N) semantics, deterministic

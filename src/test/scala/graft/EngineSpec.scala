@@ -243,6 +243,31 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("qualified INTO db.rp.m binds the target to that retention policy") {
+    val e = newEngine
+    e.registerMeasurement(TableMeta("qi", "ts_us",
+      tags = Seq("t"), fields = Seq(FieldMeta("v", Some(100L)))), spark.emptyDataFrame)
+    e.writeLineProtocol(Seq("qi,t=a v=1 1000000000"), "qi")
+    e.execute("CREATE DATABASE qdb")
+    e.execute("CREATE RETENTION POLICY keep1h ON qdb DURATION 1h REPLICATION 1")
+    e.nowUs = () => 2000000L // pin the clock just past the 1s point
+    e.execute("SELECT mean(v) INTO qdb.keep1h.qi_agg FROM qi GROUP BY time(1m)")
+    assert(e.execute("SELECT * FROM qi_agg").collect().length == 1)
+    // the binding is live: advancing the clock past the RP expires the rows
+    e.nowUs = () => 1000000L + 2L * 3600L * 1000000L // 2h past the point
+    assert(e.execute("SELECT * FROM qi_agg").collect().isEmpty)
+    // unqualified sibling stays on default.autogen (infinite retention)
+    assert(e.execute("SELECT v FROM qi").collect().length == 1)
+    // unknown db → the reference's 404-shaped error
+    assertThrows[e.databases.UnknownDatabaseException](
+      e.execute("SELECT mean(v) INTO nodb.rp.x FROM qi GROUP BY time(1m)"))
+    // the qualified INTO round-trips through render∘parse (catalog text)
+    val sel = graft.ql.Parser
+      .parse("SELECT mean(v) INTO qdb.keep1h.qi_agg FROM qi GROUP BY time(1m)")
+      .asInstanceOf[graft.ql.SelectStmt]
+    assert(graft.ql.Parser.parse(graft.ql.Render.select(sel)) == sel)
+  }
+
   test("CQ RESAMPLE: EVERY throttles on event time, FOR widens the window, survives restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_resample").toString
     val e = new Engine(spark, sfDir, Some(dir))
