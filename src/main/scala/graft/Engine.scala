@@ -479,7 +479,8 @@ final class Engine(val spark: SparkSession, sfDir: String,
     // (at rest this is parquet compaction; localCheckpoint is its
     // single-JVM analog)
     val raw = LineProtocol.parseRaw(spark, spark.createDataset(lines),
-      measurement, meta.tags, floatFields, precision).persist()
+      measurement, meta.tags, floatFields, precision,
+      meta.fields.map(_.ftype)).persist()
     val cnts = raw.agg(
       count(when(col("err").isNull, lit(1))).as("ok"),
       count(col("err")).as("bad"),
@@ -615,9 +616,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
             val i = r.fieldIndex(fn)
             if (r.isNullAt(i)) None
             else Some(fn -> (r.get(i) match {
-              case d: java.lang.Double => LineProtocol.FFloat(d)
-              case l: java.lang.Long   => LineProtocol.FInt(l)
-              case o                   => LineProtocol.FStr(String.valueOf(o))
+              case d: java.lang.Double  => LineProtocol.FFloat(d)
+              case l: java.lang.Long    => LineProtocol.FInt(l)
+              case b: java.lang.Boolean => LineProtocol.FBool(b)
+              case o                    => LineProtocol.FStr(String.valueOf(o))
             }))
           }.toMap
           LineProtocol.serialize(LineProtocol.Point(m, tagMap, fieldMap,
@@ -647,7 +649,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
           sources.MeasurementStore.loadMeta(spark, dir, m).foreach { tm =>
             val lines = spark.read.textFile(s"$dir/$m/lp")
             val (parsed, _) = LineProtocol.parse(spark, lines, m,
-              tm.tags, tm.fields.map(_.name))
+              tm.tags, tm.fields.map(_.name), fieldTypes = tm.fields.map(_.ftype))
             val withTime0 = parsed.withColumn(tm.timeCol, expr("time_ns div 1000"))
             val shaped = tm.rawTimeNs match {
               case Some(ns) => withTime0.withColumn(ns, col("time_ns"))

@@ -12,6 +12,7 @@ final case class Ident(name: String) extends Expr
 final case class NumLit(v: Double) extends Expr
 final case class IntLit(v: Long) extends Expr
 final case class StrLit(v: String) extends Expr
+final case class BoolLit(v: Boolean) extends Expr
 final case class RegexLit(pattern: String) extends Expr // /re/ after =~ or !~
 /** Duration in microseconds (InfluxQL `5m`, `1h`, …). */
 final case class DurLit(us: Long) extends Expr

@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * upgrade over the reference's float64 merge arithmetic
   * (`service/merge/query_merge.go:13-15`, SURVEY §7.0).
   */
-final case class FieldMeta(name: String, scale: Option[Long])
+/** ftype: line-protocol field type — "float" (default), "integer",
+  * "boolean", "string" (InfluxDB's four field types). Fixed-point `scale`
+  * only applies to float fields. */
+final case class FieldMeta(name: String, scale: Option[Long],
+    ftype: String = "float")
 final case class TableMeta(
     measurement: String,
     timeCol: String, // LONG epoch-µs column

@@ -340,6 +340,8 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       val e = parseExpr(0); expectSym(")"); Paren(e)
     case TSym("-")                  => Bin("*", IntLit(-1), parseUnary())
     case TSym("*")                  => Wildcard
+    case TIdent(x) if x.equalsIgnoreCase("true")  => BoolLit(true)
+    case TIdent(x) if x.equalsIgnoreCase("false") => BoolLit(false)
     case TIdent(x) if x.equalsIgnoreCase("now") && acceptSym("(") =>
       expectSym(")"); NowLit
     case TIdent(x) =>

@@ -46,6 +46,7 @@ object Render {
     case StrLit(v)   => "'" + v + "'"
     case RegexLit(p) => "/" + p.replace("/", "\\/") + "/"
     case DurLit(us)  => duration(us)
+    case BoolLit(v)  => v.toString
     case NowLit      => "now()"
     case Wildcard    => "*"
     case Call(n, a)  => s"$n(${a.map(expr).mkString(", ")})"

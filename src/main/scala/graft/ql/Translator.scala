@@ -195,6 +195,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case Ident(n)    => col(n)
     case StrLit(s) if isTimeRef(other) => lit(parseTimeUs(s))
     case StrLit(s)   => lit(s)
+    case BoolLit(b)  => lit(b)
     case NumLit(v)   => lit(v)
     case IntLit(v)   => lit(v)
     case DurLit(us)  => lit(us)

@@ -142,9 +142,15 @@ object LineProtocol {
     case o => throw new IllegalArgumentException(s"bad precision '$o' (want ns|u|ms|s|m|h)")
   }
 
+  /** Fields travel the tuple as canonical STRING tokens (Double.toString /
+    * Long.toString / true/false / raw string) and land typed by the
+    * declared `fieldTypes` — InfluxDB's four field types end to end. A
+    * value that can't cast to its declared type nulls out (the widening
+    * policy already chose the column type at registration). `fieldTypes`
+    * empty = all float (legacy callers). */
   def parseRaw(spark: SparkSession, lines: Dataset[String], measurement: String,
       tagKeys: Seq[String], floatFields: Seq[String],
-      precision: String = "ns"): DataFrame = {
+      precision: String = "ns", fieldTypes: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val mult = precisionToNs(precision) // resolved driver-side, once
     val parsed = lines.map { l =>
@@ -152,29 +158,38 @@ object LineProtocol {
         case Right(p) if p.measurement == measurement =>
           val tagVals = tagKeys.map(p.tags.getOrElse(_, null))
           val fieldVals = floatFields.map(f => p.fields.get(f) match {
-            case Some(FFloat(x)) => java.lang.Double.valueOf(x)
-            case Some(FInt(x))   => java.lang.Double.valueOf(x.toDouble)
-            case _               => null.asInstanceOf[java.lang.Double]
+            case Some(FFloat(x)) => x.toString
+            case Some(FInt(x))   => x.toString
+            case Some(FBool(x))  => if (x) "true" else "false"
+            case Some(FStr(x))   => x
+            case None            => null
           })
-          (p.timeNs.map(_ * mult).getOrElse(-1L), tagVals, fieldVals.map(Option(_).map(_.doubleValue)), null.asInstanceOf[String])
-        case Right(p)  => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"wrong measurement ${p.measurement}: $l")
-        case Left(err) => (-1L, Seq.empty[String], Seq.empty[Option[Double]], s"${err.reason}: ${err.line}")
+          (p.timeNs.map(_ * mult).getOrElse(-1L), tagVals, fieldVals.map(Option(_)), null.asInstanceOf[String])
+        case Right(p)  => (-1L, Seq.empty[String], Seq.empty[Option[String]], s"wrong measurement ${p.measurement}: $l")
+        case Left(err) => (-1L, Seq.empty[String], Seq.empty[Option[String]], s"${err.reason}: ${err.line}")
       }
     }
+    def cast(c: org.apache.spark.sql.Column, i: Int) =
+      fieldTypes.lift(i).getOrElse("float") match {
+        case "integer" => c.cast("long")
+        case "boolean" => c.cast("boolean")
+        case "string"  => c
+        case _         => c.cast("double")
+      }
     val cols = // get() (not getItem): dead-letter rows carry EMPTY arrays
       (col("_1").as("time_ns") +:
         timestamp_micros(expr("_1 div 1000")).as("ts") +:
         tagKeys.zipWithIndex.map { case (t, i) => get(col("_2"), lit(i)).as(t) } ++:
-        floatFields.zipWithIndex.map { case (f, i) => get(col("_3"), lit(i)).as(f) }) :+
+        floatFields.zipWithIndex.map { case (f, i) => cast(get(col("_3"), lit(i)), i).as(f) }) :+
         col("_4").as("err")
     parsed.toDF().select(cols: _*)
   }
 
   def parse(spark: SparkSession, lines: Dataset[String], measurement: String,
       tagKeys: Seq[String], floatFields: Seq[String],
-      precision: String = "ns"): (DataFrame, Dataset[String]) = {
+      precision: String = "ns", fieldTypes: Seq[String] = Nil): (DataFrame, Dataset[String]) = {
     import spark.implicits._
-    val raw = parseRaw(spark, lines, measurement, tagKeys, floatFields, precision)
+    val raw = parseRaw(spark, lines, measurement, tagKeys, floatFields, precision, fieldTypes)
     val ok = raw.where(col("err").isNull).drop("err")
     val errs = raw.where(col("err").isNotNull).select(col("err")).as[String]
     (ok, errs)

@@ -47,7 +47,8 @@ object MeasurementStore {
       meta.measurement,
       meta.timeCol,
       meta.tags.mkString(Sep),
-      meta.fields.map(fm => s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}").mkString(Sep),
+      meta.fields.map(fm =>
+        s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}:${fm.ftype}").mkString(Sep),
       meta.rawTimeNs.getOrElse(""),
       keyTags.mkString(Sep),
       if (uniform) "u" else "" // line 7: all data files share one schema
@@ -69,10 +70,19 @@ object MeasurementStore {
         timeCol = lines(1),
         tags = split(lines(2)),
         fields = split(lines(3)).map { fv =>
-          val i = fv.lastIndexOf(':')
-          require(i >= 0, s"bad field entry '$fv'")
-          FieldMeta(fv.substring(0, i),
-            Option(fv.substring(i + 1)).filter(_.nonEmpty).map(_.toLong))
+          // "name:scale:ftype", or legacy "name:scale" — parsed from the
+          // RIGHT (names may contain ':')
+          val segs = fv.split(":", -1)
+          val types = Set("float", "integer", "boolean", "string")
+          if (segs.length >= 3 && types(segs.last))
+            FieldMeta(segs.dropRight(2).mkString(":"),
+              Option(segs(segs.length - 2)).filter(_.nonEmpty).map(_.toLong), segs.last)
+          else {
+            val i = fv.lastIndexOf(':')
+            require(i >= 0, s"bad field entry '$fv'")
+            FieldMeta(fv.substring(0, i),
+              Option(fv.substring(i + 1)).filter(_.nonEmpty).map(_.toLong))
+          }
         },
         rawTimeNs = Option(lines(4)).filter(_.nonEmpty))).toOption
     }

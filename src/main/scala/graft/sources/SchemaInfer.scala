@@ -52,7 +52,12 @@ object SchemaInfer {
         }, nullable = true)
       })
     def toTableMeta: TableMeta = TableMeta(measurement, "ts_us", tags,
-      fields.map { case (f, t) => FieldMeta(f, None) })
+      fields.map { case (f, t) => FieldMeta(f, None, t match {
+        case TInt    => "integer"
+        case TBool   => "boolean"
+        case TString => "string"
+        case TFloat  => "float"
+      }) })
   }
 
   /** Fold schema over a batch of parsed points of one measurement.

@@ -243,6 +243,35 @@ class EngineSpec extends SparkSpec {
     assert(lp(d3).length + lp(d4).length == 2) // unchanged
   }
 
+  test("typed line-protocol fields: int/bool/string land typed, survive restart, filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_typed").toString
+    val e = new Engine(spark, sfDir, Some(dir))
+    // no registerMeasurement: schema (incl. field TYPES) is inferred
+    val (n, bad) = e.writeLineProtocol(Seq(
+      "sensor,loc=a temp=21.5,hits=3i,ok=true,note=\"fine\" 1000000000",
+      "sensor,loc=b temp=19.0,hits=7i,ok=false,note=\"chill factor\" 2000000000"), "sensor")
+    assert(n == 2 && bad == 0)
+    val df = e.execute("SELECT * FROM sensor")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("temp") == "double" && types("hits") == "long")
+    assert(types("ok") == "boolean" && types("note") == "string")
+    assert(e.execute("SELECT temp FROM sensor WHERE ok = true")
+      .collect().map(_.getAs[Double]("temp")).toSeq == Seq(21.5))
+    assert(e.execute("SELECT temp FROM sensor WHERE note = 'fine'")
+      .collect().map(_.getAs[Double]("temp")).toSeq == Seq(21.5))
+    assert(e.execute("SELECT sum(hits) FROM sensor").collect().head.getLong(0) == 10L)
+
+    // restart: the meta file round-trips the field types, appends stay typed
+    val e2 = new Engine(spark, sfDir, Some(dir))
+    e2.writeLineProtocol(Seq(
+      "sensor,loc=c temp=25.0,hits=1i,ok=true,note=\"warm\" 3000000000"), "sensor")
+    val rows = e2.execute("SELECT * FROM sensor WHERE ok = true").collect()
+    assert(rows.length == 2)
+    val types2 = e2.execute("SELECT * FROM sensor").schema.fields
+      .map(f => f.name -> f.dataType.typeName).toMap
+    assert(types2("hits") == "long" && types2("ok") == "boolean" && types2("note") == "string")
+  }
+
   test("qualified INTO db.rp.m binds the target to that retention policy") {
     val e = newEngine
     e.registerMeasurement(TableMeta("qi", "ts_us",
