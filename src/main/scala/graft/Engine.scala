@@ -341,7 +341,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
     case ShowStmt("FIELD KEYS", _, _, from) =>
       import spark.implicits._
       metasFor(from).flatMap(m => m.fields.map(f =>
-          (m.measurement, f.name, if (f.scale.isDefined) "float" else "integer")))
+          (m.measurement, f.name, f.ftype)))
         .toDF("measurement", "fieldKey", "fieldType")
     case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
     // metadata mutations write through to the durable catalog on success

@@ -35,7 +35,7 @@ object Catalog {
     * time = ts_us (µs), tag = event_type, fields = value (2-dec), user_id. */
   val events: TableMeta = TableMeta("events", "ts_us",
     tags = Seq("event_type"),
-    fields = Seq(FieldMeta("value", Some(100L)), FieldMeta("user_id", None)),
+    fields = Seq(FieldMeta("value", Some(100L)), FieldMeta("user_id", None, "integer")),
     rawTimeNs = Some("ts_ns"))
 
   def load(spark: SparkSession, sfDir: String, measurement: String): (DataFrame, TableMeta) =

@@ -27,7 +27,7 @@ object Meta {
           .toDF("measurement", "tagKey")
       case "FIELD KEYS" =>
         measurements.flatMap(m => m.fields.map(f =>
-          (m.measurement, f.name, if (f.scale.isDefined) "float" else "integer")))
+          (m.measurement, f.name, f.ftype)))
           .toDF("measurement", "fieldKey", "fieldType")
       case "SERIES" =>
         // series key = measurement,tag=value (syncing/series.go:14-29)
