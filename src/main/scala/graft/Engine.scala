@@ -41,6 +41,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
   // recompute per CQ
   private val cqDirty = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
   private val cqLastRun = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // restored CQs whose dirty-span bookkeeping died with the old process:
+  // their first post-restart write takes a FULL recompute, so a span that
+  // was deferred by RESAMPLE EVERY when the engine stopped can't be lost
+  private val cqStaleAfterRestart = scala.collection.concurrent.TrieMap.empty[String, Unit]
   // CQ INTO targets awaiting first-query backfill after a restart (the
   // plan must be built at query time — retention cutoffs bind then)
   private val pendingCqTargets =
@@ -114,6 +118,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
             val forW = rest.lift(1).map(_.toLong).getOrElse(0L)
             databases.restoreCq(db, n, sel, every, forW)
             cqs(n) = (Translator.measurementName(sel.from), sel, every, forW)
+            if (every > 0) cqStaleAfterRestart(n) = ()
           case _ =>
         }
       case Seq("user", n, hash, admin, grants) =>
@@ -343,6 +348,38 @@ final class Engine(val spark: SparkSession, sfDir: String,
       metasFor(from).flatMap(m => m.fields.map(f =>
           (m.measurement, f.name, f.ftype)))
         .toDF("measurement", "fieldKey", "fieldType")
+    // CARDINALITY family over the LIVE catalog (registered + parquet
+    // measurements), consistent with the SHOW MEASUREMENTS/TAG KEYS/FIELD
+    // KEYS scans above — Meta.show only knows the static catalog
+    case ShowStmt("MEASUREMENT CARDINALITY", _, _, _) =>
+      { import spark.implicits._; Seq(measurementNames.length.toLong).toDF("count") }
+    case ShowStmt("TAG KEY CARDINALITY", _, _, from) =>
+      import spark.implicits._
+      metasFor(from).map(m => (m.measurement, m.tags.length.toLong))
+        .toDF("measurement", "count")
+    case ShowStmt("FIELD KEY CARDINALITY", _, _, from) =>
+      import spark.implicits._
+      metasFor(from).map(m => (m.measurement, m.fields.length.toLong))
+        .toDF("measurement", "count")
+    case ShowStmt("SERIES CARDINALITY", _, _, from) =>
+      metasFor(from).map { m =>
+        val (df, meta) = load(m.measurement)
+        if (meta.tags.isEmpty)
+          spark.range(1).select(lit(1L).as("c")) // one untagged series
+        else df.select(meta.tags.map(col): _*).distinct()
+          .agg(count(lit(1)).cast("long").as("c"))
+      }.reduce(_ unionByName _)
+        .agg(sum("c").cast("long").as("count"))
+    case ShowStmt("TAG VALUES CARDINALITY", _, key, from) =>
+      val picked = metasFor(from).map(m =>
+        m -> m.tags.filter(t => key.forall(_ == t))).filter(_._2.nonEmpty)
+      if (picked.isEmpty)
+        throw ParseException(s"no tag key ${key.getOrElse("")} on any measurement")
+      picked.map { case (m, keys) =>
+        val (df, _) = load(m.measurement)
+        df.agg(keys.map(t => countDistinct(col(t))).reduce(_ + _).cast("long").as("count"))
+          .select(lit(m.measurement).as("measurement"), col("count"))
+      }.reduce(_ unionByName _)
     case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
     // metadata mutations write through to the durable catalog on success
     // (etcd semantics: a statement is acknowledged only once persisted)
@@ -373,6 +410,18 @@ final class Engine(val spark: SparkSession, sfDir: String,
     val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
     val out = new Translator(df, meta).run(sel)
     sel.into.foreach { target => // SELECT INTO: materialize as a measurement
+      // qualified INTO "db"."rp"."m": validate BEFORE materializing — a
+      // failed statement must not leave a (durable) target behind. An
+      // empty db part means "the current database" (rp.m form), resolved
+      // by CreateContinuousQuery against its ON db, default otherwise.
+      val resolvedDbRp = sel.intoDbRp.map { case (db0, rp) =>
+        val db = if (db0.isEmpty) "default" else db0
+        if (!databases.databases.contains(db))
+          throw databases.UnknownDatabaseException(db)
+        if (!databases.listRps(db).exists(_.name == rp))
+          throw ParseException(s"retention policy not found: $rp on $db")
+        (db, rp)
+      }
       pendingCqTargets.remove(target) // a fresh run supersedes the backfill
       // every non-time/non-tag output column is a field of the target (the
       // same derivation FromSubquery uses) — a multi-field
@@ -391,14 +440,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
           sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
         case None => registerMeasurement(tMeta, out)
       }
-      // INTO "db"."rp"."m": the qualified target binds the measurement to
-      // that db.rp — retention follows the named policy, subscriptions on
-      // that db.rp see its writes (InfluxQL fully-qualified INTO)
-      sel.intoDbRp.foreach { case (db, rp) =>
-        if (!databases.databases.contains(db))
-          throw databases.UnknownDatabaseException(db)
-        setRetentionPolicy(target, db, rp)
-      }
+      // the qualified target binds the measurement to that db.rp —
+      // retention follows the named policy, subscriptions on that db.rp
+      // see its writes (InfluxQL fully-qualified INTO)
+      resolvedDbRp.foreach { case (db, rp) => setRetentionPolicy(target, db, rp) }
     }
     out
   }
@@ -411,7 +456,12 @@ final class Engine(val spark: SparkSession, sfDir: String,
       case CreateRetentionPolicy(n, db, dur, repl, dflt) =>
         databases.createRp(db, databases.Rp(n, dur, repl, dflt))
       case DropRetentionPolicy(n, db) => databases.dropRp(db, n)
-      case CreateContinuousQuery(n, db, sel, everyUs, forUs) =>
+      case CreateContinuousQuery(n, db, cqSel, everyUs, forUs) =>
+        // rp.m INTO form: "the current database" is this CQ's ON db
+        val sel = cqSel.copy(intoDbRp = cqSel.intoDbRp.map {
+          case ("", rp) => (db, rp)
+          case x        => x
+        })
         databases.createCq(databases.CqDef(n, db, sel, everyUs, forUs))
         // reference semantics: a CQ recomputes over history on creation
         // (backfill INTO the target now) AND keeps running — the reference
@@ -544,6 +594,8 @@ final class Engine(val spark: SparkSession, sfDir: String,
     if (nOk > 0) cqs.foreach {
       case (name, (src, sel, everyUs, forUs)) if src == measurement =>
         sel.groupByTime match {
+          case Some(_) if cqStaleAfterRestart.remove(name).isDefined =>
+            runSelect(sel) // converge: pre-restart deferred spans are unknown
           case Some(iv) if !sel.into.exists(pendingCqTargets.contains) =>
             val (dLo, dHi) = cqDirty.getOrElse(name, (tLoUs, tHiUs))
             val span = (math.min(dLo, tLoUs), math.max(dHi, tHiUs))
@@ -666,8 +718,11 @@ final class Engine(val spark: SparkSession, sfDir: String,
       }
   }
 
-  // monotone sequence for subscription batch files + ANY round-robin
-  private val subSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // monotone sequence for subscription batch files + ANY round-robin.
+  // Wall-clock-seeded: a restart must not reuse old sequence numbers, or
+  // a new spool file would overwrite (destroy) a still-undelivered one.
+  private val subSeq =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
 
   /** Subscription FIRING (reference `service/routing.go:101-126`: the
     * statement is replicated to nodes where InfluxDB forwards every write

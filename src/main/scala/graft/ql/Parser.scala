@@ -179,7 +179,7 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       else {
         val p2 = ident()
         if (acceptSym(".")) (ident(), Some((p1, p2)))           // db.rp.m
-        else (p2, Some(("default", p1)))                        // rp.m
+        else (p2, Some(("", p1))) // rp.m: "" = the statement's current db
       }
     }
     val (into, intoDbRp) =

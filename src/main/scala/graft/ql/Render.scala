@@ -79,7 +79,10 @@ object Render {
     val sb = new StringBuilder("SELECT ")
     sb ++= s.fields.map(field).mkString(", ")
     s.into.foreach { t =>
-      val q = s.intoDbRp.map { case (db, rp) => s"${ident(db)}.${ident(rp)}." }.getOrElse("")
+      val q = s.intoDbRp.map {
+        case ("", rp) => s"${ident(rp)}." // current-db form round-trips bare
+        case (db, rp) => s"${ident(db)}.${ident(rp)}."
+      }.getOrElse("")
       sb ++= s" INTO $q${ident(t)}"
     }
     sb ++= " FROM " + source(s.from)

@@ -184,7 +184,7 @@ object SeriesAnalytics {
       StructField(outName, DoubleType))
     val nTags = tags.length
     val grouped = in.groupByKey { r =>
-      (1 to nTags).map(i => Option(r.getString(i)).getOrElse("\u0000")).mkString("")
+      (1 to nTags).map(i => Option(r.getString(i)).getOrElse("\u0000")).mkString("\u0001")
     }(Encoders.STRING)
     grouped.flatMapGroups { (_, it) =>
       val rows = it.toArray

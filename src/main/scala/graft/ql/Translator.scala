@@ -47,10 +47,13 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   def run(sel0: SelectStmt): DataFrame = {
     // field-wildcard aggregates: mean(*) expands to one call per declared
-    // field, named <fn>_<field> (InfluxQL semantics)
+    // NUMERIC field, named <fn>_<field> (InfluxQL expands wildcards over
+    // fields the function can aggregate — string/boolean columns would
+    // fail analysis)
     val sel = sel0.copy(fields = sel0.fields.flatMap {
       case Field(Call(fn, List(Wildcard)), None) if AGGS(fn) =>
-        meta.fields.map(f => Field(Call(fn, List(Ident(f.name))), Some(s"${fn}_${f.name}"))).toList
+        meta.fields.filter(f => f.ftype == "float" || f.ftype == "integer")
+          .map(f => Field(Call(fn, List(Ident(f.name))), Some(s"${fn}_${f.name}"))).toList
       case f => List(f)
     })
     tzZone = sel.tz // literals below parse under the query's zone

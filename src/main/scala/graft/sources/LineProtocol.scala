@@ -142,35 +142,44 @@ object LineProtocol {
     case o => throw new IllegalArgumentException(s"bad precision '$o' (want ns|u|ms|s|m|h)")
   }
 
-  /** Fields travel the tuple as canonical STRING tokens (Double.toString /
-    * Long.toString / true/false / raw string) and land typed by the
-    * declared `fieldTypes` — InfluxDB's four field types end to end. A
-    * value that can't cast to its declared type nulls out (the widening
-    * policy already chose the column type at registration). `fieldTypes`
-    * empty = all float (legacy callers). */
+  /** Fields travel the tuple as canonical STRING tokens and land typed by
+    * the declared `fieldTypes` — InfluxDB's four field types end to end.
+    * Type agreement is enforced IN THE PARSE LAMBDA (a value whose parsed
+    * type conflicts with the declared column nulls out; numerics written
+    * into a widened string column keep their literal form), so the final
+    * cast only ever sees canonical tokens — it cannot throw under ANSI
+    * mode. `fieldTypes` empty = all float (legacy callers). */
   def parseRaw(spark: SparkSession, lines: Dataset[String], measurement: String,
       tagKeys: Seq[String], floatFields: Seq[String],
       precision: String = "ns", fieldTypes: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val mult = precisionToNs(precision) // resolved driver-side, once
+    val types = floatFields.indices.map(i => fieldTypes.lift(i).getOrElse("float"))
     val parsed = lines.map { l =>
       parseLine(l) match {
         case Right(p) if p.measurement == measurement =>
           val tagVals = tagKeys.map(p.tags.getOrElse(_, null))
-          val fieldVals = floatFields.map(f => p.fields.get(f) match {
-            case Some(FFloat(x)) => x.toString
-            case Some(FInt(x))   => x.toString
-            case Some(FBool(x))  => if (x) "true" else "false"
-            case Some(FStr(x))   => x
-            case None            => null
-          })
+          val fieldVals = floatFields.zip(types).map { case (f, want) =>
+            (want, p.fields.get(f).orNull) match {
+              case (_, null)                 => null
+              case ("float", FFloat(x))      => x.toString
+              case ("float", FInt(x))        => x.toString
+              case ("integer", FInt(x))      => x.toString
+              case ("boolean", FBool(x))     => if (x) "true" else "false"
+              case ("string", FStr(x))       => x
+              case ("string", FFloat(x))     => x.toString // widened column:
+              case ("string", FInt(x))       => x.toString // numerics keep
+              case ("string", FBool(x))      => x.toString // their literal form
+              case _                         => null // declared-type conflict
+            }
+          }
           (p.timeNs.map(_ * mult).getOrElse(-1L), tagVals, fieldVals.map(Option(_)), null.asInstanceOf[String])
         case Right(p)  => (-1L, Seq.empty[String], Seq.empty[Option[String]], s"wrong measurement ${p.measurement}: $l")
         case Left(err) => (-1L, Seq.empty[String], Seq.empty[Option[String]], s"${err.reason}: ${err.line}")
       }
     }
     def cast(c: org.apache.spark.sql.Column, i: Int) =
-      fieldTypes.lift(i).getOrElse("float") match {
+      types(i) match {
         case "integer" => c.cast("long")
         case "boolean" => c.cast("boolean")
         case "string"  => c

@@ -57,6 +57,13 @@ object MetaCatalog {
     // serializes) never share a tmp path
     val tmp = new Path(s"$dir/_catalog.tmp.${tmpSeq.getAndIncrement()}")
     val f = fs(spark, p)
+    // sweep orphans from writes that crashed between create and rename —
+    // unique names mean nothing else ever overwrites them
+    scala.util.Try {
+      f.globStatus(new Path(s"$dir/_catalog.tmp.*")).foreach { st =>
+        if (st.getPath != tmp) f.delete(st.getPath, false)
+      }
+    }
     val body = ("v1" +: records.map(_.map(esc).mkString(Sep.toString))).mkString("\n")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()

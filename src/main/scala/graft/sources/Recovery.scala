@@ -26,7 +26,8 @@ object Recovery {
     * DataFrame, still-failing lines). Callers re-quarantine the failures
     * (chunked retry loop = the reference's RecoverNodes cycle). */
   def replay(spark: SparkSession, deadLetterDir: String, measurement: String,
-      tagKeys: Seq[String], floatFields: Seq[String])
+      tagKeys: Seq[String], floatFields: Seq[String],
+      fieldTypes: Seq[String] = Nil)
       : (org.apache.spark.sql.DataFrame, Dataset[String]) = {
     import spark.implicits._
     val lines = spark.read.textFile(deadLetterDir)
@@ -35,6 +36,7 @@ object Recovery {
       val i = l.indexOf(": ")
       if (i >= 0) l.substring(i + 2) else l
     }
-    LineProtocol.parse(spark, raw, measurement, tagKeys, floatFields)
+    LineProtocol.parse(spark, raw, measurement, tagKeys, floatFields,
+      fieldTypes = fieldTypes)
   }
 }
