@@ -272,6 +272,34 @@ class EngineSpec extends SparkSpec {
     assert(types2("hits") == "long" && types2("ok") == "boolean" && types2("note") == "string")
   }
 
+  test("declared-type conflicts null the field, not the batch (ANSI-safe)") {
+    val e = newEngine
+    e.writeLineProtocol(Seq(
+      "tc,loc=a temp=21.5,hits=3i,ok=true,note=\"x\" 1000000000"), "tc")
+    // float→integer, int→boolean conflicts null out; the widened string
+    // column keeps the numeric literal; the batch itself succeeds
+    val (n, bad) = e.writeLineProtocol(Seq(
+      "tc,loc=b temp=19.0,hits=2.5,ok=3i,note=7 2000000000"), "tc")
+    assert(n == 1 && bad == 0)
+    val r = e.execute("SELECT * FROM tc WHERE loc = 'b'").collect().head
+    assert(r.getAs[Double]("temp") == 19.0)
+    assert(r.isNullAt(r.fieldIndex("hits")) && r.isNullAt(r.fieldIndex("ok")))
+    assert(r.getAs[String]("note") == "7.0")
+  }
+
+  test("cardinality family counts written measurements, not just the catalog") {
+    val e = newEngine
+    e.writeLineProtocol(Seq(
+      "cm,loc=a v=1 1000000000", "cm,loc=b v=2 2000000000"), "cm")
+    assert(e.execute("SHOW MEASUREMENT CARDINALITY")
+      .collect().head.getLong(0) >= 2) // events + cm
+    val tv = e.execute("SHOW TAG VALUES EXACT CARDINALITY WITH KEY = loc")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tv("cm") == 2L)
+    val sc = e.execute("SHOW SERIES CARDINALITY FROM cm").collect().head.getLong(0)
+    assert(sc == 2L)
+  }
+
   test("qualified INTO db.rp.m binds the target to that retention policy") {
     val e = newEngine
     e.registerMeasurement(TableMeta("qi", "ts_us",
