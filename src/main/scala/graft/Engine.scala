@@ -619,11 +619,9 @@ final class Engine(val spark: SparkSession, sfDir: String,
     * before parsing). Decompress with the JDK, split lines, and feed the
     * standard path — byte-identical semantics to a plain-text write. */
   def writeLineProtocolGzip(body: Array[Byte], measurement: String,
-      precision: String = "ns"): (Long, Long) = {
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    writeLineProtocol(text.split("\n", -1).toSeq.filter(_.nonEmpty), measurement, precision)
-  }
+      precision: String = "ns"): (Long, Long) =
+    writeLineProtocol(LineProtocol.splitLines(LineProtocol.gunzip(body)),
+      measurement, precision)
 
   /** Credentialed write path (reference `service/write_handler.go:80-101`:
     * when any users exist, a write must authenticate AND hold WRITE on the
@@ -804,21 +802,27 @@ final class Engine(val spark: SparkSession, sfDir: String,
     * DDL need WRITE, user/admin statements need admin. Throws the 403
     * equivalent. When no users exist, auth is open (reference bootstrap
     * behavior before the first admin). */
+  /** The privilege class a statement needs — the reference's
+    * RequiredPrivileges mapping (query_handler.go:109-117). */
+  def requiredPrivilege(stmt: Statement): String = stmt match {
+    case _: SelectStmt | _: ShowStmt | ShowQueriesStmt => "READ"
+    case _: AuthStmt | _: ShowGrantsStmt | _: KillQuery => "ADMIN"
+    case _                                             => "WRITE"
+  }
+
+  /** Does `user` hold the privilege `stmt` needs on `db`? Vacuously true
+    * while no users exist (bootstrap window, service/auth.go:26-41). */
+  def isAuthorized(user: String, stmt: Statement, db: String): Boolean =
+    users.isEmpty || (requiredPrivilege(stmt) match {
+      case "ADMIN" => users.list.toMap.getOrElse(user, false) // admin flag
+      case p       => users.authorize(user, db, p)
+    })
+
   def executeAs(user: String, influxql: String, db: String = "default"): DataFrame = {
     val stmt = Parser.parse(influxql)
-    if (!users.isEmpty) {
-      val required = stmt match {
-        case _: SelectStmt | _: ShowStmt | ShowQueriesStmt => "READ"
-        case _: AuthStmt | _: ShowGrantsStmt | _: KillQuery => "ADMIN"
-        case _                                             => "WRITE"
-      }
-      val ok = required match {
-        case "ADMIN" => users.list.toMap.getOrElse(user, false) // admin flag
-        case p       => users.authorize(user, db, p)
-      }
-      if (!ok) throw users.AuthException(
-        s"""user "$user" is not authorized to $required on "$db"""") // 403
-    }
+    if (!isAuthorized(user, stmt, db))
+      throw users.AuthException(
+        s"""user "$user" is not authorized to ${requiredPrivilege(stmt)} on "$db"""") // 403
     executeStmt(stmt)
   }
 
@@ -1045,32 +1049,43 @@ final class Engine(val spark: SparkSession, sfDir: String,
     * `toLocalIterator` — the path for raw SELECTs over big time ranges
     * where the buffered proxy shape would OOM the driver. */
   def queryJsonStream(influxql: String, out: java.io.Writer,
-      epoch: Option[String] = Some("u")): Unit =
-    Parser.parse(influxql) match {
-      case sel: SelectStmt =>
-        logQuery(sel, influxql)
-        val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
-        val result = new Translator(df, meta).run(sel)
-        val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
-        InfluxJson.serializeStream(Translator.measurementName(sel.from), result,
-          out, tags, epoch, timeDesc = sel.orderDesc)
-      case _ => out.write(InfluxJson.serialize("results", execute(influxql)))
+      epoch: Option[String] = Some("u")): Unit = {
+    val stmts = Parser.parseAll(influxql)
+    out.write("""{"results":[""")
+    stmts.zipWithIndex.foreach { case (stmt, i) =>
+      if (i > 0) out.write(",")
+      stmt match {
+        case sel: SelectStmt =>
+          logQuery(sel, influxql)
+          val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
+          val result = new Translator(df, meta).run(sel)
+          val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
+          InfluxJson.serializeStreamResult(Translator.measurementName(sel.from),
+            result, out, tags, epoch, timeDesc = sel.orderDesc, sid = i)
+        case other =>
+          out.write(InfluxJson.serializeResult("results", executeStmt(other), sid = i))
+      }
     }
+    out.write("]}")
+  }
 
   /** `chunked=true` proxy form (reference query_utils.go:34-46,118-119):
     * newline-delimited response objects, ≤ chunkSize values per line,
-    * `"partial":true` on every non-final chunk of a series. */
+    * `"partial":true` on every non-final chunk of a series; each statement
+    * of a multi-statement request chunks under its own statement_id. */
   def queryJsonChunked(influxql: String, out: java.io.Writer,
       chunkSize: Int = 10000, epoch: Option[String] = Some("u")): Unit =
-    Parser.parse(influxql) match {
-      case sel: SelectStmt =>
+    Parser.parseAll(influxql).zipWithIndex.foreach {
+      case (sel: SelectStmt, i) =>
         logQuery(sel, influxql)
         val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
         val result = new Translator(df, meta).run(sel)
         val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
         InfluxJson.serializeChunked(Translator.measurementName(sel.from), result,
-          out, chunkSize, tags, epoch, timeDesc = sel.orderDesc)
-      case _ => out.write(InfluxJson.serialize("results", execute(influxql)) + "\n")
+          out, chunkSize, tags, epoch, timeDesc = sel.orderDesc, sid = i)
+      case (other, i) =>
+        out.write(s"""{"results":[${InfluxJson.serializeResult("results",
+          executeStmt(other), sid = i)}]}""" + "\n")
     }
 
 }

@@ -57,12 +57,20 @@ object InfluxJson {
     * `groupResultsByTags`, coordinator.go:48-70). A LONG `time` column is
     * treated as epoch-µs and formatted per `epoch`. */
   def serialize(name: String, df: DataFrame, tagCols: Seq[String] = Nil,
-      epoch: Option[String] = Some("u")): String = {
+      epoch: Option[String] = Some("u")): String =
+    s"""{"results":[${serializeResult(name, df, tagCols, epoch)}]}"""
+
+  /** One RESULT OBJECT (no envelope) — the unit a multi-statement request
+    * accumulates: `{"statement_id":sid,"series":[...]}`, or `{}` for an
+    * empty result (the reference always answers with at least one result
+    * object, query_utils.go:73-81). */
+  def serializeResult(name: String, df: DataFrame, tagCols: Seq[String] = Nil,
+      epoch: Option[String] = Some("u"), sid: Int = 0): String = {
     // eager validation — a bad unit must fail even when the result happens
     // to carry no time column
     epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
     val rows = df.collect()
-    if (rows.isEmpty) return """{"results":[{}]}"""
+    if (rows.isEmpty) return emptyResult(sid)
     val cols = df.columns
     val tagIdx: Seq[Int] = tagCols.map(t => cols.indexOf(t)).filter(_ >= 0)
     val valueIdx = cols.indices.filterNot(tagIdx.contains)
@@ -88,7 +96,7 @@ object InfluxJson {
         s"""{"name":"${escape(name)}",$tagJson"columns":$colsJson,"values":$valsJson}"""
       }
       .mkString("[", ",", "]")
-    s"""{"results":[{"statement_id":0,"series":$seriesJson}]}"""
+    s"""{"statement_id":$sid,"series":$seriesJson}"""
   }
 
   /** Chunked serialization — the reference proxy's `chunked=true` wire
@@ -102,7 +110,8 @@ object InfluxJson {
     * driver memory. */
   def serializeChunked(name: String, df: DataFrame, out: java.io.Writer,
       chunkSize: Int = 10000, tagCols: Seq[String] = Nil,
-      epoch: Option[String] = Some("u"), timeDesc: Boolean = false): Unit = {
+      epoch: Option[String] = Some("u"), timeDesc: Boolean = false,
+      sid: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
     require(chunkSize > 0, "chunkSize must be positive")
@@ -118,7 +127,7 @@ object InfluxJson {
       if (tagIdx.isEmpty) df
       else df.orderBy(tagIdx.map(i => col(cols(i)).asc) ++ timeSort: _*)
     val it = ordered.toLocalIterator()
-    if (!it.hasNext) { out.write("""{"results":[{}]}""" + "\n"); return }
+    if (!it.hasNext) { out.write(s"""{"results":[${emptyResult(sid)}]}""" + "\n"); return }
     val colsJson = valueCols.map(c => "\"" + escape(c) + "\"").mkString("[", ",", "]")
     def rowJson(r: org.apache.spark.sql.Row): String =
       valueIdx.zipWithIndex.map { case (i, vi) =>
@@ -133,7 +142,7 @@ object InfluxJson {
         .mkString(""""tags":{""", ",", "},")
     def writeChunk(tags: Seq[(String, String)], vals: Seq[String], partial: Boolean): Unit = {
       val p = if (partial) ""","partial":true""" else ""
-      out.write(s"""{"results":[{"statement_id":0,"series":[""" +
+      out.write(s"""{"results":[{"statement_id":$sid,"series":[""" +
         s"""{"name":"${escape(name)}",${tagJson(tags)}"columns":$colsJson,""" +
         s""""values":${vals.mkString("[", ",", "]")}$p}]$p}]}""" + "\n")
     }
@@ -173,6 +182,22 @@ object InfluxJson {
   def serializeStream(name: String, df: DataFrame, out: java.io.Writer,
       tagCols: Seq[String] = Nil, epoch: Option[String] = Some("u"),
       timeDesc: Boolean = false): Unit = {
+    out.write("""{"results":[""")
+    serializeStreamResult(name, df, out, tagCols, epoch, timeDesc)
+    out.write("]}")
+  }
+
+  /** `{}` compat shape for statement 0 (SURVEY §7.0 pins the reference's
+    * empty answer `{"results":[{}]}`); later statements carry their id so
+    * a client can line results up with its statements. */
+  private def emptyResult(sid: Int): String =
+    if (sid == 0) "{}" else s"""{"statement_id":$sid}"""
+
+  /** Result-object form of the streamed serializer (multi-statement
+    * requests write several of these into one results array). */
+  def serializeStreamResult(name: String, df: DataFrame, out: java.io.Writer,
+      tagCols: Seq[String] = Nil, epoch: Option[String] = Some("u"),
+      timeDesc: Boolean = false, sid: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     epoch.foreach(u => require(Set("ns", "u", "us", "ms", "s")(u), s"bad epoch unit $u"))
     val cols = df.columns
@@ -187,8 +212,8 @@ object InfluxJson {
       if (tagIdx.isEmpty) df
       else df.orderBy(tagIdx.map(i => col(cols(i)).asc) ++ timeSort: _*)
     val it = ordered.toLocalIterator()
-    if (!it.hasNext) { out.write("""{"results":[{}]}"""); return }
-    out.write("""{"results":[{"statement_id":0,"series":[""")
+    if (!it.hasNext) { out.write(emptyResult(sid)); return }
+    out.write(s"""{"statement_id":$sid,"series":[""")
     val colsJson = valueCols.map(c => "\"" + escape(c) + "\"").mkString("[", ",", "]")
     var cur: Seq[(String, String)] = null
     var firstRow = true
@@ -214,6 +239,6 @@ object InfluxJson {
         }
       }.mkString("[", ",", "]"))
     }
-    out.write("]}]}]}")
+    out.write("]}]}")
   }
 }

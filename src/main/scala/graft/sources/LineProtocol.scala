@@ -119,6 +119,35 @@ object LineProtocol {
     s"$key $fields${p.timeNs.map(t => s" $t").getOrElse("")}"
   }
 
+  /** Decompress a gzip write body (reference write_handler.go:55-63: the
+    * /write endpoint accepts Content-Encoding: gzip). */
+  def gunzip(body: Array[Byte]): String = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Split a write body into non-empty lines (the wire format is one point
+    * per LF-separated line; blank lines and a trailing newline are legal). */
+  def splitLines(body: String): Seq[String] =
+    body.split("\n", -1).toSeq.map(_.stripSuffix("\r")).filter(_.trim.nonEmpty)
+
+  /** The measurement name a line writes to, WITHOUT fully parsing it — the
+    * light scan the HTTP fan-in uses to group a mixed-measurement body
+    * (write_handler.go:103 partitions points the same way). Unescapes
+    * `\,` `\ ` `\=` like parseLine so the group key matches the parsed
+    * point; malformed lines yield whatever prefix they have and are then
+    * dead-lettered by the real parse. */
+  def measurementOf(line: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < line.length && { val c = line.charAt(i); c != ',' && c != ' ' }) {
+      if (line.charAt(i) == '\\' && i + 1 < line.length) {
+        sb.append(line.charAt(i + 1)); i += 2
+      } else { sb.append(line.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Distributed parse: lines → (points flattened to a dynamic-schema
     * DataFrame for one measurement, dead-letter errors). Schema: time_ns
     * LONG, ts TIMESTAMP(µs), tags STRING..., fields typed by inference on
