@@ -483,6 +483,118 @@ object DocText {
       val hits = size(array_intersect(col("shingles"), typedLit(benchSgl))).cast("long")
       sh.where(col("doc_id") >= 10)
         .select(col("doc_id"), hits.as("n_hits"), (hits > 0).as("contaminated"))
+    },
+
+    // ---- repetition quality filters (the Gopher/MassiveText rules: a doc
+    //      dominated by its own most-frequent n-gram, or with a high share
+    //      of duplicated n-grams, is boilerplate). Spark side is MAP-ONLY:
+    //      sort each doc's n-gram array in-row, then a single aggregate()
+    //      fold computes the longest equal-run (= top n-gram count) and
+    //      the duplicated-occurrence total — no explode, no shuffle, stays
+    //      in codegen at any corpus size. The oracle recomputes both via
+    //      the naive unnest+GROUP BY shape, so the hash-match proves the
+    //      run-length fold equals the exact counting semantics.
+    Q("d_repetition_stats",
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS g FROM tk),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM tk),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_cnt,
+        |              CAST(sum(c) AS BIGINT) AS n_2grams FROM c2 GROUP BY 1),
+        |a3 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3_occ,
+        |              CAST(sum(c) AS BIGINT) AS n_3grams FROM c3 GROUP BY 1)
+        |SELECT a2.doc_id, top2_cnt, n_2grams,
+        |  CAST(floor(top2_cnt / CAST(n_2grams AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS top2_bp,
+        |  dup3_occ, n_3grams,
+        |  CAST(floor(dup3_occ / CAST(n_3grams AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS dup3_bp
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin) { (s, d) =>
+      // run-length fold over a sorted n-gram array: state (prev, run,
+      // best, dup); closing a run adds it to dup when length > 1; finish
+      // closes the final run. best = the doc's top n-gram count.
+      def runStats(grams: String) =
+        s"""aggregate(array_sort($grams),
+           |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'dup', 0L),
+           |  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
+           |    named_struct('prev', x, 'run', a.run + 1L,
+           |                 'best', greatest(a.best, a.run + 1L), 'dup', a.dup),
+           |    named_struct('prev', x, 'run', 1L, 'best', greatest(a.best, 1L),
+           |                 'dup', a.dup + IF(a.run > 1L, a.run, 0L))),
+           |  a -> named_struct('best', a.best,
+           |                    'dup', a.dup + IF(a.run > 1L, a.run, 0L)))""".stripMargin
+      withToks(docs(s, d))
+        .withColumn("g2", expr(
+          "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))"))
+        .withColumn("g3", expr(
+          "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1), ' ', element_at(toks,i+2)))"))
+        .withColumn("r2", expr(runStats("g2")))
+        .withColumn("r3", expr(runStats("g3")))
+        .select(col("doc_id"),
+          col("r2.best").as("top2_cnt"), size(col("g2")).cast("long").as("n_2grams"),
+          floor(col("r2.best") / size(col("g2")).cast("double") * 10000 + 0.5)
+            .cast("long").as("top2_bp"),
+          col("r3.dup").as("dup3_occ"), size(col("g3")).cast("long").as("n_3grams"),
+          floor(col("r3.dup") / size(col("g3")).cast("double") * 10000 + 0.5)
+            .cast("long").as("dup3_bp"))
+    },
+
+    // ---- PII detection + scrubbing: regex redaction of emails and phone
+    //      numbers with per-doc match counts — the scrub every public
+    //      training corpus runs. The synthetic corpus carries no PII, so
+    //      the query AUGMENTS each doc with deterministic synthetic
+    //      contacts first (derived from its own fields — both engines
+    //      build the identical string), then proves detection (counts) and
+    //      redaction (fingerprint of the scrubbed text) match exactly.
+    //      Map-only: regexp ops in the projection, no shuffle. The regexes
+    //      stay in the Java∩RE2 common dialect so Spark and DuckDB agree.
+    Q("d_pii_scrub",
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact ' || source || '@example.com or ' || lang
+        |         || '.user@mail.org call 555-' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS BIGINT) AS n_phones,
+        |  CAST('0x'||substr(md5(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '555-[0-9]+', '[PHONE]', 'g')),1,15) AS BIGINT) AS scrub_fp
+        |FROM aug""".stripMargin) { (s, d) =>
+      val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phoneRe = "555-[0-9]+"
+      docs(s, d)
+        .withColumn("t", concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.com or "), col("lang"), lit(".user@mail.org call 555-"),
+          col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+          h60(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("scrub_fp"))
+    },
+
+    // ---- training-chunk windowing: split every document into fixed-size
+    //      token windows with overlap (64-token chunks, stride 48 — the
+    //      context-packing step before tokenization in an LLM pipeline).
+    //      Map-only + explode: the row multiplier ≈ n_tokens/stride is the
+    //      output's actual size, there is no shuffle, and each chunk's
+    //      fingerprint makes the result hash-checkable without shipping
+    //      the chunk text twice.
+    Q("d_chunk_windows",
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(generate_series(0, ((len(toks)-1)//48)*48, 48)) AS s
+        |       FROM tk)
+        |SELECT doc_id, CAST(s//48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[s+1 : s+64]) AS BIGINT) AS n_chunk_toks,
+        |  CAST('0x'||substr(md5(array_to_string(toks[s+1 : s+64], ' ')),1,15) AS BIGINT) AS chunk_fp
+        |FROM st""".stripMargin) { (s, d) =>
+      withToks(docs(s, d))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, ((size(toks)-1) div 48)*48, 48)")).as("s"))
+        .select(col("doc_id"), (col("s") / 48).cast("long").as("chunk_idx"),
+          size(expr("slice(toks, s+1, 64)")).cast("long").as("n_chunk_toks"),
+          h60(array_join(expr("slice(toks, s+1, 64)"), " ")).as("chunk_fp"))
     }
   )
 }
