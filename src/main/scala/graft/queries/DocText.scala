@@ -595,6 +595,32 @@ object DocText {
         .select(col("doc_id"), (col("s") / 48).cast("long").as("chunk_idx"),
           size(expr("slice(toks, s+1, 64)")).cast("long").as("n_chunk_toks"),
           h60(array_join(expr("slice(toks, s+1, 64)"), " ")).as("chunk_fp"))
+    },
+
+    // ---- corpus-wide heavy hitters: the 20 most frequent 2-grams with
+    //      occurrence and document-frequency counts (boilerplate
+    //      detection — the corpus-level companion to the per-doc
+    //      repetition filters). Scale shape: explode → one partial-
+    //      aggregated shuffle on the gram; the top-k is
+    //      TakeOrderedAndProject (per-partition heaps merged on the
+    //      driver), never a full sort. count DESC, gram ASC tie-break
+    //      keeps the result deterministic.
+    Q("d_top_ngrams",
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS g FROM tk),
+        |c AS (SELECT g, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |      FROM g2 GROUP BY 1)
+        |SELECT g AS ngram, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM c ORDER BY n_occ DESC, g ASC LIMIT 20""".stripMargin) { (s, d) =>
+      withToks(docs(s, d))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))"))
+          .as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("n_occ").desc, col("ngram").asc)
+        .limit(20)
     }
   )
 }
