@@ -18,6 +18,12 @@ final case class RegexLit(pattern: String) extends Expr // /re/ after =~ or !~
 final case class DurLit(us: Long) extends Expr
 case object NowLit extends Expr
 case object Wildcard extends Expr
+/** `name::field` / `name::tag` disambiguation, or `name::integer|float|
+  * string|boolean` cast (influxql type selectors on the SELECT list and
+  * in WHERE). */
+final case class TypedIdent(name: String, hint: String) extends Expr
+/** `*::field` / `*::tag` — wildcard restricted to one key kind. */
+final case class TypedWildcard(hint: String) extends Expr
 final case class Call(name: String, args: List[Expr]) extends Expr
 /** op ∈ + - * / % = != <> < <= > >= AND OR */
 final case class Bin(op: String, l: Expr, r: Expr) extends Expr

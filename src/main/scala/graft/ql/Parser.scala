@@ -17,7 +17,7 @@ object Lexer {
   final case class TSym(text: String) extends Tok
   case object TEnd extends Tok { val text = "<end>" }
 
-  private val sym2 = Set("<=", ">=", "!=", "<>", "=~", "!~")
+  private val sym2 = Set("<=", ">=", "!=", "<>", "=~", "!~", "::")
   private val sym1 = Set("(", ")", ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", ";")
   private val durUnit = "(ns|us|µs|ms|s|m|h|d|w)"
   private val durRe = s"^\\d+$durUnit".r
@@ -339,7 +339,9 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     case TSym("(")                  =>
       val e = parseExpr(0); expectSym(")"); Paren(e)
     case TSym("-")                  => Bin("*", IntLit(-1), parseUnary())
-    case TSym("*")                  => Wildcard
+    case TSym("*")                  =>
+      if (acceptSym("::")) TypedWildcard(typeHint(kinds = Set("field", "tag")))
+      else Wildcard
     case TIdent(x) if x.equalsIgnoreCase("true")  => BoolLit(true)
     case TIdent(x) if x.equalsIgnoreCase("false") => BoolLit(false)
     case TIdent(x) if x.equalsIgnoreCase("now") && acceptSym("(") =>
@@ -353,8 +355,19 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
           expectSym(")")
         }
         Call(x.toLowerCase, args.toList)
-      } else Ident(x)
+      } else if (acceptSym("::")) TypedIdent(x, typeHint())
+      else Ident(x)
     case t => throw ParseException(s"unexpected token ${t.text}")
+  }
+
+  /** The kind after `::` — field/tag disambiguation or a cast type
+    * (influxql SELECT-list type selectors). */
+  private def typeHint(kinds: Set[String] =
+      Set("field", "tag", "integer", "float", "string", "boolean")): String = {
+    val h = ident().toLowerCase
+    if (!kinds(h)) throw ParseException(
+      s"invalid type selector ::$h (want ${kinds.toSeq.sorted.mkString("|")})")
+    h
   }
 
   // -------- SHOW

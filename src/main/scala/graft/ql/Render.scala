@@ -49,6 +49,8 @@ object Render {
     case BoolLit(v)  => v.toString
     case NowLit      => "now()"
     case Wildcard    => "*"
+    case TypedIdent(n, h)  => s"${ident(n)}::$h"
+    case TypedWildcard(h)  => s"*::$h"
     case Call(n, a)  => s"$n(${a.map(expr).mkString(", ")})"
     case Paren(e0)   => s"(${expr(e0)})"
     case Bin(op, l, r) =>

@@ -50,12 +50,14 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     // NUMERIC field, named <fn>_<field> (InfluxQL expands wildcards over
     // fields the function can aggregate — string/boolean columns would
     // fail analysis)
-    val sel = sel0.copy(fields = sel0.fields.flatMap {
-      case Field(Call(fn, List(Wildcard)), None) if AGGS(fn) =>
-        meta.fields.filter(f => f.ftype == "float" || f.ftype == "integer")
-          .map(f => Field(Call(fn, List(Ident(f.name))), Some(s"${fn}_${f.name}"))).toList
-      case f => List(f)
-    })
+    val sel = sel0.copy(
+      fields = sel0.fields.flatMap {
+        case Field(Call(fn, List(Wildcard)), None) if AGGS(fn) =>
+          meta.fields.filter(f => f.ftype == "float" || f.ftype == "integer")
+            .map(f => Field(Call(fn, List(Ident(f.name))), Some(s"${fn}_${f.name}"))).toList
+        case f => List(f.copy(expr = normTyped(f.expr)))
+      },
+      where = sel0.where.map(normTyped))
     tzZone = sel.tz // literals below parse under the query's zone
     val filtered = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
     // tz('Zone'): GROUP BY time buckets align to LOCAL boundaries. The
@@ -192,10 +194,35 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case _              => None
   }
 
+  /** `::` selectors: field/tag hints validate against the measurement's
+    * declared kinds and then erase to plain identifiers (a tag and a field
+    * can never share a column name here, so the hint is a compatibility
+    * check, not a resolution step); cast hints survive to the leaf sites,
+    * which wrap the column in the requested cast. */
+  private def normTyped(e: Expr): Expr = e match {
+    case TypedIdent(n, "field") =>
+      if (!meta.fields.exists(_.name == n))
+        throw ParseException(s"'$n' is not a field")
+      Ident(n)
+    case TypedIdent(n, "tag") =>
+      if (!meta.isTag(n)) throw ParseException(s"'$n' is not a tag")
+      Ident(n)
+    case t: TypedIdent => t // cast hint — applied where the leaf resolves
+    case Call(n, a)    => Call(n, a.map(normTyped))
+    case Bin(o, l, r)  => Bin(o, normTyped(l), normTyped(r))
+    case Paren(x)      => Paren(normTyped(x))
+    case x             => x
+  }
+
+  private val CastTypes = Map(
+    "integer" -> "long", "float" -> "double",
+    "string" -> "string", "boolean" -> "boolean")
+
   /** WHERE operand; when the opposite side is `time`, literals become µs. */
   private def operand(e: Expr, other: Expr): Column = e match {
     case Ident(n) if n.equalsIgnoreCase("time") => time
     case Ident(n)    => col(n)
+    case TypedIdent(n, h) => col(n).cast(CastTypes(h))
     case StrLit(s) if isTimeRef(other) => lit(parseTimeUs(s))
     case StrLit(s)   => lit(s)
     case BoolLit(b)  => lit(b)
@@ -247,6 +274,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   private def collectIdents(e: Expr): List[String] = e match {
     case Ident(n)      => List(n)
+    case TypedIdent(n, _) => List(n)
     case Call(_, args) => args.flatMap(collectIdents)
     case Bin(_, l, r)  => collectIdents(l) ++ collectIdents(r)
     case Paren(x)      => collectIdents(x)
@@ -285,7 +313,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
           .filter(n => re.matcher(n).find())
         if (matched.isEmpty) throw ParseException(s"no field or tag key matches /$p/")
         matched.map(col)
+      case Field(TypedWildcard("field"), _) => meta.fields.map(f => col(f.name))
+      case Field(TypedWildcard("tag"), _) =>
+        meta.tags.filterNot(tags.contains).map(col)
       case Field(Ident(n), alias) => Seq(col(n).as(alias.getOrElse(n)))
+      case Field(TypedIdent(n, h), alias) =>
+        Seq(col(n).cast(CastTypes(h)).as(alias.getOrElse(n)))
       case Field(e, alias)        => Seq(scalarCol(e, col(_)).as(alias.getOrElse(exprName(e))))
     }
     base.select((time.as("time") +: tags.map(col)) ++ cols: _*)
@@ -404,6 +437,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
 
   private def scalarCol(e: Expr, leaf: String => Column): Column = e match {
     case Ident(n)  => leaf(n)
+    case TypedIdent(n, h) => leaf(n).cast(CastTypes(h))
     case NumLit(v) => lit(v)
     case IntLit(v) => lit(v)
     case Paren(x)  => scalarCol(x, leaf)
@@ -425,6 +459,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   private def exprName(e: Expr): String = e match {
     case Call(n, _) => n // InfluxDB names output columns after the function
     case Ident(n)   => n
+    case TypedIdent(n, _) => n
     case Bin(_, l, _) => exprName(l)
     case Paren(x)   => exprName(x)
     case _          => "expr"

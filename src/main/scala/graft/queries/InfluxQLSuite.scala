@@ -48,6 +48,24 @@ object InfluxQLSuite {
          |ORDER BY 1, 2 LIMIT 50""".stripMargin)(
       "SELECT value FROM events WHERE time >= '2024-01-05' AND time < '2024-01-08' AND event_type = 'click' ORDER BY time ASC LIMIT 50"),
 
+    // ---- `::` type selectors (influxql SELECT-list syntax): field/tag
+    //      hints validate-and-erase, cast hints (::float) convert — and
+    //      they work in WHERE too
+    iql("iql_typed_select",
+      s"""WITH $EV
+         |SELECT ts_us AS time, value, CAST(user_id AS DOUBLE) AS user_id, event_type
+         |FROM ev
+         |WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-05') AND ts_us < epoch_us(TIMESTAMP '2024-01-06')
+         |  AND event_type = 'click'""".stripMargin)(
+      "SELECT value::field, user_id::float, event_type::tag FROM events WHERE time >= '2024-01-05' AND time < '2024-01-06' AND event_type::tag = 'click'"),
+
+    // ---- `*::field` — wildcard restricted to fields (tags excluded)
+    iql("iql_typed_wildcard",
+      s"""WITH $EV
+         |SELECT ts_us AS time, value, user_id FROM ev
+         |WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-05') AND ts_us < epoch_us(TIMESTAMP '2024-01-06')""".stripMargin)(
+      "SELECT *::field FROM events WHERE time >= '2024-01-05' AND time < '2024-01-06'"),
+
     // ---- GROUP BY time(1d), tag: the reference's core distributed-agg shape
     iql("iql_mean_1d",
       s"""WITH $EV

@@ -37,7 +37,10 @@ class RenderSpec extends AnyFunSuite {
       "SELECT value FROM cpu WHERE time >= '2019' AND value != 3.25",
       "SELECT top(value, 3), host FROM cpu",
       "SELECT value FROM cpu WHERE v % 2 = 0 AND v / 2 > 1",
-      "SELECT mean(value) FROM cpu GROUP BY time(1d), host tz('America/New_York')"
+      "SELECT mean(value) FROM cpu GROUP BY time(1d), host tz('America/New_York')",
+      "SELECT value::field, host::tag, value::integer FROM cpu WHERE host::tag = 'a'",
+      "SELECT *::field FROM cpu",
+      "SELECT *::tag FROM cpu"
     ).foreach(roundTrip)
   }
 
