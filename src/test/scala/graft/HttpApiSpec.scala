@@ -169,6 +169,29 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("cross-engine replication: a subscription on one engine delivers into " +
+      "another engine's /write (the reference's node-to-node topology)") {
+    withApi { (ea, baseA) =>
+      val eb = new Engine(spark, sfDir)
+      val apiB = new HttpApi(eb).start()
+      val baseB = s"http://127.0.0.1:${apiB.boundPort}"
+      try {
+        ea.execute("CREATE SUBSCRIPTION \"rep\" ON \"default\".\"autogen\" " +
+          s"DESTINATIONS ALL '$baseB'")
+        val w = post(s"$baseA/write?db=default",
+          "http_rep,host=a v=9 5000000000".getBytes(UTF_8))
+        assert(w.statusCode() == 204, w.body())
+        // engine B received the forwarded batch through its own HTTP write
+        // path and serves it back over its own query path
+        val q = get(s"$baseB/query?epoch=u&q=" + enc("SELECT v FROM http_rep"))
+        assert(q.statusCode() == 200, q.body())
+        assert(q.body().contains("\"name\":\"http_rep\""), q.body())
+        assert(q.body().contains("[5000000,9.0]") || q.body().contains("[5000000,9]"),
+          q.body())
+      } finally apiB.stop()
+    }
+  }
+
   test("/query as form POST (the public API's POST spelling)") {
     withApi { (_, base) =>
       val r = post(s"$base/query", s"q=${enc("SHOW MEASUREMENTS")}".getBytes(UTF_8),
