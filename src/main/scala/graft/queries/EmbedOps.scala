@@ -524,6 +524,92 @@ object EmbedOps {
           micro(col("sv").cast("double") / (lit(1048576.0) * col("n"))).as("centroid_micro"))
     },
 
+    // ---- distributed k-means (Lloyd's): the clustering step a corpus
+    //      pipeline runs over document embeddings (topic bucketing,
+    //      diversity sampling). The MLlib shape without the MLlib
+    //      dependency: centroids live on the driver (K×64 — tiny) and
+    //      BROADCAST into a map-only argmin per pass; the update is one
+    //      (cluster, dim) partial-aggregated shuffle per pass. Everything
+    //      is exact-integer: coordinates quantized ×2^20, distances are
+    //      integer sums, centroid updates floor(mean + 0.5) on an
+    //      IEEE-deterministic double division — so the full 2-iteration
+    //      trajectory, tie-breaks (dist, cid) included, is bit-identical
+    //      to the oracle's hand-unrolled SQL iterations. Seeds are every
+    //      ⌊N/K⌋-th vector in vec_id rank order (the em_ivf_knn seeding),
+    //      so there is no RNG state anywhere.
+    Q("em_kmeans", {
+      val EQ =
+        """eq AS (SELECT vec_id, list_transform(generate_series(1, 64),
+          |         i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS q
+          |       FROM embeddings)""".stripMargin
+      // one Lloyd pass: assign to nearest centroid (tie → lower cid), then
+      // recompute integer centroids per surviving cluster
+      def pass(cin: String, n: Int) =
+        s"""d$n AS (SELECT eq.vec_id, $cin.cid,
+           |        list_sum(list_transform(generate_series(1, 64),
+           |          i -> (eq.q[i] - $cin.c[i]) * (eq.q[i] - $cin.c[i]))) AS d
+           |      FROM eq CROSS JOIN $cin),
+           |a$n AS (SELECT vec_id, cid, d FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
+           |         FROM d$n) WHERE rn2 = 1),
+           |u$n AS (SELECT a$n.cid, i,
+           |          CAST(floor(CAST(sum(eq.q[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+           |        FROM a$n JOIN eq USING (vec_id)
+           |        CROSS JOIN unnest(generate_series(1, 64)) AS t(i) GROUP BY a$n.cid, i),
+           |c$n AS (SELECT cid, list(v ORDER BY i) AS c FROM u$n GROUP BY cid)""".stripMargin
+      s"""WITH $EQ,
+         |rk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM eq),
+         |prm AS (SELECT greatest(CAST(count(*) / 8 AS BIGINT), 1) AS step FROM eq),
+         |c0 AS (SELECT CAST(rn / step AS INT) AS cid, q AS c FROM rk, prm
+         |       WHERE rn % step = 0 AND rn / step < 8),
+         |${pass("c0", 1)},
+         |${pass("c1", 2)},
+         |df AS (SELECT eq.vec_id, c2.cid,
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> (eq.q[i] - c2.c[i]) * (eq.q[i] - c2.c[i]))) AS d
+         |      FROM eq CROSS JOIN c2)
+         |SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2 FROM df)
+         |WHERE rn2 = 1""".stripMargin
+    }) { (s, d) =>
+      val K = 8
+      val e = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("q")).persist()
+      val n = e.count()
+      val step = math.max(1L, n / K)
+      import s.implicits._
+      // deterministic seeds; the rank window is a one-off over tiny (id, q)
+      // rows — the corpus-scale variant ranks on a monotone id directly
+      val seeds: Seq[(Int, Seq[Long])] = e
+        .withColumn("rn", row_number().over(Window.orderBy("vec_id")) - 1)
+        .where(col("rn") % step === 0 && col("rn") / step < K)
+        .select((col("rn") / step).cast("int"), col("q"))
+        .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+      def distTo(c: Seq[Long]): Column =
+        aggregate(zip_with(col("q"), typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      // map-only argmin: array_min over (dist, cid) structs — lexicographic
+      // struct ordering IS the (d, cid) tie-break
+      def assign(cents: Seq[(Int, Seq[Long])]): DataFrame =
+        e.withColumn("best", array_min(array(cents.map { case (cid, c) =>
+            struct(distTo(c).as("d"), lit(cid).as("c")) }: _*)))
+          .select(col("vec_id"), col("q"),
+            col("best.c").as("cluster"), col("best.d").as("dist"))
+      def update(a: DataFrame): Seq[(Int, Seq[Long])] = a
+        .select(col("cluster"), posexplode(col("q")))
+        .groupBy("cluster", "pos")
+        .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
+        .select(col("cluster"),  col("pos"),
+          floor(col("sv").cast("double") / col("cnt") + 0.5).cast("long").as("v"))
+        .as[(Int, Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+        .toSeq.sortBy(_._1)
+      var cents = seeds
+      for (_ <- 1 to 2) cents = update(assign(cents))
+      assign(cents).select(col("vec_id"), col("cluster"), col("dist"))
+    },
+
     // ---- IVF-style ANN with a PARAMETERIZED list count (VERDICT r4 item
     //      7 / r5 item 3 — the old form used the 3 label centroids as its
     //      coarse quantizer, so probe cost was O(N/3) at any corpus size).
