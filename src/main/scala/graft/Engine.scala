@@ -302,6 +302,13 @@ final class Engine(val spark: SparkSession, sfDir: String,
 
   def executeStmt(stmt: Statement): DataFrame = stmt match {
     case sel: SelectStmt => runSelect(sel)
+    case ShowLimited(s, lim, off) =>
+      // meta pagination: lexicographic sort makes pages deterministic
+      // (the reference pages SHOW SERIES the same way, series.go:69-70)
+      val df = executeStmt(s)
+      val sorted = df.orderBy(df.columns.map(col(_)): _*)
+      val shifted = off.map(sorted.offset).getOrElse(sorted)
+      lim.map(shifted.limit).getOrElse(shifted)
     case ShowGrantsStmt(user) =>
       import spark.implicits._
       users.grantsFor(user).toDF("database", "privilege")
@@ -805,7 +812,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
   /** The privilege class a statement needs — the reference's
     * RequiredPrivileges mapping (query_handler.go:109-117). */
   def requiredPrivilege(stmt: Statement): String = stmt match {
-    case _: SelectStmt | _: ShowStmt | ShowQueriesStmt => "READ"
+    case _: SelectStmt | _: ShowStmt | _: ShowLimited | ShowQueriesStmt => "READ"
     case _: AuthStmt | _: ShowGrantsStmt | _: KillQuery => "ADMIN"
     case _                                             => "WRITE"
   }
@@ -1068,6 +1075,27 @@ final class Engine(val spark: SparkSession, sfDir: String,
     }
     out.write("]}")
   }
+
+  /** CSV response form (`Accept: application/csv` on /query — the public
+    * API's other response encoding; the reference forwards the header to
+    * the data node, query_utils.go:107-116). One header per statement,
+    * statements separated by a blank line, rows streamed. */
+  def queryCsvStream(influxql: String, out: java.io.Writer,
+      epoch: Option[String] = Some("u")): Unit =
+    Parser.parseAll(influxql).zipWithIndex.foreach { case (stmt, i) =>
+      if (i > 0) out.write("\n")
+      stmt match {
+        case sel: SelectStmt =>
+          logQuery(sel, influxql)
+          val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
+          val result = new Translator(df, meta).run(sel)
+          val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
+          InfluxCsv.serializeStream(Translator.measurementName(sel.from), result,
+            out, tags, epoch, timeDesc = sel.orderDesc)
+        case other =>
+          InfluxCsv.serializeStream("results", executeStmt(other), out, Nil, epoch)
+      }
+    }
 
   /** `chunked=true` proxy form (reference query_utils.go:34-46,118-119):
     * newline-delimited response objects, ≤ chunkSize values per line,

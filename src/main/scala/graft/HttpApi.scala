@@ -192,8 +192,14 @@ final class HttpApi(engine: Engine, port: Int = 0) {
         }
         val epoch = p.get("epoch").filter(_.nonEmpty) // absent → RFC3339
         val chunked = p.get("chunked").contains("true")
+        val wantCsv = Option(ex.getRequestHeaders.getFirst("Accept"))
+          .exists(_.contains("application/csv"))
         try {
-          if (chunked) {
+          if (wantCsv) {
+            val w = new java.io.StringWriter
+            engine.queryCsvStream(q, w, epoch)
+            respond(ex, 200, w.toString, contentType = "application/csv")
+          } else if (chunked) {
             val chunkSize = p.get("chunk_size").filter(_.nonEmpty).map(_.toInt).getOrElse(10000)
             ex.getResponseHeaders.set("Content-Type", "application/json")
             ex.getResponseHeaders.set("X-Influxdb-Version", Version)

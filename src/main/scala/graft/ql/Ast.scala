@@ -72,6 +72,12 @@ final case class SelectStmt(
   * restricts the meta scan to one measurement (`SHOW TAG KEYS FROM m`). */
 final case class ShowStmt(what: String, on: Option[String],
     withKey: Option[String] = None, from: Option[String] = None) extends Statement
+/** SHOW … LIMIT n [OFFSET m] — meta-query pagination (influxql; the
+  * reference pages SHOW SERIES exactly this way during import planning,
+  * syncing/series.go:69-70). Rows sort lexicographically before paging so
+  * pages are deterministic. */
+final case class ShowLimited(show: ShowStmt, limit: Option[Int],
+    offset: Option[Int]) extends Statement
 /** SHOW GRANTS FOR user / SHOW QUERIES / KILL QUERY — routed by the
   * reference's proxy (`service/routing.go:110-133`). */
 final case class ShowGrantsStmt(user: String) extends Statement

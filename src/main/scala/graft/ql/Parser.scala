@@ -415,7 +415,16 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       if (what.startsWith("TAG VALUES") && acceptKw("WITH")) {
         expectKw("KEY"); expectSym("="); Some(ident())
       } else None
-    ShowStmt(what, on, withKey, from)
+    val stmt = ShowStmt(what, on, withKey, from)
+    // SHOW … LIMIT n [OFFSET m] — meta pagination (series.go:69-70 analog)
+    def intAfter(kw: String): Option[Int] =
+      if (acceptKw(kw)) next() match {
+        case TNum(n) => Some(n.toInt)
+        case t       => throw ParseException(s"expected integer after $kw, found ${t.text}")
+      } else None
+    val lim = intAfter("LIMIT")
+    val off = intAfter("OFFSET")
+    if (lim.isDefined || off.isDefined) ShowLimited(stmt, lim, off) else stmt
   }
 
   // -------- admin DSL (clusterql) + catalog DDL (routing.go:13-41)

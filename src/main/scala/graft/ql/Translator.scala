@@ -856,6 +856,12 @@ object Translator {
         val (df, meta) = resolve(sel.from, Catalog.load(spark, sfDir, _))
         new Translator(df, meta).run(sel)
       case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
+      case ShowLimited(ShowStmt(what, _, key, from), lim, off) =>
+        // meta pagination: lexicographic sort → deterministic pages
+        val df = Meta.show(spark, sfDir, what, key, from)
+        val sorted = df.orderBy(df.columns.map(col(_)): _*)
+        val shifted = off.map(sorted.offset).getOrElse(sorted)
+        lim.map(shifted.limit).getOrElse(shifted)
       case other => throw ParseException(s"not a query statement: $other")
     }
 

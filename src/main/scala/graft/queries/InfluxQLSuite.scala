@@ -797,6 +797,12 @@ object InfluxQLSuite {
     iql("iql_show_tag_values_with_key",
       "SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events")(
       "SHOW TAG VALUES WITH KEY = event_type"),
+    // SHOW … LIMIT/OFFSET pages the sorted meta result (the reference
+    // pages SHOW SERIES the same way during imports, series.go:69-70)
+    iql("iql_show_tag_values_limit",
+      """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
+        |ORDER BY key, value LIMIT 2 OFFSET 1""".stripMargin)(
+      "SHOW TAG VALUES WITH KEY = event_type LIMIT 2 OFFSET 1"),
     iql("iql_show_series_cardinality",
       "SELECT CAST(count(*) AS BIGINT) AS count FROM (SELECT DISTINCT event_type FROM events)")(
       "SHOW SERIES CARDINALITY"),

@@ -192,6 +192,21 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("/query with Accept: application/csv answers CSV (public API encoding)") {
+    withApi { (_, base) =>
+      post(s"$base/write?db=default", Seq(
+        "http_csv,host=a v=1 1000000000",
+        "http_csv,host=b v=2 2000000000").mkString("\n").getBytes(UTF_8))
+      val q = get(s"$base/query?epoch=u&q=" + enc("SELECT v FROM http_csv"),
+        "Accept" -> "application/csv")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.headers().firstValue("Content-Type").orElse("").startsWith("application/csv"))
+      val lines = q.body().split("\n")
+      assert(lines(0) == "name,tags,time,v", lines(0))
+      assert(lines.exists(_.startsWith("http_csv,,1000000,1")), q.body())
+    }
+  }
+
   test("/query as form POST (the public API's POST spelling)") {
     withApi { (_, base) =>
       val r = post(s"$base/query", s"q=${enc("SHOW MEASUREMENTS")}".getBytes(UTF_8),
