@@ -521,10 +521,33 @@ final class Engine(val spark: SparkSession, sfDir: String,
   def writeLineProtocol(lines: Seq[String], measurement: String,
       precision: String = "ns"): (Long, Long) = {
     import spark.implicits._
+    ingestLines(spark.createDataset(lines), measurement, precision,
+      forward = Some(lines))
+  }
+
+  /** BULK ingest: line-protocol FILES read as a distributed text scan —
+    * the 100 TB load path (one task per split end to end: scan → parse →
+    * partitioned parquet append; the driver never holds a line). The
+    * reference's import tool pages the same wire format through the
+    * coordinator 10k rows at a time (`syncing/importer.go:658-663`);
+    * here the load parallelizes across the cluster instead. Bulk loads
+    * skip subscription forwarding, exactly like the reference's
+    * import/rebalance path (only client /write batches fan out). */
+  def ingestLineProtocolFiles(path: String, measurement: String,
+      precision: String = "ns"): (Long, Long) =
+    ingestLines(spark.read.textFile(path), measurement, precision, forward = None)
+
+  private def ingestLines(ds: org.apache.spark.sql.Dataset[String],
+      measurement: String, precision: String,
+      forward: Option[Seq[String]]): (Long, Long) = {
+    import spark.implicits._
     val meta = tables.get(measurement).map(_._2)
       .orElse(scala.util.Try(Catalog.load(spark, sfDir, measurement)._2).toOption)
       .getOrElse {
-        val pts = lines.flatMap(l => sources.LineProtocol.parseLine(l).toOption)
+        // unknown measurement: infer the schema from a bounded sample
+        // (conflict widening; a driver-side take, never the full batch)
+        val pts = ds.take(10000).toSeq
+          .flatMap(l => sources.LineProtocol.parseLine(l).toOption)
         sources.SchemaInfer.infer(measurement, pts).toTableMeta
       }
     val floatFields = meta.fields.map(_.name)
@@ -535,7 +558,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
     // CheckpointEvery writes so sustained ingest keeps a bounded plan
     // (at rest this is parquet compaction; localCheckpoint is its
     // single-JVM analog)
-    val raw = LineProtocol.parseRaw(spark, spark.createDataset(lines),
+    val raw = LineProtocol.parseRaw(spark, ds,
       measurement, meta.tags, floatFields, precision,
       meta.fields.map(_.ftype)).persist()
     val cnts = raw.agg(
@@ -617,7 +640,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
         }
       case _ =>
     }
-    forwardToSubscriptions(measurement, lines)
+    forward.foreach(lines => forwardToSubscriptions(measurement, lines))
     (nOk, nErr)
   }
 

@@ -34,6 +34,29 @@ class DurabilitySpec extends SparkSpec {
       .head.getAs[Double]("mean") == 1.5)
   }
 
+  test("bulk file ingest: distributed LP text scan lands durable, dead-letters counted") {
+    val dir = tmpDir()
+    val lp = java.nio.file.Files.createTempDirectory("graft_lp")
+    java.nio.file.Files.write(lp.resolve("part-0.lp"),
+      java.util.Arrays.asList(
+        "bulk,type=a v=1 1000000000",
+        "bulk,type=a v=2 2000000000",
+        "this is not line protocol"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(lp.resolve("part-1.lp"),
+      java.util.Arrays.asList("bulk,type=b v=3 3000000000"),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+    val e1 = new Engine(spark, sfDir, Some(dir))
+    val (ok, bad) = e1.ingestLineProtocolFiles(lp.toString, "bulk")
+    assert(ok == 3 && bad == 1, s"ok=$ok bad=$bad")
+    // inferred schema + durable landing: a RESTARTED engine serves it
+    val e2 = new Engine(spark, sfDir, Some(dir))
+    val rows = e2.execute("SELECT v FROM bulk").collect()
+      .map(_.getAs[Double]("v")).toSet
+    assert(rows == Set(1.0, 2.0, 3.0))
+  }
+
   test("appends accumulate across restarts; SHOW MEASUREMENTS sees restored tables") {
     val dir = tmpDir()
     val e1 = new Engine(spark, sfDir, Some(dir))
