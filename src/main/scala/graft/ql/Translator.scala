@@ -416,6 +416,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case IntLit(v) => lit(v)
     case Call(fn, List(arg)) if ScalarFns.contains(fn) =>
       ScalarFns(fn)(buildAgg(arg, reg))
+    case Call(fn, List(a, b)) if ScalarFns2.contains(fn) =>
+      ScalarFns2(fn)(buildAgg(a, reg), buildAgg(b, reg))
     case x => throw ParseException(s"unsupported aggregate expression $x")
   }
 
@@ -435,6 +437,15 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     "sqrt" -> ((c: Column) => sqrt(c)), "tan" -> ((c: Column) => tan(c)),
     "exp" -> ((c: Column) => exp(c)), "ln" -> ((c: Column) => log(c)))
 
+  /** Two-argument scalar surface (influxql 1.x math: pow(x, y),
+    * atan2(y, x), log(x, b) = log base b). log resolves via ln(x)/ln(b) —
+    * the same IEEE double sequence the oracle spells out, sidestepping
+    * DuckDB's reversed log(b, x) argument order. */
+  private val ScalarFns2: Map[String, (Column, Column) => Column] = Map(
+    "pow"   -> ((a: Column, b: Column) => pow(a, b)),
+    "atan2" -> ((a: Column, b: Column) => atan2(a, b)),
+    "log"   -> ((a: Column, b: Column) => log(a) / log(b)))
+
   private def scalarCol(e: Expr, leaf: String => Column): Column = e match {
     case Ident(n)  => leaf(n)
     case TypedIdent(n, h) => leaf(n).cast(CastTypes(h))
@@ -442,6 +453,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case IntLit(v) => lit(v)
     case Paren(x)  => scalarCol(x, leaf)
     case Call(fn, List(arg)) if ScalarFns.contains(fn) => ScalarFns(fn)(scalarCol(arg, leaf))
+    case Call(fn, List(a, b)) if ScalarFns2.contains(fn) =>
+      ScalarFns2(fn)(scalarCol(a, leaf), scalarCol(b, leaf))
     case Bin(op, l, r) =>
       val (lc, rc) = (scalarCol(l, leaf), scalarCol(r, leaf))
       op match {

@@ -142,6 +142,18 @@ object InfluxQLSuite {
          |FROM ev GROUP BY 1""".stripMargin)(
       "SELECT abs(mean(value) * -3) FROM events GROUP BY event_type"),
 
+    // ---- two-argument scalar math over aggregates (influxql 1.x:
+    //      pow(x, y), atan2(y, x), log(x, b)); log spelled ln/ln on both
+    //      engines so the IEEE sequence is identical
+    iql("iql_scalar_binary",
+      s"""WITH $EV, m AS (
+         |  SELECT event_type, CAST(sum(cents) AS DOUBLE) / (100.0 * count(value)) AS mv
+         |  FROM ev GROUP BY 1)
+         |SELECT event_type, pow(mv, 2) AS pow, atan2(mv, 2) AS atan2,
+         |       ln(mv) / ln(10) AS log
+         |FROM m""".stripMargin)(
+      "SELECT pow(mean(value), 2), atan2(mean(value), 2), log(mean(value), 10) FROM events GROUP BY event_type"),
+
     // ---- the division-by-zero→0 compat shim (query_merge.go:326-330)
     iql("iql_div_zero",
       """SELECT event_type,
