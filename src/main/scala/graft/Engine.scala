@@ -302,6 +302,9 @@ final class Engine(val spark: SparkSession, sfDir: String,
 
   def executeStmt(stmt: Statement): DataFrame = stmt match {
     case sel: SelectStmt => runSelect(sel)
+    // SHOW … WHERE is meaningful only for scan-backed kinds (Meta.Whereable)
+    case s: ShowStmt if s.where.isDefined && !Meta.Whereable(s.what) =>
+      throw ParseException(s"SHOW ${s.what} does not support WHERE")
     case ShowLimited(s, lim, off) =>
       // meta pagination: lexicographic sort makes pages deterministic
       // (the reference pages SHOW SERIES the same way, series.go:69-70)
@@ -323,34 +326,34 @@ final class Engine(val spark: SparkSession, sfDir: String,
         throw ParseException(s"no such query: $id") // reference 400 shape
       queryLog.removeIf(e => e._1 == id)
       Seq.empty[(String, String)].toDF("k", "v").limit(0)
-    case ShowStmt("DATABASES", _, _, _) =>
+    case ShowStmt("DATABASES", _, _, _, _) =>
       { import spark.implicits._; databases.databases.toDF("name") }
-    case ShowStmt("RETENTION POLICIES", on, _, _) =>
+    case ShowStmt("RETENTION POLICIES", on, _, _, _) =>
       import spark.implicits._
       databases.listRps(on.getOrElse("default"))
         .map(r => (r.name, s"${r.durationUs}us", r.replicas, r.default))
         .toDF("name", "duration", "replicaN", "default")
-    case ShowStmt("CONTINUOUS QUERIES", on, _, _) =>
+    case ShowStmt("CONTINUOUS QUERIES", on, _, _, _) =>
       import spark.implicits._
       databases.listCqs(on)
         .map(c => (c.db, c.name, Render.cq(c.name, c.db, c.query, c.everyUs, c.forUs)))
         .toDF("database", "name", "query")
-    case ShowStmt("USERS", _, _, _) =>
+    case ShowStmt("USERS", _, _, _, _) =>
       { import spark.implicits._; users.list.toDF("user", "admin") }
-    case ShowStmt("SUBSCRIPTIONS", _, _, _) =>
+    case ShowStmt("SUBSCRIPTIONS", _, _, _, _) =>
       import spark.implicits._
       subscriptions.toSeq.sortBy(_._1)
         .map { case ((db, rp, n), (mode, dests)) => (db, rp, n, mode, dests.mkString(", ")) }
         .toDF("database", "retention_policy", "name", "mode", "destinations")
     // meta scans over registered in-memory measurements MERGED with the
     // parquet catalog — written measurements are discoverable immediately
-    case ShowStmt("MEASUREMENTS", _, _, _) =>
+    case ShowStmt("MEASUREMENTS", _, _, _, _) =>
       { import spark.implicits._; measurementNames.toDF("name") }
-    case ShowStmt("TAG KEYS", _, _, from) =>
+    case ShowStmt("TAG KEYS", _, _, from, _) =>
       import spark.implicits._
       metasFor(from).flatMap(m => m.tags.map(t => (m.measurement, t)))
         .toDF("measurement", "tagKey")
-    case ShowStmt("FIELD KEYS", _, _, from) =>
+    case ShowStmt("FIELD KEYS", _, _, from, _) =>
       import spark.implicits._
       metasFor(from).flatMap(m => m.fields.map(f =>
           (m.measurement, f.name, f.ftype)))
@@ -358,36 +361,39 @@ final class Engine(val spark: SparkSession, sfDir: String,
     // CARDINALITY family over the LIVE catalog (registered + parquet
     // measurements), consistent with the SHOW MEASUREMENTS/TAG KEYS/FIELD
     // KEYS scans above — Meta.show only knows the static catalog
-    case ShowStmt("MEASUREMENT CARDINALITY", _, _, _) =>
+    case ShowStmt("MEASUREMENT CARDINALITY", _, _, _, _) =>
       { import spark.implicits._; Seq(measurementNames.length.toLong).toDF("count") }
-    case ShowStmt("TAG KEY CARDINALITY", _, _, from) =>
+    case ShowStmt("TAG KEY CARDINALITY", _, _, from, _) =>
       import spark.implicits._
       metasFor(from).map(m => (m.measurement, m.tags.length.toLong))
         .toDF("measurement", "count")
-    case ShowStmt("FIELD KEY CARDINALITY", _, _, from) =>
+    case ShowStmt("FIELD KEY CARDINALITY", _, _, from, _) =>
       import spark.implicits._
       metasFor(from).map(m => (m.measurement, m.fields.length.toLong))
         .toDF("measurement", "count")
-    case ShowStmt("SERIES CARDINALITY", _, _, from) =>
+    case ShowStmt("SERIES CARDINALITY", _, _, from, where) =>
       metasFor(from).map { m =>
-        val (df, meta) = load(m.measurement)
+        val (df0, meta) = load(m.measurement)
+        val df = where.map(w => df0.where(Meta.tagPredicate(w, df0.columns))).getOrElse(df0)
         if (meta.tags.isEmpty)
           spark.range(1).select(lit(1L).as("c")) // one untagged series
         else df.select(meta.tags.map(col): _*).distinct()
           .agg(count(lit(1)).cast("long").as("c"))
       }.reduce(_ unionByName _)
         .agg(sum("c").cast("long").as("count"))
-    case ShowStmt("TAG VALUES CARDINALITY", _, key, from) =>
+    case ShowStmt("TAG VALUES CARDINALITY", _, key, from, where) =>
       val picked = metasFor(from).map(m =>
         m -> m.tags.filter(t => key.forall(_ == t))).filter(_._2.nonEmpty)
       if (picked.isEmpty)
         throw ParseException(s"no tag key ${key.getOrElse("")} on any measurement")
       picked.map { case (m, keys) =>
-        val (df, _) = load(m.measurement)
+        val (df0, _) = load(m.measurement)
+        val df = where.map(w => df0.where(Meta.tagPredicate(w, df0.columns))).getOrElse(df0)
         df.agg(keys.map(t => countDistinct(col(t))).reduce(_ + _).cast("long").as("count"))
           .select(lit(m.measurement).as("measurement"), col("count"))
       }.reduce(_ unionByName _)
-    case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
+    case ShowStmt(what, _, key, from, where) =>
+      Meta.show(spark, sfDir, what, key, from, where)
     // metadata mutations write through to the durable catalog on success
     // (etcd semantics: a statement is acknowledged only once persisted)
     case ddl: DdlStmt      => val r = executeDdl(ddl); persistMeta(); r

@@ -71,7 +71,8 @@ final case class SelectStmt(
 /** `withKey` carries SHOW TAG VALUES' `WITH KEY = k` filter; `from`
   * restricts the meta scan to one measurement (`SHOW TAG KEYS FROM m`). */
 final case class ShowStmt(what: String, on: Option[String],
-    withKey: Option[String] = None, from: Option[String] = None) extends Statement
+    withKey: Option[String] = None, from: Option[String] = None,
+    where: Option[Expr] = None) extends Statement
 /** SHOW … LIMIT n [OFFSET m] — meta-query pagination (influxql; the
   * reference pages SHOW SERIES exactly this way during import planning,
   * syncing/series.go:69-70). Rows sort lexicographically before paging so

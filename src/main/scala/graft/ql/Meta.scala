@@ -1,6 +1,6 @@
 package graft.ql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SHOW-statement surface (reference `RouteToFirstAvailable` dispatch,
@@ -12,13 +12,51 @@ import org.apache.spark.sql.functions._
 object Meta {
   private def all = Seq(Catalog.events)
 
+  /** SHOW … WHERE support: the kinds whose result is a measurement SCAN
+    * and can therefore be row-filtered (the Grafana meta-query set). */
+  val Whereable = Set("SERIES", "TAG VALUES", "SERIES CARDINALITY",
+    "TAG VALUES CARDINALITY")
+
+  private def tagName(e: Expr): Option[String] = e match {
+    case Ident(n)           => Some(n)
+    case TypedIdent(n, "tag") => Some(n)
+    case Paren(x)           => tagName(x)
+    case _                  => None
+  }
+
+  /** SHOW … WHERE <tag predicate> → Column over a measurement scan.
+    * A tag the measurement lacks evaluates as the EMPTY STRING (influxdb
+    * models absent tags as "" — `host != 'a'` matches series without a
+    * host tag). Only tag comparisons are allowed; anything else is the
+    * reference data node's 400. */
+  def tagPredicate(e: Expr, cols: Seq[String]): Column = {
+    def tc(x: Expr): Column = tagName(x) match {
+      case Some(t) if cols.contains(t) => col(t)
+      case Some(_)                     => lit("")
+      case None => throw ParseException(s"SHOW WHERE expects a tag key, got $x")
+    }
+    e match {
+      case Bin("AND", l, r) => tagPredicate(l, cols) && tagPredicate(r, cols)
+      case Bin("OR", l, r)  => tagPredicate(l, cols) || tagPredicate(r, cols)
+      case Paren(x)         => tagPredicate(x, cols)
+      case Bin("=", l, StrLit(v))        => tc(l) === v
+      case Bin("!=" | "<>", l, StrLit(v)) => tc(l) =!= v
+      case Bin("=~", l, RegexLit(p))     => tc(l).rlike(p)
+      case Bin("!~", l, RegexLit(p))     => !tc(l).rlike(p)
+      case x => throw ParseException(s"unsupported SHOW WHERE predicate $x")
+    }
+  }
+
   def show(spark: SparkSession, sfDir: String, what: String,
-      withKey: Option[String] = None, from: Option[String] = None): DataFrame = {
+      withKey: Option[String] = None, from: Option[String] = None,
+      where: Option[Expr] = None): DataFrame = {
     import spark.implicits._
     // FROM m restricts the scan to one measurement (influxql)
     val measurements = all.filter(m => from.forall(_ == m.measurement))
     if (measurements.isEmpty)
       throw ParseException(s"unknown measurement '${from.getOrElse("")}'")
+    if (where.isDefined && !Whereable(what))
+      throw ParseException(s"SHOW $what does not support WHERE")
     what match {
       case "DATABASES" => Seq("default").toDF("name")
       case "MEASUREMENTS" => measurements.map(_.measurement).toDF("name")
@@ -32,7 +70,8 @@ object Meta {
       case "SERIES" =>
         // series key = measurement,tag=value (syncing/series.go:14-29)
         measurements.map { m =>
-          val (df, _) = Catalog.load(spark, sfDir, m.measurement)
+          val (df0, _) = Catalog.load(spark, sfDir, m.measurement)
+          val df = where.map(w => df0.where(tagPredicate(w, df0.columns))).getOrElse(df0)
           df.select(m.tags.map(col): _*).distinct()
             .select(concat(lit(m.measurement),
               concat_ws("", m.tags.map(t => concat(lit(s",$t="), col(t))): _*)).as("key"))
@@ -44,7 +83,8 @@ object Meta {
         if (picked.isEmpty)
           throw ParseException(s"no tag key ${withKey.getOrElse("")} on any measurement")
         picked.map { case (m, keys) =>
-          val (df, _) = Catalog.load(spark, sfDir, m.measurement)
+          val (df0, _) = Catalog.load(spark, sfDir, m.measurement)
+          val df = where.map(w => df0.where(tagPredicate(w, df0.columns))).getOrElse(df0)
           keys.map(t => df.select(lit(t).as("key"), col(t).as("value")).distinct())
             .reduce(_ union _)
         }.reduce(_ union _)
@@ -57,7 +97,7 @@ object Meta {
       // count is a distinct-aggregation over dictionary-encoded tag
       // columns; everything else is catalog arithmetic.
       case "SERIES CARDINALITY" =>
-        show(spark, sfDir, "SERIES", withKey, from)
+        show(spark, sfDir, "SERIES", withKey, from, where)
           .agg(count(lit(1)).cast("long").as("count"))
       case "MEASUREMENT CARDINALITY" =>
         Seq(measurements.length.toLong).toDF("count")

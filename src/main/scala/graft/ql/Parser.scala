@@ -415,7 +415,10 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       if (what.startsWith("TAG VALUES") && acceptKw("WITH")) {
         expectKw("KEY"); expectSym("="); Some(ident())
       } else None
-    val stmt = ShowStmt(what, on, withKey, from)
+    // SHOW … WHERE <tag predicate> — the meta-filter form Grafana issues
+    // (influxql; predicates over tags with = != =~ !~ AND OR)
+    val where = if (acceptKw("WHERE")) Some(parseExpr(0)) else None
+    val stmt = ShowStmt(what, on, withKey, from, where)
     // SHOW … LIMIT n [OFFSET m] — meta pagination (series.go:69-70 analog)
     def intAfter(kw: String): Option[Int] =
       if (acceptKw(kw)) next() match {

@@ -868,10 +868,11 @@ object Translator {
       case sel: SelectStmt =>
         val (df, meta) = resolve(sel.from, Catalog.load(spark, sfDir, _))
         new Translator(df, meta).run(sel)
-      case ShowStmt(what, _, key, from) => Meta.show(spark, sfDir, what, key, from)
-      case ShowLimited(ShowStmt(what, _, key, from), lim, off) =>
+      case ShowStmt(what, _, key, from, where) =>
+        Meta.show(spark, sfDir, what, key, from, where)
+      case ShowLimited(ShowStmt(what, _, key, from, where), lim, off) =>
         // meta pagination: lexicographic sort → deterministic pages
-        val df = Meta.show(spark, sfDir, what, key, from)
+        val df = Meta.show(spark, sfDir, what, key, from, where)
         val sorted = df.orderBy(df.columns.map(col(_)): _*)
         val shifted = off.map(sorted.offset).getOrElse(sorted)
         lim.map(shifted.limit).getOrElse(shifted)

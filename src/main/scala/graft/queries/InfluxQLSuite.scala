@@ -815,6 +815,15 @@ object InfluxQLSuite {
       """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
         |ORDER BY key, value LIMIT 2 OFFSET 1""".stripMargin)(
       "SHOW TAG VALUES WITH KEY = event_type LIMIT 2 OFFSET 1"),
+    // SHOW … WHERE <tag predicate> — the Grafana meta-filter form
+    iql("iql_show_series_where",
+      """SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events
+        |WHERE regexp_matches(event_type, 'c')""".stripMargin)(
+      "SHOW SERIES WHERE event_type =~ /c/"),
+    iql("iql_show_tag_values_where",
+      """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
+        |WHERE event_type != 'click'""".stripMargin)(
+      "SHOW TAG VALUES WITH KEY = event_type WHERE event_type != 'click'"),
     iql("iql_show_series_cardinality",
       "SELECT CAST(count(*) AS BIGINT) AS count FROM (SELECT DISTINCT event_type FROM events)")(
       "SHOW SERIES CARDINALITY"),
