@@ -61,6 +61,11 @@ final class Engine(val spark: SparkSession, sfDir: String,
   // recent-query ring for SHOW QUERIES (reference routing.go:43-58); the
   // proxy surface, not an execution tracker — plans are lazy here
   private val qid = new java.util.concurrent.atomic.AtomicLong(0)
+  // job-group namespace for this engine instance: cancelJobGroupAndFutureJobs
+  // permanently poisons a group name on the shared SparkContext, and qids
+  // restart per engine — the nonce keeps a KILL in one engine (or test)
+  // from cancelling query 1 of every later engine
+  private val engineNonce = java.lang.Long.toHexString(System.nanoTime())
   private val queryLog = new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]
 
   /** Injectable clock (epoch µs) — retention enforcement and its specs
@@ -293,12 +298,27 @@ final class Engine(val spark: SparkSession, sfDir: String,
   /** SHOW QUERIES surface: remember recent SELECT texts. Every entry path
     * (execute, queryJson, queryJsonStream) funnels here so proxy-path
     * queries are visible to SHOW QUERIES / KILL QUERY. */
-  private def logQuery(stmt: Statement, influxql: String): Unit = stmt match {
+  private def logQuery(stmt: Statement, influxql: String): Long = stmt match {
     case _: SelectStmt =>
-      queryLog.addFirst((qid.incrementAndGet(), influxql, "default"))
+      val id = qid.incrementAndGet()
+      queryLog.addFirst((id, influxql, "default"))
       while (queryLog.size > 100) queryLog.pollLast()
-    case _ =>
+      id
+    case _ => -1L
   }
+
+  /** Run `body` under a per-query Spark job group so KILL QUERY can cancel
+    * the jobs the serializer is driving (the reference routes KILL to the
+    * data node owning the query, routing.go:127-133; here the "node" is
+    * the Spark scheduler). Job groups are thread-local — this wraps the
+    * thread that consumes the result iterator, i.e. the HTTP/proxy path. */
+  private def withQueryGroup[T](id: Long, influxql: String)(body: => T): T =
+    if (id < 0) body
+    else {
+      spark.sparkContext.setJobGroup(s"graft-$engineNonce-q$id", influxql,
+        interruptOnCancel = true)
+      try body finally spark.sparkContext.clearJobGroup()
+    }
 
   def executeStmt(stmt: Statement): DataFrame = stmt match {
     case sel: SelectStmt => runSelect(sel)
@@ -325,6 +345,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
       if (!queryLog.iterator.asScala.exists(_._1 == id))
         throw ParseException(s"no such query: $id") // reference 400 shape
       queryLog.removeIf(e => e._1 == id)
+      // cancel the query's Spark jobs — including ones its serializer has
+      // not submitted yet (toLocalIterator submits per partition), so a
+      // KILL racing the first job submission still lands
+      spark.sparkContext.cancelJobGroupAndFutureJobs(s"graft-$engineNonce-q$id")
       Seq.empty[(String, String)].toDF("k", "v").limit(0)
     case ShowStmt("DATABASES", _, _, _, _) =>
       { import spark.implicits._; databases.databases.toDF("name") }
@@ -1092,12 +1116,14 @@ final class Engine(val spark: SparkSession, sfDir: String,
       if (i > 0) out.write(",")
       stmt match {
         case sel: SelectStmt =>
-          logQuery(sel, influxql)
+          val id = logQuery(sel, influxql)
           val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
           val result = new Translator(df, meta).run(sel)
           val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
-          InfluxJson.serializeStreamResult(Translator.measurementName(sel.from),
-            result, out, tags, epoch, timeDesc = sel.orderDesc, sid = i)
+          withQueryGroup(id, influxql) {
+            InfluxJson.serializeStreamResult(Translator.measurementName(sel.from),
+              result, out, tags, epoch, timeDesc = sel.orderDesc, sid = i)
+          }
         case other =>
           out.write(InfluxJson.serializeResult("results", executeStmt(other), sid = i))
       }
@@ -1115,12 +1141,14 @@ final class Engine(val spark: SparkSession, sfDir: String,
       if (i > 0) out.write("\n")
       stmt match {
         case sel: SelectStmt =>
-          logQuery(sel, influxql)
+          val id = logQuery(sel, influxql)
           val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
           val result = new Translator(df, meta).run(sel)
           val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
-          InfluxCsv.serializeStream(Translator.measurementName(sel.from), result,
-            out, tags, epoch, timeDesc = sel.orderDesc)
+          withQueryGroup(id, influxql) {
+            InfluxCsv.serializeStream(Translator.measurementName(sel.from), result,
+              out, tags, epoch, timeDesc = sel.orderDesc)
+          }
         case other =>
           InfluxCsv.serializeStream("results", executeStmt(other), out, Nil, epoch)
       }
@@ -1134,12 +1162,14 @@ final class Engine(val spark: SparkSession, sfDir: String,
       chunkSize: Int = 10000, epoch: Option[String] = Some("u")): Unit =
     Parser.parseAll(influxql).zipWithIndex.foreach {
       case (sel: SelectStmt, i) =>
-        logQuery(sel, influxql)
+        val id = logQuery(sel, influxql)
         val (df, meta) = Translator.resolve(sel.from, load, () => measurementNames)
         val result = new Translator(df, meta).run(sel)
         val tags = if (sel.groupByAllTags) meta.tags else sel.groupByTags
-        InfluxJson.serializeChunked(Translator.measurementName(sel.from), result,
-          out, chunkSize, tags, epoch, timeDesc = sel.orderDesc, sid = i)
+        withQueryGroup(id, influxql) {
+          InfluxJson.serializeChunked(Translator.measurementName(sel.from), result,
+            out, chunkSize, tags, epoch, timeDesc = sel.orderDesc, sid = i)
+        }
       case (other, i) =>
         out.write(s"""{"results":[${InfluxJson.serializeResult("results",
           executeStmt(other), sid = i)}]}""" + "\n")

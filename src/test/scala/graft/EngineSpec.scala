@@ -529,6 +529,36 @@ class EngineSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Double]("value") == 2.0)
   }
 
+  test("KILL QUERY cancels the running Spark jobs of a proxied query") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = newEngine
+    // a deliberately huge scan: 50B-row range sum takes tens of seconds,
+    // cancellation lands mid-flight
+    import org.apache.spark.sql.functions.{col => c}
+    val big = spark.range(50000000000L)
+      .select(c("id").as("ts_us"), (c("id") % 100).cast("double").as("v"))
+    e.registerMeasurement(TableMeta("big_kill", "ts_us", Seq(), Seq(FieldMeta("v", None))), big)
+
+    val fut = Future(e.queryJson("SELECT sum(v) FROM big_kill"))
+    // wait until the query registers in the ring, then kill it by qid
+    val deadline = System.currentTimeMillis() + 30000
+    var qid = -1L
+    while (qid < 0 && System.currentTimeMillis() < deadline) {
+      val rows = e.execute("SHOW QUERIES").collect()
+      rows.find(_.getString(1).contains("big_kill")).foreach(r => qid = r.getLong(0))
+      if (qid < 0) Thread.sleep(100)
+    }
+    assert(qid > 0, "query never appeared in SHOW QUERIES")
+    e.execute(s"KILL QUERY $qid")
+    val err = intercept[Exception](Await.result(fut, 90.seconds))
+    val msg = err.toString + Option(err.getCause).map(_.toString).getOrElse("")
+    assert(msg.toLowerCase.contains("cancel"), msg)
+    // the ring no longer lists it
+    assert(!e.execute("SHOW QUERIES").collect().exists(_.getLong(0) == qid))
+  }
+
   test("multi-statement request: results accumulate per statement") {
     val e = newEngine
     val out = e.executeAll(
