@@ -597,6 +597,26 @@ object DocText {
           h60(array_join(expr("slice(toks, s+1, 64)"), " ")).as("chunk_fp"))
     },
 
+    // ---- stratified sampling: per-stratum keep rates driven by the
+    //      deterministic split hash (sampleBy without RNG state — the
+    //      balanced-sampling stage of a corpus pipeline: downsample the
+    //      dominant source, keep the rare one whole). Map-only: the keep
+    //      decision is a pure function of (doc_id, stratum), so re-running
+    //      the pipeline — or running it on a different cluster layout —
+    //      selects the IDENTICAL sample.
+    Q("d_stratified_sample",
+      s"""SELECT doc_id, source,
+         |  ${H("'samp:'||CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |FROM documents
+         |WHERE ${H("'samp:'||CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50 ELSE 100 END""".stripMargin) { (s, d) =>
+      val bucket = h60(concat(lit("samp:"), col("doc_id").cast("string"))) % 100
+      val rate = when(col("source") === "src0", 25)
+        .when(col("source") === "src1", 50).otherwise(100)
+      docs(s, d).select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .where(col("bucket") < rate)
+    },
+
     // ---- corpus-wide heavy hitters: the 20 most frequent 2-grams with
     //      occurrence and document-frequency counts (boilerplate
     //      detection — the corpus-level companion to the per-doc
