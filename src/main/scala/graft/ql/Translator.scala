@@ -109,6 +109,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
             percentileSelect(base0, sel, tags, f, p, alias)
           case List(Field(Call("integral", args), alias)) =>
             integralSelect(base0, sel, tags, args, alias)
+          case Field(Call(n @ ("max" | "min" | "first" | "last"), List(Ident(f))), alias)
+              :: tagFields if tagFields.nonEmpty && tagFields.forall {
+                case Field(Ident(t), _) => meta.isTag(t)
+                case _                  => false } =>
+            selectorWithTags(base0, sel, tags, n, f, alias,
+              tagFields.map { case Field(Ident(t), a) => (t, a.getOrElse(t)) })
           case _ => aggSelect(base0, sel, tags)
         }
       } else rawSelect(base0, sel, tags)
@@ -290,6 +296,34 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   }
   private def unscale(c: Column, f: String): Column =
     c.cast("double") / scaleOf(f).getOrElse(1L).toDouble
+
+  /** `SELECT max(v), host [, tag…]` — a bare SELECTOR alongside tag keys
+    * returns the SELECTED ROW's tag values (influxql selector semantics;
+    * the same per-row carry top/bottom already do). One argmin/argmax per
+    * group via a lexicographic struct extremum: (value, time, tags…) for
+    * max/min, (time, value, tags…) for first/last — the full struct makes
+    * the chosen row deterministic under ties at any partitioning. */
+  private def selectorWithTags(base: DataFrame, sel: SelectStmt, tags: List[String],
+      fn: String, f: String, alias: Option[String],
+      outTags: List[(String, String)]): DataFrame = {
+    val withB = sel.groupByTime.map(withBucket(base, _, sel.groupByTimeOffset)).getOrElse(base)
+    val groupCols = (if (sel.groupByTime.isDefined) List(bucket) else Nil) ++ tags.map(col)
+    val key = fn match {
+      case "max" | "min" => struct(col(f) +: time +: outTags.map(t => col(t._1)): _*)
+      case _             => struct(time +: col(f) +: outTags.map(t => col(t._1)): _*)
+    }
+    val picked = fn match {
+      case "max" | "last" => max(key)
+      case _              => min(key)
+    }
+    val name = alias.getOrElse(fn)
+    val best = col("__best")
+    withB.groupBy(groupCols: _*).agg(picked.as("__best"))
+      .select(((if (sel.groupByTime.isDefined) List(col("time")) else Nil)
+        ++ tags.map(col)
+        :+ best.getField(f).as(name))
+        ++ outTags.map { case (t, a) => best.getField(t).as(a) }: _*)
+  }
 
   private def bucket: Column = col("time")
 

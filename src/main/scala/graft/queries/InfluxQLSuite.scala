@@ -123,6 +123,23 @@ object InfluxQLSuite {
         |FROM events GROUP BY 1""".stripMargin)(
       "SELECT min(value), max(value), spread(value) FROM events GROUP BY event_type"),
 
+    // ---- bare selector + tag keys: the selected ROW's tag values come
+    //      along (influxql selector semantics); deterministic under ties
+    //      via the full lexicographic struct extremum
+    iql("iql_selector_tag",
+      s"""WITH $EV
+         |SELECT value AS max, event_type FROM ev
+         |ORDER BY value DESC, ts_us DESC, event_type DESC LIMIT 1""".stripMargin)(
+      "SELECT max(value), event_type FROM events"),
+    iql("iql_selector_tag_bucket",
+      s"""WITH $EV, w AS (
+         |  SELECT ts_us - ts_us % $DAY_US AS time, value, event_type,
+         |    row_number() OVER (PARTITION BY ts_us - ts_us % $DAY_US
+         |      ORDER BY ts_us ASC, value ASC, event_type ASC) AS rn
+         |  FROM ev)
+         |SELECT time, value AS first, event_type FROM w WHERE rn = 1""".stripMargin)(
+      "SELECT first(value), event_type FROM events GROUP BY time(1d)"),
+
     iql("iql_first_last",
       s"""WITH $EV, w AS (
          |  SELECT event_type, value,
