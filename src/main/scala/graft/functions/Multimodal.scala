@@ -76,6 +76,49 @@ object Multimodal {
     else (img.getWidth, img.getHeight, (img.getRGB(0, 0) & 0xffffff).toLong)
   }
 
+  /** Real RESIZE (pure JDK — Graphics2D, nearest-neighbor interpolation,
+    * deterministic across JVMs): decode → scale to w×h → re-encode PNG.
+    * The media-pipeline thumbnail/downsample stage, no external codecs.
+    * Returns None for an undecodable payload. */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (src == null) None
+    else {
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  final case class ResizedRow(doc_id: Long, width: Int, height: Int, rgb0: Long)
+
+  /** Thumbnail pass over the image rows of a media table: resize each PNG
+    * to w×h through the same batched mapPartitions path, then RE-DECODE
+    * the resized payload to prove the round trip (dims + probed pixel).
+    * Map-only, zero shuffle — the distributed shape of a corpus-wide
+    * thumbnail job. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      w: Int, h: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.where(col("mime") === "image/png").as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          resizePng(r.payload, w, h).map { resized =>
+            val (dw, dh, rgb) = decodePng(resized)
+            ResizedRow(r.doc_id, dw, dh, rgb)
+          }
+        }
+      }
+    }
+  }
+
   private def sha256Hex(b: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
     d.map(x => f"$x%02x").mkString

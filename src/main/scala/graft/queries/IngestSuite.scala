@@ -62,6 +62,18 @@ object IngestSuite {
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
         .select("doc_id", "mime", "bytes_len", "sha256", "width", "height", "n_frames", "rgb0")
+    },
+
+    // a REAL resize (Graphics2D nearest-neighbor, re-encoded PNG, then
+    // re-decoded): output dims prove the scale, and because fixture PNGs
+    // are constant-fill, the probed pixel after any resize must still be
+    // the doc_id-derived color — which is exactly what the oracle computes
+    Q("mm_resize",
+      """SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST((doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256 + (doc_id * 13) % 256 AS BIGINT) AS rgb0
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
+      Multimodal.resizeImages(s,
+        Multimodal.mediaTable(Tables(s, d, "documents")), 4, 4).toDF()
     }
   )
 }
