@@ -277,6 +277,7 @@ object EmbedOps {
     import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .persist() // read 4× below (rank, encode, queries, rerank)
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
     val ranked = v.withColumn("rank",
@@ -300,7 +301,13 @@ object EmbedOps {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
         .select(lit(m).as("m"), col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
-    }.reduce(_ unionByName _) // M×K rows — broadcast everywhere below
+    }.reduce(_ unionByName _)
+      // MATERIALIZE the codebook (M×K = 64 tiny rows): the build subplan
+      // spans window + cross-join passes over the corpus, and leaving it
+      // lazy re-executes that train inside EVERY downstream join (encode,
+      // LUT). Collecting is the offline "index build" step a real PQ
+      // deployment persists; the literal frame then broadcasts for free.
+      .as[(Int, Long, Seq[Double])].collect().toSeq.toDF("m", "cid", "cvec")
     // explode vectors into per-subspace rows once, reused for encode + LUT
     val subs = array((0 until PQ_M).map(m =>
       struct(lit(m).as("m"), subCol(m).as("sub"))): _*)
