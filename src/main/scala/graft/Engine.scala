@@ -488,11 +488,17 @@ final class Engine(val spark: SparkSession, sfDir: String,
   private def executeDdl(ddl: DdlStmt): DataFrame = {
     import spark.implicits._
     ddl match {
-      case CreateDatabase(n) => databases.createDatabase(n)
+      case CreateDatabase(n, withRp) =>
+        databases.createDatabase(n)
+        // WITH clause: the database's initial (default) retention policy
+        withRp.foreach { case (rp, dur, repl) =>
+          databases.createRp(n, databases.Rp(rp, dur, repl, default = true)) }
       case DropDatabase(n)   => databases.dropDatabase(n)
       case CreateRetentionPolicy(n, db, dur, repl, dflt) =>
         databases.createRp(db, databases.Rp(n, dur, repl, dflt))
       case DropRetentionPolicy(n, db) => databases.dropRp(db, n)
+      case AlterRetentionPolicy(n, db, dur, repl, dflt) =>
+        databases.alterRp(db, n, dur, repl, dflt)
       case CreateContinuousQuery(n, db, cqSel, everyUs, forUs) =>
         // rp.m INTO form: "the current database" is this CQ's ON db
         val sel = cqSel.copy(intoDbRp = cqSel.intoDbRp.map {

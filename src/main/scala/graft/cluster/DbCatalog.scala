@@ -1,6 +1,6 @@
 package graft.cluster
 
-import graft.ql.SelectStmt
+import graft.ql.{ParseException, SelectStmt}
 
 /** Database / retention-policy / continuous-query catalog — the metadata the
   * reference keeps in etcd and replicates before data
@@ -49,6 +49,23 @@ final class DbCatalog {
       }
   }
 
+  /** ALTER RETENTION POLICY: update only the clauses given; DEFAULT
+    * promotes exclusively, like createRp. */
+  def alterRp(db: String, name: String, durationUs: Option[Long],
+      replicas: Option[Int], default: Boolean): Unit = {
+    if (!exists(db)) throw UnknownDatabaseException(db)
+    val cur = rps.getOrElse((db, name),
+      throw ParseException(s"retention policy not found: $name on $db"))
+    val next = cur.copy(
+      durationUs = durationUs.getOrElse(cur.durationUs),
+      replicas = replicas.getOrElse(cur.replicas),
+      default = default || cur.default)
+    rps((db, name)) = next
+    if (default) rps.filterInPlace { case ((d, n), r) =>
+      if (d == db && n != name && r.default) { rps((d, n)) = r.copy(default = false); true }
+      else true
+    }
+  }
   def dropRp(db: String, name: String): Boolean = rps.remove((db, name)).isDefined
   def listRps(db: String): Seq[Rp] =
     rps.collect { case ((d, _), r) if d == db => r }.toSeq.sortBy(_.name)

@@ -99,11 +99,18 @@ final case class SetReplicationFactor(n: Int, db: Option[String], msmt: Option[S
   * (`/root/reference/service/routing.go:13-41`) and replicates on import
   * (`syncing/importer.go:305-333`). */
 sealed trait DdlStmt extends Statement
-final case class CreateDatabase(name: String) extends DdlStmt
+/** `withRp` = the optional WITH clause's initial retention policy:
+  * (rp name, duration µs — 0 = infinite, replication). */
+final case class CreateDatabase(name: String,
+    withRp: Option[(String, Long, Int)] = None) extends DdlStmt
 final case class DropDatabase(name: String) extends DdlStmt
 final case class CreateRetentionPolicy(name: String, db: String, durationUs: Long,
     replication: Int, default: Boolean) extends DdlStmt
 final case class DropRetentionPolicy(name: String, db: String) extends DdlStmt
+/** ALTER RETENTION POLICY — each clause optional (influxql). */
+final case class AlterRetentionPolicy(name: String, db: String,
+    durationUs: Option[Long], replication: Option[Int],
+    default: Boolean) extends DdlStmt
 /** everyUs/forUs = the optional RESAMPLE clause (0 = unset): EVERY
   * throttles recompute cadence, FOR widens the recomputed window. */
 final case class CreateContinuousQuery(name: String, db: String, query: SelectStmt,

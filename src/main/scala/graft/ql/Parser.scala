@@ -110,6 +110,15 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     case TIdent(x) => x
     case t         => throw ParseException(s"expected identifier, found ${t.text}")
   }
+  private def durationArg(): Long = next() match {
+    case TDur(t)   => Lexer.durationUs(t)
+    case TNum("0") => 0L // infinite retention
+    case t         => throw ParseException(s"expected duration, found ${t.text}")
+  }
+  private def intArg(): Int = next() match {
+    case TNum(x) => x.toInt
+    case t       => throw ParseException(s"expected number, found ${t.text}")
+  }
 
   private def parseOne(): Statement =
     if (isKw(peek, "SELECT")) parseSelect()
@@ -120,6 +129,20 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
       DeleteSeries(m, if (acceptKw("WHERE")) Some(parseExpr(0)) else None)
     }
     else if (isKw(peek, "GRANT") || isKw(peek, "REVOKE")) parseGrantRevoke()
+    else if (isKw(peek, "ALTER")) {
+      pos += 1; expectKw("RETENTION"); expectKw("POLICY")
+      val name = ident(); expectKw("ON"); val db = ident()
+      var dur: Option[Long] = None; var repl: Option[Int] = None; var dflt = false
+      var more = true
+      while (more) {
+        if (acceptKw("DURATION")) dur = Some(durationArg())
+        else if (acceptKw("REPLICATION")) repl = Some(intArg())
+        else if (acceptKw("SHARD")) { expectKw("DURATION"); durationArg() } // accepted, no-op
+        else if (acceptKw("DEFAULT")) dflt = true
+        else more = false
+      }
+      AlterRetentionPolicy(name, db, dur, repl, dflt)
+    }
     else if (isKw(peek, "KILL")) {
       pos += 1; expectKw("QUERY")
       next() match {
@@ -434,7 +457,22 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
   private object Admin {
     def parse(p: Parser): Statement = {
       if (p.acceptKw("CREATE")) {
-        if (p.acceptKw("DATABASE")) return CreateDatabase(p.ident())
+        if (p.acceptKw("DATABASE")) {
+          val n = p.ident()
+          // CREATE DATABASE x WITH [DURATION d] [REPLICATION n]
+          //   [SHARD DURATION d] [NAME rp] — influxql's inline initial RP
+          if (!p.acceptKw("WITH")) return CreateDatabase(n)
+          var dur = 0L; var repl = 1; var rpName = "autogen"
+          var more = true
+          while (more) {
+            if (p.acceptKw("DURATION")) dur = p.durationArg()
+            else if (p.acceptKw("REPLICATION")) repl = p.intArg()
+            else if (p.acceptKw("SHARD")) { p.expectKw("DURATION"); p.durationArg() } // accepted, storage-layer no-op
+            else if (p.acceptKw("NAME")) rpName = p.ident()
+            else more = false
+          }
+          return CreateDatabase(n, Some((rpName, dur, repl)))
+        }
         if (p.acceptKw("USER")) {
           val name = p.ident()
           p.expectKw("WITH"); p.expectKw("PASSWORD")

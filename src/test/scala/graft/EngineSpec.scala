@@ -31,6 +31,27 @@ class EngineSpec extends SparkSpec {
     assert(!e.execute("SHOW DATABASES").collect().map(_.getString(0)).contains("mydb"))
   }
 
+  test("CREATE DATABASE WITH creates the initial default RP; ALTER RETENTION POLICY updates it") {
+    val e = newEngine
+    e.execute("CREATE DATABASE wdb WITH DURATION 3d REPLICATION 2 NAME keep3d")
+    val rps = e.execute("SHOW RETENTION POLICIES ON wdb").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(rps("keep3d") == ((s"${3L * 86400000000L}us", 2, true)), rps)
+    assert(!rps("autogen")._3) // demoted by the WITH default
+
+    e.execute("ALTER RETENTION POLICY keep3d ON wdb DURATION 1d")
+    val d2 = e.execute("SHOW RETENTION POLICIES ON wdb").collect()
+      .find(_.getString(0) == "keep3d").get.getString(1)
+    assert(d2 == s"${86400000000L}us")
+    // promote autogen back via ALTER ... DEFAULT
+    e.execute("ALTER RETENTION POLICY autogen ON wdb DEFAULT")
+    val d3 = e.execute("SHOW RETENTION POLICIES ON wdb").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(d3("autogen") && !d3("keep3d"))
+    assertThrows[ql.ParseException](
+      e.execute("ALTER RETENTION POLICY nope ON wdb DURATION 1d"))
+  }
+
   test("write line protocol, read back with InfluxQL, respond as JSON") {
     val e = newEngine
     val meta = TableMeta("treasures", "ts_us",
