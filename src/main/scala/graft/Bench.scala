@@ -45,7 +45,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // write-path throughput — the reference's ONLY benchmark is a write
+    // benchmark (service/write_test.go:38-57 BenchmarkRouting, 100-point
+    // payloads through the routing layer, no recorded q/s). Same shape
+    // here: synthesize line-protocol batches, push them through the FULL
+    // ingest path (parse → type → register (+ parquet append when
+    // durable)), report points/sec. Median of 3 after a warm-up batch.
+    def writeBench(durable: Boolean): Double = {
+      val points = 100000
+      val batch = (0 until points).map(i =>
+        s"wbench,host=h${i % 32} v=${i % 997},u=${i}i ${1000000000L + i.toLong * 1000}")
+      def once(): Double = {
+        val dir = if (durable)
+          Some(java.nio.file.Files.createTempDirectory("graft_wbench").toString)
+        else None
+        val e = new Engine(spark, sfDir, dir)
+        val t0 = System.nanoTime()
+        val (ok, bad) = e.writeLineProtocol(batch, "wbench")
+        require(ok == points && bad == 0, s"write bench: ok=$ok bad=$bad")
+        points / ((System.nanoTime() - t0) / 1e9)
+      }
+      try { once(); median(Seq.fill(Runs)(once())) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] write($durable) failed: ${e.getMessage}"); -1.0 }
+    }
+    val wps = writeBench(durable = false)
+    val wpsDurable = writeBench(durable = true)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""write_pps":$wps,"write_pps_durable":$wpsDurable,"sf":"$sfDir"}"""
     println(line)
     // self-recorded artifact: the driver's captured stdout tail can truncate
     // the per-query map (it did in round 4) — the full line survives on disk
