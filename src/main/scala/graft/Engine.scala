@@ -371,8 +371,9 @@ final class Engine(val spark: SparkSession, sfDir: String,
         .toDF("database", "retention_policy", "name", "mode", "destinations")
     // meta scans over registered in-memory measurements MERGED with the
     // parquet catalog — written measurements are discoverable immediately
-    case ShowStmt("MEASUREMENTS", _, _, _, _) =>
-      { import spark.implicits._; measurementNames.toDF("name") }
+    case ShowStmt("MEASUREMENTS", _, mfilter, _, _) =>
+      import spark.implicits._
+      Engine.filterMeasurements(measurementNames, mfilter).toDF("name")
     case ShowStmt("TAG KEYS", _, _, from, _) =>
       import spark.implicits._
       metasFor(from).flatMap(m => m.tags.map(t => (m.measurement, t)))
@@ -1181,4 +1182,16 @@ final class Engine(val spark: SparkSession, sfDir: String,
           executeStmt(other), sid = i)}]}""" + "\n")
     }
 
+}
+
+object Engine {
+  /** SHOW MEASUREMENTS WITH MEASUREMENT filter: "=name" exact, "~re" regex
+    * (the withKey slot's encoding from the parser). */
+  def filterMeasurements(names: Seq[String], f: Option[String]): Seq[String] = f match {
+    case Some(x) if x.startsWith("=") => names.filter(_ == x.drop(1))
+    case Some(x) if x.startsWith("~") =>
+      val re = java.util.regex.Pattern.compile(x.drop(1))
+      names.filter(n => re.matcher(n).find())
+    case _ => names
+  }
 }

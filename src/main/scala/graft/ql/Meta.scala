@@ -59,7 +59,9 @@ object Meta {
       throw ParseException(s"SHOW $what does not support WHERE")
     what match {
       case "DATABASES" => Seq("default").toDF("name")
-      case "MEASUREMENTS" => measurements.map(_.measurement).toDF("name")
+      case "MEASUREMENTS" =>
+        graft.Engine.filterMeasurements(measurements.map(_.measurement), withKey)
+          .toDF("name")
       case "TAG KEYS" =>
         measurements.flatMap(m => m.tags.map(t => (m.measurement, t)))
           .toDF("measurement", "tagKey")

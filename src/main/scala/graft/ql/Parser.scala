@@ -437,6 +437,14 @@ final class Parser(tokens: Vector[Lexer.Tok]) {
     val withKey =
       if (what.startsWith("TAG VALUES") && acceptKw("WITH")) {
         expectKw("KEY"); expectSym("="); Some(ident())
+      } else if (what == "MEASUREMENTS" && acceptKw("WITH")) {
+        // SHOW MEASUREMENTS WITH MEASUREMENT = m | =~ /re/ (the Grafana
+        // form); encoded "=name" / "~pattern" in the withKey slot
+        expectKw("MEASUREMENT")
+        if (acceptSym("=~")) next() match {
+          case TRegex(p) => Some("~" + p)
+          case t => throw ParseException(s"expected /regex/, found ${t.text}")
+        } else { expectSym("="); Some("=" + ident()) }
       } else None
     // SHOW … WHERE <tag predicate> — the meta-filter form Grafana issues
     // (influxql; predicates over tags with = != =~ !~ AND OR)

@@ -832,6 +832,10 @@ object InfluxQLSuite {
       """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
         |ORDER BY key, value LIMIT 2 OFFSET 1""".stripMargin)(
       "SHOW TAG VALUES WITH KEY = event_type LIMIT 2 OFFSET 1"),
+    // SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ (Grafana's dashboard form)
+    iql("iql_show_measurements_with",
+      "SELECT 'events' AS name")(
+      "SHOW MEASUREMENTS WITH MEASUREMENT =~ /ev/"),
     // SHOW … WHERE <tag predicate> — the Grafana meta-filter form
     iql("iql_show_series_where",
       """SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events
