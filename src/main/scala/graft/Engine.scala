@@ -66,6 +66,9 @@ final class Engine(val spark: SparkSession, sfDir: String,
   // restart per engine — the nonce keeps a KILL in one engine (or test)
   // from cancelling query 1 of every later engine
   private val engineNonce = java.lang.Long.toHexString(System.nanoTime())
+  // standing streaming queries this engine started (close() stops them)
+  private val runningStreams =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.streaming.StreamingQuery]
   private val queryLog = new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String)]
 
   /** Injectable clock (epoch µs) — retention enforcement and its specs
@@ -952,6 +955,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
         val cq = ContinuousQuery.CQ(name, src, f, a,
           s"$iv microseconds", sel.groupByTags, watermark)
         val q = ContinuousQuery.start(spark, input, cq)
+        runningStreams.add(q)
         sel.into.foreach { target => // live read-your-writes through the sink
           registerMeasurement(
             TableMeta(target, "time", tags = sel.groupByTags,
@@ -993,7 +997,25 @@ final class Engine(val spark: SparkSession, sfDir: String,
         }
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    writer.start()
+    val q = writer.start()
+    runningStreams.add(q)
+    q
+  }
+
+  /** Shut this engine down: stop every standing streaming query it
+    * started and release ingest caches. The SparkSession is shared and
+    * stays up (several engines can coexist on one session — the tests
+    * do); metadata and measurement data are already durable, so a
+    * close()d engine reconstructs from dataDir like any restart. */
+  def close(): Unit = {
+    import scala.jdk.CollectionConverters._
+    runningStreams.iterator.asScala.foreach { q =>
+      try if (q.isActive) q.stop() catch { case _: Exception => () }
+    }
+    runningStreams.clear()
+    pendingCaches.values.flatten.foreach(df => try df.unpersist(false)
+      catch { case _: Exception => () })
+    pendingCaches.clear()
   }
 
   /** One general-CQ micro-batch: (a) merge into the source measurement —

@@ -139,7 +139,10 @@ class EngineSpec extends SparkSpec {
     // the INTO target reads the live sink through the normal InfluxQL path
     val out = e.execute("SELECT sum FROM str_tgt").collect()
     assert(out.map(_.getAs[Double]("sum")).contains(5.0))
-    q.stop()
+    // lifecycle: close() stops the engine's standing streams
+    assert(q.isActive)
+    e.close()
+    assert(!q.isActive)
     // unknown CQ name and unsupported shapes error cleanly
     assertThrows[ParseException](e.startCqStream("ghost", input.toDF()))
   }
