@@ -597,6 +597,72 @@ object DocText {
           h60(array_join(expr("slice(toks, s+1, 64)"), " ")).as("chunk_fp"))
     },
 
+    // ---- the CURATION LEDGER: the composed keep/drop decision a corpus
+    //      pipeline ends with, one row per document carrying the FIRST
+    //      failing stage as the reason — exact-dup canonicalization (one
+    //      hash groupBy), then map-only token/quality/repetition gates
+    //      reusing the exact formulas of d_dedup_exact, d_token_stats,
+    //      d_quality_score, and d_repetition_stats. The ledger (not a
+    //      filtered corpus) is the production artifact: it makes every
+    //      drop auditable and the pipeline re-runnable stage by stage.
+    Q("d_curation_ledger",
+      """WITH tk AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks,
+        |       CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS th FROM documents),
+        |canon AS (SELECT th, min(doc_id) AS keeper FROM tk GROUP BY 1),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS g FROM tk),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id,
+        |         CAST(floor(max(c) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS top2_bp
+        |       FROM c2 GROUP BY 1),
+        |q AS (SELECT tk.doc_id, canon.keeper, len(toks) AS n_tokens, a2.top2_bp,
+        |        CAST(floor((0.5 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+        |          + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |          + 0.2 * least(5.0 * CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
+        |                        / len(toks), 1.0)) * 10000.0 + 0.5) AS BIGINT) AS quality_bp
+        |      FROM tk JOIN canon USING (th) JOIN a2 ON a2.doc_id = tk.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id != keeper  THEN 'dup_exact'
+        |       WHEN n_tokens < 20     THEN 'too_short'
+        |       WHEN quality_bp < 5000 THEN 'low_quality'
+        |       WHEN top2_bp > 1500    THEN 'repetitive'
+        |       ELSE 'keep' END AS verdict,
+        |  doc_id = keeper AND n_tokens >= 20 AND quality_bp >= 5000
+        |    AND top2_bp <= 1500 AS keep
+        |FROM q""".stripMargin) { (s, d) =>
+      val tk = withToks(docs(s, d))
+        .withColumn("th", h60(col("text")))
+      val canon = tk.groupBy("th").agg(min("doc_id").as("keeper"))
+      val top2 = expr(
+        """aggregate(array_sort(transform(sequence(1, size(toks)-1),
+          |    i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'n', 0L),
+          |  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
+          |    named_struct('prev', x, 'run', a.run + 1L,
+          |                 'best', greatest(a.best, a.run + 1L), 'n', a.n + 1L),
+          |    named_struct('prev', x, 'run', 1L, 'best', greatest(a.best, 1L), 'n', a.n + 1L)),
+          |  a -> named_struct('best', a.best, 'n', a.n))""".stripMargin)
+      val quality = floor((lit(0.5) * least(col("n_chars").cast("double") / 400.0, lit(1.0))
+        + lit(0.3) * (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        + lit(0.2) * least(lit(5.0) * size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
+          / size(col("toks")), lit(1.0))) * 10000.0 + 0.5).cast("long")
+      val scored = tk
+        .withColumn("r2", top2)
+        .withColumn("top2_bp",
+          floor(col("r2.best") / col("r2.n").cast("double") * 10000 + 0.5).cast("long"))
+        .withColumn("quality_bp", quality)
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .join(canon, Seq("th")) // broadcast-sized at any SF: one row per distinct text
+      scored.select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper"), "dup_exact")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(col("quality_bp") < 5000, "low_quality")
+          .when(col("top2_bp") > 1500, "repetitive")
+          .otherwise("keep").as("verdict"),
+        (col("doc_id") === col("keeper") && col("n_tokens") >= 20 &&
+          col("quality_bp") >= 5000 && col("top2_bp") <= 1500).as("keep"))
+    },
+
     // ---- stratified sampling: per-stratum keep rates driven by the
     //      deterministic split hash (sampleBy without RNG state — the
     //      balanced-sampling stage of a corpus pipeline: downsample the
