@@ -29,4 +29,12 @@ class DocPlanSpec extends SparkSpec {
     val p = plan("d_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("stratified sampling is map-only; the curation ledger shuffles only for canonicalization") {
+    assert(countExchanges(plan("d_stratified_sample")) == 0)
+    // one hash-aggregate exchange (text-hash canonical) + the join back:
+    // anything beyond 2 means a gate stopped being map-only
+    assert(countExchanges(plan("d_curation_ledger")) <= 2,
+      plan("d_curation_ledger"))
+  }
 }
