@@ -399,6 +399,32 @@ final class Engine(val spark: SparkSession, sfDir: String,
       import spark.implicits._
       metasFor(from).map(m => (m.measurement, m.fields.length.toLong))
         .toDF("measurement", "count")
+    // SERIES / TAG VALUES answer from the LIVE registry (registered +
+    // written measurements), like MEASUREMENTS/TAG KEYS above — the
+    // static Meta fall-through only knows the parquet catalog, which
+    // made freshly written measurements invisible to Grafana's
+    // variable-population queries
+    case ShowStmt("SERIES", _, _, from, where) =>
+      metasFor(from).map { m =>
+        val (df0, meta) = load(m.measurement)
+        val df = where.map(w => df0.where(Meta.tagPredicate(w, df0.columns))).getOrElse(df0)
+        if (meta.tags.isEmpty)
+          df.limit(1).select(lit(m.measurement).as("key")) // one untagged series
+        else df.select(meta.tags.map(col): _*).distinct()
+          .select(concat(lit(m.measurement),
+            concat_ws("", meta.tags.map(t => concat(lit(s",$t="), col(t))): _*)).as("key"))
+      }.reduce(_ unionByName _)
+    case ShowStmt("TAG VALUES", _, key, from, where) =>
+      val picked = metasFor(from).map(m =>
+        m -> m.tags.filter(t => key.forall(_ == t))).filter(_._2.nonEmpty)
+      if (picked.isEmpty)
+        throw ParseException(s"no tag key ${key.getOrElse("")} on any measurement")
+      picked.map { case (m, keys) =>
+        val (df0, _) = load(m.measurement)
+        val df = where.map(w => df0.where(Meta.tagPredicate(w, df0.columns))).getOrElse(df0)
+        keys.map(t => df.select(lit(t).as("key"), col(t).as("value")).distinct())
+          .reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
     case ShowStmt("SERIES CARDINALITY", _, _, from, where) =>
       metasFor(from).map { m =>
         val (df0, meta) = load(m.measurement)

@@ -207,6 +207,26 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("Grafana dashboard flow over HTTP: filtered meta queries end to end") {
+    withApi { (_, base) =>
+      post(s"$base/write?db=default", Seq(
+        "http_gf,region=eu,host=a v=1 1000000000",
+        "http_gf,region=us,host=b v=2 2000000000",
+        "http_gf,region=us,host=c v=3 3000000000").mkString("\n").getBytes(UTF_8))
+      // variable population: measurements by regex, tag values filtered +
+      // paged — the exact statement shapes Grafana issues
+      val m = get(s"$base/query?q=" + enc("SHOW MEASUREMENTS WITH MEASUREMENT =~ /gf/"))
+      assert(m.statusCode() == 200 && m.body().contains("http_gf"), m.body())
+      val tv = get(s"$base/query?q=" +
+        enc("SHOW TAG VALUES FROM http_gf WITH KEY = host WHERE region = 'us' LIMIT 1 OFFSET 1"))
+      assert(tv.statusCode() == 200, tv.body())
+      assert(tv.body().contains("\"c\"") && !tv.body().contains("\"a\""), tv.body())
+      // unsupported WHERE target answers with a clear 400
+      val bad = get(s"$base/query?q=" + enc("SHOW DATABASES WHERE x = 'y'"))
+      assert(bad.statusCode() == 400, bad.body())
+    }
+  }
+
   test("/query as form POST (the public API's POST spelling)") {
     withApi { (_, base) =>
       val r = post(s"$base/query", s"q=${enc("SHOW MEASUREMENTS")}".getBytes(UTF_8),
