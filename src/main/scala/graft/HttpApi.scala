@@ -200,7 +200,13 @@ final class HttpApi(engine: Engine, port: Int = 0) {
             engine.queryCsvStream(q, w, epoch)
             respond(ex, 200, w.toString, contentType = "application/csv")
           } else if (chunked) {
-            val chunkSize = p.get("chunk_size").filter(_.nonEmpty).map(_.toInt).getOrElse(10000)
+            // validate BEFORE committing the 200 status line: a bad value
+            // must answer 400 (reference does), not a mid-stream 500
+            val chunkSize = p.get("chunk_size").filter(_.nonEmpty) match {
+              case None => 10000
+              case Some(v) => v.toIntOption.filter(_ > 0).getOrElse {
+                jsonError(ex, 400, s"invalid chunk_size: $v"); return }
+            }
             ex.getResponseHeaders.set("Content-Type", "application/json")
             ex.getResponseHeaders.set("X-Influxdb-Version", Version)
             ex.sendResponseHeaders(200, 0) // stream: length unknown up front
@@ -261,12 +267,24 @@ final class HttpApi(engine: Engine, port: Int = 0) {
         // partitions points the same way) and land each group through the
         // standard ingest path under the request's db.rp
         val groups = lines.groupBy(LineProtocol.measurementOf)
+        // db isolation: a measurement already bound to ANOTHER database is
+        // unreachable through this one — without the check, any writer
+        // could re-bind an existing measurement's db.rp association (and
+        // with it the retention cutoff) just by naming a different db
+        // (ADVICE r6; the reference scopes data per-db physically)
         var ok = 0L
         var bad = groups.get("").map(_.size.toLong).getOrElse(0L) // unparseable heads
-        writeLock.synchronized {
+        writeLock.synchronized { // check-and-bind must be atomic vs other writers
+          groups.keys.find(m => m.nonEmpty && engine.ownerDb(m).exists(_ != db)) match {
+            case Some(m) =>
+              jsonError(ex, 403,
+                s"""measurement "$m" belongs to database "${engine.ownerDb(m).get}"""")
+              return
+            case None => ()
+          }
           groups.foreach { case (m, ls) =>
             if (m.nonEmpty) {
-              engine.setRetentionPolicy(m, db, rp)
+              engine.setRetentionPolicy(m, db, rp) // new or same-db: safe to (re)bind
               val (o, b) = engine.writeLineProtocol(ls, m, precision)
               ok += o; bad += b
             }

@@ -56,6 +56,18 @@ object DocText {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
 
+  /** Word n-gram array over `toks`, guarded for short docs: Spark's
+    * `sequence(1, 0)` is DESCENDING ([1, 0]), so the unguarded transform
+    * would call element_at(toks, 0) and throw on a doc with fewer than n
+    * tokens (empty text splits to one element); DuckDB's
+    * generate_series(1, 0) is empty. The guard makes both engines agree:
+    * short doc → empty gram array. */
+  private def gramExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at(toks,i+$j)").mkString(", ' ', ")
+    s"IF(size(toks) < $n, CAST(array() AS ARRAY<STRING>), " +
+      s"transform(sequence(1, size(toks)-${n - 1}), i -> concat($parts)))"
+  }
+
   /** Distinct 3-token shingles (n-gram shingling for near-dup detection). */
   private def withShingles(df: DataFrame): DataFrame =
     withToks(df).withColumn("shingles",
@@ -525,10 +537,12 @@ object DocText {
            |  a -> named_struct('best', a.best,
            |                    'dup', a.dup + IF(a.run > 1L, a.run, 0L)))""".stripMargin
       withToks(docs(s, d))
-        .withColumn("g2", expr(
-          "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))"))
-        .withColumn("g3", expr(
-          "transform(sequence(1, size(toks)-2), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1), ' ', element_at(toks,i+2)))"))
+        // docs under 3 tokens have no 3-grams: the oracle's inner joins
+        // drop them (no g3 rows → no a3 row), so filter symmetrically —
+        // this also keeps both sequence() calls ascending
+        .where(size(col("toks")) >= 3)
+        .withColumn("g2", expr(gramExpr(2)))
+        .withColumn("g3", expr(gramExpr(3)))
         .withColumn("r2", expr(runStats("g2")))
         .withColumn("r3", expr(runStats("g3")))
         .select(col("doc_id"),
@@ -620,7 +634,7 @@ object DocText {
         |          + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
         |          + 0.2 * least(5.0 * CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
         |                        / len(toks), 1.0)) * 10000.0 + 0.5) AS BIGINT) AS quality_bp
-        |      FROM tk JOIN canon USING (th) JOIN a2 ON a2.doc_id = tk.doc_id)
+        |      FROM tk JOIN canon USING (th) LEFT JOIN a2 ON a2.doc_id = tk.doc_id)
         |SELECT doc_id,
         |  CASE WHEN doc_id != keeper  THEN 'dup_exact'
         |       WHEN n_tokens < 20     THEN 'too_short'
@@ -633,9 +647,11 @@ object DocText {
       val tk = withToks(docs(s, d))
         .withColumn("th", h60(col("text")))
       val canon = tk.groupBy("th").agg(min("doc_id").as("keeper"))
+      // LEFT JOIN a2 in the oracle + the gram guard here: a single-token
+      // doc has no 2-grams (top2_bp null) but MUST still appear in the
+      // ledger — 'too_short' fires before the repetition test either way
       val top2 = expr(
-        """aggregate(array_sort(transform(sequence(1, size(toks)-1),
-          |    i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))),
+        s"""aggregate(array_sort(${gramExpr(2)}),
           |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'n', 0L),
           |  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
           |    named_struct('prev', x, 'run', a.run + 1L,
@@ -648,8 +664,11 @@ object DocText {
           / size(col("toks")), lit(1.0))) * 10000.0 + 0.5).cast("long")
       val scored = tk
         .withColumn("r2", top2)
+        // try_divide: a doc with no 2-grams has n = 0 → NULL top2_bp (the
+        // oracle's LEFT JOIN shape), not an ANSI divide-by-zero
         .withColumn("top2_bp",
-          floor(col("r2.best") / col("r2.n").cast("double") * 10000 + 0.5).cast("long"))
+          floor(try_divide(col("r2.best"), col("r2.n").cast("double")) * 10000 + 0.5)
+            .cast("long"))
         .withColumn("quality_bp", quality)
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .join(canon, Seq("th")) // broadcast-sized at any SF: one row per distinct text
@@ -700,9 +719,9 @@ object DocText {
         |SELECT g AS ngram, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
         |FROM c ORDER BY n_occ DESC, g ASC LIMIT 20""".stripMargin) { (s, d) =>
       withToks(docs(s, d))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks)-1), i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))"))
-          .as("ngram"))
+        // explode of the guarded (possibly empty) gram array drops
+        // single-token docs — exactly DuckDB's empty generate_series
+        .select(col("doc_id"), explode(expr(gramExpr(2))).as("ngram"))
         .groupBy("ngram")
         .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
         .orderBy(col("n_occ").desc, col("ngram").asc)

@@ -23,9 +23,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * time; cross-batch stragglers inside the watermark extend the open
   * session (max(last, t)) exactly like the batch window would.
   *
-  * Scale notes: state is one small record per ACTIVE user (not per
-  * event), evicted on timeout — bounded by concurrent-session count at
-  * any ingest volume; the only shuffle is the groupByKey hash exchange.
+  * Scale notes: state is one small record per user (not per event); a
+  * timeout close shrinks it to a ~40-byte counter tombstone (n = 0) so
+  * session_id keeps counting across closes — the per-user counter must
+  * survive or the next session would reuse (user_id, 1) and diverge
+  * from batch e_sessionize. Bounded by distinct-user count, not event
+  * volume; the only shuffle is the groupByKey hash exchange.
   */
 object SessionStream {
 
@@ -52,11 +55,15 @@ object SessionStream {
         (user: Long, evs: Iterator[Ev], state: GroupState[St]) =>
           if (state.hasTimedOut) { // watermark passed last+gap: final close
             val s = state.get
-            state.remove()
+            // keep a counter tombstone (n = 0, no timeout) instead of
+            // state.remove(): the NEXT session for this user must be
+            // sessionId + 1, not a restart at 1
+            state.update(St(s.sessionId, 0L, 0L, 0L, 0L))
             Iterator.single(close(user, s))
           } else {
             val out = scala.collection.mutable.ListBuffer.empty[Out]
-            var cur = state.getOption
+            val lastClosedId = state.getOption.map(_.sessionId).getOrElse(0L)
+            var cur = state.getOption.filter(_.n > 0) // tombstone = no open session
             evs.toSeq.sortBy(e => us(e.ts)).foreach { e =>
               val t = us(e.ts)
               cur match {
@@ -67,7 +74,7 @@ object SessionStream {
                   cur = Some(St(s.sessionId, math.min(s.startUs, t),
                     math.max(s.lastUs, t), s.n + 1, s.sum + e.cents))
                 case None =>
-                  cur = Some(St(1, t, t, 1, e.cents))
+                  cur = Some(St(lastClosedId + 1, t, t, 1, e.cents))
               }
             }
             cur.foreach { s =>

@@ -227,6 +227,50 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("db isolation: a measurement bound to one database is unreachable " +
+      "through another (privileges + /write rebind, ADVICE r6)") {
+    withApi { (_, base) =>
+      get(s"$base/query?q=" +
+        enc("CREATE USER root WITH PASSWORD 'secret' WITH ALL PRIVILEGES"))
+      val rq = (q: String) => get(s"$base/query?u=root&p=secret&q=" + enc(q))
+      rq("CREATE DATABASE dba"); rq("CREATE DATABASE dbb")
+      // root binds http_iso to dba via a write
+      assert(post(s"$base/write?db=dba&u=root&p=secret",
+        "http_iso v=1 1000000000".getBytes(UTF_8)).statusCode() == 204)
+      rq("CREATE USER alice WITH PASSWORD 'a'")
+      rq("GRANT ALL ON dbb TO alice")
+      // alice holds READ/WRITE on dbb — but http_iso belongs to dba:
+      // querying it THROUGH dbb must be forbidden, not a bypass
+      val bypass = get(s"$base/query?db=dbb&u=alice&p=a&q=" +
+        enc("SELECT v FROM http_iso"))
+      assert(bypass.statusCode() == 403, bypass.body())
+      // and a write through dbb must not re-bind the db.rp association
+      val rebind = post(s"$base/write?db=dbb&u=alice&p=a",
+        "http_iso v=2 2000000000".getBytes(UTF_8))
+      assert(rebind.statusCode() == 403, rebind.body())
+      assert(rebind.body().contains("belongs to database"), rebind.body())
+      // no privilege on the owning db either → still forbidden
+      assert(get(s"$base/query?db=dba&u=alice&p=a&q=" +
+        enc("SELECT v FROM http_iso")).statusCode() == 403)
+      // the owner path keeps working
+      assert(get(s"$base/query?db=dba&u=root&p=secret&q=" +
+        enc("SELECT v FROM http_iso")).statusCode() == 200)
+    }
+  }
+
+  test("chunked: invalid chunk_size answers 400 before the stream commits") {
+    withApi { (_, base) =>
+      post(s"$base/write?db=default", "http_cs v=1 1000000000".getBytes(UTF_8))
+      val bad = get(s"$base/query?chunked=true&chunk_size=abc&q=" +
+        enc("SELECT v FROM http_cs"))
+      assert(bad.statusCode() == 400, bad.body())
+      assert(bad.body().contains("invalid chunk_size"), bad.body())
+      val zero = get(s"$base/query?chunked=true&chunk_size=0&q=" +
+        enc("SELECT v FROM http_cs"))
+      assert(zero.statusCode() == 400, zero.body())
+    }
+  }
+
   test("/query as form POST (the public API's POST spelling)") {
     withApi { (_, base) =>
       val r = post(s"$base/query", s"q=${enc("SHOW MEASUREMENTS")}".getBytes(UTF_8),

@@ -37,4 +37,32 @@ class DocPlanSpec extends SparkSpec {
     assert(countExchanges(plan("d_curation_ledger")) <= 2,
       plan("d_curation_ledger"))
   }
+
+  test("single-token docs don't crash the n-gram builders (sequence(1,0) is " +
+      "DESCENDING in Spark — ADVICE r6)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("doc-short-").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "lone", "en", "src0", 4L), // one token: no 2-grams at all
+      (2L, "two toks", "en", "src0", 8L), // two tokens: 2-grams, no 3-grams
+      (3L, "the quick brown fox jumps over the lazy dog again and again", "en",
+        "src0", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def run(name: String) = Registry.suites.find(_.name == name).get.fn(spark, dir)
+    // repetition stats: docs without 3-grams are excluded (the oracle's
+    // inner joins drop them), everything else computes
+    val rep = run("d_repetition_stats").collect()
+    assert(rep.map(_.getLong(0)).toSet == Set(3L), rep.mkString("\n"))
+    // the ledger must still COVER every doc: short ones are 'too_short'
+    val ledger = run("d_curation_ledger").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ledger.keySet == Set(1L, 2L, 3L), ledger)
+    assert(ledger(1L) == "too_short" && ledger(2L) == "too_short", ledger)
+    // heavy hitters: the lone token contributes no grams, no crash
+    val grams = run("d_top_ngrams").collect().map(_.getString(0))
+    assert(grams.contains("again and"), grams.mkString(", "))
+  }
 }

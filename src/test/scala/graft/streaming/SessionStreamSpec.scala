@@ -82,4 +82,38 @@ class SessionStreamSpec extends SparkSpec {
         600000000L, 1.5)), rows.mkString("\n"))
     } finally q.stop()
   }
+
+  test("session_id keeps counting across a timeout close (no restart at 1)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val evs = input.toDS().map { case (ts, u, c) => SessionStream.Ev(ts, u, c) }
+    val out = SessionStream.plan(evs, gapUs = 1800000000L, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_counter")
+      .outputMode("append").start()
+
+    try {
+      input.addData((t("10:00"), 5L, 100L))
+      q.processAllAvailable()
+      // sentinels push the watermark past 10:00+gap → session 1 closes by
+      // EVENT-TIME TIMEOUT (the state.remove() path before the fix)
+      input.addData((t("12:00"), 99L, 1L))
+      q.processAllAvailable()
+      input.addData((t("12:30"), 99L, 1L))
+      q.processAllAvailable()
+      // a later event for the same user: must open session 2, not session 1
+      input.addData((t("13:00"), 5L, 200L))
+      q.processAllAvailable()
+      input.addData((t("15:00"), 99L, 1L))
+      q.processAllAvailable()
+      input.addData((t("15:30"), 99L, 1L))
+      q.processAllAvailable()
+
+      val ids = s.sql("SELECT * FROM sess_counter").as[SessionStream.Out]
+        .collect().filter(_.user_id == 5L).map(_.session_id).toSet
+      assert(ids == Set(1L, 2L), s"expected sessions 1 and 2, got $ids")
+    } finally q.stop()
+  }
 }
