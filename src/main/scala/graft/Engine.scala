@@ -221,6 +221,29 @@ final class Engine(val spark: SparkSession, sfDir: String,
     databases.retentionCutoffUs(db, rp, nowUs())
   }
 
+  /** Shard-group-duration analog for the durable time-bucket layout
+    * (reference syncing/models.go:5; InfluxDB's meta rules: RP < 2 days →
+    * 1 h groups, RP ≤ 6 months → 1 day, longer/infinite → 7 days). Chosen
+    * at the measurement's FIRST durable write from its RP binding at that
+    * moment; the at-rest layout wins thereafter (MeasurementStore
+    * storedBucketUs), so a later re-bind only coarsens how promptly whole
+    * buckets expire, never correctness — reads always mask by the cutoff. */
+  private def shardBucketUs(measurement: String): Long = {
+    val (db, rp) = measurementRp.getOrElse(measurement, ("default", "autogen"))
+    val durUs = databases.rpDurationUs(db, rp).getOrElse(0L)
+    val hour = 3600L * 1000000L
+    if (durUs > 0 && durUs < 48 * hour) hour
+    else if (durUs > 0 && durUs <= 180L * 24 * hour) 24 * hour
+    else 7L * 24 * hour
+  }
+
+  /** Meta to hand MeasurementStore on writes: carries the bucket choice for
+    * a measurement's first durable landing (existing directories keep their
+    * stored layout regardless). */
+  private def bucketed(meta: TableMeta): TableMeta =
+    if (meta.bucketUs.isDefined) meta
+    else meta.copy(bucketUs = Some(shardBucketUs(meta.measurement)))
+
   private def load(measurement: String): (DataFrame, TableMeta) = {
     val (df, meta) = tables.get(measurement)
       .orElse(pendingCqTargets.remove(measurement).flatMap { sel =>
@@ -229,28 +252,43 @@ final class Engine(val spark: SparkSession, sfDir: String,
       })
       .getOrElse(Catalog.load(spark, sfDir, measurement))
     // read-time RP enforcement: expired rows are invisible even before the
-    // maintenance compaction runs (SURVEY §1.3)
+    // maintenance compaction runs (SURVEY §1.3). On a bucketed durable
+    // layout the cutoff ALSO binds the `_tb` partition column, so expired
+    // bucket directories are pruned at the scan, not filtered row by row
     retentionCutoffUs(measurement) match {
-      case Some(cut) => (df.where(col(meta.timeCol) >= cut), meta)
-      case None      => (df, meta)
+      case Some(cut) =>
+        val masked = meta.bucketUs.filter(_ => df.columns.contains("_tb")) match {
+          case Some(b) =>
+            df.where(col("_tb") >= Math.floorDiv(cut, b) && col(meta.timeCol) >= cut)
+          case None => df.where(col(meta.timeCol) >= cut)
+        }
+        (masked, meta)
+      case None => (df, meta)
     }
   }
 
   /** Retention maintenance pass (SURVEY §1.3; reference RP durations at
     * syncing/models.go:3-9): drop rows older than each measurement's RP
-    * cutoff. Durable measurements compact at rest via a tmp-dir swap;
-    * in-memory ones re-register the survivor plan. Expired rows are
-    * already invisible to reads via `load` — this reclaims the storage. */
+    * cutoff. Durable TIME-BUCKETED measurements expire as a partition
+    * drop — O(expired buckets), never O(table), the property that holds at
+    * 100 TB (VERDICT r6 item 1); legacy unbucketed directories fall back to
+    * the tmp-dir-swap rewrite; in-memory ones re-register the survivor
+    * plan. Expired rows are already invisible to reads via `load` — this
+    * reclaims the storage. */
   def enforceRetention(): Unit =
     tables.keys.toSeq.foreach { m =>
       retentionCutoffUs(m).foreach { cut =>
         val (df, meta) = tables(m)
-        val kept = df.where(col(meta.timeCol) >= cut)
         durableDirFor(m) match {
+          case Some(dir)
+              if sources.MeasurementStore.loadMeta(spark, dir, m).exists(_.bucketUs.isDefined) =>
+            if (sources.MeasurementStore.expireBuckets(spark, dir, m, cut).nonEmpty)
+              sources.MeasurementStore.read(spark, dir, m).foreach(t => tables(m) = t)
           case Some(dir) =>
+            val kept = df.where(col(meta.timeCol) >= cut)
             sources.MeasurementStore.rewrite(spark, dir, meta, kept, keyTagsFor(m))
             sources.MeasurementStore.read(spark, dir, m).foreach(t => tables(m) = t)
-          case None => tables(m) = (kept, meta)
+          case None => tables(m) = (df.where(col(meta.timeCol) >= cut), meta)
         }
       }
     }
@@ -531,7 +569,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
           // durable INTO: the reference's SELECT INTO lands points in the
           // target's shards, so they survive a restart; rewrite carries
           // this path's full-recompute semantics to disk
-          sources.MeasurementStore.rewrite(spark, dir, tMeta, out, keyTagsFor(target))
+          sources.MeasurementStore.rewrite(spark, dir, bucketed(tMeta), out, keyTagsFor(target))
           sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
         case None => registerMeasurement(tMeta, out)
       }
@@ -589,7 +627,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
         }
         durableDirFor(from) match {
           case Some(dir) =>
-            sources.MeasurementStore.rewrite(spark, dir, meta, remaining, keyTagsFor(from))
+            sources.MeasurementStore.rewrite(spark, dir, bucketed(meta), remaining, keyTagsFor(from))
             sources.MeasurementStore.read(spark, dir, from).foreach(t => tables(from) = t)
           case None => registerMeasurement(meta, remaining)
         }
@@ -683,7 +721,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
         // plain scan of the at-rest directory (read-your-writes from disk,
         // no union lineage to compact). Write fan-out analog:
         // service/write_handler.go:157-212.
-        sources.MeasurementStore.append(spark, dir, meta, withTime, keyTagsFor(measurement))
+        sources.MeasurementStore.append(spark, dir, bucketed(meta), withTime, keyTagsFor(measurement))
         raw.unpersist(false)
         sources.MeasurementStore.read(spark, dir, measurement).get._1
       case None =>
@@ -834,7 +872,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
             }
             dataDir match {
               case Some(dd) =>
-                sources.MeasurementStore.append(spark, dd, tm, shaped, keyTagsFor(m))
+                sources.MeasurementStore.append(spark, dd, bucketed(tm), shaped, keyTagsFor(m))
                 sources.MeasurementStore.read(spark, dd, m).foreach(t => tables(m) = t)
               case None => registerMeasurement(tm, shaped.localCheckpoint(true))
             }
@@ -1109,7 +1147,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
     if (rows.head(1).nonEmpty) {
       dataDir match {
         case Some(dir) =>
-          sources.MeasurementStore.append(spark, dir, srcMeta, rows, keyTagsFor(src))
+          sources.MeasurementStore.append(spark, dir, bucketed(srcMeta), rows, keyTagsFor(src))
           sources.MeasurementStore.read(spark, dir, src).foreach(t => tables(src) = t)
         case None =>
           val merged = tables.get(src).map(_._1) match {
@@ -1144,7 +1182,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
     val (df, m) = Translator.resolve(sel.from, load, () => measurementNames)
     val patch = new Translator(df, m).run(restricted).localCheckpoint(true)
     sel.into.foreach { target =>
-      val next = tables.get(target).map(_._1) match {
+      // a durable target read back from a bucketed directory carries the
+      // physical `_tb` column — strip it before the column-compat check or
+      // the union would silently replace history instead of patching it
+      val next = tables.get(target).map(_._1.drop("_tb")) match {
         case Some(prev) if prev.columns.sorted.sameElements(patch.columns.sorted) =>
           prev.where(col("time") < lo || col("time") >= hi).unionByName(patch)
         case _ => patch
@@ -1155,7 +1196,7 @@ final class Engine(val spark: SparkSession, sfDir: String,
       val tMeta = TableMeta(target, "time", tags = tags, fields = fields)
       dataDir match {
         case Some(dir) =>
-          sources.MeasurementStore.rewrite(spark, dir, tMeta, next, keyTagsFor(target))
+          sources.MeasurementStore.rewrite(spark, dir, bucketed(tMeta), next, keyTagsFor(target))
           sources.MeasurementStore.read(spark, dir, target).foreach(t => tables(target) = t)
         case None =>
           registerMeasurement(tMeta, compactLineage(target, next))

@@ -96,6 +96,12 @@ final class DbCatalog {
   /** RP expiry predicate: rows older than `now - duration` are expired
     * (duration 0 = keep forever). The maintenance job is
     * `df.where(!expired)` rewritten over the table — SURVEY §1.3. */
+  /** RP duration (0 = infinite); None when the policy doesn't exist.
+    * Drives the shard-group-style time-bucket choice for new durable
+    * measurements (Engine.shardBucketUs). */
+  def rpDurationUs(db: String, rpName: String): Option[Long] =
+    rps.get((db, rpName)).map(_.durationUs)
+
   def retentionCutoffUs(db: String, rpName: String, nowUs: Long): Option[Long] =
     rps.get((db, rpName)).flatMap(rp =>
       if (rp.durationUs == 0) None else Some(nowUs - rp.durationUs))

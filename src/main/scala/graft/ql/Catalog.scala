@@ -23,7 +23,11 @@ final case class TableMeta(
     timeCol: String, // LONG epoch-µs column
     tags: Seq[String],
     fields: Seq[FieldMeta],
-    rawTimeNs: Option[String] = None) { // raw parquet ns column, for pushdown
+    rawTimeNs: Option[String] = None, // raw parquet ns column, for pushdown
+    // shard-group-duration analog (reference syncing/models.go:5): durable
+    // data is directory-partitioned by `_tb = timeCol DIV bucketUs`, so
+    // retention expiry is a partition drop and time scans prune directories
+    bucketUs: Option[Long] = None) {
   def field(n: String): FieldMeta =
     fields.find(_.name == n).getOrElse(
       throw ParseException(s"unknown field '$n' on measurement '$measurement'"))

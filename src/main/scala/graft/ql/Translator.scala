@@ -59,7 +59,23 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       },
       where = sel0.where.map(normTyped))
     tzZone = sel.tz // literals below parse under the query's zone
-    val filtered = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
+    val filtered0 = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
+    // durable time-bucket pruning: rebind the WHERE's constant time bounds
+    // onto the `_tb` directory-partition column so a time-ranged query
+    // reads only the shard-group buckets it touches (PartitionFilters at
+    // the scan — the 100 TB path: a 1-day query over a year of data lists
+    // one bucket directory, not 365). `_tb` is physical layout, never a
+    // query-visible column — dropped here, before any projection logic.
+    val filtered = meta.bucketUs.filter(_ => df.columns.contains("_tb")) match {
+      case Some(b) =>
+        val (loB, hiB) = whereTimeBounds(sel.where)
+        val d1 = loB.map(v => filtered0.where(col("_tb") >= Math.floorDiv(v, b)))
+          .getOrElse(filtered0)
+        val d2 = hiB.map(v => d1.where(col("_tb") <= Math.floorDiv(v, b))).getOrElse(d1)
+        d2.drop("_tb")
+      case None =>
+        if (df.columns.contains("_tb")) filtered0.drop("_tb") else filtered0
+    }
     // tz('Zone'): GROUP BY time buckets align to LOCAL boundaries. The
     // WHERE filter above runs in UTC space (string literals already
     // resolved to the zone's UTC instants; epoch literals are absolute);

@@ -51,7 +51,8 @@ object MeasurementStore {
         s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}:${fm.ftype}").mkString(Sep),
       meta.rawTimeNs.getOrElse(""),
       keyTags.mkString(Sep),
-      if (uniform) "u" else "" // line 7: all data files share one schema
+      if (uniform) "u" else "", // line 7: all data files share one schema
+      meta.bucketUs.map(_.toString).getOrElse("") // line 8: time-bucket µs
     ).mkString("\n")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -84,7 +85,10 @@ object MeasurementStore {
               Option(fv.substring(i + 1)).filter(_.nonEmpty).map(_.toLong))
           }
         },
-        rawTimeNs = Option(lines(4)).filter(_.nonEmpty))).toOption
+        rawTimeNs = Option(lines(4)).filter(_.nonEmpty),
+        bucketUs =
+          if (lines.length > 7 && lines(7).nonEmpty) Some(lines(7).toLong)
+          else None)).toOption
     }
 
   /** The at-rest directory-partition columns (meta line 6; Nil for files
@@ -130,20 +134,47 @@ object MeasurementStore {
       }
     }.toOption.flatten.filter(_.length >= 5)
 
-  /** Append one ingest batch. `keyTags` (the partition key, when defined)
-    * become directory-partition columns; appends with a widened schema are
-    * legal — reads merge schemas and null-pad older files. */
+  /** The measurement's at-rest time-bucket duration. Like the tag layout,
+    * an EXISTING meta wins over the caller's: once a directory is bucketed
+    * (or explicitly not), every later write must agree — mixing layouts in
+    * one directory breaks partition discovery. Outer None = no meta yet
+    * (first write: the caller's choice applies). */
+  private def storedBucketUs(spark: SparkSession, dir: String, m: String): Option[Option[Long]] =
+    readMetaLines(spark, dir, m).map(l =>
+      if (l.length > 7 && l(7).nonEmpty) scala.util.Try(l(7).toLong).toOption else None)
+
+  /** Derive the `_tb` directory-partition column (`timeCol DIV bucketUs`,
+    * the shard-group analog — reference syncing/models.go:5). Recomputes an
+    * existing `_tb` so rewrites of frames read back from a bucketed
+    * directory stay self-consistent. */
+  private def withTimeBucket(df: DataFrame, meta: TableMeta, bucketUs: Option[Long]): DataFrame =
+    bucketUs match {
+      case Some(b) if df.columns.contains(meta.timeCol) =>
+        df.withColumn("_tb",
+          org.apache.spark.sql.functions.expr(s"`${meta.timeCol}` div ${b}L"))
+      case _ => df.drop("_tb") // unbucketed layout: never persist _tb as data
+    }
+
+  /** Append one ingest batch. The time bucket (outermost) and `keyTags`
+    * (the partition key, when defined) become directory-partition columns;
+    * appends with a widened schema are legal — reads merge schemas and
+    * null-pad older files. */
   def append(spark: SparkSession, dir: String, meta: TableMeta, batch: DataFrame,
       keyTags: Seq[String] = Nil): Unit = {
     // an existing at-rest layout wins over the caller's (possibly empty)
     // key: once a directory is tag-partitioned, every append must follow
     // suit or the mixed layout breaks partition discovery
     val layout = if (keyTags.nonEmpty) keyTags else loadKeyTags(spark, dir, meta.measurement)
-    val w = batch.write.mode("append")
-    val partCols = layout.filter(batch.columns.contains)
+    val bucket = storedBucketUs(spark, dir, meta.measurement).getOrElse(meta.bucketUs)
+    val data = withTimeBucket(batch, meta, bucket)
+    val w = data.write.mode("append")
+    val tagCols = layout.filter(batch.columns.contains)
+    // bucket OUTERMOST: retention expiry then drops one top-level `_tb=N`
+    // directory per expired group, regardless of how many tag values exist
+    val partCols = (if (bucket.isDefined && data.columns.contains("_tb")) Seq("_tb") else Nil) ++ tagCols
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(dataPath(dir, meta.measurement))
-    saveMeta(spark, dir, meta, partCols)
+    saveMeta(spark, dir, meta.copy(bucketUs = bucket), tagCols)
   }
 
   /** Replace the at-rest contents with `df` (delete compaction, retention
@@ -157,8 +188,11 @@ object MeasurementStore {
     val old = new Path(dataPath(dir, meta.measurement) + ".old")
     val f = fs(spark, live)
     val layout = if (keyTags.nonEmpty) keyTags else loadKeyTags(spark, dir, meta.measurement)
-    val w = df.write.mode("overwrite")
-    val partCols = layout.filter(df.columns.contains)
+    val bucket = storedBucketUs(spark, dir, meta.measurement).getOrElse(meta.bucketUs)
+    val data = withTimeBucket(df, meta, bucket)
+    val w = data.write.mode("overwrite")
+    val tagCols = layout.filter(df.columns.contains)
+    val partCols = (if (bucket.isDefined && data.columns.contains("_tb")) Seq("_tb") else Nil) ++ tagCols
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(tmp.toString)
     if (f.exists(old)) f.delete(old, true)
@@ -167,7 +201,38 @@ object MeasurementStore {
     // keep .old until the NEXT rewrite (deleted above): a lazy plan handed
     // out before this swap may still hold the pre-rewrite file listing —
     // deleting immediately would fail it with FileNotFoundException
-    saveMeta(spark, dir, meta, partCols, uniform = true) // one write = one schema
+    saveMeta(spark, dir, meta.copy(bucketUs = bucket), tagCols, uniform = true) // one write = one schema
+  }
+
+  /** Retention expiry as a PARTITION DROP (VERDICT r6 item 1): every
+    * top-level `_tb=N` directory whose bucket ends at or before `cutUs` is
+    * moved aside in one rename — O(expired partitions), never O(table),
+    * which is what survives at 100 TB where the old full-table rewrite
+    * would re-copy ~all live data to drop a day. The boundary bucket
+    * straddling the cutoff keeps its rows (reads mask them via the
+    * plan-time cutoff filter) and is reclaimed when it fully expires.
+    * Dropped buckets land in `<m>/expired.old` until the next expiry pass —
+    * same grace rule as rewrite's `.old`: a lazy plan handed out before the
+    * drop may still hold the old file listing. Returns dropped dir names. */
+  def expireBuckets(spark: SparkSession, dir: String, m: String, cutUs: Long): Seq[String] = {
+    val bucketUs = loadMeta(spark, dir, m).flatMap(_.bucketUs).getOrElse(return Nil)
+    val data = new Path(dataPath(dir, m))
+    val f = fs(spark, data)
+    if (!f.exists(data)) return Nil
+    val expired = f.listStatus(data).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tb="))
+      .filter { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("_tb=").toLong).toOption
+          .exists(tb => (tb + 1L) * bucketUs <= cutUs)
+      }
+      .map(_.getPath)
+    if (expired.nonEmpty) {
+      val trash = new Path(s"$dir/$m/expired.old")
+      if (f.exists(trash)) f.delete(trash, true)
+      f.mkdirs(trash)
+      expired.foreach(p => f.rename(p, new Path(trash, p.getName)))
+    }
+    expired.map(_.getName)
   }
 
   /** The write-path frame schema implied by a TableMeta (Engine

@@ -139,7 +139,11 @@ class DurabilitySpec extends SparkSpec {
     e.writeLineProtocol(Seq(
       "dm,type=a v=1 1000000000",
       "dm,type=b v=2 2000000000"), "dm")
-    val sub = new java.io.File(s"$dir/dm/data").listFiles()
+    // layout: time bucket OUTERMOST (shard-group analog), then key tags
+    val buckets = new java.io.File(s"$dir/dm/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(buckets == Set("_tb=0"), buckets)
+    val sub = new java.io.File(s"$dir/dm/data/_tb=0").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(sub == Set("type=a", "type=b")) // read-side pruning comes free
     // tag column restored from the directory name (string, inference off)
@@ -205,7 +209,8 @@ class DurabilitySpec extends SparkSpec {
     e2.writeLineProtocol(Seq("dm,type=b v=2 2000000000"), "dm")
     // both appends landed as tag=value partition directories — no mixed
     // layout ('Conflicting directory structures'), no lost tag column
-    val entries = new java.io.File(s"$dir/dm/data").listFiles()
+    // both appends share the _tb=0 bucket; tag dirs nest under it
+    val entries = new java.io.File(s"$dir/dm/data/_tb=0").listFiles()
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
     assert(entries.forall(_.isDirectory))
     assert(entries.map(_.getName).toSet == Set("type=a", "type=b"))
@@ -216,7 +221,7 @@ class DurabilitySpec extends SparkSpec {
     e2.execute("DROP PARTITION KEY ON default.dm")
     e2.writeLineProtocol(Seq("dm,type=c v=3 3000000000"), "dm")
     assert(e2.execute("SELECT v FROM dm").collect().length == 3)
-    val after = new java.io.File(s"$dir/dm/data").listFiles()
+    val after = new java.io.File(s"$dir/dm/data/_tb=0").listFiles()
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
     assert(after.forall(_.isDirectory) && after.map(_.getName).contains("type=c"))
   }
@@ -259,6 +264,41 @@ class DurabilitySpec extends SparkSpec {
     // a restart sees the compacted + appended state
     val e2 = new Engine(spark, sfDir, Some(dir))
     assert(e2.execute("SELECT v FROM dm").collect().length == 21)
+  }
+
+  test("retention expiry drops only fully-expired time-bucket directories") {
+    val dir = tmpDir()
+    val e = new Engine(spark, sfDir, Some(dir))
+    val hourUs = 3600L * 1000000
+    val now = 10 * hourUs + hourUs / 2 // 10h30 → cut 9h30, NOT bucket-aligned
+    e.nowUs = () => now
+    e.execute("CREATE RETENTION POLICY short ON default DURATION 1h REPLICATION 1")
+    e.registerMeasurement(meta, spark.emptyDataFrame)
+    e.setRetentionPolicy("dm", "default", "short") // 1h RP → 1h buckets
+    def ns(us: Long) = us * 1000
+    e.writeLineProtocol(Seq(
+      s"dm,type=a v=1 ${ns(8 * hourUs + 20 * 60000000L)}", // bucket 8: fully expired
+      s"dm,type=b v=2 ${ns(9 * hourUs + 10 * 60000000L)}", // bucket 9: expired row, LIVE bucket
+      s"dm,type=c v=3 ${ns(10 * hourUs + 10 * 60000000L)}"), "dm") // bucket 10: live
+    def live() = e.execute("SELECT v FROM dm").collect().map(_.getAs[Double]("v")).toSet
+    assert(live() == Set(3.0)) // cutoff masks buckets 8 and 9's expired rows
+
+    e.enforceRetention()
+    // file-level: ONLY the fully-expired bucket directory was dropped — the
+    // boundary bucket straddling the cutoff keeps its file (rows stay
+    // masked at read time), the live bucket is untouched
+    val dirs = new java.io.File(s"$dir/dm/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("_tb=9", "_tb=10"), dirs)
+    assert(live() == Set(3.0))
+    // the dropped bucket sits in the expiry grace dir until the next pass
+    assert(new java.io.File(s"$dir/dm/expired.old/_tb=8").exists())
+
+    // restart under the same pinned clock: layout + enforcement survive
+    val e2 = new Engine(spark, sfDir, Some(dir))
+    e2.nowUs = () => now
+    assert(e2.execute("SELECT v FROM dm").collect()
+      .map(_.getAs[Double]("v")).toSet == Set(3.0))
   }
 
   test("retention: expired rows invisible at read time, reclaimed by enforceRetention; autogen keeps all") {

@@ -35,6 +35,25 @@ class DurablePlanSpec extends SparkSpec {
       s"expected pushed ts_us cutoff in scan:\n$plan")
   }
 
+  test("time-range predicates prune time-bucket partition directories") {
+    val dir = tmpDir()
+    val e = new Engine(spark, sfDir, Some(dir))
+    e.registerMeasurement(meta, spark.emptyDataFrame) // autogen → 7d buckets
+    val dayUs = 24L * 3600 * 1000000
+    e.writeLineProtocol(Seq(
+      s"dp,type=a v=1 ${1 * dayUs * 1000}",  // bucket _tb=0
+      s"dp,type=b v=2 ${9 * dayUs * 1000}"), "dp") // bucket _tb=1
+    val df = e.execute(s"SELECT v FROM dp WHERE time >= ${8 * dayUs}")
+    val plan = df.queryExecution.executedPlan.toString
+    // the WHERE's constant time bound is rebound onto the `_tb` directory
+    // column: the scan lists only the touched shard-group buckets
+    assert(plan.contains("PartitionFilters") && plan.contains("_tb"),
+      s"expected _tb partition filter:\n$plan")
+    assert(df.collect().map(_.getAs[Double]("v")).toSet == Set(2.0))
+    // and `_tb` is physical layout only — never a query-visible column
+    assert(!df.columns.contains("_tb"))
+  }
+
   test("tag predicates prune partition directories across a restart") {
     val dir = tmpDir()
     val e1 = new Engine(spark, sfDir, Some(dir))
