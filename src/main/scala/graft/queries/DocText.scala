@@ -277,7 +277,23 @@ object DocText {
       val b = sh.toDF("doc_b", "lang", "source", "sh_b")
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
-      a.join(b, Seq("lang", "source"))
+      // cardinality guard (VERDICT r6 item 5): the exact baseline is
+      // quadratic PER BUCKET — one hot (lang, source) bucket at corpus
+      // scale is quadratic death. Refuse loudly above the cap instead of
+      // silently grinding; the LSH path (d_lsh_pairs) is the scale answer.
+      // Plan-native (broadcast count join + raise_error), so the guard
+      // itself adds no driver-side action and no extra shuffle.
+      val cap = s.conf.get("graft.shingleJaccard.bucketCap", "20000").toInt
+      val counts = sh.groupBy("lang", "source").agg(count(lit(1)).as("_bn"))
+      a.join(broadcast(counts), Seq("lang", "source"))
+        // assert_true returns NULL when the predicate holds (so the filter
+        // passes every row) and raises with the message when it doesn't
+        .where(assert_true(col("_bn") <= cap, concat(
+          lit("d_shingle_jaccard: bucket ("), col("lang"), lit(","), col("source"),
+          lit(s") holds more than $cap docs - exact quadratic baseline refused; " +
+            "use d_lsh_pairs or raise graft.shingleJaccard.bucketCap"))).isNull)
+        .drop("_bn")
+        .join(b, Seq("lang", "source"))
         .where(col("doc_a") < col("doc_b"))
         // size prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
         // failing the length ratio can never reach 0.8 — prunes the

@@ -38,6 +38,25 @@ class DocPlanSpec extends SparkSpec {
       plan("d_curation_ledger"))
   }
 
+  test("quadratic Jaccard baseline refuses buckets over the cardinality cap") {
+    // the exact all-pairs baseline is quadratic per (lang, source) bucket;
+    // above the cap it must fail LOUDLY (pointing at the LSH path), never
+    // silently grind — the guard is what makes it safe to keep at scale
+    spark.conf.set("graft.shingleJaccard.bucketCap", "10")
+    try {
+      val q = Registry.suites.find(_.name == "d_shingle_jaccard").get
+      val err = intercept[Exception](q.fn(spark, sfDir).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(m => m.contains("quadratic baseline refused")),
+        msgs(err).mkString("\n"))
+    } finally spark.conf.unset("graft.shingleJaccard.bucketCap")
+    // back under the default cap the gate computes normally
+    val ok = Registry.suites.find(_.name == "d_shingle_jaccard").get
+      .fn(spark, sfDir).limit(1).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("single-token docs don't crash the n-gram builders (sequence(1,0) is " +
       "DESCENDING in Spark — ADVICE r6)") {
     import org.apache.spark.sql.functions.col
