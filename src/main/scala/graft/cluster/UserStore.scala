@@ -5,9 +5,11 @@ package graft.cluster
   * READ/WRITE/ALL grants, authorize() = the 403 gate
   * (`service/query_handler_test.go:51-81` behaviors).
   *
-  * Passwords are salted-SHA-256 metadata, NOT production crypto — the
-  * reference uses bcrypt; this preserves the interface and semantics (no
-  * plaintext at rest, per-user salt) without pulling a dependency.
+  * Passwords created here are salted-SHA-256 metadata, NOT production
+  * crypto — no plaintext at rest, per-user salt, no dependency. Catalogs
+  * MIGRATED from the reference carry bcrypt `$2a$` hashes; `authenticate`
+  * verifies those with the zero-dependency [[Bcrypt]] (the reference's
+  * scheme, `service/auth.go:33`), so migrated users log in unchanged.
   */
 final class UserStore {
 
@@ -50,8 +52,16 @@ final class UserStore {
       case None    => throw AuthException(s"user not found: $user")
     }
 
+  /** bcrypt-compatible verification (reference `service/auth.go:33`): a
+    * user catalog migrated from the reference stores `$2a$...` strings —
+    * restoreUser accepts them as-is and this dispatches on the stored
+    * format, so migrated credentials authenticate without a rehash. Users
+    * created HERE keep the dependency-free salted-SHA scheme. */
   def authenticate(name: String, password: String): Boolean =
-    users.get(name).exists(_.pwHash == hash(name, password))
+    users.get(name).exists { u =>
+      if (Bcrypt.looksLikeBcrypt(u.pwHash)) Bcrypt.check(password, u.pwHash)
+      else u.pwHash == hash(name, password)
+    }
 
   /** The 403 gate: admins pass everything; ALL covers READ and WRITE. */
   def authorize(name: String, db: String, priv: String): Boolean =

@@ -28,6 +28,44 @@ class UserStoreSpec extends SparkSpec {
     assert(s.authenticate("root", "rotated"))
   }
 
+  test("bcrypt vectors verify (migrated reference catalogs authenticate)") {
+    // public test vectors, independently cross-checked against glibc
+    // crypt(3)'s blowfish implementation — tables, key schedule, and the
+    // base64 variant all have to be right for ANY of these to pass
+    val vectors = Seq(
+      "" -> "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.",
+      "a" -> "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe",
+      "abc" -> "$2a$06$If6bvum7DFjUnE9p2uDeDu0YHzrHM6tf.iqN8.yx.jNN1ILEf7h0i",
+      "abcdefghijklmnopqrstuvwxyz" ->
+        "$2a$06$.rCVZVOThsIa97pEDOxvGuRRgzG64bvtJ0938xuqzv18d3ZpQhstC",
+      "correct horse battery staple" -> // $2b$ and a non-minimum cost
+        "$2b$08$aTsUwsyowQuzRrDqFflhge/lrMMdoEhDrgav9iTF8ko3OgxkENFlS")
+    for ((pw, h) <- vectors) {
+      assert(Bcrypt.check(pw, h), s"should verify: '$pw'")
+      assert(!Bcrypt.check(pw + "x", h), s"must reject: '${pw}x'")
+    }
+    // round trip through our own encoder
+    val salt = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    val made = Bcrypt.hash("s3cret", 6, salt)
+    assert(made.startsWith("$2a$06$") && Bcrypt.check("s3cret", made))
+    // malformed hashes are a clean false, never a throw
+    assert(!Bcrypt.check("pw", "$2x$06$" + "A" * 53))
+    assert(!Bcrypt.check("pw", "not-a-hash"))
+    assert(!Bcrypt.check("pw", "$2a$99$" + "A" * 53))
+
+    // a restored (migrated) catalog entry with a bcrypt pwHash authenticates,
+    // and salted-SHA users created locally keep working side by side
+    val s = new UserStore
+    s.restoreUser("migrated", vectors(2)._2, admin = true, grants = Map.empty)
+    assert(s.authenticate("migrated", "abc"))
+    assert(!s.authenticate("migrated", "abd"))
+    s.createUser("native", "pw", admin = true)
+    assert(s.authenticate("native", "pw"))
+    // SET PASSWORD on a migrated user moves it to the local scheme
+    s.setPassword("migrated", "fresh")
+    assert(s.authenticate("migrated", "fresh") && !s.authenticate("migrated", "abc"))
+  }
+
   test("grants gate per-db access; ALL covers both; revoke removes (403 behaviors)") {
     val s = new UserStore
     s.createUser("root", "pw", admin = true)
