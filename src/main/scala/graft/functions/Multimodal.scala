@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * partition iterators chunked into fixed batches so a real decoder can
   * amortize codec/model setup per batch).
   *
-  * The IMAGE path is a REAL decode: image rows carry genuine PNG payloads
-  * (generated in the fixture with dimensions and a fill color derived
-  * arithmetically from doc_id) and `decodePng` reads them with the JDK's
-  * ImageIO — width, height, and the probed (0,0) pixel can only come from
-  * actually parsing the PNG, and the oracle recomputes them from the same
-  * arithmetic. AUDIO/VIDEO decode remains a labeled STUB (`stubDecode`,
-  * deterministic pseudo-features — this container has no media codecs);
+  * The IMAGE and AUDIO paths are REAL decodes: image rows carry genuine
+  * PNG payloads read back with the JDK's ImageIO (`decodePng`), audio rows
+  * genuine RIFF/WAVE PCM16 payloads read back with javax.sound.sampled
+  * (`decodeWav`) — dimensions, pixel probe, sample rate, frame count and
+  * amplitudes can only come from actually parsing the bytes, and the
+  * oracles recompute them from the same fixture arithmetic. VIDEO decode
+  * remains a labeled STUB (`stubDecode`, deterministic pseudo-features —
+  * the JDK ships no video codec and this container has no external ones);
   * swapping it for a JNI/ONNX call changes no plumbing.
   *
   * Scale notes: mapPartitions keeps the decode distributed with zero
@@ -49,6 +50,69 @@ object Multimodal {
   def pngHeight(docId: Long): Int = (1L + docId % 5L).toInt
   def pngRgb(docId: Long): Int =
     (((docId % 256L) << 16) | (((docId * 7L) % 256L) << 8) | ((docId * 13L) % 256L)).toInt
+
+  // fixture arithmetic for generated WAVs — the oracle mirrors these. The
+  // payload is a REAL RIFF/WAVE file (PCM16 mono, constant-fill samples),
+  // so rate/frames/amplitude can only come from actually parsing it.
+  def wavRate(docId: Long): Int =
+    Array(8000, 16000, 32000, 44100)((docId % 4L).toInt)
+  def wavSamples(docId: Long): Int = 50 + (docId % 200L).toInt
+  def wavAmp(docId: Long): Int = ((docId * 37L) % 20000L).toInt - 10000
+
+  /** A real WAV payload: canonical 44-byte RIFF header + little-endian
+    * 16-bit PCM, every sample = wavAmp(docId). Byte-deterministic, so
+    * bytes_len is oracle-checkable (44 + 2·nSamples). */
+  def makeWav(docId: Long): Array[Byte] = {
+    val rate = wavRate(docId)
+    val n = wavSamples(docId)
+    val amp = wavAmp(docId)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) { bb.putShort(amp.toShort); i += 1 }
+    bb.array()
+  }
+
+  /** The real audio decode: the JDK's javax.sound.sampled WAV codec over
+    * the binary payload. (sampleRateHz, nSamples, firstSample, peakAbs);
+    * (-2, -2, 0, -1) marks an undecodable payload — visible, never
+    * silently stubbed. */
+  def decodeWav(payload: Array[Byte]): (Int, Long, Int, Int) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        var first = 0
+        var peak = 0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s =
+            if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+            else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
+          if (i == 0) first = s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 2
+        }
+        (fmt.getSampleRate.toInt, frames, first, peak)
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+          _: java.io.IOException => (-2, -2L, 0, -1)
+    }
 
   /** A real PNG payload: dimensions + constant fill color derived from
     * doc_id. Encoded with ImageIO — decodable by any PNG reader. */
@@ -125,12 +189,15 @@ object Multimodal {
   }
 
   /** documents → media table: image rows (doc_id ≡ 0 mod 3) carry REAL
-    * PNG payloads; audio/video rows keep UTF-8 text bytes as the stand-in
-    * binary. Mime assignment is the same deterministic sniff as before. */
+    * PNG payloads, audio rows (≡ 1) REAL WAV payloads; video rows keep
+    * UTF-8 text bytes as the stand-in binary (no video codec in the JDK).
+    * Mime assignment is the same deterministic sniff as before. */
   def mediaTable(docs: DataFrame): DataFrame = {
     val mkPng = udf((docId: Long) => makePng(docId))
+    val mkWav = udf((docId: Long) => makeWav(docId))
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, mkPng(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(3)) === 1, mkWav(col("doc_id")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
@@ -138,7 +205,12 @@ object Multimodal {
   }
 
   /** Batch feature extraction over partition iterators — the mapInPandas-
-    * shaped hot path. Images decode for real; audio/video stub. */
+    * shaped hot path. Images and audio decode FOR REAL (ImageIO /
+    * javax.sound.sampled); only video stays a labeled stub. MediaFeatures
+    * is a generic per-modality record: for audio, `width` carries the
+    * sample rate (Hz), `height` the sample count, and `rgb0` the first
+    * decoded sample — dedicated audio columns live in the mm_audio gate
+    * (`audioProbe`); this keeps one batched decode pass for mixed media. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
@@ -148,11 +220,37 @@ object Multimodal {
           if (r.mime == "image/png") {
             val (w, h, rgb) = decodePng(r.payload)
             MediaFeatures(r.doc_id, r.mime, None, None, w, h, 1, rgb)
+          } else if (r.mime == "audio/wav") {
+            // real decode; bytes_len is the true (header + PCM) byte count,
+            // sha256 None like images (binary not recomputable in SQL)
+            val (rate, frames, first, _) = decodeWav(r.payload)
+            MediaFeatures(r.doc_id, r.mime, Some(r.payload.length.toLong),
+              None, rate, frames.toInt, 1, first.toLong)
           } else {
             val (w, h, f) = stubDecode(r.payload, r.mime)
             MediaFeatures(r.doc_id, r.mime, Some(r.payload.length.toLong),
               Some(sha256Hex(r.payload)), w, h, f, -1L)
           }
+        }
+      }
+    }
+  }
+
+  final case class AudioProbe(doc_id: Long, sample_rate: Int, n_samples: Long,
+      duration_us: Long, first_sample: Int, peak_abs: Int)
+
+  /** Audio probe over the WAV rows of a media table: real
+    * javax.sound.sampled decode per payload, batched mapPartitions,
+    * map-only / zero shuffle — the distributed shape of a corpus-wide
+    * audio-stats job (duration for billing, peak for silence filtering). */
+  def audioProbe(spark: SparkSession, media: DataFrame): Dataset[AudioProbe] = {
+    import spark.implicits._
+    media.where(col("mime") === "audio/wav").as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (rate, frames, first, peak) = decodeWav(r.payload)
+          val durUs = if (rate > 0) frames * 1000000L / rate else -1L
+          AudioProbe(r.doc_id, rate, frames, durUs, first, peak)
         }
       }
     }

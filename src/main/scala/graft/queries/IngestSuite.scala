@@ -40,28 +40,57 @@ object IngestSuite {
       parsed.select(col("time_ns"), col("event_type"), col("value"), col("user_id"))
     },
 
-    // image rows (doc_id ≡ 0 mod 3) are REAL PNGs decoded with ImageIO:
-    // width/height/pixel can only match by actually parsing the payload.
-    // bytes_len/sha256 are NULL there (PNG bytes are encoder-dependent);
-    // audio/video rows keep the labeled stub arithmetic the oracle mirrors.
+    // image rows (doc_id ≡ 0 mod 3) are REAL PNGs decoded with ImageIO and
+    // audio rows (≡ 1) REAL WAVs decoded with javax.sound.sampled: width/
+    // height/pixel resp. rate/frames/sample can only match by actually
+    // parsing the payload. sha256 is NULL for both binary modalities (not
+    // recomputable in SQL); audio bytes_len IS checkable (44-byte canonical
+    // header + 2 bytes/sample). Video rows keep the labeled stub
+    // arithmetic the oracle mirrors.
     Q("mm_features",
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
-        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE CAST(n_chars AS BIGINT) END AS bytes_len,
-        |  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE sha256(text) END AS sha256,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * (50 + doc_id % 200) AS BIGINT)
+        |       ELSE CAST(n_chars AS BIGINT) END AS bytes_len,
+        |  CASE WHEN doc_id % 3 = 2 THEN sha256(text) ELSE NULL END AS sha256,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8
+        |            WHEN doc_id % 3 = 1 THEN
+        |              CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                              WHEN 2 THEN 32000 ELSE 44100 END
         |            ELSE 64 + n_chars % 577 END AS INT) AS width,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 5
+        |            WHEN doc_id % 3 = 1 THEN 50 + doc_id % 200
         |            ELSE 64 + (n_chars * 31) % 421 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + n_chars % 7 ELSE 1 END AS INT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 3 = 0
         |            THEN (doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256 + (doc_id * 13) % 256
+        |            WHEN doc_id % 3 = 1 THEN (doc_id * 37) % 20000 - 10000
         |            ELSE -1 END AS BIGINT) AS rgb0
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
         .select("doc_id", "mime", "bytes_len", "sha256", "width", "height", "n_frames", "rgb0")
+    },
+
+    // the dedicated audio gate: a REAL javax.sound.sampled decode of every
+    // WAV row (rate for resampling plans, duration for billing, peak for
+    // silence filtering). The oracle replays the constant-fill fixture
+    // arithmetic — rate/frames/amplitude can only match by parsing RIFF.
+    Q("mm_audio",
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                       WHEN 2 THEN 32000 ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(50 + doc_id % 200 AS BIGINT) AS n_samples,
+        |  CAST((50 + doc_id % 200) * 1000000
+        |       // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                          WHEN 2 THEN 32000 ELSE 44100 END) AS BIGINT) AS duration_us,
+        |  CAST((doc_id * 37) % 20000 - 10000 AS INT) AS first_sample,
+        |  CAST(abs((doc_id * 37) % 20000 - 10000) AS INT) AS peak_abs
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin) { (s, d) =>
+      Multimodal.audioProbe(s,
+        Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
     },
 
     // a REAL resize (Graphics2D nearest-neighbor, re-encoded PNG, then
