@@ -146,6 +146,77 @@ object EmbedOps {
       s"(CASE WHEN (${duckPlaneDotLit(planeOff + t * k + p)}) > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Query-side probe set: the signature bucket itself plus its KPLANES
+    * Hamming-1 neighbors (one hyperplane bit flipped). */
+  private val LSH_PROBES: Seq[Int] = 0 +: (0 until KPLANES).map(1 << _)
+
+  /** LSH ANN, exposed with the probe knob so LshRecallSpec can measure the
+    * recall-vs-candidate-budget curve; the em_ann_lsh gate runs
+    * multiProbe = true. */
+  def annLsh(s: SparkSession, d: String, multiProbe: Boolean): DataFrame = {
+    val v = emb(s, d)
+    // signature table: 32 hyperplane dot-folds per row, map-only. NOT
+    // persist()ed: at real scale the corpus does not fit in cache (the
+    // durable form is a written-out index table); here the query side is
+    // a 10-row filter, so only the corpus side computes signatures once
+    val bands = v.select(col("vec_id"), col("embedding"),
+        posexplode(tableBuckets(NTABLES, KPLANES, 0)))
+      .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
+    val probes = if (multiProbe) LSH_PROBES else Seq(0)
+    // multi-probe expands only the tiny QUERY side (queries × tables ×
+    // probes rows, still broadcast); the corpus side stays one row per
+    // (vector, table)
+    val q = bands.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"),
+        explode(typedLit(probes)).as("flip"))
+      .select(col("qid"), col("tbl"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val cand = bands.select("vec_id", "tbl", "bucket")
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val qe = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        micro(dot(col("qe"), col("embedding"))
+          / (norm(col("qe")) * norm(col("embedding")))).as("sim_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+  }
+
+  /** DuckDB mirror of annLsh(multiProbe = true): same signatures, the same
+    * Hamming-1 probe expansion on the query side (xor with each flip). */
+  private def annLshOracleSql: String = {
+    val buckets = (0 until NTABLES).map(t =>
+      s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
+    val flips = LSH_PROBES.mkString("[", ", ", "]")
+    s"""WITH sig AS (SELECT vec_id, embedding,
+       |               unnest([$buckets]) AS tb
+       |             FROM embeddings),
+       |bands AS (SELECT vec_id, embedding, tb.t AS tbl, tb.b AS bucket FROM sig),
+       |q AS (SELECT vec_id AS qid, tbl, xor(bucket, f.flip) AS bucket
+       |      FROM bands CROSS JOIN (SELECT unnest($flips) AS flip) f
+       |      WHERE vec_id < $NQUERIES),
+       |cand AS (SELECT DISTINCT q.qid, v.vec_id
+       |         FROM q JOIN bands v ON q.tbl = v.tbl AND q.bucket = v.bucket
+       |                            AND v.vec_id <> q.qid),
+       |sim AS (SELECT c.qid, c.vec_id,
+       |          CAST(floor(${duckDot("qv.embedding", "vv.embedding")}
+       |                     / (${duckNorm("qv.embedding")} * ${duckNorm("vv.embedding")})
+       |                     * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |        FROM cand c
+       |        JOIN embeddings qv ON qv.vec_id = c.qid
+       |        JOIN embeddings vv ON vv.vec_id = c.vec_id),
+       |r AS (SELECT qid, vec_id, sim_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC) AS rn
+       |      FROM sim)
+       |SELECT qid, vec_id, sim_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // IVF: seeded 2-iteration k-means-lite coarse quantizer + multi-probe
   // search. Both engines compute k = max(2, ⌊√N⌋) (or an explicit
@@ -271,9 +342,17 @@ object EmbedOps {
   private val PQ_M = 4     // subspaces
   private val PQ_K = 16    // codewords per subspace
   private val PQ_SUB = DIMS / PQ_M
-  private val PQ_SHORTLIST = 50 // ADC candidates per query fed to exact rerank
+  // ADC candidates per query fed to exact rerank. The knob that buys
+  // recall: the compressed scan only has to get the true neighbors into
+  // the shortlist, the exact rerank does the rest — and at corpus scale
+  // the rerank cost is SHORTLIST x queries rows, so widening it is cheap
+  // relative to the full scan (recall-vs-shortlist curve: PqRecallSpec).
+  private val PQ_SHORTLIST = 150
 
-  def pqAdc(s: SparkSession, d: String): DataFrame = {
+  def pqAdc(s: SparkSession, d: String): DataFrame = pqAdc(s, d, PQ_SHORTLIST)
+
+  /** Shortlist-parameterized variant for PqRecallSpec's curve. */
+  def pqAdc(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
     import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
@@ -336,7 +415,7 @@ object EmbedOps {
       .agg(sum("qd2").as("d2_adc"))
       .withColumn("arn", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
-      .where(col("arn") <= PQ_SHORTLIST)
+      .where(col("arn") <= shortlistN)
     val qv = v.where(col("vec_id") < NQUERIES).select(col("vec_id").as("qid"), col("emb").as("qe"))
     shortlist
       .join(v, Seq("vec_id"))
@@ -450,65 +529,21 @@ object EmbedOps {
         .where(col("rn") <= TOPK)
     },
 
-    // ---- LSH-bucketed ANN, multi-table: NTABLES×KPLANES hyperplane
-    //      signatures (map-only expressions), candidates = union over tables
-    //      of same-bucket vectors (distinct), cosine + top-k only on
-    //      candidates. E[candidates/query] ≈ L·N/2^k = 8·N/16 here — k=4 is
-    //      deliberately small because this synthetic corpus clusters weakly
-    //      (true top-5 sims ≈ 0.2-0.5; measured recall@5: 0.60 at k=4 vs
-    //      0.04 at k=8 single-table), so recall, not candidate budget, binds
-    //      at this N. At real scale k grows as log2(L·N/C) for per-query
-    //      candidate budget C (N=10⁹, C=10⁵ → k≈16) — k is a deployment
-    //      parameter of tableBuckets, not a constant of the algorithm.
-    Q("em_ann_lsh", {
-      val buckets = (0 until NTABLES).map(t =>
-        s"STRUCT_PACK(t := $t, b := (${duckTableBucket(t)}))").mkString(", ")
-      s"""WITH sig AS (SELECT vec_id, embedding,
-         |               unnest([$buckets]) AS tb
-         |             FROM embeddings),
-         |bands AS (SELECT vec_id, embedding, tb.t AS tbl, tb.b AS bucket FROM sig),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, tbl, bucket FROM bands WHERE vec_id < $NQUERIES),
-         |cand AS (SELECT DISTINCT q.qid, v.vec_id
-         |         FROM q JOIN bands v ON q.tbl = v.tbl AND q.bucket = v.bucket
-         |                            AND v.vec_id <> q.qid),
-         |sim AS (SELECT c.qid, c.vec_id,
-         |          CAST(floor(${duckDot("qv.embedding", "vv.embedding")}
-         |                     / (${duckNorm("qv.embedding")} * ${duckNorm("vv.embedding")})
-         |                     * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
-         |        FROM cand c
-         |        JOIN embeddings qv ON qv.vec_id = c.qid
-         |        JOIN embeddings vv ON vv.vec_id = c.vec_id),
-         |r AS (SELECT qid, vec_id, sim_micro,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC) AS rn
-         |      FROM sim)
-         |SELECT qid, vec_id, sim_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
-    }) { (s, d) =>
-      val v = emb(s, d)
-      // signature table: 32 hyperplane dot-folds per row, map-only. NOT
-      // persist()ed: at real scale the corpus does not fit in cache (the
-      // durable form is a written-out index table); here the query side is
-      // a 10-row filter, so only the corpus side computes signatures once
-      val bands = v.select(col("vec_id"), col("embedding"),
-          posexplode(tableBuckets(NTABLES, KPLANES, 0)))
-        .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
-      val q = bands.where(col("vec_id") < NQUERIES)
-        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-      val cand = bands.select("vec_id", "tbl", "bucket")
-        .join(broadcast(q), Seq("tbl", "bucket"))
-        .where(col("vec_id") =!= col("qid"))
-        .select("qid", "vec_id").distinct()
-      val qe = v.where(col("vec_id") < NQUERIES)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      cand
-        .join(v, Seq("vec_id"))
-        .join(broadcast(qe), Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          micro(dot(col("qe"), col("embedding"))
-            / (norm(col("qe")) * norm(col("embedding")))).as("sim_micro"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
-        .where(col("rn") <= TOPK)
-    },
+    // ---- LSH-bucketed ANN, multi-table + MULTI-PROBE: NTABLES×KPLANES
+    //      hyperplane signatures (map-only expressions); each query probes
+    //      its own bucket AND the k buckets one bit-flip away per table
+    //      (Hamming-1 multi-probe — the bit most likely wrong is exactly a
+    //      near-boundary hyperplane), candidates = union over probes
+    //      (distinct), cosine + top-k only on candidates.
+    //      E[candidates/query] ≈ L·(1+k)·N/2^k — probing multiplies the
+    //      CANDIDATE budget by (1+k) but the per-table hit rate for a
+    //      neighbor colliding on ≥(k-1) planes rises from p^k to
+    //      p^k + k·p^(k-1)(1-p): measured recall@5 on this corpus went
+    //      0.60 → ≥0.9 (LshRecallSpec pins it) at the same table count.
+    //      At real scale k grows as log2(L·(1+k)·N/C) for per-query
+    //      candidate budget C — k is a deployment parameter of
+    //      tableBuckets, not a constant of the algorithm.
+    Q("em_ann_lsh", annLshOracleSql)((s, d) => annLsh(s, d, multiProbe = true)),
 
     // ---- exact per-label centroids: scale floats to exact integers
     //      (round(x * 2^20)) so the distributed sum is order-independent;
