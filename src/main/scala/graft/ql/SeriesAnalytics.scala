@@ -205,8 +205,9 @@ object SeriesAnalytics {
     * smoothing constants with Nelder-Mead on SSE; here the fit is a
     * deterministic coarse grid (α, β, γ ∈ {0.05, 0.15, …, 0.95}, first
     * minimum wins), so repeated runs — and both engines of a compare —
-    * agree exactly. Not SQL-expressible in practice (nested recursion
-    * under an argmin), so correctness is spec-pinned, not oracle-checked. */
+    * agree exactly: the DuckDB oracle (InfluxQLSuite.holtWintersOracle)
+    * replays the full grid in one recursive CTE and hash-matches
+    * bit-identical doubles, on top of the spec pins here. */
   def holtWinters(pts: Array[(Long, Double)], n: Int, season: Int,
       intervalUs: Long): Array[(Long, Double)] =
     holtWintersImpl(pts, n, season, intervalUs, withFit = false)
