@@ -673,17 +673,32 @@ final class Engine(val spark: SparkSession, sfDir: String,
       measurement: String, precision: String,
       forward: Option[Seq[String]]): (Long, Long) = {
     import spark.implicits._
-    val meta = tables.get(measurement).map(_._2)
+    // infer over the batch: ALL of it on the Seq path (client /write —
+    // the lines are already on the driver; a field first appearing after
+    // a sampling bound would be silently dropped, ADVICE r6), a bounded
+    // take on the distributed file path
+    lazy val inferred = {
+      val sample = forward.getOrElse(ds.take(10000).toSeq)
+      val pts = sample.flatMap(l => sources.LineProtocol.parseLine(l).toOption)
+      sources.SchemaInfer.infer(measurement, pts).toTableMeta
+    }
+    val known = tables.get(measurement).map(_._2)
       .orElse(scala.util.Try(Catalog.load(spark, sfDir, measurement)._2).toOption)
-      .getOrElse {
-        // unknown measurement: infer the schema with conflict widening.
-        // The Seq path (client /write) already holds the whole batch on
-        // the driver — infer over ALL of it, or a field first appearing
-        // after a sampling bound would be silently dropped (ADVICE r6).
-        // Only the distributed file path uses a bounded take.
-        val sample = forward.getOrElse(ds.take(10000).toSeq)
-        val pts = sample.flatMap(l => sources.LineProtocol.parseLine(l).toOption)
-        sources.SchemaInfer.infer(measurement, pts).toTableMeta
+    val meta = known match {
+        case Some(base) =>
+          // KNOWN measurement: a batch may still carry never-seen field
+          // keys or tags — InfluxDB adds them to the measurement on write
+          // (dynamic schema, SURVEY §1.2); with a fixed projection they
+          // were silently dropped. Union them in; existing declarations
+          // (and their inferred types/scales) stay authoritative.
+          val newTags = inferred.tags.filterNot(base.tags.contains)
+          val newFields = inferred.fields
+            .filterNot(f => base.fields.exists(_.name == f.name))
+            .filterNot(f => base.tags.contains(f.name))
+          if (newTags.isEmpty && newFields.isEmpty) base
+          else base.copy(tags = base.tags ++ newTags,
+            fields = base.fields ++ newFields)
+        case None => inferred // unknown measurement: the inference IS the schema
       }
     val floatFields = meta.fields.map(_.name)
     // ingest hygiene (100 TB bar): parse ONCE into a cached batch carrying

@@ -27,6 +27,26 @@ object MeasurementStore {
   // U+001F (unit separator) never appears in identifiers; commas can
   private val Sep = "\u001f"
 
+  /** Concurrent-writer contract (VERDICT r6 item 7). Two engines APPENDING
+    * the same durable measurement are safe: parquet append-mode landings
+    * use job-unique part-file names (never overwrite each other), and meta
+    * writes go through a per-measurement lock + per-call unique tmp +
+    * merge-with-existing, so racing schema widenings UNION their field
+    * declarations instead of last-writer-wins. The lock is JVM-scoped —
+    * the deployment unit here (one Spark driver per store, engines as
+    * sessions within it). Writers in separate JVMs keep data-file safety
+    * and the unique-tmp guarantee (no torn meta), and a lost declaration
+    * in the narrowed read-merge-rename window self-heals on the next
+    * write carrying that field (reads mergeSchema the column all along).
+    * REWRITES (compaction/retention/delete) are maintenance with a
+    * single-maintainer contract: a rewrite racing an append can strand the
+    * append's files in the swapped-out directory — run maintenance from
+    * one owner, as Engine.maintain does. */
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def locked[T](dir: String, m: String)(body: => T): T =
+    writerLocks.computeIfAbsent(s"$dir/$m", _ => new Object).synchronized(body)
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -36,29 +56,47 @@ object MeasurementStore {
   /** Persist TableMeta (+ the directory-partition key tags, line 6 — the
     * layout must survive restart or a later append writes unpartitioned
     * files into a partitioned directory and partition discovery fails with
-    * 'Conflicting directory structures'). tmp+rename: a crash mid-write
-    * leaves the previous intact meta, never a torn one. */
+    * 'Conflicting directory structures'). Per-call-unique tmp + rename: a
+    * crash mid-write leaves the previous intact meta, never a torn one,
+    * and a racing writer can never tear THIS writer's rename. With
+    * `merge = true` (the APPEND path) the saved meta is unioned with the
+    * one on disk (the newer side wins a per-name conflict) so interleaved
+    * widening appends keep both writers' field declarations; rewrite keeps
+    * merge = false — it replaced the whole table, so its meta is exact and
+    * may legitimately narrow. */
   def saveMeta(spark: SparkSession, dir: String, meta: TableMeta,
-      keyTags: Seq[String] = Nil, uniform: Boolean = false): Unit = {
-    val p = metaPath(dir, meta.measurement)
-    val tmp = new Path(p.toString + ".tmp")
-    val f = fs(spark, p)
-    val body = Seq(
-      meta.measurement,
-      meta.timeCol,
-      meta.tags.mkString(Sep),
-      meta.fields.map(fm =>
-        s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}:${fm.ftype}").mkString(Sep),
-      meta.rawTimeNs.getOrElse(""),
-      keyTags.mkString(Sep),
-      if (uniform) "u" else "", // line 7: all data files share one schema
-      meta.bucketUs.map(_.toString).getOrElse("") // line 8: time-bucket µs
-    ).mkString("\n")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
-  }
+      keyTags: Seq[String] = Nil, uniform: Boolean = false,
+      merge: Boolean = false): Unit =
+    locked(dir, meta.measurement) {
+      val p = metaPath(dir, meta.measurement)
+      val tmp = new Path(p.toString + ".tmp." +
+        java.util.UUID.randomUUID().toString.take(8))
+      val f = fs(spark, p)
+      val merged = loadMeta(spark, dir, meta.measurement) match {
+        case Some(old) if merge && old.timeCol == meta.timeCol =>
+          meta.copy(
+            tags = meta.tags ++ old.tags.filterNot(meta.tags.contains),
+            fields = meta.fields ++
+              old.fields.filterNot(of => meta.fields.exists(_.name == of.name)),
+            bucketUs = meta.bucketUs.orElse(old.bucketUs))
+        case _ => meta
+      }
+      val body = Seq(
+        merged.measurement,
+        merged.timeCol,
+        merged.tags.mkString(Sep),
+        merged.fields.map(fm =>
+          s"${fm.name}:${fm.scale.map(_.toString).getOrElse("")}:${fm.ftype}").mkString(Sep),
+        merged.rawTimeNs.getOrElse(""),
+        keyTags.mkString(Sep),
+        if (uniform) "u" else "", // line 7: all data files share one schema
+        merged.bucketUs.map(_.toString).getOrElse("") // line 8: time-bucket µs
+      ).mkString("\n")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (f.exists(p)) f.delete(p, false)
+      f.rename(tmp, p)
+    }
 
   /** None when absent OR malformed — a corrupt meta (crash mid-write on a
     * filesystem without atomic rename) must not prevent the whole Engine
@@ -160,7 +198,7 @@ object MeasurementStore {
     * appends with a widened schema are legal — reads merge schemas and
     * null-pad older files. */
   def append(spark: SparkSession, dir: String, meta: TableMeta, batch: DataFrame,
-      keyTags: Seq[String] = Nil): Unit = {
+      keyTags: Seq[String] = Nil): Unit = locked(dir, meta.measurement) {
     // an existing at-rest layout wins over the caller's (possibly empty)
     // key: once a directory is tag-partitioned, every append must follow
     // suit or the mixed layout breaks partition discovery
@@ -174,7 +212,7 @@ object MeasurementStore {
     val partCols = (if (bucket.isDefined && data.columns.contains("_tb")) Seq("_tb") else Nil) ++ tagCols
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(dataPath(dir, meta.measurement))
-    saveMeta(spark, dir, meta.copy(bucketUs = bucket), tagCols)
+    saveMeta(spark, dir, meta.copy(bucketUs = bucket), tagCols, merge = true)
   }
 
   /** Replace the at-rest contents with `df` (delete compaction, retention
@@ -182,7 +220,7 @@ object MeasurementStore {
     * source plan may lazily read the live directory, so the write must not
     * touch it. */
   def rewrite(spark: SparkSession, dir: String, meta: TableMeta, df: DataFrame,
-      keyTags: Seq[String] = Nil): Unit = {
+      keyTags: Seq[String] = Nil): Unit = locked(dir, meta.measurement) {
     val live = new Path(dataPath(dir, meta.measurement))
     val tmp = new Path(dataPath(dir, meta.measurement) + ".tmp")
     val old = new Path(dataPath(dir, meta.measurement) + ".old")

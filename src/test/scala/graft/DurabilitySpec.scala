@@ -266,6 +266,46 @@ class DurabilitySpec extends SparkSpec {
     assert(e2.execute("SELECT v FROM dm").collect().length == 21)
   }
 
+  test("two engines interleaving appends on one measurement: no lost rows, schema widenings union") {
+    val dir = tmpDir()
+    val e1 = new Engine(spark, sfDir, Some(dir))
+    val e2 = new Engine(spark, sfDir, Some(dir)) // same dataDir, live simultaneously
+    e1.registerMeasurement(meta, spark.emptyDataFrame)
+    // interleave appends from both engines, including a schema widening
+    // from EACH side (v stays, e1 adds w, e2 adds u) — the meta merge must
+    // keep every declaration, the data files never overwrite
+    e1.writeLineProtocol(Seq("dm,type=a v=1 1000000000"), "dm")
+    e2.writeLineProtocol(Seq("dm,type=b v=2 2000000000"), "dm")
+    e1.writeLineProtocol(Seq("dm,type=a v=3,w=30 3000000000"), "dm")
+    e2.writeLineProtocol(Seq("dm,type=b v=4,u=40 4000000000"), "dm")
+    e1.writeLineProtocol(Seq("dm,type=a v=5 5000000000"), "dm")
+
+    // CONCURRENT interleaving: both engines hammer the same measurement
+    // from separate threads (the JVM-scoped writer lock serializes the
+    // layout decision + meta swap; parquet part files are job-unique)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (0 until 8).map { i =>
+        val e = if (i % 2 == 0) e1 else e2
+        pool.submit(new Runnable {
+          def run(): Unit =
+            e.writeLineProtocol(Seq(s"dm,type=c v=${100 + i} ${(10L + i) * 1000000000}"), "dm")
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+
+    // a FRESH engine (restart) sees every row from both writers and the
+    // union schema — nothing torn, nothing lost
+    val e3 = new Engine(spark, sfDir, Some(dir))
+    val rows = e3.execute("SELECT v FROM dm").collect().map(_.getAs[Double]("v")).toSet
+    assert(rows == (Set(1.0, 2.0, 3.0, 4.0, 5.0) ++ (0 until 8).map(i => 100.0 + i)), rows)
+    assert(e3.execute("SELECT w FROM dm").collect()
+      .flatMap(r => Option(r.get(r.fieldIndex("w")))).map(_.asInstanceOf[Double]).toSet == Set(30.0))
+    assert(e3.execute("SELECT u FROM dm").collect()
+      .flatMap(r => Option(r.get(r.fieldIndex("u")))).map(_.asInstanceOf[Double]).toSet == Set(40.0))
+  }
+
   test("retention expiry drops only fully-expired time-bucket directories") {
     val dir = tmpDir()
     val e = new Engine(spark, sfDir, Some(dir))
