@@ -8,15 +8,21 @@ import org.apache.spark.sql.functions._
   * partition iterators chunked into fixed batches so a real decoder can
   * amortize codec/model setup per batch).
   *
-  * The IMAGE and AUDIO paths are REAL decodes: image rows carry genuine
-  * PNG payloads read back with the JDK's ImageIO (`decodePng`), audio rows
-  * genuine RIFF/WAVE PCM16 payloads read back with javax.sound.sampled
-  * (`decodeWav`) — dimensions, pixel probe, sample rate, frame count and
+  * The IMAGE, AUDIO and VIDEO paths are ALL REAL decodes: image rows carry
+  * genuine PNG payloads read back with the JDK's ImageIO (`decodePng`),
+  * audio rows genuine RIFF/WAVE PCM16 payloads read back with
+  * javax.sound.sampled (`decodeWav`), and video rows genuine RIFF/AVI
+  * MJPEG containers (`makeAvi`) walked chunk-by-chunk with a hand-rolled
+  * RIFF parser and frame-decoded with the JDK JPEG codec (`decodeAvi`) —
+  * dimensions, pixel probes, sample rate, frame count, frame timing and
   * amplitudes can only come from actually parsing the bytes, and the
-  * oracles recompute them from the same fixture arithmetic. VIDEO decode
-  * remains a labeled STUB (`stubDecode`, deterministic pseudo-features —
-  * the JDK ships no video codec and this container has no external ones);
-  * swapping it for a JNI/ONNX call changes no plumbing.
+  * oracles recompute them from the same fixture arithmetic. (The JDK ships
+  * no inter-frame video codec; MJPEG — a JPEG per frame in an AVI 'movi'
+  * list — is the one video format decodable with zero external deps, and
+  * constant-fill even-gray frames survive baseline JPEG quantization
+  * bit-exactly, which is what makes the decoded pixel oracle-checkable.)
+  * `stubDecode` remains only as the labeled extension point for mimes
+  * with no JDK codec; swapping it for a JNI/ONNX call changes no plumbing.
   *
   * Scale notes: mapPartitions keeps the decode distributed with zero
   * shuffle; batches bound peak memory; binary payloads stay columnar in
@@ -114,6 +120,120 @@ object Multimodal {
           _: java.io.IOException => (-2, -2L, 0, -1)
     }
 
+  // fixture arithmetic for generated AVIs — the oracle mirrors these.
+  // Frame fills are EVEN grays: a constant even-gray frame round-trips the
+  // baseline JPEG DC quantization exactly (verified across dims 8x8..48x32
+  // on the JDK codec), so decoded pixels are oracle arithmetic, not hope.
+  def aviWidth(docId: Long): Int = 8 + (docId % 41L).toInt
+  def aviHeight(docId: Long): Int = 8 + ((docId * 3L) % 29L).toInt
+  def aviFrames(docId: Long): Int = 2 + (docId % 5L).toInt
+  def aviUsPerFrame(docId: Long): Int = // mod 4: video ids are ≡2 (mod 3),
+    Array(33333, 40000, 66667, 50000)((docId % 4L).toInt) // so mod-3 would be constant
+  def aviGray(docId: Long, frame: Int): Int =
+    2 * (((docId * 11L + frame * 17L) % 128L).toInt)
+
+  private def fourCC(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** A real RIFF/AVI MJPEG container: LIST hdrl (avih + strl(strh 'vids'/
+    * 'MJPG' + strf BITMAPINFOHEADER)) then LIST movi with one '00dc' JPEG
+    * chunk per frame, each an ImageIO-encoded constant-even-gray frame.
+    * Playable by any MJPEG-capable player; every header field below is
+    * read back by `decodeAvi`. */
+  def makeAvi(docId: Long): Array[Byte] = {
+    val w = aviWidth(docId); val h = aviHeight(docId)
+    val n = aviFrames(docId); val usPf = aviUsPerFrame(docId)
+    val frames = (0 until n).map { k =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = aviGray(docId, k)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2 // RIFF chunks are word-aligned
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourCC(id)).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourCC("LIST")).putInt(4 + body.length).put(fourCC(kind)).put(body)
+      bb.array()
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(usPf).putInt(0).putInt(0).putInt(0) // no index → flags 0
+        .putInt(n).putInt(0).putInt(1).putInt(maxFrame).putInt(w).putInt(h)
+      bb.array() // 16 reserved bytes stay zero
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourCC("vids")).put(fourCC("MJPG")).putInt(0).putShort(0).putShort(0)
+        .putInt(0).putInt(usPf).putInt(1000000) // scale/rate: rate/scale = fps
+        .putInt(0).putInt(n).putInt(maxFrame).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .put(fourCC("MJPG")).putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fourCC("AVI ") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(fourCC("RIFF")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  final case class AviMeta(width: Int, height: Int, usPerFrame: Int,
+      declaredFrames: Int, frames: Seq[Array[Byte]])
+
+  /** The real video parse: walk the RIFF chunk tree (no header trusted
+    * blindly — avih gives dims/timing, the '00dc' chunks are counted and
+    * returned raw for per-frame JPEG decode). None marks a payload that is
+    * not a RIFF/AVI — visible, never silently stubbed. */
+  def decodeAvi(payload: Array[Byte]): Option[AviMeta] = {
+    if (payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (cc() != "RIFF") return None
+    bb.getInt // riff size
+    if (cc() != "AVI ") return None
+    var w = -1; var h = -1; var usPf = -1; var declared = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int): Unit = {
+      while (bb.position() + 8 <= end) {
+        val id = cc()
+        val sz = bb.getInt
+        val next = bb.position() + sz + (sz % 2)
+        if (id == "LIST") { cc(); walk(bb.position() + sz - 4) }
+        else {
+          if (id == "avih" && sz >= 40) {
+            val base = bb.position()
+            usPf = bb.getInt(base); declared = bb.getInt(base + 16)
+            w = bb.getInt(base + 32); h = bb.getInt(base + 36)
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            val f = new Array[Byte](sz); bb.get(f); frames += f
+          }
+        }
+        bb.position(math.min(next, end))
+      }
+    }
+    try { walk(payload.length); Some(AviMeta(w, h, usPf, declared, frames.toSeq)) }
+    catch { case _: RuntimeException => None }
+  }
+
   /** A real PNG payload: dimensions + constant fill color derived from
     * doc_id. Encoded with ImageIO — decodable by any PNG reader. */
   def makePng(docId: Long): Array[Byte] = {
@@ -189,28 +309,30 @@ object Multimodal {
   }
 
   /** documents → media table: image rows (doc_id ≡ 0 mod 3) carry REAL
-    * PNG payloads, audio rows (≡ 1) REAL WAV payloads; video rows keep
-    * UTF-8 text bytes as the stand-in binary (no video codec in the JDK).
-    * Mime assignment is the same deterministic sniff as before. */
+    * PNG payloads, audio rows (≡ 1) REAL WAV payloads, video rows (≡ 2)
+    * REAL RIFF/AVI MJPEG payloads. Mime assignment is the same
+    * deterministic sniff as before. */
   def mediaTable(docs: DataFrame): DataFrame = {
     val mkPng = udf((docId: Long) => makePng(docId))
     val mkWav = udf((docId: Long) => makeWav(docId))
+    val mkAvi = udf((docId: Long) => makeAvi(docId))
     docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, mkPng(col("doc_id")))
         .when(pmod(col("doc_id"), lit(3)) === 1, mkWav(col("doc_id")))
-        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+        .otherwise(mkAvi(col("doc_id"))).as("payload"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
-        .otherwise("video/mp4").as("mime"))
+        .otherwise("video/avi").as("mime"))
   }
 
   /** Batch feature extraction over partition iterators — the mapInPandas-
-    * shaped hot path. Images and audio decode FOR REAL (ImageIO /
-    * javax.sound.sampled); only video stays a labeled stub. MediaFeatures
-    * is a generic per-modality record: for audio, `width` carries the
-    * sample rate (Hz), `height` the sample count, and `rgb0` the first
-    * decoded sample — dedicated audio columns live in the mm_audio gate
-    * (`audioProbe`); this keeps one batched decode pass for mixed media. */
+    * shaped hot path. Images, audio AND video decode FOR REAL (ImageIO /
+    * javax.sound.sampled / RIFF-walk + per-frame JPEG). MediaFeatures is a
+    * generic per-modality record: for audio, `width` carries the sample
+    * rate (Hz), `height` the sample count and `rgb0` the first decoded
+    * sample; for video, `rgb0` is the decoded (0,0) pixel of frame 0 —
+    * dedicated per-modality columns live in the mm_audio / mm_video gates.
+    * Unknown mimes fall through to the labeled stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
@@ -226,6 +348,17 @@ object Multimodal {
             val (rate, frames, first, _) = decodeWav(r.payload)
             MediaFeatures(r.doc_id, r.mime, Some(r.payload.length.toLong),
               None, rate, frames.toInt, 1, first.toLong)
+          } else if (r.mime == "video/avi") {
+            // real container parse + first-frame JPEG decode; bytes_len and
+            // sha256 None like images (JPEG byte count encoder-dependent)
+            decodeAvi(r.payload) match {
+              case Some(m) =>
+                val rgb0 = m.frames.headOption.map(f => decodePng(f)._3).getOrElse(-1L)
+                MediaFeatures(r.doc_id, r.mime, None, None, m.width, m.height,
+                  m.frames.size, rgb0)
+              case None =>
+                MediaFeatures(r.doc_id, r.mime, None, None, -2, -2, -2, -1L)
+            }
           } else {
             val (w, h, f) = stubDecode(r.payload, r.mime)
             MediaFeatures(r.doc_id, r.mime, Some(r.payload.length.toLong),
@@ -251,6 +384,68 @@ object Multimodal {
           val (rate, frames, first, peak) = decodeWav(r.payload)
           val durUs = if (rate > 0) frames * 1000000L / rate else -1L
           AudioProbe(r.doc_id, rate, frames, durUs, first, peak)
+        }
+      }
+    }
+  }
+
+  final case class VideoProbe(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, frames_decoded: Int, us_per_frame: Int,
+      duration_ms: Long, gray0: Int)
+
+  /** Video probe over the AVI rows of a media table: real RIFF walk +
+    * per-frame JPEG decode, batched mapPartitions, map-only / zero shuffle
+    * — the distributed shape of a corpus-wide video-stats job (duration,
+    * frame geometry, decodability audit). `frames_decoded` counts frames
+    * the JPEG codec actually accepted — it can only equal `n_frames` if
+    * every '00dc' chunk holds a real JPEG; `gray0` is the decoded (0,0)
+    * gray of frame 0 (exact for the even-gray fixtures). */
+  def videoProbe(spark: SparkSession, media: DataFrame): Dataset[VideoProbe] = {
+    import spark.implicits._
+    media.where(col("mime") === "video/avi").as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          decodeAvi(r.payload) match {
+            case Some(m) =>
+              val decoded = m.frames.map(f =>
+                javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+              val gray0 = decoded.headOption.filter(_ != null)
+                .map(i => i.getRGB(0, 0) & 0xff).getOrElse(-1)
+              VideoProbe(r.doc_id, m.width, m.height, m.frames.size,
+                decoded.count(_ != null), m.usPerFrame,
+                m.frames.size.toLong * m.usPerFrame / 1000L, gray0)
+            case None =>
+              VideoProbe(r.doc_id, -2, -2, -2, -2, -2, -2L, -1)
+          }
+        }
+      }
+    }
+  }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Int,
+      width: Int, height: Int, gray: Int)
+
+  /** Frame sampling — the training-pipeline "every k-th frame" extraction:
+    * decode the container once per row, JPEG-decode only the sampled
+    * frames, emit one row per kept frame. Map-only explode (rows grow by
+    * ~frames/stride, no shuffle); at 100 TB the per-row work is bounded by
+    * payload size and the output stays partition-local. */
+  def videoFrameSample(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[VideoFrame] = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    media.where(col("mime") === "video/avi").as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeAvi(r.payload).toSeq.flatMap { m =>
+            m.frames.zipWithIndex.collect {
+              case (f, idx) if idx % stride == 0 =>
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+                if (img == null) VideoFrame(r.doc_id, idx, -2, -2, -1)
+                else VideoFrame(r.doc_id, idx, img.getWidth, img.getHeight,
+                  img.getRGB(0, 0) & 0xff)
+            }
+          }
         }
       }
     }

@@ -40,35 +40,38 @@ object IngestSuite {
       parsed.select(col("time_ns"), col("event_type"), col("value"), col("user_id"))
     },
 
-    // image rows (doc_id ≡ 0 mod 3) are REAL PNGs decoded with ImageIO and
-    // audio rows (≡ 1) REAL WAVs decoded with javax.sound.sampled: width/
-    // height/pixel resp. rate/frames/sample can only match by actually
-    // parsing the payload. sha256 is NULL for both binary modalities (not
-    // recomputable in SQL); audio bytes_len IS checkable (44-byte canonical
-    // header + 2 bytes/sample). Video rows keep the labeled stub
-    // arithmetic the oracle mirrors.
+    // image rows (doc_id ≡ 0 mod 3) are REAL PNGs decoded with ImageIO,
+    // audio rows (≡ 1) REAL WAVs decoded with javax.sound.sampled, video
+    // rows (≡ 2) REAL RIFF/AVI MJPEG containers walked chunk-by-chunk and
+    // frame-decoded by the JDK JPEG codec: width/height/pixel resp. rate/
+    // frames/sample resp. geometry/frame-count/frame-0 pixel can only
+    // match by actually parsing the payload. sha256 is NULL for all three
+    // (binary not recomputable in SQL); audio bytes_len IS checkable
+    // (44-byte canonical header + 2 bytes/sample), image/video byte counts
+    // are encoder-dependent → NULL. Video rgb0 = packed RGB of the frame-0
+    // even-gray fill g·0x010101 (constant even grays survive baseline JPEG
+    // exactly — see Multimodal.aviGray).
     Q("mm_features",
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |       ELSE 'video/mp4' END AS mime,
-        |  CASE WHEN doc_id % 3 = 0 THEN NULL
-        |       WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * (50 + doc_id % 200) AS BIGINT)
-        |       ELSE CAST(n_chars AS BIGINT) END AS bytes_len,
-        |  CASE WHEN doc_id % 3 = 2 THEN sha256(text) ELSE NULL END AS sha256,
+        |       ELSE 'video/avi' END AS mime,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(44 + 2 * (50 + doc_id % 200) AS BIGINT)
+        |       ELSE NULL END AS bytes_len,
+        |  CAST(NULL AS VARCHAR) AS sha256,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8
         |            WHEN doc_id % 3 = 1 THEN
         |              CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |                              WHEN 2 THEN 32000 ELSE 44100 END
-        |            ELSE 64 + n_chars % 577 END AS INT) AS width,
+        |            ELSE 8 + doc_id % 41 END AS INT) AS width,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 5
         |            WHEN doc_id % 3 = 1 THEN 50 + doc_id % 200
-        |            ELSE 64 + (n_chars * 31) % 421 END AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + n_chars % 7 ELSE 1 END AS INT) AS n_frames,
+        |            ELSE 8 + (doc_id * 3) % 29 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 5 ELSE 1 END AS INT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 3 = 0
         |            THEN (doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256 + (doc_id * 13) % 256
         |            WHEN doc_id % 3 = 1 THEN (doc_id * 37) % 20000 - 10000
-        |            ELSE -1 END AS BIGINT) AS rgb0
+        |            ELSE 2 * ((doc_id * 11) % 128) * 65793 END AS BIGINT) AS rgb0
         |FROM documents""".stripMargin) { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
         .select("doc_id", "mime", "bytes_len", "sha256", "width", "height", "n_frames", "rgb0")
@@ -91,6 +94,43 @@ object IngestSuite {
         |FROM documents WHERE doc_id % 3 = 1""".stripMargin) { (s, d) =>
       Multimodal.audioProbe(s,
         Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
+    },
+
+    // the dedicated video gate: a REAL RIFF/AVI walk + per-frame JPEG
+    // decode of every video row. frames_decoded can only equal n_frames if
+    // every '00dc' chunk holds a codec-accepted JPEG; gray0 is the decoded
+    // (0,0) pixel of frame 0 — exact because constant even-gray frames
+    // survive baseline JPEG quantization bit-for-bit.
+    Q("mm_video",
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 41 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 29 AS INT) AS height,
+        |  CAST(2 + doc_id % 5 AS INT) AS n_frames,
+        |  CAST(2 + doc_id % 5 AS INT) AS frames_decoded,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+        |                       WHEN 2 THEN 66667 ELSE 50000 END AS INT) AS us_per_frame,
+        |  CAST((2 + doc_id % 5) * (CASE doc_id % 4 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+        |                           WHEN 2 THEN 66667 ELSE 50000 END) // 1000 AS BIGINT) AS duration_ms,
+        |  CAST(2 * ((doc_id * 11) % 128) AS INT) AS gray0
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin) { (s, d) =>
+      Multimodal.videoProbe(s,
+        Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
+    },
+
+    // frame sampling (every 2nd frame): the training-pipeline extraction
+    // shape — one container parse per row, JPEG decode only for sampled
+    // frames, map-only explode. The oracle unrolls the same stride
+    // arithmetic with generate_series.
+    Q("mm_video_frames",
+      """SELECT doc_id,
+        |  CAST(f AS INT) AS frame_idx,
+        |  CAST(8 + doc_id % 41 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 29 AS INT) AS height,
+        |  CAST(2 * ((doc_id * 11 + f * 17) % 128) AS INT) AS gray
+        |FROM (SELECT doc_id, UNNEST(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT), 2)) AS f
+        |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin) { (s, d) =>
+      Multimodal.videoFrameSample(s,
+        Multimodal.mediaTable(Tables(s, d, "documents")), stride = 2).toDF()
     },
 
     // a REAL resize (Graphics2D nearest-neighbor, re-encoded PNG, then

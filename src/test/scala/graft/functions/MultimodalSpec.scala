@@ -3,9 +3,10 @@ package graft.functions
 import graft.SparkSpec
 
 /** Real media decodes (VERDICT r5 item 8 / r6 item 3): the image path must
-  * round-trip genuine PNG bytes through ImageIO and the audio path genuine
-  * RIFF/WAVE bytes through javax.sound.sampled — parsed values, not stub
-  * arithmetic — while video keeps the labeled stub. */
+  * round-trip genuine PNG bytes through ImageIO, the audio path genuine
+  * RIFF/WAVE bytes through javax.sound.sampled, and the video path genuine
+  * RIFF/AVI MJPEG containers through the RIFF walker + JDK JPEG codec —
+  * parsed values, not stub arithmetic. */
 class MultimodalSpec extends SparkSpec {
 
   test("makePng → decodePng round-trips dimensions and the probe pixel") {
@@ -29,9 +30,54 @@ class MultimodalSpec extends SparkSpec {
   test("an undecodable payload surfaces the sentinel, not a silent stub") {
     assert(Multimodal.decodePng("not a png".getBytes("UTF-8")) == (-2, -2, -1L))
     assert(Multimodal.decodeWav("not a wav".getBytes("UTF-8")) == (-2, -2L, 0, -1))
+    assert(Multimodal.decodeAvi("not an avi".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(Array.emptyByteArray).isEmpty)
   }
 
-  test("extractFeatures really decodes image and audio rows; video stays stubbed") {
+  test("makeAvi → decodeAvi round-trips geometry, timing, and every frame pixel") {
+    Seq(2L, 5L, 8L, 11L, 14L, 101L, 998L).foreach { id =>
+      val m = Multimodal.decodeAvi(Multimodal.makeAvi(id))
+        .getOrElse(fail(s"id=$id: container did not parse"))
+      assert(m.width == Multimodal.aviWidth(id) && m.height == Multimodal.aviHeight(id))
+      assert(m.usPerFrame == Multimodal.aviUsPerFrame(id))
+      assert(m.declaredFrames == Multimodal.aviFrames(id))
+      assert(m.frames.size == Multimodal.aviFrames(id))
+      m.frames.zipWithIndex.foreach { case (f, k) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        assert(img != null, s"id=$id frame $k: JPEG codec rejected the chunk")
+        assert(img.getWidth == m.width && img.getHeight == m.height)
+        // constant even-gray fills survive baseline JPEG exactly — every
+        // pixel, not just the probe (this is what licenses the SQL oracle)
+        val g = Multimodal.aviGray(id, k)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val p = img.getRGB(x, y)
+          assert((p & 0xff) == g && ((p >> 8) & 0xff) == g && ((p >> 16) & 0xff) == g,
+            s"id=$id frame $k pixel ($x,$y) drifted")
+        }
+      }
+    }
+  }
+
+  test("videoFrameSample keeps exactly the stride-aligned frames") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((2L, "a"), (5L, "b"), (8L, "c"), (3L, "not video"))
+      .toDF("doc_id", "text").withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+    val rows = Multimodal.videoFrameSample(s, Multimodal.mediaTable(docs), stride = 2)
+      .collect().groupBy(_.doc_id)
+    assert(rows.keySet == Set(2L, 5L, 8L)) // only doc_id ≡ 2 mod 3 rows
+    for ((id, fs) <- rows) {
+      val expected = (0 until Multimodal.aviFrames(id) by 2).toSet
+      assert(fs.map(_.frame_idx).toSet == expected, s"id=$id sampled set")
+      fs.foreach { f =>
+        assert(f.width == Multimodal.aviWidth(id) && f.height == Multimodal.aviHeight(id))
+        assert(f.gray == Multimodal.aviGray(id, f.frame_idx), s"id=$id frame ${f.frame_idx}")
+      }
+    }
+  }
+
+  test("extractFeatures really decodes image, audio, and video rows") {
     val s = spark
     import s.implicits._
     val docs = Seq((3L, "hello"), (4L, "worldly"), (5L, "!"))
@@ -52,8 +98,13 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(4L).rgb0 == Multimodal.wavAmp(4L).toLong)
     assert(feats(4L).bytes_len.contains(44L + 2 * Multimodal.wavSamples(4L)))
     assert(feats(4L).sha256.isEmpty && feats(4L).n_frames == 1)
-    // doc 5: video — stubbed frame count
-    assert(feats(5L).mime == "video/mp4" && feats(5L).n_frames == 1 + 1 % 7)
+    // doc 5: video — REAL container walk + frame-0 JPEG decode
+    assert(feats(5L).mime == "video/avi")
+    assert(feats(5L).width == Multimodal.aviWidth(5L))
+    assert(feats(5L).height == Multimodal.aviHeight(5L))
+    assert(feats(5L).n_frames == Multimodal.aviFrames(5L))
+    assert(feats(5L).rgb0 == Multimodal.aviGray(5L, 0).toLong * 0x010101L)
+    assert(feats(5L).bytes_len.isEmpty && feats(5L).sha256.isEmpty)
   }
 
   test("audioProbe computes duration from the decoded rate and frame count") {
