@@ -23,8 +23,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional subset (comma-separated names) for scale checks on oversized
+    // local corpora; a filtered run skips the write bench and does NOT
+    // overwrite BENCH_SELF.json (the driver's full-sweep artifact)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.build("graft-bench")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache() // cold-cache per run; also reaps per-query persist()s
         val t0 = System.nanoTime()
@@ -69,15 +76,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] write($durable) failed: ${e.getMessage}"); -1.0 }
     }
-    val wps = writeBench(durable = false)
-    val wpsDurable = writeBench(durable = true)
+    val wps = if (only.isDefined) -1.0 else writeBench(durable = false)
+    val wpsDurable = if (only.isDefined) -1.0 else writeBench(durable = true)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""write_pps":$wps,"write_pps_durable":$wpsDurable,"sf":"$sfDir"}"""
     println(line)
     // self-recorded artifact: the driver's captured stdout tail can truncate
     // the per-query map (it did in round 4) — the full line survives on disk
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      (line + "\n").getBytes("UTF-8"))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -285,6 +285,25 @@ object DocText {
       // itself adds no driver-side action and no extra shuffle.
       val cap = s.conf.get("graft.shingleJaccard.bucketCap", "20000").toInt
       val counts = sh.groupBy("lang", "source").agg(count(lit(1)).as("_bn"))
+      // block-salted pair decomposition + explicit probe repartition. Two
+      // distinct parallelism ceilings hide here (both measured at sf1,
+      // where the box ran the whole 405 s join at load 2 of 32):
+      //  1. a bare (lang, source) join key bounds a SHUFFLE join at the
+      //     bucket count (~45). Salting the b-side with pmod(hash(doc_b),
+      //     B) and replicating the a-side ×B lifts key cardinality to
+      //     buckets×B; every pair still meets exactly once (b keeps ONE
+      //     block id), output identical.
+      //  2. the b-side shingle table fits under the broadcast threshold,
+      //     so Catalyst picks a BROADCAST join — then no shuffle happens
+      //     at all and the quadratic pair work runs over the a-side's
+      //     INPUT partitioning, i.e. 1-2 parquet splits for a small table.
+      //     Key cardinality is irrelevant in that plan; the probe side
+      //     must be explicitly repartitioned. repartition on the salted
+      //     key fixes both plans at once (CPU-heavy/byte-light stages are
+      //     exactly where AQE's size-based coalescing misjudges, so the
+      //     explicit exchange is load-bearing, not belt-and-braces).
+      val blocks = s.conf.get("graft.shingleJaccard.blocks", "8").toInt
+      val bSalted = b.withColumn("_blk", pmod(xxhash64(col("doc_b")), lit(blocks)))
       a.join(broadcast(counts), Seq("lang", "source"))
         // assert_true returns NULL when the predicate holds (so the filter
         // passes every row) and raises with the message when it doesn't
@@ -293,7 +312,13 @@ object DocText {
           lit(s") holds more than $cap docs - exact quadratic baseline refused; " +
             "use d_lsh_pairs or raise graft.shingleJaccard.bucketCap"))).isNull)
         .drop("_bn")
-        .join(b, Seq("lang", "source"))
+        .withColumn("_blk", explode(array((0 until blocks).map(lit(_)): _*)))
+        // explicit partition count: a bare repartition(cols) is an AQE
+        // coalesce target, which would re-merge these byte-light partitions
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("lang"), col("source"), col("_blk"))
+        .join(bSalted, Seq("lang", "source", "_blk"))
+        .drop("_blk")
         .where(col("doc_a") < col("doc_b"))
         // size prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
         // failing the length ratio can never reach 0.8 — prunes the

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up for scale checks (VERDICT r6 item 8).
+  *
+  * Replicates the driver-generated star schema `factor`× into `dst`,
+  * preserving each replica's *internal* statistical structure exactly
+  * while keeping replicas disjoint, so per-query runtime scaling factors
+  * measured on the output isolate engine behavior (shuffle width, bucket
+  * fan-out, fixpoint rounds) from data-shape drift:
+  *
+  *  - dimension tables (`region nation customer supplier part`) are
+  *    copied as-is — facts grow, dims don't, the realistic growth mode;
+  *  - `orders`/`lineitem` replicate with `o_orderkey`/`l_orderkey`
+  *    offset per replica (same customers/parts/suppliers → per-dim fan-in
+  *    grows linearly, join selectivity unchanged);
+  *  - `events` replicate with fresh `event_id`/`user_id` per replica and
+  *    unchanged timestamps: series count ×factor, per-series density
+  *    constant — how a metrics workload actually scales;
+  *  - `documents` replicate with a per-replica token-suffix bijection on
+  *    the text. A bijection on the vocabulary maps shingle sets
+  *    bijectively, so every intra-replica Jaccard/MinHash/SimHash
+  *    relation (planted dups included) is preserved exactly, while
+  *    cross-replica shingle overlap is zero — no accidental quadratic
+  *    dup blow-up across replicas;
+  *  - `embeddings` replicate with a per-replica circular shift of the
+  *    vector dimensions: a permutation preserves every intra-replica
+  *    inner product exactly (cluster structure, planted near-dups) and
+  *    decorrelates replicas (cross-replica cosine ≈ autocorrelation at
+  *    the shift lag ≈ 0 for the synthetic Gaussian clusters).
+  *
+  * Usage: ScaleUp [srcDir] [dstDir] [factor]  (defaults sf0.1 → target/sf1 ×10)
+  */
+object ScaleUp {
+
+  /** Key offsets use the next power of ten above the source max so scaled
+    * keys stay readable and collision-free. */
+  private def offsetFor(df: DataFrame, col0: String): Long = {
+    val mx = df.agg(max(col(col0))).head.getLong(0)
+    var p = 1L
+    while (p <= mx) p *= 10
+    p
+  }
+
+  private def replicate(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.Sessions.build("graft-scaleup")
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // dims: fixed
+    Seq("region", "nation", "customer", "supplier", "part").foreach(t => wr(rd(t), t))
+
+    // facts: key-offset replicas
+    val orders = rd("orders")
+    val ko = offsetFor(orders, "o_orderkey")
+    wr(replicate(orders, factor)
+        .withColumn("o_orderkey", col("o_orderkey") + col("_r") * ko)
+        .drop("_r"), "orders")
+
+    val li = rd("lineitem")
+    wr(replicate(li, factor)
+        .withColumn("l_orderkey", col("l_orderkey") + col("_r") * ko)
+        .drop("_r"), "lineitem")
+
+    val ev = rd("events")
+    val ke = offsetFor(ev, "event_id")
+    val ku = offsetFor(ev, "user_id")
+    wr(replicate(ev, factor)
+        .withColumn("event_id", col("event_id") + col("_r") * ke)
+        .withColumn("user_id", col("user_id") + col("_r") * ku)
+        .drop("_r"), "events")
+
+    // documents: vocabulary bijection per replica (replica 0 untouched)
+    val docs = rd("documents")
+    val kd = offsetFor(docs, "doc_id")
+    val sfx = concat(lit("⁙r"), col("_r")) // suffix no source token contains
+    val mutated = when(col("_r") === 0, col("text")).otherwise(
+      array_join(transform(split(col("text"), " "),
+        t => when(t === "", t).otherwise(concat(t, sfx))), " "))
+    wr(replicate(docs, factor)
+        .withColumn("doc_id", col("doc_id") + col("_r") * kd)
+        .withColumn("text", mutated)
+        .withColumn("n_chars", length(col("text")))
+        .drop("_r"), "documents")
+
+    // embeddings: circular dimension shift per replica
+    val emb = rd("embeddings")
+    val kv = offsetFor(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val shift = (col("_r") * (dim / factor.max(1))) % dim
+    val shifted = when(col("_r") === 0, col("embedding")).otherwise(
+      concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
+             slice(col("embedding"), lit(1), shift)))
+    wr(replicate(emb, factor)
+        .withColumn("vec_id", col("vec_id") + col("_r") * kv)
+        .withColumn("embedding", shifted)
+        .drop("_r"), "embeddings")
+
+    println(s"scaled $src -> $dst x$factor")
+    spark.stop()
+  }
+}
