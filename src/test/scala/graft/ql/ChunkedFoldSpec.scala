@@ -1,0 +1,88 @@
+package graft.ql
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+
+/** The chunked series-fold path (round 7): an untagged transform query
+  * must NOT funnel the series through a single unpartitioned Window — it
+  * cuts the series into time-range chunks with carry rows — and the
+  * chunked fold must be BIT-EQUAL to the sequential global window,
+  * including across thin/empty chunks where the carry has to cascade
+  * beyond the immediately-preceding chunk. */
+class ChunkedFoldSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  /** 200 points with a deliberately lumpy time axis: a dense head, a long
+    * gap (several EMPTY chunks), then a sparse tail where chunks hold
+    * fewer rows than the moving_average lookback — the cascade case. */
+  private lazy val lumpy: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (0 until 150).map(i => (1000L + i * 7L, math.sin(i * 0.37) * 100.0)) ++
+        (0 until 50).map(i => (900000L + i * 33333L, math.cos(i * 0.53) * 40.0))
+    rows.toDF("ts_us", "value")
+  }
+  private val meta = TableMeta("m", "ts_us",
+    tags = Seq(), fields = Seq(FieldMeta("value", None)))
+
+  private def run(q: String, chunks: Int): Array[org.apache.spark.sql.Row] = {
+    spark.conf.set("graft.seriesFold.chunks", chunks.toString)
+    spark.conf.set("graft.seriesFold.minBytes", "0") // force past the size gate
+    try new Translator(lumpy, meta).run(Parser.parse(q).asInstanceOf[SelectStmt])
+      .orderBy("time").collect()
+    finally {
+      spark.conf.unset("graft.seriesFold.chunks")
+      spark.conf.unset("graft.seriesFold.minBytes")
+    }
+  }
+
+  private val queries = Seq(
+    "SELECT derivative(value, 1s) FROM m",
+    "SELECT difference(value) FROM m",
+    "SELECT non_negative_derivative(value, 1s) FROM m",
+    "SELECT elapsed(value, 1ms) FROM m",
+    "SELECT moving_average(value, 7) FROM m", // lookback 6 > sparse-tail chunk size
+    "SELECT derivative(value, 1s), moving_average(value, 3) FROM m")
+
+  test("chunked folds are bit-equal to the sequential global window") {
+    for (q <- queries) {
+      val seq = run(q, chunks = 1) // 1 disables chunking → global window
+      val par = run(q, chunks = 16)
+      assert(seq.length == par.length, s"$q: row count ${par.length} vs ${seq.length}")
+      seq.zip(par).foreach { case (a, b) => assert(a == b, s"$q: $a != $b") }
+    }
+  }
+
+  test("the chunked plan has no unpartitioned Window; cumulative_sum keeps one") {
+    // AQE wraps the physical plan, so inspect the analyzed window specs:
+    // every windowspecdefinition must carry a partition column. A global
+    // window prints windowspecdefinition(<order> ASC ...) with no
+    // partition spec; the chunked ones lead with __chunk/__tgt.
+    def specs(q: String): Seq[String] = {
+      val plan = new Translator(lumpy, meta)
+        .run(Parser.parse(q).asInstanceOf[SelectStmt])
+        .queryExecution.optimizedPlan.toString
+      "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+    }
+    spark.conf.set("graft.seriesFold.chunks", "16")
+    spark.conf.set("graft.seriesFold.minBytes", "0")
+    try {
+      val ma = specs("SELECT moving_average(value, 7) FROM m")
+      assert(ma.nonEmpty)
+      // heavy windows partition by __chunk; the miniature boundary-repair
+      // window by the constant __all (a real partition key, tiny set)
+      assert(ma.forall(s => s.contains("__chunk") || s.contains("__all")),
+        s"unpartitioned window survived: $ma")
+      // the documented exception: unbounded-lookback cumsum stays sequential
+      val cs = specs("SELECT cumulative_sum(value) FROM m")
+      assert(cs.exists(s => !s.contains("__chunk") && !s.contains("__tgt")), cs.toString)
+    } finally {
+      spark.conf.unset("graft.seriesFold.chunks")
+      spark.conf.unset("graft.seriesFold.minBytes")
+    }
+  }
+}
