@@ -754,21 +754,21 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         throw ParseException("holt_winters requires an aggregate and GROUP BY time")
       case _ =>
     }
-    // Scalable path for the untagged series: Window.partitionBy() with no
-    // partitions funnels the WHOLE measurement through ONE task (Spark
-    // warns "No Partition Defined" — at cluster scale that's a single-
-    // executor sort of the full series). For the bounded-lookback folds
-    // (lag-1 family + moving_average's n-row frame) the fold at any row
-    // depends on at most k predecessors, so the series can be cut into P
-    // time-range chunks, each chunk prepended with the true last-k rows of
-    // its prefix ("carry" rows, found inside the per-chunk k-tails: any
-    // row among the global last-k before a boundary has <k successors in
-    // its own chunk), folded per-chunk in parallel, and the carries
-    // dropped from the output. Bit-exact vs the global window: lag reads
-    // the same neighbor, and a sliding frame folds the same n rows in the
-    // same order — no arithmetic is re-associated. cumulative_sum is
-    // excluded (unbounded lookback; chunk-prefix addition would re-order
-    // double summation) and keeps the sequential window, documented.
+    // Scalable fold path. A per-series window parallelizes only as far as
+    // the SERIES COUNT: Window.partitionBy() with no partitions funnels
+    // the whole measurement through ONE task (Spark warns "No Partition
+    // Defined"), and GROUP BY over a low-cardinality tag caps at a
+    // handful of tasks no matter the cluster width. For the bounded-
+    // lookback folds (lag-1 family + moving_average's n-row frame) the
+    // fold at any row depends on at most k predecessors, so each series
+    // can be cut into P time-range chunks folded in parallel, with only
+    // the rows whose frame straddles a chunk boundary repaired against
+    // the per-chunk k-tails afterwards. Bit-exact vs the sequential
+    // window: lag reads the same neighbor, and a sliding frame folds the
+    // same n rows in the same order — no arithmetic is re-associated.
+    // cumulative_sum is excluded (unbounded lookback; chunk-prefix
+    // addition would re-order double summation) and keeps the sequential
+    // window, documented.
     val lookbacks = sel.fields.map {
       case Field(Call(fn, args), _) => fn match {
         case "difference" | "derivative" | "non_negative_derivative" | "elapsed" =>
@@ -788,7 +788,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val minBytes = df.sparkSession.conf
       .get("graft.seriesFold.minBytes", (64L * 1024 * 1024).toString).toLong
     val bigEnough = base.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
-    if (tags.isEmpty && chunks > 1 && bigEnough && lookbacks.forall(_.isDefined)) {
+    if (chunks > 1 && bigEnough && lookbacks.forall(_.isDefined)) {
       val k = lookbacks.flatten.max
       val b = base.agg(min(time), max(time)).head()
       if (!b.isNullAt(0) && b.getLong(1) > b.getLong(0)) {
@@ -800,12 +800,13 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         val d = base.withColumn("__chunk",
             expr(s"(`${meta.timeCol}` - ${minT}L) div ${span}L"))
           // explicit count pins the exchange against AQE coalescing
-          .repartition(chunks, col("__chunk"))
-        // ONE heavy pass: the per-chunk window sorts in parallel; __rn and
-        // __cnt share its partitioning (no extra shuffle/sort), and the
-        // fold columns share its sort. Fold values are already correct at
-        // every row with ≥k in-chunk predecessors (__rn > k).
-        val series = Window.partitionBy(col("__chunk")).orderBy(time.asc)
+          .repartition(chunks, tags.map(col) :+ col("__chunk"): _*)
+        // ONE heavy pass per (series, chunk): the window sorts in
+        // parallel; __rn and __cnt share its partitioning (no extra
+        // shuffle/sort), and the fold columns share its sort. Fold values
+        // are already correct at every row with ≥k in-chunk predecessors.
+        val parts = tags.map(col) :+ col("__chunk")
+        val series = Window.partitionBy(parts: _*).orderBy(time.asc)
         val outs = sel.fields.map {
           case Field(Call(fn, args), alias) =>
             (transformCol(fn, args, series), alias.getOrElse(fn))
@@ -813,24 +814,27 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         }
         val marked = d
           .withColumn("__rn", row_number().over(series))
-          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__chunk"))))
+          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(parts: _*)))
         val folded = marked.select(Seq(time.as("time"), col("__rn")) ++
-          outs.map { case (c, n) => c.as(n) }: _*)
+          tags.map(col) ++ outs.map { case (c, n) => c.as(n) }: _*)
         val inner = folded.where(col("__rn") > k).drop("__rn")
-        // Boundary correction on a MINIATURE set (≤ 2·k·chunks rows): the
-        // first-k rows of each chunk (whose windows straddle a boundary)
-        // plus the last-k of each chunk (the true global predecessors of
-        // any later boundary row — a global last-k-before-a-boundary row
-        // has <k successors in its own chunk, so it is in its chunk's
-        // tail; this cascades across EMPTY/thin chunks for free). Inside
-        // this set, every boundary row's k-neighborhood is present and
-        // time-contiguous, so one tiny fold over it is exact; values the
-        // set computes at tail rows are discarded. The partition key is a
-        // single value so the tiny sort runs in one task — but it must be
-        // column-DERIVED (pmod(__chunk, 1)), because a literal gets
-        // constant-folded out of the partition spec and the window
-        // degrades back to the unpartitioned form.
-        val smallSeries = Window.partitionBy(col("__all")).orderBy(time.asc)
+        // Boundary correction on a MINIATURE set (≤ 2·k·chunks rows per
+        // series): the first-k rows of each chunk (whose windows straddle
+        // a boundary) plus the last-k of each chunk (the true in-series
+        // predecessors of any later boundary row — a last-k-before-a-
+        // boundary row has <k successors in its own chunk, so it is in
+        // its chunk's tail; this cascades across EMPTY/thin chunks for
+        // free). Inside this set, every boundary row's k-neighborhood is
+        // present and time-contiguous per series, so one tiny per-series
+        // fold over it is exact; values the set computes at tail rows are
+        // discarded. Tagged queries partition the repair by the tags; the
+        // untagged case needs a single-value key, which must be column-
+        // DERIVED (pmod(__chunk, 1)) — a literal gets constant-folded out
+        // of the partition spec and the window degrades back to the
+        // unpartitioned form.
+        val smallParts =
+          if (tags.nonEmpty) tags.map(col) else Seq(pmod(col("__chunk"), lit(1L)))
+        val smallSeries = Window.partitionBy(smallParts: _*).orderBy(time.asc)
         val outsSmall = sel.fields.map {
           case Field(Call(fn, args), alias) =>
             (transformCol(fn, args, smallSeries), alias.getOrElse(fn))
@@ -838,9 +842,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         }
         val boundary = marked
           .where(col("__rn") <= k || col("__rn") > col("__cnt") - k)
-          .withColumn("__all", pmod(col("__chunk"), lit(1L)))
           .select(Seq(time.as("time"), col("__rn")) ++
-            outsSmall.map { case (c, n) => c.as(n) }: _*)
+            tags.map(col) ++ outsSmall.map { case (c, n) => c.as(n) }: _*)
           .where(col("__rn") <= k).drop("__rn")
         return inner.unionByName(boundary)
           .where(outs.map { case (_, n) => col(n).isNotNull }.reduce(_ && _))

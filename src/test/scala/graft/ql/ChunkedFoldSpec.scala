@@ -56,6 +56,40 @@ class ChunkedFoldSpec extends SparkSpec {
     }
   }
 
+  /** Two interleaved series under one low-cardinality tag — the GROUP BY
+    * tag case whose parallelism the chunking lifts past the series count. */
+  private lazy val tagged: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 300).map { i =>
+      (1000L + i * 11L, if (i % 2 == 0) "a" else "b", math.sin(i * 0.21) * 50.0)
+    }
+    rows.toDF("ts_us", "host", "value")
+  }
+  private val taggedMeta = TableMeta("m", "ts_us",
+    tags = Seq("host"), fields = Seq(FieldMeta("value", None)))
+
+  test("tagged chunked folds are bit-equal to the per-series sequential window") {
+    def runT(q: String, chunks: Int) = {
+      spark.conf.set("graft.seriesFold.chunks", chunks.toString)
+      spark.conf.set("graft.seriesFold.minBytes", "0")
+      try new Translator(tagged, taggedMeta).run(Parser.parse(q).asInstanceOf[SelectStmt])
+        .orderBy("host", "time").collect()
+      finally {
+        spark.conf.unset("graft.seriesFold.chunks")
+        spark.conf.unset("graft.seriesFold.minBytes")
+      }
+    }
+    for (q <- Seq(
+        "SELECT moving_average(value, 5) FROM m GROUP BY host",
+        "SELECT derivative(value, 1s) FROM m GROUP BY host")) {
+      val seq = runT(q, chunks = 1)
+      val par = runT(q, chunks = 16)
+      assert(seq.length == par.length, s"$q: ${par.length} vs ${seq.length}")
+      seq.zip(par).foreach { case (a, b) => assert(a == b, s"$q: $a != $b") }
+    }
+  }
+
   test("the chunked plan has no unpartitioned Window; cumulative_sum keeps one") {
     // AQE wraps the physical plan, so inspect the analyzed window specs:
     // every windowspecdefinition must carry a partition column. A global
@@ -71,15 +105,17 @@ class ChunkedFoldSpec extends SparkSpec {
     spark.conf.set("graft.seriesFold.chunks", "16")
     spark.conf.set("graft.seriesFold.minBytes", "0")
     try {
+      // an UNpartitioned spec leads with the ORDER column (ts_us ASC);
+      // partitioned ones lead with a partition key — __chunk for the
+      // heavy windows, the optimizer's _wN alias of the derived constant
+      // for the miniature boundary-repair window
+      def unpartitioned(s: String) = s.startsWith("ts_us#")
       val ma = specs("SELECT moving_average(value, 7) FROM m")
       assert(ma.nonEmpty)
-      // heavy windows partition by __chunk; the miniature boundary-repair
-      // window by the constant __all (a real partition key, tiny set)
-      assert(ma.forall(s => s.contains("__chunk") || s.contains("__all")),
-        s"unpartitioned window survived: $ma")
+      assert(!ma.exists(unpartitioned), s"unpartitioned window survived: $ma")
       // the documented exception: unbounded-lookback cumsum stays sequential
       val cs = specs("SELECT cumulative_sum(value) FROM m")
-      assert(cs.exists(s => !s.contains("__chunk") && !s.contains("__tgt")), cs.toString)
+      assert(cs.exists(unpartitioned), cs.toString)
     } finally {
       spark.conf.unset("graft.seriesFold.chunks")
       spark.conf.unset("graft.seriesFold.minBytes")
