@@ -38,6 +38,32 @@ object EmbedOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
+  /** 0-based global rank of each row in `key` order (key must be unique)
+    * WITHOUT the single-task `row_number().over(Window.orderBy(key))`
+    * window: range-repartition on the key (sampled split points affect
+    * only where partitions cut, never the result), rank within each
+    * partition, then add broadcast partition-size prefix offsets. Output
+    * identical to the global window at any scale — this is the rank used
+    * to pick deterministic index-build seeds, so a billion-vector corpus
+    * must not funnel through one executor to choose them. */
+  private def globalRank(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = df.repartitionByRange(p, col(key))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(key))).cast("long"))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        // ≤ P rows; the derived-constant key keeps even this tiny window
+        // partitioned (a literal would be constant-folded out of the spec)
+        Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn("rank", col("__lr") + col("__off") - 1L)
+      .drop("__pid", "__lr")
+  }
+
   /** Sequential left fold Σ a[i]·b[i] as doubles (Spark side): the native
     * codegen SeqDotExpr — bit-identical to the former
     * `aggregate(zip_with(...))` HOF formulation (same left-to-right IEEE
@@ -245,11 +271,9 @@ object EmbedOps {
     val n = v.count() // offline index build: the one driver-side action
     val k = nLists.getOrElse(math.max(2, math.sqrt(n.toDouble).toInt))
     val step = math.max(1L, n / k)
-    // deterministic seeds: every step-th vector in vec_id rank order
-    // (global window is fine HERE: index construction is offline, and the
-    // rank sort is one pass over vec ids, not the search path)
-    val ranked0 = v.withColumn("rank",
-      row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+    // deterministic seeds: every step-th vector in vec_id rank order,
+    // ranked distributed (globalRank) — no single-task sort of the corpus
+    val ranked0 = globalRank(v, "vec_id")
     val seeds = ranked0
       .where(col("rank") % step === 0L && expr(s"rank div $step") < k)
       .select(expr(s"rank div $step").as("cid"), col("emb").as("cvec"))
@@ -359,8 +383,7 @@ object EmbedOps {
       .persist() // read 4× below (rank, encode, queries, rerank)
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
-    val ranked = v.withColumn("rank",
-      row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+    val ranked = globalRank(v, "vec_id")
     def subCol(m: Int) = expr(s"slice(emb, ${m * PQ_SUB + 1}, $PQ_SUB)")
     // per-subspace codebook: IVF's seed → assign → exact-integer mean
     val codebook = (0 until PQ_M).map { m =>
@@ -621,10 +644,10 @@ object EmbedOps {
       val n = e.count()
       val step = math.max(1L, n / K)
       import s.implicits._
-      // deterministic seeds; the rank window is a one-off over tiny (id, q)
-      // rows — the corpus-scale variant ranks on a monotone id directly
-      val seeds: Seq[(Int, Seq[Long])] = e
-        .withColumn("rn", row_number().over(Window.orderBy("vec_id")) - 1)
+      // deterministic seeds via the distributed rank (globalRank) — the
+      // K-row collect is the legitimate broadcast-side materialization
+      val seeds: Seq[(Int, Seq[Long])] = globalRank(e, "vec_id")
+        .withColumnRenamed("rank", "rn")
         .where(col("rn") % step === 0 && col("rn") / step < K)
         .select((col("rn") / step).cast("int"), col("q"))
         .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
