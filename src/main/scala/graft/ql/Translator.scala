@@ -669,10 +669,19 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     // non-deterministic by spec — calls.go:136-151 — so any fixed choice
     // ok); N drawn per (bucket, tags) partition under GROUP BY time
     val (d, parts, _) = multirowBucket(base, sel, tags)
-    val w = Window.partitionBy(parts: _*).orderBy(xxhash64(time, col(f)))
-    d.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
+    if (parts.isEmpty)
+      // ungrouped: same hash order + same N, but through orderBy().limit()
+      // — Spark's distributed TakeOrdered (per-partition top-N + driver
+      // merge of N-row heads) instead of a single-task global window
+      d.orderBy(xxhash64(time, col(f)))
+        .limit(n)
+        .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
+    else {
+      val w = Window.partitionBy(parts: _*).orderBy(xxhash64(time, col(f)))
+      d.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= n)
+        .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
+    }
   }
 
   // ---------------- transform-over-aggregate (derivative(mean(v)) GROUP BY time)
@@ -997,10 +1006,14 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     if (tags.isEmpty) throw ParseException("SLIMIT requires GROUP BY tags")
     val lo = sel.soffset.getOrElse(0)
     val hi = lo + sel.slimit.getOrElse(Int.MaxValue - lo)
-    // rank the (small) distinct series set, broadcast back (EventAggs e_slimit)
-    val ser = d.select(tags.map(col): _*).distinct()
-      .withColumn("__srank", dense_rank().over(Window.orderBy(tags.map(col): _*)))
-      .where(col("__srank") > lo && col("__srank") <= hi)
+    // rank the distinct series set DISTRIBUTED (a measurement can hold
+    // millions of series — the old global dense_rank was a single-task
+    // sort of all of them; over a distinct set dense_rank ≡ row_number,
+    // so Ranks.globalRank reproduces it exactly), then broadcast the kept
+    // slice back (EventAggs e_slimit)
+    val ser = graft.queries.Ranks
+      .globalRank(d.select(tags.map(col): _*).distinct(), tags.map(col), "__srank")
+      .where(col("__srank") + 1 > lo && col("__srank") + 1 <= hi)
       .drop("__srank")
     d.join(broadcast(ser), tags)
   }

@@ -38,31 +38,11 @@ object EmbedOps {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
-  /** 0-based global rank of each row in `key` order (key must be unique)
-    * WITHOUT the single-task `row_number().over(Window.orderBy(key))`
-    * window: range-repartition on the key (sampled split points affect
-    * only where partitions cut, never the result), rank within each
-    * partition, then add broadcast partition-size prefix offsets. Output
-    * identical to the global window at any scale — this is the rank used
-    * to pick deterministic index-build seeds, so a billion-vector corpus
-    * must not funnel through one executor to choose them. */
-  private def globalRank(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val local = df.repartitionByRange(p, col(key))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(col(key))).cast("long"))
-    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(
-        // ≤ P rows; the derived-constant key keeps even this tiny window
-        // partitioned (a literal would be constant-folded out of the spec)
-        Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offs), "__pid")
-      .withColumn("rank", col("__lr") + col("__off") - 1L)
-      .drop("__pid", "__lr")
-  }
+  /** Index-build seed ranks come from the distributed Ranks.globalRank —
+    * a billion-vector corpus must not funnel through one executor just to
+    * pick deterministic seeds. */
+  private def globalRank(df: DataFrame, key: String): DataFrame =
+    Ranks.globalRank(df, Seq(col(key)))
 
   /** Sequential left fold Σ a[i]·b[i] as doubles (Spark side): the native
     * codegen SeqDotExpr — bit-identical to the former
