@@ -720,25 +720,41 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       }
       val unitUs = tArgs.collectFirst { case DurLit(us) => us }
         .getOrElse(sel.groupByTime.get)
-      val series = Window.partitionBy(tags.map(col): _*).orderBy(col("time").asc)
-      lazy val dv = (col("__v") - lag(col("__v"), 1).over(series)).cast("double")
-      lazy val dt = (col("time") - lag(col("time"), 1).over(series)).cast("double") / unitUs
-      val tcol = tfn match {
-        case "difference" => dv
-        case "derivative" => when(dt > 0, dv / dt)
-        case "non_negative_derivative" => when(dt > 0 && dv / dt >= 0, dv / dt)
-        case "cumulative_sum" =>
-          sum(col("__v")).over(series.rowsBetween(Window.unboundedPreceding, 0))
-        case "moving_average" =>
-          val n = tArgs.collectFirst { case IntLit(k) => k.toInt }
-            .getOrElse(throw ParseException("moving_average(agg(field), N) expected"))
-          avg(col("__v")).over(series.rowsBetween(-(n - 1), 0))
-        case "elapsed" =>
-          ((col("time") - lag(col("time"), 1).over(series)) / unitUs).cast("long")
-        case o => throw ParseException(s"unsupported transform $o over aggregates")
+      def tcolFor(series: org.apache.spark.sql.expressions.WindowSpec): Column = {
+        lazy val dv = (col("__v") - lag(col("__v"), 1).over(series)).cast("double")
+        lazy val dt = (col("time") - lag(col("time"), 1).over(series)).cast("double") / unitUs
+        tfn match {
+          case "difference" => dv
+          case "derivative" => when(dt > 0, dv / dt)
+          case "non_negative_derivative" => when(dt > 0 && dv / dt >= 0, dv / dt)
+          case "cumulative_sum" =>
+            sum(col("__v")).over(series.rowsBetween(Window.unboundedPreceding, 0))
+          case "moving_average" =>
+            val n = tArgs.collectFirst { case IntLit(k) => k.toInt }
+              .getOrElse(throw ParseException("moving_average(agg(field), N) expected"))
+            avg(col("__v")).over(series.rowsBetween(-(n - 1), 0))
+          case "elapsed" =>
+            ((col("time") - lag(col("time"), 1).over(series)) / unitUs).cast("long")
+          case o => throw ParseException(s"unsupported transform $o over aggregates")
+        }
       }
       val name = alias.getOrElse(tfn)
-      agged.select((col("time") +: tags.map(col)) :+ tcol.as(name): _*)
+      // the bucket series can hold millions of rows (time(1s) over a year
+      // ≈ 31M buckets) — same chunked fold as raw transforms for the
+      // bounded-lookback family; cumulative_sum stays sequential
+      val lookback = tfn match {
+        case "difference" | "derivative" | "non_negative_derivative" | "elapsed" =>
+          Some(1)
+        case "moving_average" =>
+          tArgs.collectFirst { case IntLit(n) => math.max(n.toInt - 1, 1) }
+        case _ => None
+      }
+      lookback.foreach { k =>
+        chunkedFold(agged, tags, "time", k, w => Seq((tcolFor(w), name)))
+          .foreach(return _)
+      }
+      val series = Window.partitionBy(tags.map(col): _*).orderBy(col("time").asc)
+      agged.select((col("time") +: tags.map(col)) :+ tcolFor(series).as(name): _*)
         .where(col(name).isNotNull)
     case _ => throw ParseException(
       "a transform over an aggregate must be the only selected field")
@@ -788,75 +804,14 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       }
       case _ => None
     }
-    val chunks = df.sparkSession.conf.get("graft.seriesFold.chunks",
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")).toInt
-    // size gate (same spirit as the broadcast threshold): for a series
-    // that fits one task comfortably, the direct window is faster than
-    // chunking's extra min/max pass + shuffles — measured +0.3 s on a 10k-
-    // row series. Catalyst's sizeInBytes estimate is free and errs large.
-    val minBytes = df.sparkSession.conf
-      .get("graft.seriesFold.minBytes", (64L * 1024 * 1024).toString).toLong
-    val bigEnough = base.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
-    if (chunks > 1 && bigEnough && lookbacks.forall(_.isDefined)) {
-      val k = lookbacks.flatten.max
-      val b = base.agg(min(time), max(time)).head()
-      if (!b.isNullAt(0) && b.getLong(1) > b.getLong(0)) {
-        val minT = b.getLong(0)
-        val span = math.max(1L, (b.getLong(1) - minT) / chunks + 1L)
-        // SQL `div`, not Column `/`: the latter is ALWAYS double division,
-        // and ns deltas beyond 2^53 would round a boundary row into the
-        // wrong chunk — chunk ids must be exact integral arithmetic
-        val d = base.withColumn("__chunk",
-            expr(s"(`${meta.timeCol}` - ${minT}L) div ${span}L"))
-          // explicit count pins the exchange against AQE coalescing
-          .repartition(chunks, tags.map(col) :+ col("__chunk"): _*)
-        // ONE heavy pass per (series, chunk): the window sorts in
-        // parallel; __rn and __cnt share its partitioning (no extra
-        // shuffle/sort), and the fold columns share its sort. Fold values
-        // are already correct at every row with ≥k in-chunk predecessors.
-        val parts = tags.map(col) :+ col("__chunk")
-        val series = Window.partitionBy(parts: _*).orderBy(time.asc)
-        val outs = sel.fields.map {
-          case Field(Call(fn, args), alias) =>
-            (transformCol(fn, args, series), alias.getOrElse(fn))
-          case f => throw ParseException(s"unsupported field in transform query: $f")
-        }
-        val marked = d
-          .withColumn("__rn", row_number().over(series))
-          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(parts: _*)))
-        val folded = marked.select(Seq(time.as("time"), col("__rn")) ++
-          tags.map(col) ++ outs.map { case (c, n) => c.as(n) }: _*)
-        val inner = folded.where(col("__rn") > k).drop("__rn")
-        // Boundary correction on a MINIATURE set (≤ 2·k·chunks rows per
-        // series): the first-k rows of each chunk (whose windows straddle
-        // a boundary) plus the last-k of each chunk (the true in-series
-        // predecessors of any later boundary row — a last-k-before-a-
-        // boundary row has <k successors in its own chunk, so it is in
-        // its chunk's tail; this cascades across EMPTY/thin chunks for
-        // free). Inside this set, every boundary row's k-neighborhood is
-        // present and time-contiguous per series, so one tiny per-series
-        // fold over it is exact; values the set computes at tail rows are
-        // discarded. Tagged queries partition the repair by the tags; the
-        // untagged case needs a single-value key, which must be column-
-        // DERIVED (pmod(__chunk, 1)) — a literal gets constant-folded out
-        // of the partition spec and the window degrades back to the
-        // unpartitioned form.
-        val smallParts =
-          if (tags.nonEmpty) tags.map(col) else Seq(pmod(col("__chunk"), lit(1L)))
-        val smallSeries = Window.partitionBy(smallParts: _*).orderBy(time.asc)
-        val outsSmall = sel.fields.map {
-          case Field(Call(fn, args), alias) =>
-            (transformCol(fn, args, smallSeries), alias.getOrElse(fn))
-          case f => throw ParseException(s"unsupported field in transform query: $f")
-        }
-        val boundary = marked
-          .where(col("__rn") <= k || col("__rn") > col("__cnt") - k)
-          .select(Seq(time.as("time"), col("__rn")) ++
-            tags.map(col) ++ outsSmall.map { case (c, n) => c.as(n) }: _*)
-          .where(col("__rn") <= k).drop("__rn")
-        return inner.unionByName(boundary)
-          .where(outs.map { case (_, n) => col(n).isNotNull }.reduce(_ && _))
+    if (lookbacks.forall(_.isDefined)) {
+      val mk = (w: org.apache.spark.sql.expressions.WindowSpec) => sel.fields.map {
+        case Field(Call(fn, args), alias) =>
+          (transformCol(fn, args, w), alias.getOrElse(fn))
+        case f => throw ParseException(s"unsupported field in transform query: $f")
       }
+      chunkedFold(base, tags, meta.timeCol, lookbacks.flatten.max, mk)
+        .foreach(return _)
     }
     val series = Window.partitionBy(tags.map(col): _*).orderBy(time.asc)
     val outs = sel.fields.map {
@@ -868,6 +823,79 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val projected = base.select(
       (time.as("time") +: tags.map(col)) ++ outs.map { case (c, n) => c.as(n) }: _*)
     projected.where(outs.map { case (_, n) => col(n).isNotNull }.reduce(_ && _))
+  }
+
+  /** Chunked bounded-lookback series fold (see transformSelect notes):
+    * cut each series into P time-range chunks, fold per (series, chunk)
+    * in parallel, repair only the first-k rows of each chunk against the
+    * per-chunk k-tails in a miniature second window. `mk` builds the fold
+    * columns for a given WindowSpec; `timeName` is the LONG time column
+    * the chunk ids derive from. Returns None when chunking is disabled,
+    * the input is below the size gate, or the time range is degenerate —
+    * callers then fall back to the sequential per-series window. */
+  private def chunkedFold(input: DataFrame, tags: List[String], timeName: String,
+      k: Int, mk: org.apache.spark.sql.expressions.WindowSpec => Seq[(Column, String)])
+      : Option[DataFrame] = {
+    val sess = input.sparkSession
+    val chunks = sess.conf.get("graft.seriesFold.chunks",
+      sess.conf.get("spark.sql.shuffle.partitions", "32")).toInt
+    // size gate (same spirit as the broadcast threshold): for a series
+    // that fits one task comfortably, the direct window is faster than
+    // chunking's extra min/max pass + shuffles — measured +0.3 s on a 10k-
+    // row series. Catalyst's sizeInBytes estimate is free and errs large.
+    val minBytes = sess.conf
+      .get("graft.seriesFold.minBytes", (64L * 1024 * 1024).toString).toLong
+    if (chunks <= 1 ||
+        input.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return None
+    val tc = col(timeName)
+    val b = input.agg(min(tc), max(tc)).head()
+    if (b.isNullAt(0) || b.getLong(1) <= b.getLong(0)) return None
+    val minT = b.getLong(0)
+    val span = math.max(1L, (b.getLong(1) - minT) / chunks + 1L)
+    // SQL `div`, not Column `/`: the latter is ALWAYS double division,
+    // and ns deltas beyond 2^53 would round a boundary row into the
+    // wrong chunk — chunk ids must be exact integral arithmetic
+    val d = input.withColumn("__chunk",
+        expr(s"(`$timeName` - ${minT}L) div ${span}L"))
+      // explicit count pins the exchange against AQE coalescing
+      .repartition(chunks, tags.map(col) :+ col("__chunk"): _*)
+    // ONE heavy pass per (series, chunk): the window sorts in parallel;
+    // __rn and __cnt share its partitioning (no extra shuffle/sort), and
+    // the fold columns share its sort. Fold values are already correct at
+    // every row with ≥k in-chunk predecessors.
+    val parts = tags.map(col) :+ col("__chunk")
+    val series = Window.partitionBy(parts: _*).orderBy(tc.asc)
+    val outs = mk(series)
+    val marked = d
+      .withColumn("__rn", row_number().over(series))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(parts: _*)))
+    val folded = marked.select(Seq(tc.as("time"), col("__rn")) ++
+      tags.map(col) ++ outs.map { case (c, n) => c.as(n) }: _*)
+    val inner = folded.where(col("__rn") > k).drop("__rn")
+    // Boundary correction on a MINIATURE set (≤ 2·k·chunks rows per
+    // series): the first-k rows of each chunk (whose windows straddle a
+    // boundary) plus the last-k of each chunk (the true in-series
+    // predecessors of any later boundary row — a last-k-before-a-boundary
+    // row has <k successors in its own chunk, so it is in its chunk's
+    // tail; this cascades across EMPTY/thin chunks for free). Inside this
+    // set, every boundary row's k-neighborhood is present and
+    // time-contiguous per series, so one tiny per-series fold over it is
+    // exact; values the set computes at tail rows are discarded. Tagged
+    // queries partition the repair by the tags; the untagged case needs a
+    // single-value key, which must be column-DERIVED (pmod(__chunk, 1)) —
+    // a literal gets constant-folded out of the partition spec and the
+    // window degrades back to the unpartitioned form.
+    val smallParts =
+      if (tags.nonEmpty) tags.map(col) else Seq(pmod(col("__chunk"), lit(1L)))
+    val smallSeries = Window.partitionBy(smallParts: _*).orderBy(tc.asc)
+    val outsSmall = mk(smallSeries)
+    val boundary = marked
+      .where(col("__rn") <= k || col("__rn") > col("__cnt") - k)
+      .select(Seq(tc.as("time"), col("__rn")) ++
+        tags.map(col) ++ outsSmall.map { case (c, n) => c.as(n) }: _*)
+      .where(col("__rn") <= k).drop("__rn")
+    Some(inner.unionByName(boundary)
+      .where(outs.map { case (_, n) => col(n).isNotNull }.reduce(_ && _)))
   }
 
   private def transformCol(fn: String, args: List[Expr],

@@ -490,9 +490,12 @@ object EventAggs {
         |FROM events e JOIN ser ON e.event_type = ser.event_type
         |WHERE ser.srank BETWEEN 2 AND 3""".stripMargin) { (s, d) =>
       val e = ev(s, d)
-      val ser = e.select("event_type").distinct()
-        .withColumn("srank", dense_rank().over(Window.orderBy("event_type")))
-        .where(col("srank").between(2, 3))
+      // distributed series rank (Ranks.globalRank ≡ dense_rank over a
+      // distinct set, 0-based) — a measurement can hold millions of series
+      val ser = Ranks.globalRank(e.select("event_type").distinct(),
+          Seq(col("event_type")), "srank")
+        .where((col("srank") + 1).between(2, 3))
+        .drop("srank")
       e.join(broadcast(ser), "event_type").select("event_id", "event_type", "value")
     },
 

@@ -82,7 +82,11 @@ class ChunkedFoldSpec extends SparkSpec {
     }
     for (q <- Seq(
         "SELECT moving_average(value, 5) FROM m GROUP BY host",
-        "SELECT derivative(value, 1s) FROM m GROUP BY host")) {
+        "SELECT derivative(value, 1s) FROM m GROUP BY host",
+        // transform over aggregate: the fold runs over the BUCKET series,
+        // which is just as chunkable (time(1s) over a year ≈ 31M buckets)
+        "SELECT derivative(mean(value)) FROM m GROUP BY time(1ms), host",
+        "SELECT moving_average(sum(value), 4) FROM m GROUP BY time(1ms), host")) {
       val seq = runT(q, chunks = 1)
       val par = runT(q, chunks = 16)
       assert(seq.length == par.length, s"$q: ${par.length} vs ${seq.length}")
