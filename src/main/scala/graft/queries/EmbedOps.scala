@@ -245,7 +245,16 @@ object EmbedOps {
     * the offline half: O(N·k) broadcast-joined distance evals per Lloyd
     * pass, no shuffle beyond the k-row centroid aggregation. The search
     * half probes NPROBE lists per query: ≈ NPROBE·N/k candidates. */
-  def ivfKnn(s: SparkSession, d: String, nLists: Option[Int]): DataFrame = {
+  /** Rank every vector against a (small, broadcast) centroid set. */
+  private def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cid"), l2micro(col("emb"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
+
+  /** The offline index-build half: (vectors, trained centroids). */
+  private def ivfParts(s: SparkSession, d: String, nLists: Option[Int])
+      : (DataFrame, DataFrame) = {
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     val n = v.count() // offline index build: the one driver-side action
@@ -257,12 +266,8 @@ object EmbedOps {
     val seeds = ranked0
       .where(col("rank") % step === 0L && expr(s"rank div $step") < k)
       .select(expr(s"rank div $step").as("cid"), col("emb").as("cvec"))
-    def assign(cents: DataFrame): DataFrame = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("cid"), l2micro(col("emb"), col("cvec")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
     // Lloyd pass: assign to seeds, recompute exact-integer centroids
-    val cents1 = assign(seeds).where(col("rn") === 1)
+    val cents1 = ivfAssign(v, seeds).where(col("rn") === 1)
       .select(col("cid"), posexplode(col("emb")))
       .select(col("cid"), col("pos").as("dim"),
         round(col("col") * 1048576).cast("long").as("iv"))
@@ -271,12 +276,11 @@ object EmbedOps {
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
-    val fin = assign(cents1)
-    val asg = fin.where(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
-    // multi-probe: each query searches its NPROBE nearest lists
-    val q = fin.where(col("rn") <= NPROBE && col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
+    (v, cents1)
+  }
+
+  /** KNN over candidate (list_id, vec_id, emb) rows for probe set `q`. */
+  private def ivfSearch(asg: DataFrame, q: DataFrame): DataFrame =
     asg.join(broadcast(q), Seq("list_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -285,6 +289,50 @@ object EmbedOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
       .where(col("rn") <= TOPK)
+
+  def ivfKnn(s: SparkSession, d: String, nLists: Option[Int]): DataFrame = {
+    val (v, cents1) = ivfParts(s, d, nLists)
+    val fin = ivfAssign(v, cents1)
+    val asg = fin.where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
+    // multi-probe: each query searches its NPROBE nearest lists
+    val q = fin.where(col("rn") <= NPROBE && col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
+    ivfSearch(asg, q)
+  }
+
+  /** Persist the IVF index for build-once / query-many: the k-row
+    * centroid table, plus the assignment table laid out
+    * `partitionBy(list_id)` so a probe's scan prunes to its NPROBE list
+    * directories — at corpus scale the search half reads ≈ NPROBE/k of
+    * the data from disk, which is the entire point of IVF. */
+  def ivfBuild(s: SparkSession, d: String, indexDir: String,
+      nLists: Option[Int]): Unit = {
+    val (v, cents1) = ivfParts(s, d, nLists)
+    cents1.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    ivfAssign(v, cents1).where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/assign.parquet")
+  }
+
+  /** Search a persisted index — no rebuild. Results identical to `ivfKnn`
+    * with the same parameters (doubles round-trip parquet bit-exactly).
+    * The probe lists are collected (≤ NQUERIES·NPROBE ids, the legitimate
+    * driver-side materialization) and pushed as a partition filter so the
+    * assignment scan reads ONLY the probed directories. */
+  def ivfKnnIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+    val queries = emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .where(col("vec_id") < NQUERIES)
+    val q = ivfAssign(queries, cents).where(col("rn") <= NPROBE)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
+    val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
+    val asg = s.read.parquet(s"$indexDir/assign.parquet")
+      .where(col("list_id").isin(probed: _*)) // → PartitionFilters, pruned scan
+      .select(col("vec_id"), col("emb"), col("list_id"))
+    ivfSearch(asg, q)
   }
 
   /** The DuckDB mirror, self-sizing via a params CTE (k and step derive
@@ -671,6 +719,17 @@ object EmbedOps {
     //      nprobe (probe cost ≈ nprobe·N/k) for the recall target rather
     //      than shrinking k, which would forfeit the sub-linear scan.
     Q("em_ivf_knn", ivfOracleSql(None))(ivfKnn(_, _, None)),
+
+    // build-once / query-many: persist the index (centroids + assignment
+    // partitioned by list directory), then search from DISK with the probe
+    // lists pushed as partition filters. The oracle is em_ivf_knn's — the
+    // persisted search must return byte-identical neighbors, proving the
+    // parquet round trip and the pruned probe path change nothing.
+    Q("em_ivf_persisted", ivfOracleSql(None)) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      ivfBuild(s, d, idx, None)
+      ivfKnnIndexed(s, d, idx)
+    },
     Q("em_pq_adc", pqOracleSql)(pqAdc),
 
     // ---- embedding-cosine near-dup pairs: the vector-space member of the

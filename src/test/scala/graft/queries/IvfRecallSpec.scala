@@ -34,4 +34,20 @@ class IvfRecallSpec extends SparkSpec {
       .groupBy("qid").count().collect().map(_.getLong(1))
     assert(out.nonEmpty && out.forall(_ == 5L))
   }
+
+  test("persisted index: identical neighbors, and the probe scan is partition-pruned") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    EmbedOps.ivfBuild(spark, sfDir, idx, None)
+    val fromIndex = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
+    // byte-identical to the rebuild-per-query path (doubles round-trip
+    // parquet exactly; same centroids, same tie-breaks)
+    val live = EmbedOps.ivfKnn(spark, sfDir, None)
+      .select("qid", "vec_id", "sim_micro").collect().toSet
+    assert(fromIndex.select("qid", "vec_id", "sim_micro").collect().toSet == live)
+    // the scale claim: the assignment scan must carry PartitionFilters on
+    // list_id (reads only the probed list directories, ≈ NPROBE/k of disk)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
+      s"probe scan not partition-pruned:\n$plan")
+  }
 }
