@@ -403,19 +403,34 @@ object EmbedOps {
 
   def pqAdc(s: SparkSession, d: String): DataFrame = pqAdc(s, d, PQ_SHORTLIST)
 
-  /** Shortlist-parameterized variant for PqRecallSpec's curve. */
-  def pqAdc(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
+  private def pqSubCol(m: Int) = expr(s"slice(emb, ${m * PQ_SUB + 1}, $PQ_SUB)")
+
+  /** Explode vectors into per-subspace rows, reused for encode + LUT. */
+  private def pqSubRows(v: DataFrame): DataFrame = {
+    val subs = array((0 until PQ_M).map(m =>
+      struct(lit(m).as("m"), pqSubCol(m).as("sub"))): _*)
+    v.select(col("vec_id"), explode(subs).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+  }
+
+  /** The offline training half: (vectors persisted, M×K codebook as a
+    * collected literal frame). Per-subspace codebook = IVF's seed →
+    * assign → exact-integer mean. MATERIALIZING the codebook (64 tiny
+    * rows) matters: the build subplan spans window + cross-join passes
+    * over the corpus, and leaving it lazy re-executes that train inside
+    * EVERY downstream join (encode, LUT). Collecting is the offline
+    * "index build" step a real PQ deployment persists; the literal frame
+    * then broadcasts for free. */
+  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .persist() // read 4× below (rank, encode, queries, rerank)
+      .persist() // read 4× downstream (rank, encode, queries, rerank)
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
     val ranked = globalRank(v, "vec_id")
-    def subCol(m: Int) = expr(s"slice(emb, ${m * PQ_SUB + 1}, $PQ_SUB)")
-    // per-subspace codebook: IVF's seed → assign → exact-integer mean
     val codebook = (0 until PQ_M).map { m =>
-      val sv = ranked.select(col("vec_id"), col("rank"), subCol(m).as("sub"))
+      val sv = ranked.select(col("vec_id"), col("rank"), pqSubCol(m).as("sub"))
       val seeds = sv.where(col("rank") % step === 0L && expr(s"rank div $step") < PQ_K)
         .select(expr(s"rank div $step").as("cid"), col("sub").as("cvec"))
       val a1 = sv.crossJoin(broadcast(seeds))
@@ -432,34 +447,26 @@ object EmbedOps {
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
         .select(lit(m).as("m"), col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
     }.reduce(_ unionByName _)
-      // MATERIALIZE the codebook (M×K = 64 tiny rows): the build subplan
-      // spans window + cross-join passes over the corpus, and leaving it
-      // lazy re-executes that train inside EVERY downstream join (encode,
-      // LUT). Collecting is the offline "index build" step a real PQ
-      // deployment persists; the literal frame then broadcasts for free.
       .as[(Int, Long, Seq[Double])].collect().toSeq.toDF("m", "cid", "cvec")
-    // explode vectors into per-subspace rows once, reused for encode + LUT
-    val subs = array((0 until PQ_M).map(m =>
-      struct(lit(m).as("m"), subCol(m).as("sub"))): _*)
-    val vs = v.select(col("vec_id"), explode(subs).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-    // encode: nearest codeword per (vector, subspace) — the PQ code
-    val codes = vs.join(broadcast(codebook), Seq("m"))
+    (v, codebook)
+  }
+
+  /** Encode: nearest codeword per (vector, subspace) — the PQ code. */
+  private def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame =
+    vs.join(broadcast(codebook), Seq("m"))
       .select(col("vec_id"), col("m"), col("cid"), l2micro(col("sub"), col("cvec")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cid").asc)))
       .where(col("rn") === 1).select("vec_id", "m", "cid")
-    // per-query LUT: distance from the query subvector to EVERY codeword
-    val lut = vs.where(col("vec_id") < NQUERIES)
-      .join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id").as("qid"), col("m"), col("cid"),
-        l2micro(col("sub"), col("cvec")).as("qd2"))
-    // ADC scan: codes ⋈ LUT on (m, cid), integer-sum the M entries —
-    // partial aggregation makes this a map-side combine over the codes.
-    // The compressed scan produces a SHORTLIST; only those rows touch the
-    // raw vectors again (exact rerank) — the two-stage shape that makes
-    // PQ usable at 100 TB: full scan in codes space, exact L2 on
-    // shortlist × queries rows only.
+
+  /** ADC scan + exact rerank. codes ⋈ LUT on (m, cid), integer-sum the M
+    * entries — partial aggregation makes this a map-side combine over the
+    * codes. The compressed scan produces a SHORTLIST; only those rows
+    * touch the raw vectors again (exact rerank) — the two-stage shape
+    * that makes PQ usable at 100 TB: full scan in codes space, exact L2
+    * on shortlist × queries rows only. */
+  private def pqSearch(codes: DataFrame, lut: DataFrame, v: DataFrame,
+      shortlistN: Int): DataFrame = {
     val shortlist = codes.join(broadcast(lut), Seq("m", "cid"))
       .where(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
@@ -476,6 +483,47 @@ object EmbedOps {
         Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
       .where(col("rn") <= TOPK)
       .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
+  /** Per-query LUT: distance from the query subvector to EVERY codeword. */
+  private def pqLut(vs: DataFrame, codebook: DataFrame): DataFrame =
+    vs.where(col("vec_id") < NQUERIES)
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        l2micro(col("sub"), col("cvec")).as("qd2"))
+
+  /** Shortlist-parameterized variant for PqRecallSpec's curve. */
+  def pqAdc(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
+    val (v, codebook) = pqTrain(s, d)
+    val vs = pqSubRows(v)
+    pqSearch(pqEncode(vs, codebook), pqLut(vs, codebook), v, shortlistN)
+  }
+
+  /** Persist the PQ index: the M×K codebook and the encoded codes table —
+    * the 16×-compressed at-rest representation that IS the point of PQ
+    * (the ADC scan reads codes, never raw vectors; only the shortlist
+    * reranks against the source table). */
+  def pqBuild(s: SparkSession, d: String, indexDir: String): Unit = {
+    val (v, codebook) = pqTrain(s, d)
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    pqEncode(pqSubRows(v), codebook).write.mode("overwrite")
+      .parquet(s"$indexDir/codes.parquet")
+    v.unpersist()
+  }
+
+  /** ADC search over a persisted index — no retrain, no re-encode. The
+    * codebook (64 rows) loads and broadcasts; the compressed codes scan
+    * streams from disk; raw vectors are read only for the shortlist
+    * rerank. Byte-identical to `pqAdc` (doubles and codes round-trip
+    * parquet exactly). */
+  def pqAdcIndexed(s: SparkSession, d: String, indexDir: String,
+      shortlistN: Int = PQ_SHORTLIST): DataFrame = {
+    val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    val v = emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val lut = pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), codebook)
+    pqSearch(codes, lut, v, shortlistN)
   }
 
   /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
@@ -731,6 +779,16 @@ object EmbedOps {
       ivfKnnIndexed(s, d, idx)
     },
     Q("em_pq_adc", pqOracleSql)(pqAdc),
+
+    // build-once / query-many for PQ: train + encode persisted (codebook +
+    // the 16×-compressed codes table), then ADC-search from DISK. Shares
+    // em_pq_adc's oracle — the stored-index search must return
+    // byte-identical neighbors.
+    Q("em_pq_persisted", pqOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      pqBuild(s, d, idx)
+      pqAdcIndexed(s, d, idx)
+    },
 
     // ---- embedding-cosine near-dup pairs: the vector-space member of the
     //      dedup family — LSH-bucketed candidate generation (union over

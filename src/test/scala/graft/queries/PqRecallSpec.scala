@@ -51,4 +51,14 @@ class PqRecallSpec extends SparkSpec {
       .groupBy("qid").count().collect().map(_.getLong(1))
     assert(out.nonEmpty && out.forall(_ == 5L))
   }
+
+  test("persisted index: ADC from disk returns identical neighbors") {
+    val idx = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString
+    EmbedOps.pqBuild(spark, sfDir, idx)
+    val fromIndex = EmbedOps.pqAdcIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val live = EmbedOps.pqAdc(spark, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(fromIndex == live)
+  }
 }
