@@ -48,10 +48,15 @@ object ScaleUp {
     df.withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
 
   def main(args: Array[String]): Unit = {
-    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("target/sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = graft.Sessions.build("graft-scaleup")
+    run(spark,
+      args.lift(0).getOrElse("/root/testdata/sf0.1"),
+      args.lift(1).getOrElse("target/sf1"),
+      args.lift(2).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -106,6 +111,5 @@ object ScaleUp {
         .drop("_r"), "embeddings")
 
     println(s"scaled $src -> $dst x$factor")
-    spark.stop()
   }
 }
