@@ -791,9 +791,25 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     // the per-chunk k-tails afterwards. Bit-exact vs the sequential
     // window: lag reads the same neighbor, and a sliding frame folds the
     // same n rows in the same order — no arithmetic is re-associated.
-    // cumulative_sum is excluded (unbounded lookback; chunk-prefix
-    // addition would re-order double summation) and keeps the sequential
-    // window, documented.
+    // (Bit-exactness assumes (series, time) is unique — the store's
+    // duplicate-point semantics guarantee it. With duplicate timestamps
+    // BOTH paths — sequential window included — read an arbitrary tied
+    // neighbor, so the chunked path matches the sequential one only up to
+    // the same tie nondeterminism.)
+    // cumulative_sum has unbounded lookback, so the k-tail repair doesn't
+    // apply — but over a FIXED-POINT field the running sum is a BIGINT
+    // prefix sum, which IS associative, so a two-pass chunked prefix
+    // (in-chunk prefix + broadcast per-chunk offsets) reproduces the
+    // sequential fold bit-exactly (chunkedCumSum below). Unscaled double
+    // fields keep the sequential window: chunk-prefix addition would
+    // re-associate double summation.
+    sel.fields match {
+      case List(Field(Call("cumulative_sum", List(Ident(f))), alias))
+          if scaleOf(f).isDefined =>
+        chunkedCumSum(base, tags, f, alias.getOrElse("cumulative_sum"))
+          .foreach(return _)
+      case _ =>
+    }
     val lookbacks = sel.fields.map {
       case Field(Call(fn, args), _) => fn match {
         case "difference" | "derivative" | "non_negative_derivative" | "elapsed" =>
@@ -896,6 +912,75 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       .where(col("__rn") <= k).drop("__rn")
     Some(inner.unionByName(boundary)
       .where(outs.map { case (_, n) => col(n).isNotNull }.reduce(_ && _)))
+  }
+
+  /** Chunk-parallel cumulative_sum over a FIXED-POINT field (VERDICT r7
+    * item 2). The sequential path computes `unscale(sum(fx(f)) OVER
+    * (series ROWS UNBOUNDED PRECEDING))` — a BIGINT prefix sum divided by
+    * the scale once at the end. BIGINT addition is associative, so the
+    * same integers can be produced in parallel: cut each series into P
+    * time-range chunks, compute the in-chunk BIGINT prefix per
+    * (series, chunk) window, aggregate per-chunk totals (a tiny set:
+    * series × chunks rows), prefix those into per-chunk offsets with a
+    * miniature window, broadcast-join them back, and add. The final
+    * integer at every row equals the sequential fold's bit-for-bit, so
+    * the one double division yields the identical double.
+    *
+    * Null fields follow the window-sum semantics exactly: a row's result
+    * is null iff NO non-null value precedes it in the whole series
+    * (tracked with the matching non-null-count prefix + offsets).
+    *
+    * Returns None (→ sequential fallback) below the size gate, on a
+    * degenerate time range, or when the approximate series count is high
+    * enough that (a) the per-series window already parallelizes and
+    * (b) the offset set would be too big to broadcast. */
+  private def chunkedCumSum(input: DataFrame, tags: List[String], f: String,
+      name: String): Option[DataFrame] = {
+    val sess = input.sparkSession
+    val chunks = sess.conf.get("graft.seriesFold.chunks",
+      sess.conf.get("spark.sql.shuffle.partitions", "32")).toInt
+    val minBytes = sess.conf
+      .get("graft.seriesFold.minBytes", (64L * 1024 * 1024).toString).toLong
+    if (chunks <= 1 ||
+        input.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return None
+    val tc = time
+    // one pass: time bounds + (tagged only) approximate series count
+    val aggs = Seq(min(tc), max(tc)) ++
+      (if (tags.nonEmpty) Seq(approx_count_distinct(struct(tags.map(col): _*))) else Nil)
+    val b = input.agg(aggs.head, aggs.tail: _*).head()
+    if (b.isNullAt(0) || b.getLong(1) <= b.getLong(0)) return None
+    if (tags.nonEmpty && b.getLong(2) * chunks > 4L * 1000 * 1000) return None
+    val minT = b.getLong(0)
+    val span = math.max(1L, (b.getLong(1) - minT) / chunks + 1L)
+    // exact integral chunk ids (SQL div, not double /) — see chunkedFold
+    val d = input
+      .withColumn("__chunk", expr(s"(`${meta.timeCol}` - ${minT}L) div ${span}L"))
+      .withColumn("__fx", fx(f))
+      .repartition(chunks, tags.map(col) :+ col("__chunk"): _*)
+    val parts = tags.map(col) :+ col("__chunk")
+    val w = Window.partitionBy(parts: _*).orderBy(tc.asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = d
+      .withColumn("__ps", sum(col("__fx")).over(w))
+      .withColumn("__pc", count(col("__fx")).over(w))
+    // per-(series, chunk) totals → per-chunk exclusive-prefix offsets; the
+    // untagged window key must be column-DERIVED (a literal would be
+    // constant-folded out of the partition spec — see chunkedFold)
+    val offParts =
+      if (tags.nonEmpty) tags.map(col) else Seq(pmod(col("__chunk"), lit(1L)))
+    val offW = Window.partitionBy(offParts: _*).orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy(parts: _*)
+      .agg(sum(col("__fx")).as("__tot"), count(col("__fx")).as("__tc"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(offW), lit(0L)))
+      .withColumn("__offc", coalesce(sum(col("__tc")).over(offW), lit(0L)))
+      .select(parts :+ col("__off") :+ col("__offc"): _*)
+    val joined = local.join(broadcast(offs), tags :+ "__chunk")
+    val out = when(col("__pc") + col("__offc") > 0,
+      unscale(coalesce(col("__ps"), lit(0L)) + col("__off"), f))
+    Some(joined
+      .select(tc.as("time") +: tags.map(col) :+ out.as(name): _*)
+      .where(col(name).isNotNull))
   }
 
   private def transformCol(fn: String, args: List[Expr],

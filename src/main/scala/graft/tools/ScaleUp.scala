@@ -38,7 +38,9 @@ object ScaleUp {
   /** Key offsets use the next power of ten above the source max so scaled
     * keys stay readable and collision-free. */
   private def offsetFor(df: DataFrame, col0: String): Long = {
-    val mx = df.agg(max(col(col0))).head.getLong(0)
+    val row = df.agg(max(col(col0))).head
+    require(!row.isNullAt(0), s"ScaleUp: source table is empty (no max for key '$col0')")
+    val mx = row.getAs[Number](0).longValue // tolerates int-typed keys
     var p = 1L
     while (p <= mx) p *= 10
     p
@@ -101,7 +103,13 @@ object ScaleUp {
     val emb = rd("embeddings")
     val kv = offsetFor(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val shift = (col("_r") * (dim / factor.max(1))) % dim
+    // factor > dim would make the per-replica step dim/factor = 0: every
+    // replica an exact copy, cross-replica cosine = 1 — silently breaking
+    // the decorrelation invariant the scale measurements rely on
+    require(factor <= dim,
+      s"ScaleUp: factor $factor exceeds embedding dim $dim; the circular-shift " +
+        "decorrelation needs factor <= dim (distinct shifts per replica)")
+    val shift = (col("_r") * math.max(1, dim / factor)) % dim
     val shifted = when(col("_r") === 0, col("embedding")).otherwise(
       concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
              slice(col("embedding"), lit(1), shift)))

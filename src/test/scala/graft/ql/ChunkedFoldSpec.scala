@@ -94,6 +94,69 @@ class ChunkedFoldSpec extends SparkSpec {
     }
   }
 
+  /** cumulative_sum over a FIXED-POINT field takes the two-pass BIGINT
+    * chunk-prefix path (r8): per-chunk integer prefixes + broadcast
+    * offsets must reproduce the sequential window bit-for-bit, including
+    * across empty chunks and null field values. */
+  private val scaledMeta = TableMeta("m", "ts_us",
+    tags = Seq(), fields = Seq(FieldMeta("value", Some(100L))))
+  private val scaledTaggedMeta = TableMeta("m", "ts_us",
+    tags = Seq("host"), fields = Seq(FieldMeta("value", Some(100L))))
+
+  test("chunked fixed-point cumulative_sum is bit-equal to the sequential window") {
+    def runC(df: DataFrame, m: TableMeta, q: String, chunks: Int, sort: Seq[String]) = {
+      spark.conf.set("graft.seriesFold.chunks", chunks.toString)
+      spark.conf.set("graft.seriesFold.minBytes", "0")
+      try new Translator(df, m).run(Parser.parse(q).asInstanceOf[SelectStmt])
+        .orderBy(sort.head, sort.tail: _*).collect()
+      finally {
+        spark.conf.unset("graft.seriesFold.chunks")
+        spark.conf.unset("graft.seriesFold.minBytes")
+      }
+    }
+    val q = "SELECT cumulative_sum(value) FROM m"
+    for ((df, m, qq, sort) <- Seq(
+        (lumpy, scaledMeta, q, Seq("time")),
+        (tagged, scaledTaggedMeta, q + " GROUP BY host", Seq("host", "time")))) {
+      val seq = runC(df, m, qq, chunks = 1, sort)
+      val par = runC(df, m, qq, chunks = 16, sort)
+      assert(seq.length == par.length, s"$qq: ${par.length} vs ${seq.length}")
+      seq.zip(par).foreach { case (a, b) => assert(a == b, s"$qq: $a != $b") }
+    }
+    // null fields: result is null (row dropped) until the first non-null
+    // value in the SERIES — not the chunk. Leading nulls land in chunk 0
+    // while later chunks carry a zero local prefix; only the cross-chunk
+    // count offsets distinguish the two cases.
+    val s = spark
+    import s.implicits._
+    val withNulls = (0 until 120).map { i =>
+      val v = if (i < 5 || i % 7 == 0) None else Some((i % 40) / 4.0)
+      (1000L + i * 13L, v)
+    }.toDF("ts_us", "value")
+    val seqN = runC(withNulls, scaledMeta, q, chunks = 1, Seq("time"))
+    val parN = runC(withNulls, scaledMeta, q, chunks = 16, Seq("time"))
+    assert(seqN.length == parN.length, s"nulls: ${parN.length} vs ${seqN.length}")
+    seqN.zip(parN).foreach { case (a, b) => assert(a == b, s"nulls: $a != $b") }
+  }
+
+  test("fixed-point cumulative_sum plan is chunk-partitioned end to end") {
+    spark.conf.set("graft.seriesFold.chunks", "16")
+    spark.conf.set("graft.seriesFold.minBytes", "0")
+    try {
+      val plan = new Translator(lumpy, scaledMeta)
+        .run(Parser.parse("SELECT cumulative_sum(value) FROM m").asInstanceOf[SelectStmt])
+        .queryExecution.optimizedPlan.toString
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(specs.nonEmpty)
+      assert(!specs.exists(_.startsWith("ts_us#")),
+        s"unpartitioned window survived in fixed-point cumsum plan: $specs")
+    } finally {
+      spark.conf.unset("graft.seriesFold.chunks")
+      spark.conf.unset("graft.seriesFold.minBytes")
+    }
+  }
+
   test("the chunked plan has no unpartitioned Window; cumulative_sum keeps one") {
     // AQE wraps the physical plan, so inspect the analyzed window specs:
     // every windowspecdefinition must carry a partition column. A global
