@@ -1119,15 +1119,29 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     if (tags.isEmpty) throw ParseException("SLIMIT requires GROUP BY tags")
     val lo = sel.soffset.getOrElse(0)
     val hi = lo + sel.slimit.getOrElse(Int.MaxValue - lo)
-    // rank the distinct series set DISTRIBUTED (a measurement can hold
-    // millions of series — the old global dense_rank was a single-task
-    // sort of all of them; over a distinct set dense_rank ≡ row_number,
-    // so Ranks.globalRank reproduces it exactly), then broadcast the kept
-    // slice back (EventAggs e_slimit)
-    val ser = graft.queries.Ranks
-      .globalRank(d.select(tags.map(col): _*).distinct(), tags.map(col), "__srank")
-      .where(col("__srank") + 1 > lo && col("__srank") + 1 <= hi)
-      .drop("__srank")
+    // a measurement can hold millions of series — never rank them all in
+    // one task. With SLIMIT n only the first lo+n series in tag order can
+    // survive, and orderBy(tags).limit(hi) plans as TakeOrdered (per-
+    // partition top-hi + one tiny merge); a single-partition window then
+    // ranks ≤ hi rows. SOFFSET without SLIMIT has no such bound and falls
+    // back to the distributed full rank (Ranks.globalRank; over a
+    // distinct set dense_rank ≡ row_number, so both paths reproduce the
+    // original global dense_rank exactly). Kept slice broadcasts back
+    // (EventAggs e_slimit).
+    val distinctSeries = d.select(tags.map(col): _*).distinct()
+    val ser = sel.slimit match {
+      case Some(_) =>
+        distinctSeries.orderBy(tags.map(col(_).asc): _*).limit(hi)
+          .withColumn("__srank",
+            row_number().over(Window.orderBy(tags.map(col): _*)))
+          .where(col("__srank") > lo)
+          .drop("__srank")
+      case None =>
+        graft.queries.Ranks
+          .globalRank(distinctSeries, tags.map(col), "__srank")
+          .where(col("__srank") + 1 > lo && col("__srank") + 1 <= hi)
+          .drop("__srank")
+    }
     d.join(broadcast(ser), tags)
   }
 }

@@ -490,11 +490,15 @@ object EventAggs {
         |FROM events e JOIN ser ON e.event_type = ser.event_type
         |WHERE ser.srank BETWEEN 2 AND 3""".stripMargin) { (s, d) =>
       val e = ev(s, d)
-      // distributed series rank (Ranks.globalRank ≡ dense_rank over a
-      // distinct set, 0-based) — a measurement can hold millions of series
-      val ser = Ranks.globalRank(e.select("event_type").distinct(),
-          Seq(col("event_type")), "srank")
-        .where((col("srank") + 1).between(2, 3))
+      // the slice upper bound caps how many series can survive, so only
+      // the top-3 need ranking: orderBy.limit plans as TakeOrdered (per-
+      // partition top + one tiny merge — distributed even over millions
+      // of series) and the window then ranks ≤ 3 rows. Same shape as the
+      // translator's SLIMIT path; dense_rank ≡ row_number on a distinct set
+      val ser = e.select("event_type").distinct()
+        .orderBy(col("event_type").asc).limit(3)
+        .withColumn("srank", row_number().over(Window.orderBy(col("event_type"))))
+        .where(col("srank").between(2, 3))
         .drop("srank")
       e.join(broadcast(ser), "event_type").select("event_id", "event_type", "value")
     },
