@@ -383,16 +383,17 @@ object EmbedOps {
 
   // ---- product quantization (PQ-ADC): the memory-compressed ANN scan.
   //      M subspaces × K codewords: each vector stores M 1-byte codes
-  //      instead of DIMS floats (16× compression at 4×16 over 64 dims) —
-  //      at 100 TB the codes table fits where raw vectors cannot, and the
-  //      scan never touches the raw embeddings. Codebooks train like the
+  //      instead of DIMS floats (32× compression at 8×64 over 64 float32
+  //      dims — 8 codes vs 256 bytes) — at 100 TB the codes table fits
+  //      where raw vectors cannot, and the scan never touches the raw
+  //      embeddings. Codebooks train like the
   //      IVF quantizer (deterministic seeds → one Lloyd pass with
   //      exact-integer centroid means); search computes per-query lookup
   //      tables (M×K micro-int distances, broadcast) and the asymmetric
   //      distance is an INTEGER sum of M table entries — order-free, so
   //      the oracle compare is exact by construction.
-  private val PQ_M = 4     // subspaces
-  private val PQ_K = 16    // codewords per subspace
+  private val PQ_M = 8     // subspaces
+  private val PQ_K = 64    // codewords per subspace
   private val PQ_SUB = DIMS / PQ_M
   // ADC candidates per query fed to exact rerank. The knob that buys
   // recall: the compressed scan only has to get the true neighbors into
