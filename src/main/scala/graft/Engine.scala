@@ -736,7 +736,12 @@ final class Engine(val spark: SparkSession, sfDir: String,
         // plain scan of the at-rest directory (read-your-writes from disk,
         // no union lineage to compact). Write fan-out analog:
         // service/write_handler.go:157-212.
-        sources.MeasurementStore.append(spark, dir, bucketed(meta), withTime, keyTagsFor(measurement))
+        // the batch's time bounds came free with the count aggregation —
+        // they let the store prove single-bucket batches and skip the
+        // dynamic-partition write entirely
+        sources.MeasurementStore.append(spark, dir, bucketed(meta), withTime,
+          keyTagsFor(measurement),
+          timeBounds = if (nOk > 0) Some((tLoUs, tHiUs)) else None)
         raw.unpersist(false)
         sources.MeasurementStore.read(spark, dir, measurement).get._1
       case None =>

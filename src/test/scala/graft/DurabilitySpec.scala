@@ -306,6 +306,70 @@ class DurabilitySpec extends SparkSpec {
       .flatMap(r => Option(r.get(r.fieldIndex("u")))).map(_.asInstanceOf[Double]).toSet == Set(40.0))
   }
 
+  test("cross-process writer lock: foreign lock blocks with a clear error, stale lock breaks, lock releases") {
+    import graft.sources.MeasurementStore
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    val batch = Seq((1000000L, "a", 1.0)).toDF("ts_us", "type", "v")
+    // simulate ANOTHER process holding the lease: plant its lock file
+    val mdir = java.nio.file.Paths.get(dir, "dm")
+    java.nio.file.Files.createDirectories(mdir)
+    val lock = mdir.resolve(".writer.lock")
+    java.nio.file.Files.write(lock, "other-process".getBytes)
+    spark.conf.set("graft.store.lockWaitMs", "300")
+    try {
+      val err = intercept[IllegalStateException] {
+        MeasurementStore.append(spark, dir, meta, batch)
+      }
+      assert(err.getMessage.contains("write-locked by another process"))
+      assert(err.getMessage.contains(".writer.lock"))
+      // crashed holder: age the lock past staleMs — the writer breaks it
+      // and proceeds
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+      MeasurementStore.append(spark, dir, meta, batch)
+      val (df, _) = MeasurementStore.read(spark, dir, "dm").get
+      assert(df.count() == 1)
+      // the lease is released after the write completes
+      assert(!java.nio.file.Files.exists(lock))
+    } finally spark.conf.unset("graft.store.lockWaitMs")
+  }
+
+  test("single-bucket fast-path append lands the identical layout as the dynamic write") {
+    import graft.sources.MeasurementStore
+    val s = spark
+    import s.implicits._
+    val bmeta = meta.copy(bucketUs = Some(3600L * 1000000L))
+    val batch = Seq(
+      (1000000L, "a", 1.0), (2000000L, "b", 2.0), (3000000L, "a", 3.0))
+      .toDF("ts_us", "type", "v")
+    def partDirs(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "dm", "data"))
+      try st.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_.contains("=")).toSet
+      finally st.close()
+    }
+    val dynDir = tmpDir()
+    MeasurementStore.append(spark, dynDir, bmeta, batch, keyTags = Seq("type"))
+    val fastDir = tmpDir()
+    MeasurementStore.append(spark, fastDir, bmeta, batch, keyTags = Seq("type"),
+      timeBounds = Some((1000000L, 3000000L))) // one 1 h bucket
+    assert(partDirs(fastDir) == partDirs(dynDir))
+    assert(partDirs(fastDir).exists(_.startsWith("_tb=")))
+    def rows(dir: String) = MeasurementStore.read(spark, dir, "dm").get._1
+      .select("ts_us", "type", "v", "_tb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getAs[Any](3).toString)).toSet
+    assert(rows(fastDir) == rows(dynDir))
+    // bounds spanning two buckets must NOT take the static path
+    val wide = Seq((1000000L, "a", 1.0), (7200000000L, "b", 2.0)).toDF("ts_us", "type", "v")
+    val wideDir = tmpDir()
+    MeasurementStore.append(spark, wideDir, bmeta, wide, keyTags = Seq("type"),
+      timeBounds = Some((1000000L, 7200000000L)))
+    assert(partDirs(wideDir).count(_.startsWith("_tb=")) == 2)
+  }
+
   test("retention expiry drops only fully-expired time-bucket directories") {
     val dir = tmpDir()
     val e = new Engine(spark, sfDir, Some(dir))

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The two approx gates are `no_oracle` forever — sketch internals are
+  * engine-specific, so no DuckDB hash can check them. Their ERROR is
+  * boundable, though (VERDICT r7 item 6): this spec pins the documented
+  * accuracy guarantees against the exact answers on the sf0.01 fixture,
+  * so the gates stay rows-only for the driver but are no longer unaudited.
+  */
+class ApproxBoundsSpec extends SparkSpec {
+
+  // the round's primary fixture: big enough that the sketches actually
+  // approximate (at sf0.001 the rank error bound is under one row)
+  private val dir = "/root/testdata/sf0.01"
+  private def events = spark.read.parquet(s"$dir/events.parquet")
+
+  test("approx_count_distinct stays within the configured rsd envelope") {
+    // Spark's HLL++ default rsd = 0.05; assert a 3-sigma envelope per
+    // group plus every group present
+    val joined = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        approx_count_distinct("user_id").as("approx"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      val rel = math.abs(approx - exact) / exact
+      assert(rel <= 0.15,
+        s"${r.getString(0)}: approx NDV $approx vs exact $exact (rel err $rel > 3*rsd)")
+    }
+  }
+
+  test("approx_percentile rank error is within 1/accuracy of the target quantile") {
+    // documented guarantee: relative RANK error <= 1/accuracy (=1/1000
+    // here). With ties the true rank of a value is an interval
+    // [count(<v), count(<=v)] — assert it intersects [q-eps, q+eps] with
+    // eps = 2/accuracy slack for interpolation at the sketch boundary.
+    val qs = Seq(0.5, 0.9, 0.99)
+    val eps = 0.002
+    val approx = events.groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("p"))
+      .select(col("event_type"), posexplode(col("p")))
+      .withColumnRenamed("col", "v")
+      .withColumn("q", element_at(typedLit(qs), col("pos").cast("int") + 1))
+    val checked = approx.join(events.select("event_type", "value"), Seq("event_type"))
+      .groupBy("event_type", "q", "v")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"))
+      .collect()
+    assert(checked.length >= qs.size) // every (group, quantile) accounted for
+    checked.foreach { r =>
+      val (q, n) = (r.getDouble(1), r.getLong(3).toDouble)
+      val (lt, le) = (r.getLong(4) / n, r.getLong(5) / n)
+      assert(lt <= q + eps && le >= q - eps,
+        s"${r.getString(0)} q=$q: returned value has rank interval [$lt, $le], " +
+          s"outside [$q-$eps, $q+$eps]")
+    }
+  }
+}
