@@ -373,15 +373,28 @@ object DocText {
           concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
         }: _*)))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val cand = bands.toDF("doc_a", "band", "bkey")
         .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
         .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .select("doc_a", "doc_b")
+        // pin the pair set's partitioning (explicit count → exempt from
+        // AQE coalescing): candidate pairs are byte-light but the verify
+        // join is CPU-heavy per row, exactly where size-based coalescing
+        // misjudges — at sf1 it folded the whole verify into ONE task
+        // (observed minutes of single-core array_intersect)
+        .repartition(p, col("doc_a"), col("doc_b"))
+        .distinct()
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+      // the lookup side is pinned too: if the PAIR set is the broadcast
+      // side instead, the probe becomes the raw shingle scan — 1-2 input
+      // splits for a small parquet, same single-core trap from the other
+      // direction
+      val shV = sh.repartition(p, col("doc_id"))
       cand
-        .join(sh.toDF("doc_a", "sh_a"), Seq("doc_a"))
-        .join(sh.toDF("doc_b", "sh_b"), Seq("doc_b"))
+        .join(shV.toDF("doc_a", "sh_a"), Seq("doc_a"))
+        .join(shV.toDF("doc_b", "sh_b"), Seq("doc_b"))
         .withColumn("jaccard", round(inter / uni, 4))
         .where(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -474,15 +487,24 @@ object DocText {
           concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
         }: _*)))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val cand = bands.toDF("doc_a", "band", "bkey")
         .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
         .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .select("doc_a", "doc_b")
+        // pin the pair set's partitioning (explicit count → exempt from
+        // AQE coalescing): candidate pairs are byte-light but the verify
+        // join is CPU-heavy per row, exactly where size-based coalescing
+        // misjudges — at sf1 it folded the whole verify into ONE task
+        // (observed minutes of single-core array_intersect)
+        .repartition(p, col("doc_a"), col("doc_b"))
+        .distinct()
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+      val shV = sh.repartition(p, col("doc_id")) // see d_lsh_pairs note
       val edges = cand
-        .join(sh.toDF("doc_a", "sh_a"), Seq("doc_a"))
-        .join(sh.toDF("doc_b", "sh_b"), Seq("doc_b"))
+        .join(shV.toDF("doc_a", "sh_a"), Seq("doc_a"))
+        .join(shV.toDF("doc_b", "sh_b"), Seq("doc_b"))
         .where(inter / uni >= 0.8)
         .select("doc_a", "doc_b")
       val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
