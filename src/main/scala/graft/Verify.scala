@@ -13,7 +13,13 @@ object Verify {
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.forall(_(q._1))).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce narrows the query's own
+      // final stage to one task — a shuffle join or heavy projection then
+      // executes inside the single write task (observed: d_shingle_jaccard's
+      // quadratic probe ran 32× slower at sf1, single-core, in full Verify
+      // runs while benching fine standalone). repartition adds one tiny
+      // exchange of the RESULT rows and keeps the query at full parallelism.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -271,7 +271,14 @@ object DocText {
       // (near-unique shingles) the inverted index wins — which is exactly
       // why the LSH path (d_lsh_pairs), not this baseline, is the scale
       // answer.
-      val sh = withShingles(docs2(s, d))
+      // spread the source BEFORE shingling: the documents scan is 1-2
+      // parquet splits, and a persist() freezes that layout — shingling,
+      // the counts-agg map side, and the ×8-replicated a-side exchange
+      // write would all run in 1-2 tasks (measured: ~4× effective
+      // parallelism at sf1 with 32 cores; the byte-light/CPU-heavy shape
+      // AQE can't see). Explicit count so AQE doesn't re-coalesce.
+      val sh = withShingles(docs2(s, d)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .select("doc_id", "lang", "source", "shingles").persist()
       val a = sh.toDF("doc_a", "lang", "source", "sh_a")
       val b = sh.toDF("doc_b", "lang", "source", "sh_b")
@@ -317,7 +324,14 @@ object DocText {
         // coalesce target, which would re-merge these byte-light partitions
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
           col("lang"), col("source"), col("_blk"))
-        .join(bSalted, Seq("lang", "source", "_blk"))
+        // shuffle_hash HINT, not just the repartition: if AQE demotes this
+        // join to broadcast at runtime (the b-side measures small), its
+        // LocalShuffleReader re-reads the pinned exchange at MAP-task
+        // granularity — and the a-side subtree is all map-side over a 1-2
+        // split parquet scan, so the quadratic probe would collapse back
+        // to 1-2 cores. The hint keeps the reduce-side 32-way partitioning
+        // the repartition paid for, in every AQE re-plan.
+        .join(bSalted.hint("shuffle_hash"), Seq("lang", "source", "_blk"))
         .drop("_blk")
         .where(col("doc_a") < col("doc_b"))
         // size prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
