@@ -31,7 +31,9 @@ object CqBench {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
     val b = ev.agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
-    val (t0, t1, total) = (b.getInstant(0).toEpochMilli, b.getInstant(1).toEpochMilli, b.getLong(2))
+    // getTimestamp, not getInstant: the session keeps the default
+    // java.sql datetime API, so Row timestamps are java.sql.Timestamp
+    val (t0, t1, total) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime, b.getLong(2))
     val sliceMs = math.max(1L, (t1 - t0) / chunks + 1L)
     // sequential slice writes: file modification order == event-time order,
     // so the FileStreamSource replays ingest the way a live feed arrives

@@ -20,7 +20,9 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written table (e.g. ScaleUp output): a dir of part files
+        p = f"{p}/*.parquet"
+    if glob.glob(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -31,11 +33,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+skip = set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}
+
 fails, passes, rows_only = [], [], []
 for d in sorted(glob.glob(f"{out_dir}/*")):
     if not os.path.isdir(d):
         continue
     name = os.path.basename(d)
+    if (only is not None and name not in only) or name in skip:
+        continue
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         fails.append((name, "no spark output"));  continue
