@@ -24,6 +24,17 @@ for t in ["region","nation","customer","supplier","part","orders",
         p = f"{p}/*.parquet"
     if glob.glob(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if t == "events":
+            # ScaleUp output is Spark-written: Spark reads the driver's
+            # TIMESTAMP(NANOS) ts as long ns (nanosAsLong) and can only
+            # write it back as BIGINT. DuckDB v1.0.0 reads the driver's
+            # NANOS column as a microsecond TIMESTAMP (truncating), and
+            # every oracle is written against that reading — reproduce it
+            # exactly so the epoch_us(ts) oracles bind at any scale.
+            (ty,) = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if ty == "BIGINT":
+                con.execute("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -51,7 +62,9 @@ for d in sorted(glob.glob(f"{out_dir}/*")):
         rows_only.append((name, len(spark_df)))
         continue
     try:
+        import time as _t; _t0 = _t.time()
         duck_df = con.execute(oracle[name]).fetchdf()
+        print(f"[check] {name} oracle {_t.time()-_t0:.1f}s", file=sys.stderr, flush=True)
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
     s, o = canon(spark_df), canon(duck_df)
