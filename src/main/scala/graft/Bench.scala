@@ -52,6 +52,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // explicit run/fail counts + partial flag: a 56-of-166 crash round must
+    // not read as a full-surface total (ADVICE r8 on BENCH_SELF.json)
+    val nRun = results.count(_._2 >= 0)
+    val nFailed = results.size - nRun
     // write-path throughput — the reference's ONLY benchmark is a write
     // benchmark (service/write_test.go:38-57 BenchmarkRouting, 100-point
     // payloads through the routing layer, no recorded q/s). Same shape
@@ -79,6 +83,7 @@ object Bench {
     val wps = if (only.isDefined) -1.0 else writeBench(durable = false)
     val wpsDurable = if (only.isDefined) -1.0 else writeBench(durable = true)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_run":$nRun,"n_failed":$nFailed,"partial":${nFailed > 0 || only.isDefined},""" +
       s""""write_pps":$wps,"write_pps_durable":$wpsDurable,"sf":"$sfDir"}"""
     println(line)
     // self-recorded artifact: the driver's captured stdout tail can truncate

@@ -1277,7 +1277,10 @@ final class Engine(val spark: SparkSession, sfDir: String,
               result, out, tags, epoch, timeDesc = sel.orderDesc, sid = i)
           }
         case other =>
-          out.write(InfluxJson.serializeResult("results", executeStmt(other), sid = i))
+          // streamed even for meta/DDL results: SHOW SERIES on a big
+          // corpus is unbounded, and collect() must never sit on the
+          // query-response path (VERDICT r8 #4)
+          InfluxJson.serializeStreamResult("results", executeStmt(other), out, sid = i)
       }
     }
     out.write("]}")
@@ -1323,8 +1326,9 @@ final class Engine(val spark: SparkSession, sfDir: String,
             out, chunkSize, tags, epoch, timeDesc = sel.orderDesc, sid = i)
         }
       case (other, i) =>
-        out.write(s"""{"results":[${InfluxJson.serializeResult("results",
-          executeStmt(other), sid = i)}]}""" + "\n")
+        out.write("""{"results":[""")
+        InfluxJson.serializeStreamResult("results", executeStmt(other), out, sid = i)
+        out.write("]}\n")
     }
 
 }

@@ -27,6 +27,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet timestamp[us] without tz annotation reads as TimestampType
+      // (not NTZ): with the UTC session timezone above its values ARE exact
+      // epoch-µs instants, and timestamp literals/arithmetic stay uniform
+      // across the driver's two historical testdata encodings (see Tables)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -27,7 +27,10 @@ final case class TableMeta(
     // shard-group-duration analog (reference syncing/models.go:5): durable
     // data is directory-partitioned by `_tb = timeCol DIV bucketUs`, so
     // retention expiry is a partition drop and time scans prune directories
-    bucketUs: Option[Long] = None) {
+    bucketUs: Option[Long] = None,
+    // physical TimestampType(µs) scan column, preferred for pushdown when
+    // the file is µs-encoded (then rawTimeNs is derived and cannot prune)
+    rawTimeTsUs: Option[String] = None) {
   def field(n: String): FieldMeta =
     fields.find(_.name == n).getOrElse(
       throw ParseException(s"unknown field '$n' on measurement '$measurement'"))
@@ -44,7 +47,12 @@ object Catalog {
 
   def load(spark: SparkSession, sfDir: String, measurement: String): (DataFrame, TableMeta) =
     measurement match {
-      case "events" => (Tables(spark, sfDir, "events"), events)
-      case m        => throw ParseException(s"unknown measurement '$m'")
+      case "events" =>
+        // pushdown column depends on the file's physical time encoding:
+        // ns-LONG files prune via ts_ns bounds; µs-TIMESTAMP files keep the
+        // raw ts scan column, so prune via TIMESTAMP bounds on it instead
+        val (df, tsIsPhysical) = Tables.events(spark, sfDir)
+        (df, if (tsIsPhysical) events.copy(rawTimeTsUs = Some("ts")) else events)
+      case m => throw ParseException(s"unknown measurement '$m'")
     }
 }

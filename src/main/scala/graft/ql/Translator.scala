@@ -157,22 +157,40 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case Bin("=~", l, RegexLit(p)) => operand(l, other = l).rlike(p)
     case Bin("!~", l, RegexLit(p)) => !operand(l, other = l).rlike(p)
     // time comparisons against constants additionally emit a REDUNDANT
-    // bound on the raw parquet ns column: the semantic filter on the
-    // derived µs column ((ts div 1000) op X) cannot convert to a parquet
-    // predicate, so row-group/partition pruning on the time axis — the
-    // dominant pruning at scale — only happens via the raw bound.
-    case Bin(op, l, r) if isTimeRef(l) && meta.rawTimeNs.isDefined
+    // bound on the raw parquet time column: the semantic filter on the
+    // derived µs column cannot convert to a parquet predicate, so
+    // row-group/partition pruning on the time axis — the dominant pruning
+    // at scale — only happens via the raw bound. Which column is physical
+    // depends on the file encoding (Tables): µs-TIMESTAMP files take exact
+    // TIMESTAMP bounds on `ts` itself; ns-LONG files take ns bounds on
+    // `ts_ns` (widened ±999 ns because ns is finer than the µs semantics).
+    case Bin(op, l, r) if isTimeRef(l)
+        && (meta.rawTimeTsUs.isDefined || meta.rawTimeNs.isDefined)
         && constTimeUs(r).isDefined =>
       val v = constTimeUs(r).get
-      val raw = col(meta.rawTimeNs.get)
       val base = compareOp(op, time, lit(v))
-      val push = op match {
-        case ">=" => raw >= v * 1000L
-        case ">"  => raw > v * 1000L + 999L
-        case "<"  => raw < v * 1000L
-        case "<=" => raw <= v * 1000L + 999L
-        case "="  => raw >= v * 1000L && raw <= v * 1000L + 999L
-        case _    => lit(true)
+      val push = meta.rawTimeTsUs match {
+        case Some(rawTs) =>
+          val c = col(rawTs)
+          val tv = timestamp_micros(lit(v)) // foldable → parquet-pushable literal
+          op match {
+            case ">=" => c >= tv
+            case ">"  => c > tv
+            case "<"  => c < tv
+            case "<=" => c <= tv
+            case "="  => c === tv
+            case _    => lit(true)
+          }
+        case None =>
+          val raw = col(meta.rawTimeNs.get)
+          op match {
+            case ">=" => raw >= v * 1000L
+            case ">"  => raw > v * 1000L + 999L
+            case "<"  => raw < v * 1000L
+            case "<=" => raw <= v * 1000L + 999L
+            case "="  => raw >= v * 1000L && raw <= v * 1000L + 999L
+            case _    => lit(true)
+          }
       }
       base && push
     case Bin(op, l, r)    =>
@@ -1219,7 +1237,9 @@ object Translator {
     val tags = metas.flatMap(_.tags).distinct
     val fields = metas.flatMap(_.fields).distinctBy(_.name)
     val rawNs = if (metas.forall(_.rawTimeNs == head.rawTimeNs)) head.rawTimeNs else None
-    (df, TableMeta(measurementName(src), head.timeCol, tags, fields, rawNs))
+    val rawTs = if (metas.forall(_.rawTimeTsUs == head.rawTimeTsUs)) head.rawTimeTsUs else None
+    (df, TableMeta(measurementName(src), head.timeCol, tags, fields, rawNs,
+      rawTimeTsUs = rawTs))
   }
 
   def measurementName(src: Source): String = src match {

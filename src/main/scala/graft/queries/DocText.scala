@@ -113,6 +113,41 @@ object DocText {
     }
   }
 
+  /** Banded-LSH candidate pairs joined back to their shingle sets
+    * (`doc_a, doc_b, sh_a, sh_b`), ready for exact-Jaccard verification —
+    * shared by `d_lsh_pairs` and `d_dup_clusters`.
+    *
+    * Partition pinning is SIZE-GATED (VERDICT r8 #3). The trap it guards:
+    * candidate pairs are byte-light but the verify join is CPU-heavy per
+    * row — exactly where AQE's size-based coalescing misjudges. At sf1 it
+    * folded the whole verify into ONE task (minutes of single-core
+    * array_intersect), and a broadcast pair set from the other direction
+    * probes the raw 1-2-split shingle scan. But pinning unconditionally
+    * taxes small corpora ~9-12× (three forced 32-way exchanges replace two
+    * AQE broadcast joins over 5k docs — r8 measured d_lsh_pairs 1.3→11.6 s).
+    * So: below `graft.lsh.pinMinDocs` leave the plan to AQE/broadcast;
+    * above it pin the exchanges. The gating count doubles as the forced
+    * materialization of the persisted shingle index (needed anyway). */
+  private def lshCandVerify(s: SparkSession, sh: DataFrame, sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
+        concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
+      }: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pin = sh.count() >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
+    val cand0 = bands.toDF("doc_a", "band", "bkey")
+      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // explicit partition count → exempt from AQE coalescing
+    val cand = (if (pin) cand0.repartition(p, col("doc_a"), col("doc_b")) else cand0)
+      .distinct()
+    val shV = if (pin) sh.repartition(p, col("doc_id")) else sh
+    cand
+      .join(shV.toDF("doc_a", "sh_a"), Seq("doc_a"))
+      .join(shV.toDF("doc_b", "sh_b"), Seq("doc_b"))
+  }
+
   /** DuckDB mirror: long-format signatures (doc_id, seed, mh) from `sh`;
     * the a/b constant lists are indexed by seed (1-based). */
   private val SIG_CTE = {
@@ -383,32 +418,9 @@ object DocText {
       // the persisted LSH index table).
       val sh = withShingles(docs2(s, d)).select("doc_id", "shingles").persist()
       val sig = withSig(sh).persist()
-      val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
-          concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
-        }: _*)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val cand = bands.toDF("doc_a", "band", "bkey")
-        .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        // pin the pair set's partitioning (explicit count → exempt from
-        // AQE coalescing): candidate pairs are byte-light but the verify
-        // join is CPU-heavy per row, exactly where size-based coalescing
-        // misjudges — at sf1 it folded the whole verify into ONE task
-        // (observed minutes of single-core array_intersect)
-        .repartition(p, col("doc_a"), col("doc_b"))
-        .distinct()
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
-      // the lookup side is pinned too: if the PAIR set is the broadcast
-      // side instead, the probe becomes the raw shingle scan — 1-2 input
-      // splits for a small parquet, same single-core trap from the other
-      // direction
-      val shV = sh.repartition(p, col("doc_id"))
-      cand
-        .join(shV.toDF("doc_a", "sh_a"), Seq("doc_a"))
-        .join(shV.toDF("doc_b", "sh_b"), Seq("doc_b"))
+      lshCandVerify(s, sh, sig)
         .withColumn("jaccard", round(inter / uni, 4))
         .where(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -497,28 +509,9 @@ object DocText {
       // edges: the same LSH candidate→verify pipeline as d_lsh_pairs
       val sh = withShingles(docs2(s, d)).select("doc_id", "shingles").persist()
       val sig = withSig(sh).persist()
-      val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
-          concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
-        }: _*)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val cand = bands.toDF("doc_a", "band", "bkey")
-        .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        // pin the pair set's partitioning (explicit count → exempt from
-        // AQE coalescing): candidate pairs are byte-light but the verify
-        // join is CPU-heavy per row, exactly where size-based coalescing
-        // misjudges — at sf1 it folded the whole verify into ONE task
-        // (observed minutes of single-core array_intersect)
-        .repartition(p, col("doc_a"), col("doc_b"))
-        .distinct()
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
-      val shV = sh.repartition(p, col("doc_id")) // see d_lsh_pairs note
-      val edges = cand
-        .join(shV.toDF("doc_a", "sh_a"), Seq("doc_a"))
-        .join(shV.toDF("doc_b", "sh_b"), Seq("doc_b"))
+      val edges = lshCandVerify(s, sh, sig)
         .where(inter / uni >= 0.8)
         .select("doc_a", "doc_b")
       val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -838,19 +838,21 @@ object EmbedOps {
           posexplode(tableBuckets(8, 12, 100)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val cand = bands.toDF("vec_a", "tbl", "bucket")
+      // pinning gated on corpus size, same rationale + threshold as
+      // DocText.lshCandVerify (VERDICT r8 #3): small corpora take AQE's
+      // broadcast plan, large ones pin against the coalesce-to-one-task trap
+      val pin = v.count() >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
+      val cand0 = bands.toDF("vec_a", "tbl", "bucket")
         .join(bands.toDF("vec_b", "tbl", "bucket"), Seq("tbl", "bucket"))
         .where(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b")
-        // pinned partitioning for the byte-light/CPU-heavy pair set — the
-        // AQE-coalesce trap documented at DocText d_lsh_pairs
-        .repartition(p, col("vec_a"), col("vec_b"))
+      val cand = (if (pin) cand0.repartition(p, col("vec_a"), col("vec_b")) else cand0)
         .distinct()
       // norms precomputed per VECTOR (not per candidate pair — same double,
       // a third of the fold work at verification time); pinned like the
       // pair set so the verify probe is never a 1-split raw scan
-      val vn = v.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        .repartition(p, col("vec_id"))
+      val vn0 = v.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val vn = if (pin) vn0.repartition(p, col("vec_id")) else vn0
       cand
         .join(vn.toDF("vec_a", "ea", "na"), Seq("vec_a"))
         .join(vn.toDF("vec_b", "eb", "nb"), Seq("vec_b"))

@@ -300,6 +300,26 @@ object EventAggs {
         .where(col("rn") <= 5).select("event_type", "event_id", "value")
     },
 
+    // seeded deterministic variant: same per-series 5-row sample but keyed
+    // by the md5-based keep function both engines compute identically
+    // (d_stratified_sample's trick) — oracle-checkable, shrinking the
+    // rows-only set (VERDICT r8 "what's missing" #2)
+    Q("e_sample_det",
+      """WITH h AS (SELECT event_type, event_id, value,
+        |  CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM events)
+        |SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hk ASC, event_id ASC) AS rn
+        |  FROM h) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      val hk = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10).cast("long")
+      ev(s, d)
+        .withColumn("hk", hk)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("hk").asc, col("event_id").asc)))
+        .where(col("rn") <= 5).select("event_type", "event_id", "value")
+    },
+
     // ---- sessionization: gap-based session assembly per user (30-min
     //      inactivity closes a session) — lag → boundary flag → running
     //      sum = session id, then per-session stats. The batch form of

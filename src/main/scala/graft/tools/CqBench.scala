@@ -26,10 +26,9 @@ object CqBench {
     val work = java.nio.file.Files.createTempDirectory("cqbench").toString
     val replay = s"$work/replay"
 
-    // ts is TIMESTAMP(NANOS) read as long ns (Sessions sets nanosAsLong)
-    val ev = spark.read.parquet(s"$src/events.parquet")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("event_type"), col("value"))
+    // Tables normalizes ts to TimestampType µs whatever the file encoding
+    val ev = graft.Tables(spark, src, "events")
+      .select(col("ts"), col("event_type"), col("value"))
     val b = ev.agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
     // getTimestamp, not getInstant: the session keeps the default
     // java.sql datetime API, so Row timestamps are java.sql.Timestamp

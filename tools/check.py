@@ -47,16 +47,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 skip = set(os.environ.get("CHECK_SKIP", "").split(",")) - {""}
 
+# Registry = the manifest Verify writes before running anything (so crashed
+# queries surface as err rows, not absence — VERDICT r8 #5); fall back to
+# the output dirs for pre-manifest dumps.
+manifest_path = f"{out_dir}/queries.json"
+if os.path.exists(manifest_path):
+    names = json.load(open(manifest_path))
+else:
+    names = [os.path.basename(d) for d in sorted(glob.glob(f"{out_dir}/*"))
+             if os.path.isdir(d)]
+
 fails, passes, rows_only = [], [], []
-for d in sorted(glob.glob(f"{out_dir}/*")):
-    if not os.path.isdir(d):
-        continue
-    name = os.path.basename(d)
+for name in names:
+    d = f"{out_dir}/{name}"
     if (only is not None and name not in only) or name in skip:
         continue
+    if not os.path.isdir(d):
+        fails.append((name, "no spark output (query never ran)"));  continue
     files = glob.glob(f"{d}/*.parquet")
     if not files:
-        fails.append((name, "no spark output"));  continue
+        err = ""
+        if os.path.exists(f"{d}/_error"):
+            err = ": " + open(f"{d}/_error").read().strip()
+        fails.append((name, f"no spark output{err}"));  continue
     spark_df = pq.read_table(files[0]).to_pandas()
     if name not in oracle:
         rows_only.append((name, len(spark_df)))
