@@ -82,6 +82,36 @@ class ScaleUpSpec extends SparkSpec {
     assert(cos(em(1L), em(1L + kv)) < 0.5)
   }
 
+  test("factor above embedding dim is refused (decorrelation would break)") {
+    // dim = 8 here: factor 16 would give every replica a zero shift —
+    // exact copies, cross-replica cosine 1 — silently invalidating the
+    // scale measurements, so the guard must fire instead
+    val dst = java.nio.file.Files.createTempDirectory("scaleup_refuse").toString
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.run(spark, dirs._1, dst, 16)
+    }
+    assert(e.getMessage.contains("exceeds embedding dim"))
+  }
+
+  test("empty source table fails loudly instead of NPE") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("scaleup_empty").toString
+    val dst = java.nio.file.Files.createTempDirectory("scaleup_empty_dst").toString
+    Seq((0L, "r0")).toDF("r_regionkey", "r_name").write.parquet(s"$src/region.parquet")
+    Seq((0L, 0L, "n")).toDF("n_nationkey", "n_regionkey", "n_name")
+      .write.parquet(s"$src/nation.parquet")
+    Seq((1L, "c")).toDF("c_custkey", "c_name").write.parquet(s"$src/customer.parquet")
+    Seq((1L, "s")).toDF("s_suppkey", "s_name").write.parquet(s"$src/supplier.parquet")
+    Seq((1L, "p")).toDF("p_partkey", "p_name").write.parquet(s"$src/part.parquet")
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .filter(lit(false)).write.parquet(s"$src/orders.parquet") // empty
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.run(spark, src, dst, 2)
+    }
+    assert(e.getMessage.contains("source table is empty"))
+  }
+
   test("facts scale by the factor, dims stay fixed, keys stay disjoint") {
     def cnt(t: String) = spark.read.parquet(s"${dirs._2}/$t.parquet").count()
     assert(cnt("lineitem") == 4 && cnt("orders") == 4 && cnt("events") == 4)
