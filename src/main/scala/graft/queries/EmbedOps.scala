@@ -232,6 +232,14 @@ object EmbedOps {
 
   private val NPROBE = 2
 
+  /** List-count ceiling for IVF. k = √N is the textbook sizing, but left
+    * unbounded it makes the Lloyd assignment O(N·√N) = N^1.5 — measured
+    * 10.2× runtime for 10× data at sf1. Capping k keeps the build linear
+    * (O(N·MAXLISTS)) past N = MAXLISTS², which is how production IVF
+    * deployments size list counts; the probe still reads ≈ NPROBE/k of
+    * the corpus. The oracle derives k with the identical formula. */
+  private val MAXLISTS = 4096
+
   /** Micro-quantized squared L2 between two double arrays — the codegen
     * SeqL2Expr, bit-identical to the `aggregate(zip_with(...))` HOF fold
     * (same left-to-right IEEE sequence as the oracle's generate_series
@@ -258,7 +266,8 @@ object EmbedOps {
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     val n = v.count() // offline index build: the one driver-side action
-    val k = nLists.getOrElse(math.max(2, math.sqrt(n.toDouble).toInt))
+    val k = nLists.getOrElse(
+      math.max(2, math.min(MAXLISTS, math.sqrt(n.toDouble).toInt)))
     val step = math.max(1L, n / k)
     // deterministic seeds: every step-th vector in vec_id rank order,
     // ranked distributed (globalRank) — no single-task sort of the corpus
@@ -339,7 +348,7 @@ object EmbedOps {
     * from count(*) exactly as the Spark side computes them). */
   def ivfOracleSql(nLists: Option[Int]): String = {
     val kExpr = nLists.map(_.toString)
-      .getOrElse("GREATEST(2, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))")
+      .getOrElse(s"GREATEST(2, LEAST($MAXLISTS, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))")
     def l2(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $DIMS),
