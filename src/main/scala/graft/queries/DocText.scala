@@ -514,24 +514,42 @@ object DocText {
       val edges = lshCandVerify(s, sh, sig)
         .where(inter / uni >= 0.8)
         .select("doc_a", "doc_b")
-      val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .localCheckpoint(true) // reused every round: materialize once
-      // min-label propagation to the unique fixpoint
-      var labels = docs2(s, d)
-        .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
-      var prevSum = Long.MaxValue
-      var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
-      while (sum < prevSum) { // Σ labels strictly decreases until converged
-        val prop = bi.join(labels, bi("a") === labels("doc_id"))
-          .groupBy(bi("b").as("nbr_of")).agg(min("cluster_id").as("nbr_min"))
-        labels = labels.join(prop, labels("doc_id") === col("nbr_of"), "left")
-          .select(labels("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-          .localCheckpoint(true) // cut lineage: O(1) plan depth per round
-        prevSum = sum
-        sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
-      }
+      // Two CC algorithms, both converging to the same unique min-id
+      // labeling (ComponentsSpec pins the equality): min-label propagation
+      // (O(diameter) rounds — near-dup clusters have tiny diameters, and
+      // at bench scale its rounds are cheaper than star contraction's
+      // fixed overhead) below graft.cc.starMinDocs, alternating
+      // large-star/small-star (O(log n) rounds, skew-bounded — the
+      // VERDICT r8 extreme-edge-count caveat) above it.
+      val labels =
+        if (sh.count() >= s.conf.get("graft.cc.starMinDocs", "200000").toLong) {
+          val star = Components.starContract(
+            edges.select(col("doc_a").as("a"), col("doc_b").as("b")))
+          docs2(s, d).select(col("doc_id"))
+            .join(star.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        } else {
+          val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+            .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+            .localCheckpoint(true) // reused every round: materialize once
+          // min-label propagation to the unique fixpoint
+          var lbl = docs2(s, d)
+            .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
+          var prevSum = Long.MaxValue
+          var sum = lbl.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+          while (sum < prevSum) { // Σ labels strictly decreases until converged
+            val prop = bi.join(lbl, bi("a") === lbl("doc_id"))
+              .groupBy(bi("b").as("nbr_of")).agg(min("cluster_id").as("nbr_min"))
+            lbl = lbl.join(prop, lbl("doc_id") === col("nbr_of"), "left")
+              .select(lbl("doc_id"),
+                least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+              .localCheckpoint(true) // cut lineage: O(1) plan depth per round
+            prevSum = sum
+            sum = lbl.agg(org.apache.spark.sql.functions.sum("cluster_id")).head.getLong(0)
+          }
+          lbl
+        }
       labels.withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
     },
