@@ -424,13 +424,20 @@ object EmbedOps {
   }
 
   /** The offline training half: (vectors persisted, M×K codebook as a
-    * collected literal frame). Per-subspace codebook = IVF's seed →
-    * assign → exact-integer mean. MATERIALIZING the codebook (64 tiny
-    * rows) matters: the build subplan spans window + cross-join passes
-    * over the corpus, and leaving it lazy re-executes that train inside
-    * EVERY downstream join (encode, LUT). Collecting is the offline
-    * "index build" step a real PQ deployment persists; the literal frame
-    * then broadcasts for free. */
+    * collected literal frame). Codebook = IVF's seed → assign →
+    * exact-integer mean, trained for ALL M subspaces in ONE pass: the
+    * corpus explodes once into (vec_id, m, sub) rows (pqSubRows), the
+    * seed vectors — identical ranks for every subspace — explode the
+    * same way into an (m, cid, cvec) broadcast, and a single join +
+    * (vec_id, m) window does all M argmin assignments together. The
+    * former per-subspace loop ran M=8 separate window+join subplans
+    * (8 corpus passes, 8× the stages); results are bit-identical — the
+    * per-(vec_id, m) distances and tie order are unchanged and the
+    * integer centroid means are order-free. MATERIALIZING the codebook
+    * (M×K tiny rows) matters: leaving it lazy re-executes the train
+    * inside EVERY downstream join (encode, LUT). Collecting is the
+    * offline "index build" step a real PQ deployment persists; the
+    * literal frame then broadcasts for free. */
   private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val v = emb(s, d)
@@ -439,24 +446,26 @@ object EmbedOps {
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
     val ranked = globalRank(v, "vec_id")
-    val codebook = (0 until PQ_M).map { m =>
-      val sv = ranked.select(col("vec_id"), col("rank"), pqSubCol(m).as("sub"))
-      val seeds = sv.where(col("rank") % step === 0L && expr(s"rank div $step") < PQ_K)
-        .select(expr(s"rank div $step").as("cid"), col("sub").as("cvec"))
-      val a1 = sv.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("sub"), col("cid"), l2micro(col("sub"), col("cvec")).as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
-        .where(col("rn") === 1)
-      a1.select(col("cid"), posexplode(col("sub")))
-        .select(col("cid"), col("pos").as("dim"),
-          round(col("col") * 1048576).cast("long").as("iv"))
-        .groupBy("cid", "dim")
-        .agg((sum("iv").cast("double") / (lit(1048576.0) * count(lit(1)))).as("c"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-        .select(lit(m).as("m"), col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
-    }.reduce(_ unionByName _)
+    val seedSubs = ranked
+      .where(col("rank") % step === 0L && expr(s"rank div $step") < PQ_K)
+      .select(expr(s"rank div $step").as("cid"),
+        explode(array((0 until PQ_M).map(m =>
+          struct(lit(m).as("m"), pqSubCol(m).as("cvec"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("cid"), col("s.cvec").as("cvec"))
+    val assigned = pqSubRows(ranked).join(broadcast(seedSubs), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sub"), col("cid"),
+        l2micro(col("sub"), col("cvec")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cid").asc)))
+      .where(col("rn") === 1)
+    val codebook = assigned.select(col("m"), col("cid"), posexplode(col("sub")))
+      .select(col("m"), col("cid"), col("pos").as("dim"),
+        round(col("col") * 1048576).cast("long").as("iv"))
+      .groupBy("m", "cid", "dim")
+      .agg((sum("iv").cast("double") / (lit(1048576.0) * count(lit(1)))).as("c"))
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("m"), col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
       .as[(Int, Long, Seq[Double])].collect().toSeq.toDF("m", "cid", "cvec")
     (v, codebook)
   }
