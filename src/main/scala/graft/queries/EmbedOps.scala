@@ -260,11 +260,20 @@ object EmbedOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
 
-  /** The offline index-build half: (vectors, trained centroids). */
+  /** The offline index-build half: (vectors persisted, trained centroids
+    * as a collected literal frame). Materializing the k-row centroid
+    * table matters for the same reason as the PQ codebook: left lazy,
+    * the entire Lloyd subplan (rank + assign + integer means) re-executes
+    * inside every downstream `broadcast(cents)` — twice in ivfKnn (asg +
+    * probe branches) and again in ivfBuild's assignment write. k ≤
+    * MAXLISTS=4096 rows × DIMS doubles ≈ 2 MB: the legitimate driver-side
+    * index artifact a real IVF deployment persists. */
   private def ivfParts(s: SparkSession, d: String, nLists: Option[Int])
       : (DataFrame, DataFrame) = {
+    import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .persist() // read by rank, both Lloyd assigns, and the search rerank
     val n = v.count() // offline index build: the one driver-side action
     val k = nLists.getOrElse(
       math.max(2, math.min(MAXLISTS, math.sqrt(n.toDouble).toInt)))
@@ -285,6 +294,7 @@ object EmbedOps {
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cvec")
     (v, cents1)
   }
 
@@ -323,6 +333,7 @@ object EmbedOps {
       .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/assign.parquet")
+    v.unpersist()
   }
 
   /** Search a persisted index — no rebuild. Results identical to `ivfKnn`
