@@ -49,6 +49,7 @@ object Sessions {
     graft.functions.SeqDotExpr.register(spark)  // native codegen dot-fold for the vector path
     graft.functions.SeqL2Expr.register(spark)   // native codegen squared-L2 fold (IVF quantizer)
     graft.functions.LshBucketsExpr.register(spark) // single-pass multi-table LSH signatures
+    graft.functions.CodebookExprs.register(spark)  // ANN index-build argmin/encode loops
     spark
   }
 }

@@ -250,51 +250,79 @@ object EmbedOps {
 
   /** IVF search, list count parameterized (None → ⌊√N⌋). The index build
     * (seeds → assign → exact-integer centroid recompute → final assign) is
-    * the offline half: O(N·k) broadcast-joined distance evals per Lloyd
-    * pass, no shuffle beyond the k-row centroid aggregation. The search
-    * half probes NPROBE lists per query: ≈ NPROBE·N/k candidates. */
-  /** Rank every vector against a (small, broadcast) centroid set. */
-  private def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("cid"), l2micro(col("emb"), col("cvec")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
+    * the offline half; the search half probes NPROBE lists per query:
+    * ≈ NPROBE·N/k candidates. */
+  /** Per-row ranked (d2, cid) against a COLLECTED centroid set, as one
+    * literal-array expression: `transform` evaluates the codegen seql2
+    * against every codeword in-row, `array_min`/`array_sort` picks the
+    * (d2 asc, cid asc) winners — lexicographic struct ordering IS the
+    * tie-break the old window used. This replaces the former
+    * crossJoin+Window argmin, whose exchange carried N×k expanded rows
+    * (~900 MB shuffled at sf1) just to rank k candidates per vector:
+    * assignment is embarrassingly parallel and is now a map-only
+    * projection — the shape a real ANN encoder has, at any corpus size.
+    * The centroid set is bounded (k ≤ MAXLISTS = 4096 ≈ 2 MB), the
+    * legitimate driver-side index artifact (em_kmeans pioneered this). */
+  private def assignsLit(embCol: Column, cents: Seq[(Long, Seq[Double])],
+      topN: Int): Column = {
+    val cb = typedLit(cents.map { case (cid, cv) => (cv, cid) })
+    val ranked = transform(cb, c =>
+      struct(l2micro(embCol, c.getField("_1")).as("d2"),
+        c.getField("_2").as("cid")))
+    slice(array_sort(ranked), 1, topN)
+  }
 
-  /** The offline index-build half: (vectors persisted, trained centroids
-    * as a collected literal frame). Materializing the k-row centroid
-    * table matters for the same reason as the PQ codebook: left lazy,
-    * the entire Lloyd subplan (rank + assign + integer means) re-executes
-    * inside every downstream `broadcast(cents)` — twice in ivfKnn (asg +
-    * probe branches) and again in ivfBuild's assignment write. k ≤
-    * MAXLISTS=4096 rows × DIMS doubles ≈ 2 MB: the legitimate driver-side
-    * index artifact a real IVF deployment persists. */
+  /** Nearest-`topN` centroids per vector. The HOF form (interpreted
+    * lambda per codeword) — only ever applied to the ≤NQUERIES probe
+    * rows; corpus-sized assignment goes through ivfArgmin's codegen
+    * loop instead. */
+  private def ivfAssign(v: DataFrame, cents: Seq[(Long, Seq[Double])],
+      topN: Int): DataFrame =
+    v.select(col("vec_id"), col("emb"),
+        posexplode(assignsLit(col("emb"), cents, topN)))
+      .select(col("vec_id"), col("emb"), col("col.cid").as("cid"),
+        col("col.d2").as("d2"), (col("pos") + 1).cast("int").as("rn"))
+
+  /** Nearest centroid per vector — the corpus-sized hot path, one
+    * generated primitive loop per row (CodebookArgminExpr; the codebook
+    * is cid-ascending so index-order tie-break = (d2, cid) order). */
+  private def ivfArgmin(v: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    v.select(col("vec_id"), col("emb"),
+      element_at(typedLit(cents.map(_._1)),
+        call_function("cb_argmin", col("emb"), typedLit(cents.map(_._2))) + 1)
+        .as("cid"))
+
+  /** The offline index-build half: (vectors, trained centroids collected
+    * to the driver). Every downstream assignment is then a map-only pass
+    * (assignsLit) instead of re-executing the Lloyd subplan — k ≤
+    * MAXLISTS=4096 rows × DIMS doubles ≈ 2 MB, the index artifact a real
+    * IVF deployment persists. */
   private def ivfParts(s: SparkSession, d: String, nLists: Option[Int])
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
     import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .persist() // read by rank, both Lloyd assigns, and the search rerank
     val n = v.count() // offline index build: the one driver-side action
     val k = nLists.getOrElse(
       math.max(2, math.min(MAXLISTS, math.sqrt(n.toDouble).toInt)))
     val step = math.max(1L, n / k)
     // deterministic seeds: every step-th vector in vec_id rank order,
     // ranked distributed (globalRank) — no single-task sort of the corpus
-    val ranked0 = globalRank(v, "vec_id")
-    val seeds = ranked0
+    val seeds: Seq[(Long, Seq[Double])] = globalRank(v, "vec_id")
       .where(col("rank") % step === 0L && expr(s"rank div $step") < k)
       .select(expr(s"rank div $step").as("cid"), col("emb").as("cvec"))
-    // Lloyd pass: assign to seeds, recompute exact-integer centroids
-    val cents1 = ivfAssign(v, seeds).where(col("rn") === 1)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    // Lloyd pass: assign to seeds (map-only), recompute exact-integer
+    // centroids — identical arithmetic to the previous plan-side fold
+    val cents1 = ivfArgmin(v, seeds)
       .select(col("cid"), posexplode(col("emb")))
       .select(col("cid"), col("pos").as("dim"),
         round(col("col") * 1048576).cast("long").as("iv"))
       .groupBy("cid", "dim")
       .agg((sum("iv").cast("double") / (lit(1048576.0) * count(lit(1)))).as("c"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-      .select(col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
-      .as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cvec")
+      .as[(Long, Int, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+      .toSeq.sortBy(_._1)
     (v, cents1)
   }
 
@@ -311,11 +339,10 @@ object EmbedOps {
 
   def ivfKnn(s: SparkSession, d: String, nLists: Option[Int]): DataFrame = {
     val (v, cents1) = ivfParts(s, d, nLists)
-    val fin = ivfAssign(v, cents1)
-    val asg = fin.where(col("rn") === 1)
+    val asg = ivfArgmin(v, cents1)
       .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
     // multi-probe: each query searches its NPROBE nearest lists
-    val q = fin.where(col("rn") <= NPROBE && col("vec_id") < NQUERIES)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents1, NPROBE)
       .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
     ivfSearch(asg, q)
   }
@@ -328,12 +355,14 @@ object EmbedOps {
   def ivfBuild(s: SparkSession, d: String, indexDir: String,
       nLists: Option[Int]): Unit = {
     val (v, cents1) = ivfParts(s, d, nLists)
-    cents1.write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    ivfAssign(v, cents1).where(col("rn") === 1)
+    val sp = v.sparkSession
+    import sp.implicits._
+    cents1.toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    ivfArgmin(v, cents1)
       .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/assign.parquet")
-    v.unpersist()
   }
 
   /** Search a persisted index — no rebuild. Results identical to `ivfKnn`
@@ -342,11 +371,13 @@ object EmbedOps {
     * driver-side materialization) and pushed as a partition filter so the
     * assignment scan reads ONLY the probed directories. */
   def ivfKnnIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    import s.implicits._
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val queries = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .where(col("vec_id") < NQUERIES)
-    val q = ivfAssign(queries, cents).where(col("rn") <= NPROBE)
+    val q = ivfAssign(queries, cents, NPROBE)
       .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
     val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
     val asg = s.read.parquet(s"$indexDir/assign.parquet")
@@ -434,60 +465,75 @@ object EmbedOps {
       .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
   }
 
-  /** The offline training half: (vectors persisted, M×K codebook as a
-    * collected literal frame). Codebook = IVF's seed → assign →
-    * exact-integer mean, trained for ALL M subspaces in ONE pass: the
-    * corpus explodes once into (vec_id, m, sub) rows (pqSubRows), the
-    * seed vectors — identical ranks for every subspace — explode the
-    * same way into an (m, cid, cvec) broadcast, and a single join +
-    * (vec_id, m) window does all M argmin assignments together. The
-    * former per-subspace loop ran M=8 separate window+join subplans
-    * (8 corpus passes, 8× the stages); results are bit-identical — the
-    * per-(vec_id, m) distances and tie order are unchanged and the
-    * integer centroid means are order-free. MATERIALIZING the codebook
-    * (M×K tiny rows) matters: leaving it lazy re-executes the train
-    * inside EVERY downstream join (encode, LUT). Collecting is the
-    * offline "index build" step a real PQ deployment persists; the
-    * literal frame then broadcasts for free. */
-  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Per-subspace codebooks as a NESTED literal (books(m) = that
+    * subspace's (cid, codeword) list): `element_at(·, m+1)` selects the
+    * row's subspace book, and the argmin/LUT over it is a pure map-side
+    * expression — the same literal-codebook shape as assignsLit/em_kmeans,
+    * replacing the former broadcast-join + (vec_id, m) window whose
+    * exchange carried N×M×K expanded rows. M×K = 512 tiny rows. */
+  private type PqBooks = IndexedSeq[Seq[(Long, Seq[Double])]]
+
+  private def pqBookCol(books: PqBooks, mCol: Column): Column =
+    element_at(typedLit(books.map(_.map { case (cid, cv) => (cv, cid) })),
+      (mCol + 1).cast("int"))
+
+  private def pqBooks(cb: Seq[(Int, Long, Seq[Double])]): PqBooks =
+    (0 until PQ_M).map(m =>
+      cb.collect { case (`m`, cid, cv) => (cid, cv) }.sortBy(_._1))
+
+  /** The offline training half: (vectors, M×K codebook collected to the
+    * driver). Codebook = IVF's seed → assign → exact-integer mean,
+    * trained for ALL M subspaces in ONE map-only pass: the corpus
+    * explodes once into (vec_id, m, sub) rows (pqSubRows) and each row's
+    * argmin runs in-row against the seed books literal. Results are
+    * bit-identical to the former per-subspace window subplans — same
+    * distances, same (d2, cid) tie order, order-free integer means.
+    * Collecting the codebook is the offline "index build" step a real PQ
+    * deployment persists. */
+  private def pqTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Long, Seq[Double])]) = {
     import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .persist() // read 4× downstream (rank, encode, queries, rerank)
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
-    val ranked = globalRank(v, "vec_id")
-    val seedSubs = ranked
+    val seeds: Seq[(Long, Seq[Double])] = globalRank(v, "vec_id")
       .where(col("rank") % step === 0L && expr(s"rank div $step") < PQ_K)
-      .select(expr(s"rank div $step").as("cid"),
-        explode(array((0 until PQ_M).map(m =>
-          struct(lit(m).as("m"), pqSubCol(m).as("cvec"))): _*)).as("s"))
-      .select(col("s.m").as("m"), col("cid"), col("s.cvec").as("cvec"))
-    val assigned = pqSubRows(ranked).join(broadcast(seedSubs), Seq("m"))
-      .select(col("vec_id"), col("m"), col("sub"), col("cid"),
-        l2micro(col("sub"), col("cvec")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cid").asc)))
-      .where(col("rn") === 1)
-    val codebook = assigned.select(col("m"), col("cid"), posexplode(col("sub")))
+      .select(expr(s"rank div $step").as("cid"), col("emb"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val seedBooks: PqBooks = (0 until PQ_M).map(m =>
+      seeds.map { case (cid, e) => (cid, e.slice(m * PQ_SUB, (m + 1) * PQ_SUB)) })
+    val cb: Seq[(Int, Long, Seq[Double])] = pqEncodeFull(v, seedBooks)
+      .select(col("m"), col("cid"), posexplode(col("sub")))
       .select(col("m"), col("cid"), col("pos").as("dim"),
         round(col("col") * 1048576).cast("long").as("iv"))
       .groupBy("m", "cid", "dim")
       .agg((sum("iv").cast("double") / (lit(1048576.0) * count(lit(1)))).as("c"))
-      .groupBy("m", "cid")
-      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
-      .select(col("m"), col("cid"), expr("transform(pairs, p -> p.c)").as("cvec"))
-      .as[(Int, Long, Seq[Double])].collect().toSeq.toDF("m", "cid", "cvec")
-    (v, codebook)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toSeq).toSeq
+      .map { case ((m, cid), cv) => (m, cid, cv) }
+      .sortBy(t => (t._1, t._2))
+    (v, cb)
   }
 
+  /** Encode keeping the subvector: (vec_id, m, sub, cid). All M argmins
+    * run as ONE generated triple loop per vector (PqEncodeExpr — no
+    * explode-join, no interpreted lambda); the codes array then explodes
+    * to the per-subspace rows downstream joins expect. Every subspace
+    * book shares the same cid set in ascending order (identical seed
+    * ranks), so one cid literal maps every subspace's index. */
+  private def pqEncodeFull(v: DataFrame, books: PqBooks): DataFrame =
+    v.select(col("vec_id"), col("emb"),
+        posexplode(call_function("pq_encode", col("emb"),
+          typedLit(books.map(_.map(_._2))))))
+      .select(col("vec_id"), col("pos").as("m"),
+        expr(s"slice(emb, pos * $PQ_SUB + 1, $PQ_SUB)").as("sub"),
+        element_at(typedLit(books.head.map(_._1)), col("col") + 1).as("cid"))
+
   /** Encode: nearest codeword per (vector, subspace) — the PQ code. */
-  private def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame =
-    vs.join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cid"), l2micro(col("sub"), col("cvec")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cid").asc)))
-      .where(col("rn") === 1).select("vec_id", "m", "cid")
+  private def pqEncode(v: DataFrame, books: PqBooks): DataFrame =
+    pqEncodeFull(v, books).select("vec_id", "m", "cid")
 
   /** ADC scan + exact rerank. codes ⋈ LUT on (m, cid), integer-sum the M
     * entries — partial aggregation makes this a map-side combine over the
@@ -515,18 +561,22 @@ object EmbedOps {
       .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
   }
 
-  /** Per-query LUT: distance from the query subvector to EVERY codeword. */
-  private def pqLut(vs: DataFrame, codebook: DataFrame): DataFrame =
+  /** Per-query LUT: distance from the query subvector to EVERY codeword
+    * (map-only explode over the row's subspace book). */
+  private def pqLut(vs: DataFrame, books: PqBooks): DataFrame =
     vs.where(col("vec_id") < NQUERIES)
-      .join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id").as("qid"), col("m"), col("cid"),
-        l2micro(col("sub"), col("cvec")).as("qd2"))
+      .select(col("vec_id").as("qid"), col("m"),
+        explode(transform(pqBookCol(books, col("m")), c =>
+          struct(c.getField("_2").as("cid"),
+            l2micro(col("sub"), c.getField("_1")).as("qd2")))).as("e"))
+      .select(col("qid"), col("m"), col("e.cid").as("cid"), col("e.qd2").as("qd2"))
 
   /** Shortlist-parameterized variant for PqRecallSpec's curve. */
   def pqAdc(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
-    val (v, codebook) = pqTrain(s, d)
-    val vs = pqSubRows(v)
-    pqSearch(pqEncode(vs, codebook), pqLut(vs, codebook), v, shortlistN)
+    val (v, cb) = pqTrain(s, d)
+    val books = pqBooks(cb)
+    pqSearch(pqEncode(v, books),
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v, shortlistN)
   }
 
   /** Persist the PQ index: the M×K codebook and the encoded codes table —
@@ -534,11 +584,13 @@ object EmbedOps {
     * (the ADC scan reads codes, never raw vectors; only the shortlist
     * reranks against the source table). */
   def pqBuild(s: SparkSession, d: String, indexDir: String): Unit = {
-    val (v, codebook) = pqTrain(s, d)
-    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    pqEncode(pqSubRows(v), codebook).write.mode("overwrite")
+    val (v, cb) = pqTrain(s, d)
+    val sp = v.sparkSession
+    import sp.implicits._
+    cb.toDF("m", "cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    pqEncode(v, pqBooks(cb)).write.mode("overwrite")
       .parquet(s"$indexDir/codes.parquet")
-    v.unpersist()
   }
 
   /** ADC search over a persisted index — no retrain, no re-encode. The
@@ -548,11 +600,14 @@ object EmbedOps {
     * parquet exactly). */
   def pqAdcIndexed(s: SparkSession, d: String, indexDir: String,
       shortlistN: Int = PQ_SHORTLIST): DataFrame = {
-    val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
+    import s.implicits._
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
     val codes = s.read.parquet(s"$indexDir/codes.parquet")
     val v = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val lut = pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), codebook)
+    val lut = pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), pqBooks(cb))
     pqSearch(codes, lut, v, shortlistN)
   }
 
