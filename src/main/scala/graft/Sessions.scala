@@ -50,6 +50,7 @@ object Sessions {
     graft.functions.SeqL2Expr.register(spark)   // native codegen squared-L2 fold (IVF quantizer)
     graft.functions.LshBucketsExpr.register(spark) // single-pass multi-table LSH signatures
     graft.functions.CodebookExprs.register(spark)  // ANN index-build argmin/encode loops
+    graft.functions.MinHashSigExpr.register(spark) // one-pass seeded MinHash signatures
     spark
   }
 }

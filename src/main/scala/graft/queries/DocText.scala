@@ -103,14 +103,18 @@ object DocText {
   private val A: Seq[Long] = (0 until NSEEDS).map(i => 1L + seedConst("a", i) % (P - 1)) // nonzero
   private val B: Seq[Long] = (0 until NSEEDS).map(i => seedConst("b", i))
 
-  /** MinHash signature columns m0..m7 from a single content hash per
-    * shingle (hs computed once in its own projection). */
+  /** MinHash signature columns m0..m7, all seeds in ONE generated pass
+    * over the shingles (MinHashSigExpr: md5 once per shingle, then the
+    * seeded multiply-mod minima — replaces 1+NSEEDS interpreted HOF
+    * passes per document; codegen subexpression elimination evaluates
+    * the signature array once across the m_i projections). */
   private def withSig(df: DataFrame): DataFrame = {
-    val withHs = df.withColumn("hs", transform(col("shingles"), t => h60(t) % P))
-    (0 until NSEEDS).foldLeft(withHs) { (acc, i) =>
-      acc.withColumn(s"m$i",
-        array_min(transform(col("hs"), x => (lit(A(i)) * x + B(i)) % P)))
-    }
+    val sig = call_function("minhash_sig", col("shingles"),
+      typedLit(A), typedLit(B), lit(P))
+    val withS = df.withColumn("_sig", sig)
+    (0 until NSEEDS).foldLeft(withS) { (acc, i) =>
+      acc.withColumn(s"m$i", col("_sig").getItem(i))
+    }.drop("_sig")
   }
 
   /** Banded-LSH candidate pairs joined back to their shingle sets

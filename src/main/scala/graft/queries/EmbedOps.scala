@@ -812,9 +812,10 @@ object EmbedOps {
         .where(col("rn") % step === 0 && col("rn") / step < K)
         .select((col("rn") / step).cast("int"), col("q"))
         .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+      // codegen integer fold (SeqL2LongExpr) — long adds are associative,
+      // so this equals the former aggregate(zip_with(...)) HOF exactly
       def distTo(c: Seq[Long]): Column =
-        aggregate(zip_with(col("q"), typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
+        call_function("seql2i", col("q"), typedLit(c))
       // map-only argmin: array_min over (dist, cid) structs — lexicographic
       // struct ordering IS the (d, cid) tie-break
       def assign(cents: Seq[(Int, Seq[Long])]): DataFrame =
