@@ -126,8 +126,83 @@ object MinHashSigExpr {
     new GenericArrayData(out)
   }
 
-  def register(spark: SparkSession): Unit =
+  /** Shared SimHash kernel: null tokens contribute −1 to every balance
+    * (HOF-parity; see SimHashExpr). */
+  def simhash(toks: ArrayData, nBits: Int): Long = {
+    val bal = new Array[Int](nBits)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) {
+        var j = 0
+        while (j < nBits) { bal(j) -= 1; j += 1 }
+      } else {
+        val h = h60(toks.getUTF8String(i))
+        var j = 0
+        while (j < nBits) {
+          bal(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < nBits) { if (bal(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       args => MinHashSigExpr(args(0), args(1), args(2), args(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", args => SimHashExpr(args(0), args(1)), "built-in")
+  }
+}
+
+/** `simhash_bits(toks, nbits)` → BIGINT SimHash over the token set: bit j
+  * is set iff Σ over tokens of (±1 by bit j of h60(token)) is positive.
+  * One generated loop per row (md5-h60 once per token, then nbits
+  * add/subtracts) — replaces nbits=48 interpreted `aggregate` HOF folds
+  * per document (d_simhash48's entire cost).
+  *
+  * EXACT parity with the HOF form: a NULL token element contributes −1 to
+  * every bit balance (the lambda's `when(null).otherwise(-1)` path); an
+  * empty array yields 0 (all balances 0, no bit set). nbits must be a
+  * literal in [1, 63]. */
+final case class SimHashExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"simhash_bits requires (ARRAY<STRING>, literal INT), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  private lazy val nBits: Int = {
+    val n = right.eval(null).asInstanceOf[Int]
+    require(n >= 1 && n <= 63, s"simhash_bits: nbits must be in [1,63], got $n")
+    n
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    MinHashSigExpr.simhash(t.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, _) => {
+      s"${ev.value} = graft.functions.MinHashSigExpr.simhash($toks, $nBits);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHashExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -446,15 +446,11 @@ object DocText {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash48
          |FROM bits GROUP BY 1""".stripMargin) { (s, d) =>
-      val dt = withToks(docs(s, d))
-        .withColumn("dtoks", array_distinct(col("toks")))
-        .withColumn("hvs", transform(col("dtoks"), t => h60(t)))
-      val simhash = (0 until 48).map { j =>
-        val bal = aggregate(col("hvs"), lit(0),
-          (a, hv) => a + when(shiftright(hv, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        when(bal > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      dt.select(col("doc_id"), simhash.as("simhash48"))
+      // one generated loop per doc (simhash_bits) — formerly 48
+      // interpreted aggregate-HOF folds over the token hashes
+      withToks(docs(s, d)).select(col("doc_id"),
+        call_function("simhash_bits", array_distinct(col("toks")), lit(48))
+          .as("simhash48"))
     },
 
     // ---- deterministic train/val/test split assignment: the standard
