@@ -51,6 +51,7 @@ object Sessions {
     graft.functions.LshBucketsExpr.register(spark) // single-pass multi-table LSH signatures
     graft.functions.CodebookExprs.register(spark)  // ANN index-build argmin/encode loops
     graft.functions.MinHashSigExpr.register(spark) // one-pass seeded MinHash signatures
+    graft.functions.WordGramExprs.register(spark)  // n-gram build/stats loops
     spark
   }
 }

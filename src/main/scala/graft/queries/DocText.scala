@@ -56,25 +56,12 @@ object DocText {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
 
-  /** Word n-gram array over `toks`, guarded for short docs: Spark's
-    * `sequence(1, 0)` is DESCENDING ([1, 0]), so the unguarded transform
-    * would call element_at(toks, 0) and throw on a doc with fewer than n
-    * tokens (empty text splits to one element); DuckDB's
-    * generate_series(1, 0) is empty. The guard makes both engines agree:
-    * short doc → empty gram array. */
-  private def gramExpr(n: Int): String = {
-    val parts = (0 until n).map(j => s"element_at(toks,i+$j)").mkString(", ' ', ")
-    s"IF(size(toks) < $n, CAST(array() AS ARRAY<STRING>), " +
-      s"transform(sequence(1, size(toks)-${n - 1}), i -> concat($parts)))"
-  }
-
-  /** Distinct 3-token shingles (n-gram shingling for near-dup detection). */
+  /** Distinct 3-token shingles (n-gram shingling for near-dup detection);
+    * gram building is the generated WordGramsExpr loop, not an
+    * interpreted transform-HOF. */
   private def withShingles(df: DataFrame): DataFrame =
     withToks(df).withColumn("shingles",
-      array_distinct(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-          |ELSE transform(sequence(0, size(toks)-3),
-          |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END""".stripMargin)))
+      array_distinct(expr("word_grams(toks, 3)")))
 
   /** DuckDB mirror: tk (tokens) and sh (distinct shingles) CTEs over a
     * relation named `src` with (doc_id, text [, ...]). */
@@ -613,34 +600,26 @@ object DocText {
         |  dup3_occ, n_3grams,
         |  CAST(floor(dup3_occ / CAST(n_3grams AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS dup3_bp
         |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin) { (s, d) =>
-      // run-length fold over a sorted n-gram array: state (prev, run,
-      // best, dup); closing a run adds it to dup when length > 1; finish
-      // closes the final run. best = the doc's top n-gram count.
-      def runStats(grams: String) =
-        s"""aggregate(array_sort($grams),
-           |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'dup', 0L),
-           |  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
-           |    named_struct('prev', x, 'run', a.run + 1L,
-           |                 'best', greatest(a.best, a.run + 1L), 'dup', a.dup),
-           |    named_struct('prev', x, 'run', 1L, 'best', greatest(a.best, 1L),
-           |                 'dup', a.dup + IF(a.run > 1L, a.run, 0L))),
-           |  a -> named_struct('best', a.best,
-           |                    'dup', a.dup + IF(a.run > 1L, a.run, 0L)))""".stripMargin
+      // n-gram repetition stats (best = the doc's top n-gram count,
+      // dup = Σ occurrences of repeated n-grams, n = gram count) in ONE
+      // generated counting loop per doc (GramStatsExpr) — formerly an
+      // interpreted transform to build the grams, an interpreted
+      // array_sort, and an interpreted stateful aggregate-HOF fold with
+      // a named_struct allocation per element. Occurrence counting
+      // equals run-length over any sorted array exactly (a sort only
+      // groups equal grams adjacently).
       withToks(docs(s, d))
         // docs under 3 tokens have no 3-grams: the oracle's inner joins
-        // drop them (no g3 rows → no a3 row), so filter symmetrically —
-        // this also keeps both sequence() calls ascending
+        // drop them (no g3 rows → no a3 row), so filter symmetrically
         .where(size(col("toks")) >= 3)
-        .withColumn("g2", expr(gramExpr(2)))
-        .withColumn("g3", expr(gramExpr(3)))
-        .withColumn("r2", expr(runStats("g2")))
-        .withColumn("r3", expr(runStats("g3")))
+        .withColumn("r2", expr("gram_stats(toks, 2)"))
+        .withColumn("r3", expr("gram_stats(toks, 3)"))
         .select(col("doc_id"),
-          col("r2.best").as("top2_cnt"), size(col("g2")).cast("long").as("n_2grams"),
-          floor(col("r2.best") / size(col("g2")).cast("double") * 10000 + 0.5)
+          col("r2.best").as("top2_cnt"), col("r2.n").as("n_2grams"),
+          floor(col("r2.best") / col("r2.n").cast("double") * 10000 + 0.5)
             .cast("long").as("top2_bp"),
-          col("r3.dup").as("dup3_occ"), size(col("g3")).cast("long").as("n_3grams"),
-          floor(col("r3.dup") / size(col("g3")).cast("double") * 10000 + 0.5)
+          col("r3.dup").as("dup3_occ"), col("r3.n").as("n_3grams"),
+          floor(col("r3.dup") / col("r3.n").cast("double") * 10000 + 0.5)
             .cast("long").as("dup3_bp"))
     },
 
@@ -740,14 +719,7 @@ object DocText {
       // LEFT JOIN a2 in the oracle + the gram guard here: a single-token
       // doc has no 2-grams (top2_bp null) but MUST still appear in the
       // ledger — 'too_short' fires before the repetition test either way
-      val top2 = expr(
-        s"""aggregate(array_sort(${gramExpr(2)}),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'n', 0L),
-          |  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
-          |    named_struct('prev', x, 'run', a.run + 1L,
-          |                 'best', greatest(a.best, a.run + 1L), 'n', a.n + 1L),
-          |    named_struct('prev', x, 'run', 1L, 'best', greatest(a.best, 1L), 'n', a.n + 1L)),
-          |  a -> named_struct('best', a.best, 'n', a.n))""".stripMargin)
+      val top2 = expr("gram_stats(toks, 2)")
       val quality = floor((lit(0.5) * least(col("n_chars").cast("double") / 400.0, lit(1.0))
         + lit(0.3) * (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
         + lit(0.2) * least(lit(5.0) * size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
@@ -811,7 +783,7 @@ object DocText {
       withToks(docs(s, d))
         // explode of the guarded (possibly empty) gram array drops
         // single-token docs — exactly DuckDB's empty generate_series
-        .select(col("doc_id"), explode(expr(gramExpr(2))).as("ngram"))
+        .select(col("doc_id"), explode(expr("word_grams(toks, 2)")).as("ngram"))
         .groupBy("ngram")
         .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
         .orderBy(col("n_occ").desc, col("ngram").asc)
