@@ -301,7 +301,7 @@ object EmbedOps {
       : (DataFrame, Seq[(Long, Seq[Double])]) = {
     import s.implicits._
     val v = emb(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val n = v.count() // offline index build: the one driver-side action
     val k = nLists.getOrElse(
       math.max(2, math.min(MAXLISTS, math.sqrt(n.toDouble).toInt)))
@@ -375,7 +375,7 @@ object EmbedOps {
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val queries = emb(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .where(col("vec_id") < NQUERIES)
     val q = ivfAssign(queries, cents, NPROBE)
       .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
@@ -494,7 +494,7 @@ object EmbedOps {
       : (DataFrame, Seq[(Int, Long, Seq[Double])]) = {
     import s.implicits._
     val v = emb(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
     val seeds: Seq[(Long, Seq[Double])] = globalRank(v, "vec_id")
@@ -606,7 +606,7 @@ object EmbedOps {
       .collect().toSeq.sortBy(t => (t._1, t._2))
     val codes = s.read.parquet(s"$indexDir/codes.parquet")
     val v = emb(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val lut = pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), pqBooks(cb))
     pqSearch(codes, lut, v, shortlistN)
   }
