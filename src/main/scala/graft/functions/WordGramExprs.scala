@@ -89,11 +89,34 @@ object WordGramExprs {
     InternalRow(best, dup, total)
   }
 
+  /** Count of tokens in each marker set (duplicates counted — the
+    * `size(filter(toks, t -> t IN set))` semantics; null tokens skipped,
+    * matching filter's null-drop). */
+  def setCounts(toks: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): GenericArrayData = {
+    val out = new Array[Long](sets.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var k = 0
+        while (k < sets.length) {
+          if (sets(k).contains(t)) out(k) += 1L
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_grams", args => WordGramsExpr(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_stats", args => GramStatsExpr(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_set_counts", args => TokenSetCountsExpr(args(0), args(1)), "built-in")
   }
 }
 
@@ -148,4 +171,52 @@ final case class GramStatsExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): GramStatsExpr = copy(left = l, right = r)
+}
+
+/** `token_set_counts(toks, sets)` → ARRAY<BIGINT>: per literal marker
+  * set, the number of tokens contained in it (duplicates counted) — one
+  * generated loop replacing K interpreted `size(filter(toks, IN set))`
+  * HOFs (language-ID marker scoring, stopword counts). `sets` must be a
+  * foldable ARRAY<ARRAY<STRING>>. */
+final case class TokenSetCountsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _))
+          if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"token_set_counts requires (ARRAY<STRING>, literal ARRAY<ARRAY<STRING>>), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  private lazy val sets: Array[java.util.HashSet[UTF8String]] = {
+    val outer = right.eval(null).asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { k =>
+      val s = new java.util.HashSet[UTF8String]()
+      val inner = outer.getArray(k)
+      var i = 0
+      while (i < inner.numElements()) {
+        if (!inner.isNullAt(i)) s.add(inner.getUTF8String(i).clone())
+        i += 1
+      }
+      s
+    }.toArray
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "token_set_counts"
+
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    WordGramExprs.setCounts(t.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.WordGramExprs.setCounts($t, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TokenSetCountsExpr = copy(left = l, right = r)
 }

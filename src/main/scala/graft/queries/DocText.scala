@@ -221,7 +221,7 @@ object DocText {
         round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4).as("ttr"),
         round((col("n_chars") - size(col("toks")) + 1).cast("double") / size(col("toks")), 4)
           .as("avg_tok_len"),
-        round(size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
+        round(expr("element_at(token_set_counts(toks, array(array('the','a'))), 1)").cast("double")
           / size(col("toks")), 4).as("stop_ratio"))
     },
 
@@ -241,7 +241,7 @@ object DocText {
       withToks(docs(s, d)).select(col("doc_id"),
         floor((lit(0.5) * least(col("n_chars").cast("double") / 400.0, lit(1.0))
           + lit(0.3) * (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-          + lit(0.2) * least(lit(5.0) * size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
+          + lit(0.2) * least(lit(5.0) * expr("element_at(token_set_counts(toks, array(array('the','a'))), 1)").cast("double")
             / size(col("toks")), lit(1.0))) * 10000.0 + 0.5).cast("long").as("quality_bp"))
     },
 
@@ -262,12 +262,14 @@ object DocText {
         "en" -> Seq("the", "a", "of"), "es" -> Seq("el", "la", "los"),
         "de" -> Seq("der", "die", "das"), "fr" -> Seq("le", "les", "et"),
         "zh" -> Seq("de", "shi", "zai"))
+      // all five marker counts in one generated pass (TokenSetCountsExpr);
+      // cast to int preserves the former size(filter(...)) column type
       val scored = withToks(docs(s, d)).select(col("doc_id"),
-        explode(array(markers.map { case (l, mk) =>
-          struct(lit(l).as("l"),
-            size(filter(col("toks"), t => t.isInCollection(mk))).as("s"))
-        }: _*)).as("x"))
-        .select(col("doc_id"), col("x.l").as("l"), col("x.s").as("s"))
+          posexplode(call_function("token_set_counts", col("toks"),
+            typedLit(markers.map(_._2)))))
+        .select(col("doc_id"),
+          element_at(typedLit(markers.map(_._1)), col("pos") + 1).as("l"),
+          col("col").cast("int").as("s"))
       scored.withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("s").desc, col("l").asc)))
         .where(col("rn") === 1)
@@ -722,7 +724,7 @@ object DocText {
       val top2 = expr("gram_stats(toks, 2)")
       val quality = floor((lit(0.5) * least(col("n_chars").cast("double") / 400.0, lit(1.0))
         + lit(0.3) * (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-        + lit(0.2) * least(lit(5.0) * size(expr("filter(toks, t -> t IN ('the','a'))")).cast("double")
+        + lit(0.2) * least(lit(5.0) * expr("element_at(token_set_counts(toks, array(array('the','a'))), 1)").cast("double")
           / size(col("toks")), lit(1.0))) * 10000.0 + 0.5).cast("long")
       val scored = tk
         .withColumn("r2", top2)
