@@ -152,13 +152,75 @@ object MinHashSigExpr {
     out
   }
 
+  /** Karp-Rabin fold over token h60 hashes: acc = (acc·mult + h60(t)) %
+    * mod, left to right. Reducing h60 % mod BEFORE the add is congruent
+    * to the lambda's unreduced (a·mult + h60) % mod (both sums stay far
+    * under 2^63, so the modular identity holds exactly). Null token: the
+    * lambda's fold goes null and stays null — reproduce by returning
+    * boxed null on the first null element. */
+  def rollingH60(toks: ArrayData, mult: Long, mod: Long): Any = {
+    var acc = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      acc = (acc * mult + h60(toks.getUTF8String(i)) % mod) % mod
+      i += 1
+    }
+    acc
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       args => MinHashSigExpr(args(0), args(1), args(2), args(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_bits", args => SimHashExpr(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_h60", args => RollingH60Expr(args(0), args(1), args(2)), "built-in")
   }
+}
+
+/** `rolling_h60(toks, mult, mod)` → BIGINT Karp-Rabin fingerprint of the
+  * token h60 hashes — one generated loop replacing the interpreted
+  * `aggregate(transform(toks, h60), ...)` fold (d_rolling_hash). mult
+  * and mod must be literals. */
+final case class RollingH60Expr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), LongType, LongType)
+          if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"rolling_h60 requires (ARRAY<STRING>, literal BIGINT, literal BIGINT), got " +
+          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString}")
+    }
+
+  private lazy val multVal: Long = second.eval(null).asInstanceOf[Long]
+  private lazy val modVal: Long = third.eval(null).asInstanceOf[Long]
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_h60"
+
+  override protected def nullSafeEval(t: Any, m: Any, p: Any): Any =
+    MinHashSigExpr.rollingH60(t.asInstanceOf[ArrayData], multVal, modVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) => {
+      val r = ctx.freshName("rh")
+      s"""
+         |Object $r = graft.functions.MinHashSigExpr.rollingH60($t, ${multVal}L, ${modVal}L);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): RollingH60Expr = copy(first = f, second = s, third = t)
 }
 
 /** `simhash_bits(toks, nbits)` → BIGINT SimHash over the token set: bit j

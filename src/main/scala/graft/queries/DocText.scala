@@ -184,9 +184,11 @@ object DocText {
          |                           list_transform(toks, t -> ${H("t")})),
          |              (a, x) -> (a * 31 + x) % 1000000007) AS rolling_fp
          |FROM tk""".stripMargin) { (s, d) =>
+      // one generated loop (RollingH60Expr) — formerly an interpreted
+      // transform (md5 per token) + aggregate fold
       withToks(docs(s, d)).select(col("doc_id"),
-        aggregate(transform(col("toks"), t => h60(t)), lit(0L),
-          (a, x) => (a * 31 + x) % 1000000007L).as("rolling_fp"))
+        call_function("rolling_h60", col("toks"), lit(31L), lit(1000000007L))
+          .as("rolling_fp"))
     },
 
     // ---- string-function surface (beyond-reference §2.5 extension row:
