@@ -361,6 +361,11 @@ object EmbedOps {
       .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
     ivfArgmin(v, cents1)
       .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
+      // cluster by list before the partitioned write: each list lands as
+      // ONE file instead of one-per-input-task-per-list — k files not
+      // k×tasks (file-commit cost locally; at corpus scale, fewer/larger
+      // per-list files is also the layout the pruned probe scan wants)
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/assign.parquet")
   }
