@@ -9,6 +9,7 @@ object Registry {
     graft.queries.EventAggs.all ++
     graft.queries.Relational.all ++
     graft.queries.DocText.all ++
+    graft.queries.TrainPrep.all ++
     graft.queries.EmbedOps.all ++
     graft.queries.InfluxQLSuite.all ++
     graft.queries.IngestSuite.all

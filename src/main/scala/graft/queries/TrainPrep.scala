@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * AFTER the per-document filters in DocText: statistical quality scoring
+  * against a corpus-trained language model, exact repeated-span detection
+  * (substring-level dedup), source-mixing weights, and deterministic shard
+  * export — the steps between "filtered documents" and "training shards".
+  *
+  * Cross-engine determinism discipline (same as DocText/EmbedOps): every
+  * fractional quantity is computed as exact-integer arithmetic plus ONE
+  * identical IEEE op sequence (a correctly-rounded double division /
+  * multiply / sqrt), quantized with floor(x*scale+0.5) BEFORE any
+  * cross-row summation — integer sums are order-independent, so results
+  * are bit-identical between Spark and the DuckDB oracle regardless of
+  * partitioning.
+  *
+  * Scale notes (100 TB bar):
+  *   - The bigram LM trains on vocabulary-sized aggregates (Zipf: the
+  *     distinct-gram table is orders of magnitude smaller than the token
+  *     stream) and scores by keyed joins — no driver-side model state.
+  *   - Repeated-span detection shuffles on a 60-bit span hash, never the
+  *     span text; work is linear in total token count.
+  *   - Mix weights / shard stats are single partial+final aggregations.
+  */
+object TrainPrep {
+
+  /** 60-bit deterministic hash, identical in Spark and DuckDB. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def H(sql: String): String =
+    s"CAST('0x'||substr(md5($sql),1,15) AS BIGINT)"
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** documents ∪ exact replicas (doc_id+1000000) — the planted-duplicate
+    * fixture shared with DocText: every doc has one exact copy, so span
+    * dedup provably fires on every document. */
+  private def docs2(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "lang", "source", "text")
+    base.union(base.withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  private val DOCS2 =
+    """d2 AS (SELECT doc_id, lang, source, text FROM documents
+      |       UNION ALL
+      |       SELECT doc_id+1000000 AS doc_id, lang, source, text FROM documents)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ---- corpus-trained bigram LM quality score (the CCNet/KenLM shape:
+    //      score each document by how probable its token sequence is under
+    //      a language model trained on the corpus itself; low-probability
+    //      docs are boilerplate/garbage candidates). Model = add-one-
+    //      smoothed bigram conditionals p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V).
+    //      Per-position probabilities are quantized to integer nanos
+    //      BEFORE the per-doc average, so the score is order-independent
+    //      (a log-space mean would hit the libm ulp divergence documented
+    //      at iql_scalar_binary; an arithmetic-mean conditional probability
+    //      ranks documents the same way for filtering purposes).
+    //      Scale: counts tables are vocabulary-sized (Zipf), joins are
+    //      keyed on gram/token — broadcastable when small, AQE decides.
+    Q("d_bigram_lm",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS tok FROM tk),
+        |uc AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM uc),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks)-1),
+        |                             i -> toks[i]||' '||toks[i+1]) END) AS gram
+        |       FROM tk),
+        |bc AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY 1),
+        |t AS (SELECT bg.doc_id,
+        |        CAST(floor((bc.c2 + 1.0) / (uc.c1 + vv.v) * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+        |      FROM bg JOIN bc USING (gram)
+        |              JOIN uc ON uc.tok = string_split(bg.gram, ' ')[1]
+        |              CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(term_nano) // count(*) AS BIGINT) AS avg_condp_nano
+        |FROM t GROUP BY 1""".stripMargin) { (s, d) =>
+      val tk = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val uc = tk.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val vv = uc.agg(count(lit(1)).as("v"))
+      val bg = tk.select(col("doc_id"), explode(expr("word_grams(toks, 2)")).as("gram"))
+      val bc = bg.groupBy("gram").agg(count(lit(1)).as("c2"))
+      bg.join(bc, "gram")
+        .withColumn("w1", element_at(split(col("gram"), " "), 1))
+        .join(uc.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(broadcast(vv))
+        .withColumn("term_nano",
+          floor((col("c2") + lit(1.0)) / (col("c1") + col("v")) * lit(1000000000.0) + lit(0.5))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(term_nano) div count(1)").as("avg_condp_nano"))
+    },
+
+    // ---- exact repeated-span detection (the fixed-granularity reading of
+    //      suffix-array substring dedup, Lee et al. 2022): any 8-token
+    //      span occurring verbatim in MORE THAN ONE document is a
+    //      duplicated span; per document report how much of it is
+    //      duplicated text. Planted replicas guarantee every span of every
+    //      doc with ≥8 tokens is cross-doc duplicated, so the fixture
+    //      exercises the full range. Work is linear in token count; the
+    //      shuffle key is a 60-bit span hash (never the span string — at
+    //      100 TB the hash column is ~30× narrower than 8-token text).
+    Q("d_repeated_spans",
+      s"""WITH $DOCS2,
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d2),
+         |sp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 8 THEN []
+         |         ELSE list_transform(generate_series(1, len(toks)-7),
+         |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+         |                toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]) END)) AS span
+         |       FROM tk),
+         |sh AS (SELECT doc_id, ${H("span")} AS spanh FROM sp),
+         |c AS (SELECT spanh, count(*) AS n_docs FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_spans,
+         |       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |       CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_ppm
+         |FROM sh JOIN c USING (spanh) GROUP BY 1""".stripMargin) { (s, d) =>
+      val sp = docs2(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr("word_grams(toks, 8)"))).as("span"))
+        .select(col("doc_id"), h60(col("span")).as("spanh"))
+      val c = sp.groupBy("spanh").agg(count(lit(1)).as("n_docs"))
+      sp.join(c, "spanh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") > 1, 1).otherwise(0)).as("n_dup_spans"),
+          expr("sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1000000 div count(1)")
+            .as("dup_frac_ppm"))
+    },
+
+    // ---- temperature-based source mixing weights (the multinomial
+    //      sampling-rate computation for multi-source corpora, α = 0.5:
+    //      w_i ∝ n_i^α normalized — upweights small sources). α = 0.5 is
+    //      computed via sqrt, which IEEE 754 requires to be correctly
+    //      rounded (identical in every engine), unlike pow(x, 0.5). The
+    //      per-source sqrt is quantized to integer micros before the
+    //      normalizing sum, keeping the total order-independent.
+    Q("d_mix_weights",
+      """WITH tk AS (SELECT source, len(string_split(text, ' ')) AS n_toks FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |      FROM tk GROUP BY 1),
+        |sq AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s
+        |       FROM a),
+        |t AS (SELECT sum(s) AS tot FROM sq)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(s * 1000000 // tot AS BIGINT) AS weight_ppm
+        |FROM sq CROSS JOIN t""".stripMargin) { (s, d) =>
+      val a = docs(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .withColumn("s",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      val t = a.agg(sum("s").as("tot"))
+      a.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("s * 1000000 div tot").as("weight_ppm"))
+    },
+
+    // ---- deterministic shard export: the final pipeline step assigns
+    //      every document to one of 64 training shards by content-
+    //      independent hash (stable across reruns, no RNG state) and
+    //      reports per-shard balance — the check that no shard is skewed
+    //      before the (distributed, partitionBy(shard)) write fans out.
+    //      One partial+final aggregation; at 100 TB the same hash drives
+    //      `write.partitionBy("shard")`.
+    Q("d_shard_export",
+      s"""WITH s AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_toks,
+         |             ${H("'shard:'||CAST(doc_id AS VARCHAR)")} % 64 AS shard
+         |           FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          (h60(concat(lit("shard:"), col("doc_id").cast("string"))) % 64).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }
+  )
+}
