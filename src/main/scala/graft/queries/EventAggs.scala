@@ -576,6 +576,38 @@ object EventAggs {
       val e = ev(s, d).select("event_id", "event_type", "value")
       e.union(e).dropDuplicates(Seq("event_id", "event_type", "value"))
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- as-of join (attribution): for every 'click', the most recent
+    //      prior 'view' by the same user — the point-in-time-correct join
+    //      a feature/attribution pipeline needs. Expressed as a per-user
+    //      running MAX of a (ts_us, event_id) struct over the PRECEDING
+    //      frame: struct ordering is lexicographic, so the max IS the
+    //      latest-prior row with a deterministic event_id tie-break, and
+    //      MAX skips nulls natively (no IGNORE NULLS dialect dependence).
+    //      Scale: one shuffle on user_id, per-key windows parallelize —
+    //      no range join, no self-join explosion.
+    Q("e_asof_attrib",
+      s"""WITH $EV, w AS (
+         |  SELECT event_id, user_id, ts_us, event_type,
+         |    max(CASE WHEN event_type = 'view'
+         |             THEN struct_pack(ts_us := ts_us, event_id := event_id) END)
+         |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+         |  FROM ev)
+         |SELECT event_id, user_id, ts_us,
+         |       pv.event_id AS view_id, ts_us - pv.ts_us AS gap_us
+         |FROM w WHERE event_type = 'click' AND pv IS NOT NULL""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("pv",
+          max(when(col("event_type") === "view",
+            struct(col("ts_us"), col("event_id")))).over(w))
+        .where(col("event_type") === "click" && col("pv").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("pv.event_id").as("view_id"),
+          (col("ts_us") - col("pv.ts_us")).as("gap_us"))
     }
   )
 }
