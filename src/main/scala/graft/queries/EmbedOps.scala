@@ -679,6 +679,55 @@ object EmbedOps {
        |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
   }
 
+  /** 2-iteration seeded Lloyd clustering shared by em_kmeans and
+    * em_semdedup. `in` must carry `vec_id` and `q` (exact-integer
+    * quantized coordinates); every input column is carried through and
+    * `cluster`/`dist` are appended. Deterministic end to end: seeds are
+    * every ⌊N/K⌋-th vector in vec_id rank order (no RNG), distances are
+    * integer sums (codegen seql2i fold), centroid updates
+    * floor(mean + 0.5) on an IEEE-deterministic division, ties break
+    * (dist, cid) via lexicographic struct min. Scale: centroids are a
+    * K-row driver artifact broadcast into map-only argmin passes; the
+    * update is one (cluster, dim) partial-aggregated shuffle per pass.
+    */
+  private def lloyd(s: SparkSession, in: DataFrame, k: Int): DataFrame = {
+    val e = in.persist()
+    val n = e.count()
+    val step = math.max(1L, n / k)
+    import s.implicits._
+    // deterministic seeds via the distributed rank (globalRank) — the
+    // K-row collect is the legitimate broadcast-side materialization
+    val seeds: Seq[(Int, Seq[Long])] = globalRank(e.select("vec_id", "q"), "vec_id")
+      .withColumnRenamed("rank", "rn")
+      .where(col("rn") % step === 0 && col("rn") / step < k)
+      .select((col("rn") / step).cast("int"), col("q"))
+      .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
+    // codegen integer fold (SeqL2LongExpr) — long adds are associative,
+    // so this equals the former aggregate(zip_with(...)) HOF exactly
+    def distTo(c: Seq[Long]): Column =
+      call_function("seql2i", col("q"), typedLit(c))
+    // map-only argmin: array_min over (dist, cid) structs — lexicographic
+    // struct ordering IS the (d, cid) tie-break
+    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame =
+      e.withColumn("best", array_min(array(cents.map { case (cid, c) =>
+          struct(distTo(c).as("d"), lit(cid).as("c")) }: _*)))
+        .withColumn("cluster", col("best.c"))
+        .withColumn("dist", col("best.d"))
+        .drop("best")
+    def update(a: DataFrame): Seq[(Int, Seq[Long])] = a
+      .select(col("cluster"), posexplode(col("q")))
+      .groupBy("cluster", "pos")
+      .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
+      .select(col("cluster"), col("pos"),
+        floor(col("sv").cast("double") / col("cnt") + 0.5).cast("long").as("v"))
+      .as[(Int, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+      .toSeq.sortBy(_._1)
+    var cents = seeds
+    for (_ <- 1 to 2) cents = update(assign(cents))
+    assign(cents)
+  }
+
   def all: Seq[Q] = Seq(
 
     // ---- L2 norms (micro-quantized), the shared building block
@@ -803,43 +852,10 @@ object EmbedOps {
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2 FROM df)
          |WHERE rn2 = 1""".stripMargin
     }) { (s, d) =>
-      val K = 8
       val e = emb(s, d).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
-          .as("q")).persist()
-      val n = e.count()
-      val step = math.max(1L, n / K)
-      import s.implicits._
-      // deterministic seeds via the distributed rank (globalRank) — the
-      // K-row collect is the legitimate broadcast-side materialization
-      val seeds: Seq[(Int, Seq[Long])] = globalRank(e, "vec_id")
-        .withColumnRenamed("rank", "rn")
-        .where(col("rn") % step === 0 && col("rn") / step < K)
-        .select((col("rn") / step).cast("int"), col("q"))
-        .as[(Int, Seq[Long])].collect().toSeq.sortBy(_._1)
-      // codegen integer fold (SeqL2LongExpr) — long adds are associative,
-      // so this equals the former aggregate(zip_with(...)) HOF exactly
-      def distTo(c: Seq[Long]): Column =
-        call_function("seql2i", col("q"), typedLit(c))
-      // map-only argmin: array_min over (dist, cid) structs — lexicographic
-      // struct ordering IS the (d, cid) tie-break
-      def assign(cents: Seq[(Int, Seq[Long])]): DataFrame =
-        e.withColumn("best", array_min(array(cents.map { case (cid, c) =>
-            struct(distTo(c).as("d"), lit(cid).as("c")) }: _*)))
-          .select(col("vec_id"), col("q"),
-            col("best.c").as("cluster"), col("best.d").as("dist"))
-      def update(a: DataFrame): Seq[(Int, Seq[Long])] = a
-        .select(col("cluster"), posexplode(col("q")))
-        .groupBy("cluster", "pos")
-        .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
-        .select(col("cluster"),  col("pos"),
-          floor(col("sv").cast("double") / col("cnt") + 0.5).cast("long").as("v"))
-        .as[(Int, Long, Long)].collect().toSeq
-        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
-        .toSeq.sortBy(_._1)
-      var cents = seeds
-      for (_ <- 1 to 2) cents = update(assign(cents))
-      assign(cents).select(col("vec_id"), col("cluster"), col("dist"))
+          .as("q"))
+      lloyd(s, e, 8).select(col("vec_id"), col("cluster"), col("dist"))
     },
 
     // ---- IVF-style ANN with a PARAMETERIZED list count (VERDICT r4 item
@@ -949,6 +965,85 @@ object EmbedOps {
         .select(col("vec_a"), col("vec_b"),
           micro(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim_micro"))
         .where(col("sim_micro") >= 950000L)
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster
+    //      the embedding space, then pairwise-cosine ONLY within each
+    //      cluster and drop all but the lowest id of every ≥0.95 group.
+    //      The cluster pass is what makes semantic dedup tractable: the
+    //      quadratic verify is bounded by cluster size, so total work is
+    //      Σ|c|² ≈ N²/K — K grows with the corpus (K ≈ N/⟨target cluster
+    //      size⟩) keeping per-cluster work constant; cluster ids are the
+    //      join/shuffle key. Reuses the deterministic Lloyd pipeline of
+    //      em_kmeans (exact-integer trajectory, no RNG), so the full
+    //      cluster→prune chain is DuckDB-replayable. Planted replicas
+    //      (vec_id+1000000, identical q → identical distances → same
+    //      argmin cluster) guarantee every pair (i, i+10⁶) appears at
+    //      sim 10⁶ — recall 1.0 is part of the oracle check, not vacuous.
+    Q("em_semdedup", {
+      val K = 16
+      def pass(cin: String, n: Int) =
+        s"""d$n AS (SELECT eq.vec_id, $cin.cid,
+           |        list_sum(list_transform(generate_series(1, 64),
+           |          i -> (eq.q[i] - $cin.c[i]) * (eq.q[i] - $cin.c[i]))) AS d
+           |      FROM eq CROSS JOIN $cin),
+           |a$n AS (SELECT vec_id, cid, d FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
+           |         FROM d$n) WHERE rn2 = 1),
+           |u$n AS (SELECT a$n.cid, i,
+           |          CAST(floor(CAST(sum(eq.q[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+           |        FROM a$n JOIN eq USING (vec_id)
+           |        CROSS JOIN unnest(generate_series(1, 64)) AS t(i) GROUP BY a$n.cid, i),
+           |c$n AS (SELECT cid, list(v ORDER BY i) AS c FROM u$n GROUP BY cid)""".stripMargin
+      s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+         |            UNION ALL
+         |            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+         |eq AS (SELECT vec_id, list_transform(generate_series(1, 64),
+         |         i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS q
+         |       FROM e2),
+         |rk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM eq),
+         |prm AS (SELECT greatest(CAST(count(*) / $K AS BIGINT), 1) AS step FROM eq),
+         |c0 AS (SELECT CAST(rn / step AS INT) AS cid, q AS c FROM rk, prm
+         |       WHERE rn % step = 0 AND rn / step < $K),
+         |${pass("c0", 1)},
+         |${pass("c1", 2)},
+         |df AS (SELECT eq.vec_id, c2.cid,
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> (eq.q[i] - c2.c[i]) * (eq.q[i] - c2.c[i]))) AS d
+         |      FROM eq CROSS JOIN c2),
+         |asg AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2 FROM df)
+         |        WHERE rn2 = 1),
+         |n2 AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM e2),
+         |p AS (SELECT x.cid AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
+         |      FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |v AS (SELECT p.cluster, p.vec_a, p.vec_b,
+         |        CAST(floor(${duckDot("a.embedding", "b.embedding")}
+         |                   / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+         |      FROM p JOIN n2 a ON a.vec_id = p.vec_a JOIN n2 b ON b.vec_id = p.vec_b)
+         |SELECT cluster, vec_b AS drop_id, min(vec_a) AS keep_id, max(sim_micro) AS best_sim_micro
+         |FROM v WHERE sim_micro >= 950000 GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val v0 = emb(s, d).select(col("vec_id"), col("embedding"))
+      val e2 = v0.union(v0.withColumn("vec_id", col("vec_id") + 1000000L))
+      val in = e2.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"))
+      // norms precomputed per vector, not per pair (the em_cosine_neardup
+      // discipline); carried through the cluster assignment
+      val asg = lloyd(s, in, 16)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .withColumn("nrm", norm(col("embedding")))
+      val a = asg.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = asg.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("cluster"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("sim_micro",
+          micro(dot(col("ea"), col("eb")) / (col("na") * col("nb"))))
+        .where(col("sim_micro") >= 950000L)
+        .groupBy(col("cluster"), col("vec_b").as("drop_id"))
+        .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))
     },
 
     // ---- bucket occupancy: the LSH quality diagnostic (skew check at scale)
