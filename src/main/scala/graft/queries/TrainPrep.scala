@@ -136,6 +136,71 @@ object TrainPrep {
             .as("dup_frac_ppm"))
     },
 
+    // ---- TF-IDF top terms per document (keyword extraction / topic
+    //      signal for curation dashboards). idf is quantized to integer
+    //      micros (floor(ln(N/df)·10⁶ + 0.5) — the e_scalar_math/
+    //      iql_scalar_binary transcendental discipline) so the score is an
+    //      exact integer product tf·idf_micro and the per-doc top-3 is a
+    //      deterministic (score desc, term asc) rank. Scale: tf/df are
+    //      partial+final aggregations, the scoring join is keyed on term
+    //      (vocabulary-sized), the rank window is per-doc.
+    Q("d_tfidf_topterms",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tfc AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM tk),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE) / dfc.df) * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+        |       FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score_micro DESC, term ASC) AS rn FROM sc)
+        |SELECT doc_id, term, tf, score_micro, rn FROM r WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val tk = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tf = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nn = tk.agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("term").asc)
+      tf.join(dfc, "term").crossJoin(broadcast(nn))
+        .withColumn("score_micro",
+          col("tf") * floor(log(col("n").cast("double") / col("df")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score_micro", "rn")
+    },
+
+    // ---- bounded inverted-index build: per-term posting lists for
+    //      mid-frequency terms (3 ≤ df ≤ 50). The df filter runs BEFORE
+    //      the posting collection — at corpus scale a stopword's posting
+    //      list is the corpus, so unbounded collect_list is the classic
+    //      scale-killer; pre-filtering on the (tiny) df table keeps every
+    //      collected list ≤ 50 entries. Postings are sorted for a
+    //      deterministic array value.
+    Q("d_inverted_index",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tfc AS (SELECT DISTINCT doc_id, term FROM
+        |          (SELECT doc_id, unnest(toks) AS term FROM tk)),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |keep AS (SELECT term, df FROM dfc WHERE df BETWEEN 3 AND 50)
+        |SELECT k.term, k.df,
+        |       string_agg(t.doc_id, ',' ORDER BY t.doc_id) AS postings
+        |FROM tfc t JOIN keep k USING (term)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val tfc = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val keep = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+        .where(col("df").between(3, 50))
+      // postings serialized as a sorted comma-joined string: the driver's
+      // compare sorts rows by every output column, which needs scalars
+      tfc.join(keep, "term")
+        .groupBy("term", "df")
+        .agg(expr("concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)))")
+          .as("postings"))
+    },
+
     // ---- temperature-based source mixing weights (the multinomial
     //      sampling-rate computation for multi-source corpora, α = 0.5:
     //      w_i ∝ n_i^α normalized — upweights small sources). α = 0.5 is
