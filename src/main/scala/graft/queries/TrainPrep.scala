@@ -230,6 +230,36 @@ object TrainPrep {
           expr("s * 1000000 div tot").as("weight_ppm"))
     },
 
+    // ---- sequence packing: concatenate documents in deterministic order
+    //      and chunk the token stream into fixed 2048-token training
+    //      sequences (the standard LM batch-prep step — documents straddle
+    //      pack boundaries by design). Each doc's start offset is a
+    //      per-shard running token sum, so the whole assignment is one
+    //      window over 8 hash shards — shards bound window state and map
+    //      onto executors; no driver-side packing loop.
+    Q("d_pack_sequences",
+      s"""WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+         |             ${H("'pack:'||CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |           FROM documents),
+         |w AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS start_off
+         |      FROM tk)
+         |SELECT doc_id, shard, CAST(n_toks AS BIGINT) AS n_toks, start_off,
+         |       start_off // 2048 AS pack_id, start_off % 2048 AS pack_off
+         |FROM w""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          (h60(concat(lit("pack:"), col("doc_id").cast("string"))) % 8).as("shard"))
+        .withColumn("start_off", sum("n_toks").over(w) - col("n_toks"))
+        .select(col("doc_id"), col("shard"), col("n_toks"), col("start_off"),
+          expr("start_off div 2048").as("pack_id"),
+          (col("start_off") % 2048).as("pack_off"))
+    },
+
     // ---- deterministic shard export: the final pipeline step assigns
     //      every document to one of 64 training shards by content-
     //      independent hash (stable across reruns, no RNG state) and
