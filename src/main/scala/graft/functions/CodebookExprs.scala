@@ -257,11 +257,112 @@ final case class PqEncodeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cb_argmin_i(vec, books)` → ARRAY<LONG> [dist, idx]: exact-INTEGER
+  * nearest-codeword search for quantized coordinates (the Lloyd
+  * assignment hot loop). Unlike `cb_argmin` (double accumulate +
+  * micro-quantize — whose ×10⁶ rescale would exceed 2⁵³ on 2²⁰-quantized
+  * inputs and blur ties), the fold here is pure long arithmetic:
+  * dist = Σ(x−y)², ties broken by LOWER index — bit-identical to the
+  * `array_min(array(struct(seql2i(q, cᵢ), i)))` formulation it replaces,
+  * at any K, with ONE flat `long[]` reference object instead of K
+  * struct literals (the literal-array plan stops fitting whole-stage
+  * codegen as K grows past ~tens of centroids).
+  * Null input / null element / length mismatch → null. */
+final case class CodebookArgminLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cb_argmin_i"
+  override def nullable: Boolean = true
+
+  private lazy val booksData: (Array[Long], Int, Int) = {
+    require(right.foldable, s"$prettyName: codebook must be a literal")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    require(k > 0, s"$prettyName: empty codebook")
+    val dim = arr.getArray(0).numElements()
+    val flat = new Array[Long](k * dim)
+    var j = 0
+    while (j < k) {
+      val cw = arr.getArray(j)
+      require(cw.numElements() == dim, s"$prettyName: ragged codebook")
+      var i = 0
+      while (i < dim) { flat(j * dim + i) = cw.getLong(i); i += 1 }
+      j += 1
+    }
+    (flat, k, dim)
+  }
+  private def flatBooks: Array[Long] = booksData._1
+  private def nBooks: Int = booksData._2
+  private def bookDim: Int = booksData._3
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, literal ARRAY<ARRAY<BIGINT>>), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    if (a.numElements() != bookDim) return null
+    var best = Long.MaxValue
+    var bestIdx = -1
+    var j = 0
+    while (j < nBooks) {
+      var acc = 0L
+      var i = 0
+      while (i < bookDim) {
+        if (a.isNullAt(i)) return null
+        val d = a.getLong(i) - flatBooks(j * bookDim + i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bestIdx = j }
+      j += 1
+    }
+    new GenericArrayData(Array(best, bestIdx.toLong))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val flat = ctx.addReferenceObj("flatBooksI", flatBooks, "long[]")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestIdx = ctx.freshName("bestIdx")
+      s"""
+         |if ($a.numElements() != $bookDim) { ${ev.isNull} = true; } else {
+         |  long $best = Long.MAX_VALUE; int $bestIdx = -1;
+         |  for (int $j = 0; $j < $nBooks && !${ev.isNull}; $j++) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $bookDim; $i++) {
+         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      long $d = $a.getLong($i) - $flat[$j * $bookDim + $i];
+         |      $acc += $d * $d;
+         |    }
+         |    if (!${ev.isNull} && $acc < $best) { $best = $acc; $bestIdx = $j; }
+         |  }
+         |  if (!${ev.isNull})
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |      new long[]{$best, (long) $bestIdx});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodebookArgminLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object CodebookExprs {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cb_argmin", args => CodebookArgminExpr(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", args => PqEncodeExpr(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cb_argmin_i", args => CodebookArgminLongExpr(args(0), args(1)), "built-in")
   }
 }
