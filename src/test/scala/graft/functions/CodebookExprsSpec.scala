@@ -98,4 +98,49 @@ class CodebookExprsSpec extends SparkSpec {
       s"cb_argmin fell out of WholeStageCodegen:\n$plan")
     assert(df.count() == 50)
   }
+
+  test("cb_argmin_i matches the struct-array integer argmin it replaced") {
+    val s = spark
+    import s.implicits._
+    val irng = new scala.util.Random(13)
+    // duplicate codeword planted -> exercises the lower-index tie-break
+    val base: Seq[Seq[Long]] = Seq.fill(41)(Seq.fill(8)(irng.nextInt(2000000).toLong - 1000000))
+    val books = base.updated(17, base(3))
+    val df = Seq.fill(300)(Seq.fill(8)(irng.nextInt(2000000).toLong - 1000000))
+      .map(Tuple1(_)).toDF("q")
+    // the exact pre-round-9 lloyd formulation: array_min over (seql2i, idx)
+    val structMin = array_min(array(books.zipWithIndex.map { case (c, i) =>
+      struct(call_function("seql2i", col("q"), typedLit(c)).as("d"), lit(i).as("c")) }: _*))
+    val out = df.select(
+      call_function("cb_argmin_i", col("q"), typedLit(books)).as("fast"),
+      structMin.getField("d").as("d"), structMin.getField("c").as("c")).collect()
+    out.foreach { r =>
+      val fast = r.getSeq[Long](0)
+      assert(fast(0) == r.getLong(1), "distance mismatch")
+      assert(fast(1) == r.getInt(2).toLong, "argmin index mismatch")
+    }
+  }
+
+  test("cb_argmin_i null semantics and codegen presence") {
+    val s = spark
+    import s.implicits._
+    val books = Seq(Seq(0L, 0L))
+    val bad = Seq(
+      Tuple1(Seq[java.lang.Long](1L, 2L)),
+      Tuple1(Seq[java.lang.Long](1L, null)),
+      Tuple1(Seq[java.lang.Long](1L)),
+      Tuple1(null.asInstanceOf[Seq[java.lang.Long]])
+    ).toDF("q")
+    val out = bad.select(
+      call_function("cb_argmin_i", col("q").cast("array<bigint>"), typedLit(books))).collect()
+    assert(out(0).getSeq[Long](0) == Seq(5L, 0L))
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+    val df = spark.range(50)
+      .select(array(col("id"), col("id") + 1L).as("q"))
+      .select(call_function("cb_argmin_i", col("q"), typedLit(books)).as("a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("cb_argmin_i") && l.trim.startsWith("*(")),
+      s"cb_argmin_i fell out of WholeStageCodegen:\n$plan")
+    assert(df.count() == 50)
+  }
 }

@@ -25,6 +25,16 @@ class InterpretedParitySpec extends SparkSpec {
     assert(lit == gen)
   }
 
+  test("cb_argmin_i: constant-folded result equals the codegen result") {
+    val s = spark
+    import s.implicits._
+    val books = "array(array(1L, 1L), array(5L, 5L), array(5L, 5L))"
+    val lit = viaLiteral(s"cb_argmin_i(array(4L, 6L), $books)").getSeq[Long](0)
+    val gen = Seq(Tuple1(Seq(4L, 6L))).toDF("q")
+      .select(expr(s"cb_argmin_i(q, $books)")).head.getSeq[Long](0)
+    assert(lit == gen && lit == Seq(2L, 1L)) // dist 2, tie -> lower index 1
+  }
+
   test("pq_encode: constant-folded codes equal the codegen codes") {
     val s = spark
     import s.implicits._
