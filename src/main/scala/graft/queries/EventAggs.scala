@@ -578,6 +578,30 @@ object EventAggs {
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     },
 
+    // ---- range-frame count (the windowed cousin of the as-of join): for
+    //      every click, how many views the same user made in the 5 minutes
+    //      before it. A RANGE frame over ts_us replaces the naive
+    //      self-join-on-inequality (which explodes quadratically per
+    //      user); one shuffle on user_id, linear per key.
+    Q("e_range_count",
+      s"""WITH $EV, w AS (
+         |  SELECT event_id, user_id, ts_us, event_type,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts_us
+         |            RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prior
+         |  FROM ev)
+         |SELECT event_id, user_id, ts_us, coalesce(n_prior, 0) AS views_5m
+         |FROM w WHERE event_type = 'click'""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-300000000L, -1L)
+      ev(s, d)
+        .withColumn("n_prior",
+          sum(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("n_prior"), lit(0L)).as("views_5m"))
+    },
+
     // ---- as-of join (attribution): for every 'click', the most recent
     //      prior 'view' by the same user — the point-in-time-correct join
     //      a feature/attribution pipeline needs. Expressed as a per-user
