@@ -11,8 +11,8 @@ object Dev {
       println(s"==== $name")
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        df.show(20, false)
-        df.printSchema()
+        if (sys.env.contains("GRAFT_DEV_EXPLAIN")) df.explain("formatted")
+        else { df.show(20, false); df.printSchema() }
       } catch { case e: Throwable =>
         println(s"FAILED: ${e}"); e.printStackTrace()
       }

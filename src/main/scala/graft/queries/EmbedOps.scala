@@ -690,6 +690,50 @@ object EmbedOps {
     * K-row driver artifact broadcast into map-only argmin passes; the
     * update is one (cluster, dim) partial-aggregated shuffle per pass.
     */
+  /** Corpus-adaptive cluster count: K = max(16, N/256), i.e. ~256-vector
+    * clusters — keeps any within-cluster quadratic work linear in N.
+    * Mirrored in SQL by lloydSqlCtes' prm1 (identical integer math). */
+  private val adaptiveK: Long => Int = n => math.max(16L, n / 256L).toInt
+
+  /** DuckDB replay of `lloyd` over a prior CTE `e2(vec_id, embedding)`
+    * with the adaptiveK cluster count: quantize → rank-order seeds →
+    * 2 unrolled Lloyd passes → final assignment `asg(vec_id, cid, d)`.
+    * Splice after the e2 CTE: `WITH e2 AS (...), $lloydSqlCtes, ...`. */
+  private val lloydSqlCtes: String = {
+    def pass(cin: String, n: Int) =
+      s"""d$n AS (SELECT eq.vec_id, $cin.cid,
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> (eq.q[i] - $cin.c[i]) * (eq.q[i] - $cin.c[i]))) AS d
+         |      FROM eq CROSS JOIN $cin),
+         |a$n AS (SELECT vec_id, cid, d FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
+         |         FROM d$n) WHERE rn2 = 1),
+         |u$n AS (SELECT a$n.cid, i,
+         |          CAST(floor(CAST(sum(eq.q[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+         |        FROM a$n JOIN eq USING (vec_id)
+         |        CROSS JOIN unnest(generate_series(1, 64)) AS t(i) GROUP BY a$n.cid, i),
+         |c$n AS (SELECT cid, list(v ORDER BY i) AS c FROM u$n GROUP BY cid)""".stripMargin
+    s"""eq AS (SELECT vec_id, list_transform(generate_series(1, 64),
+       |         i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |       FROM e2),
+       |rk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM eq),
+       |prm0 AS (SELECT count(*) AS n FROM eq),
+       |prm1 AS (SELECT n, greatest(CAST(floor(n / 256.0) AS BIGINT), 16) AS kk FROM prm0),
+       |prm AS (SELECT kk, greatest(CAST(floor(CAST(n AS DOUBLE) / kk) AS BIGINT), 1) AS step
+       |        FROM prm1),
+       |c0 AS (SELECT CAST(rn / step AS INT) AS cid, q AS c FROM rk, prm
+       |       WHERE rn % step = 0 AND rn / step < kk),
+       |${pass("c0", 1)},
+       |${pass("c1", 2)},
+       |df AS (SELECT eq.vec_id, c2.cid,
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> (eq.q[i] - c2.c[i]) * (eq.q[i] - c2.c[i]))) AS d
+       |      FROM eq CROSS JOIN c2),
+       |asg AS (SELECT vec_id, cid, d FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2 FROM df)
+       |        WHERE rn2 = 1)""".stripMargin
+  }
+
   private def lloyd(s: SparkSession, in: DataFrame, kOf: Long => Int): DataFrame = {
     val e = in.persist()
     val n = e.count()
@@ -986,41 +1030,10 @@ object EmbedOps {
     //      argmin cluster) guarantee every pair (i, i+10⁶) appears at
     //      sim 10⁶ — recall 1.0 is part of the oracle check, not vacuous.
     Q("em_semdedup", {
-      def pass(cin: String, n: Int) =
-        s"""d$n AS (SELECT eq.vec_id, $cin.cid,
-           |        list_sum(list_transform(generate_series(1, 64),
-           |          i -> (eq.q[i] - $cin.c[i]) * (eq.q[i] - $cin.c[i]))) AS d
-           |      FROM eq CROSS JOIN $cin),
-           |a$n AS (SELECT vec_id, cid, d FROM
-           |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
-           |         FROM d$n) WHERE rn2 = 1),
-           |u$n AS (SELECT a$n.cid, i,
-           |          CAST(floor(CAST(sum(eq.q[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
-           |        FROM a$n JOIN eq USING (vec_id)
-           |        CROSS JOIN unnest(generate_series(1, 64)) AS t(i) GROUP BY a$n.cid, i),
-           |c$n AS (SELECT cid, list(v ORDER BY i) AS c FROM u$n GROUP BY cid)""".stripMargin
       s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings
          |            UNION ALL
          |            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
-         |eq AS (SELECT vec_id, list_transform(generate_series(1, 64),
-         |         i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS q
-         |       FROM e2),
-         |rk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM eq),
-         |prm0 AS (SELECT count(*) AS n FROM eq),
-         |prm1 AS (SELECT n, greatest(CAST(floor(n / 256.0) AS BIGINT), 16) AS kk FROM prm0),
-         |prm AS (SELECT kk, greatest(CAST(floor(CAST(n AS DOUBLE) / kk) AS BIGINT), 1) AS step
-         |        FROM prm1),
-         |c0 AS (SELECT CAST(rn / step AS INT) AS cid, q AS c FROM rk, prm
-         |       WHERE rn % step = 0 AND rn / step < kk),
-         |${pass("c0", 1)},
-         |${pass("c1", 2)},
-         |df AS (SELECT eq.vec_id, c2.cid,
-         |        list_sum(list_transform(generate_series(1, 64),
-         |          i -> (eq.q[i] - c2.c[i]) * (eq.q[i] - c2.c[i]))) AS d
-         |      FROM eq CROSS JOIN c2),
-         |asg AS (SELECT vec_id, cid FROM
-         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2 FROM df)
-         |        WHERE rn2 = 1),
+         |$lloydSqlCtes,
          |n2 AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM e2),
          |p AS (SELECT x.cid AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
          |      FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
@@ -1041,7 +1054,7 @@ object EmbedOps {
       // clusters): the within-cluster quadratic Σ|c|² ≈ N·256 stays
       // LINEAR in N — fixed K measured 14× for 10× data at sf1, adaptive
       // K restores ~linear scaling at the same oracle
-      val asg = lloyd(s, in, n => math.max(16L, n / 256L).toInt)
+      val asg = lloyd(s, in, adaptiveK)
         .select(col("vec_id"), col("embedding"), col("cluster"))
         .withColumn("nrm", norm(col("embedding")))
       val a = asg.select(col("cluster"), col("vec_id").as("vec_a"),
@@ -1055,6 +1068,34 @@ object EmbedOps {
         .where(col("sim_micro") >= 950000L)
         .groupBy(col("cluster"), col("vec_b").as("drop_id"))
         .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))
+    },
+
+    // ---- cluster representatives (diversity sampling): one medoid-style
+    //      vector per semantic cluster — the minimal diverse subset a
+    //      curation pipeline samples for eval sets / dataset cards. The
+    //      representative is the cluster's argmin-(dist, vec_id) against
+    //      its final centroid, so the whole op is the shared Lloyd
+    //      pipeline (adaptive K — subset size grows with the corpus)
+    //      plus ONE per-cluster min: a partial+final aggregation over a
+    //      lexicographic (dist, vec_id) struct, no window, no collect.
+    Q("em_cluster_reps",
+      s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings),
+         |$lloydSqlCtes,
+         |r AS (SELECT cid AS cluster, vec_id, d,
+         |        row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rn,
+         |        count(*) OVER (PARTITION BY cid) AS n_members
+         |      FROM asg)
+         |SELECT cluster, vec_id AS rep_id, d AS rep_dist, n_members
+         |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val in = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("q"))
+      lloyd(s, in, adaptiveK)
+        .groupBy("cluster")
+        .agg(min(struct(col("dist"), col("vec_id"))).as("rep"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), col("rep.vec_id").as("rep_id"),
+          col("rep.dist").as("rep_dist"), col("n_members"))
     },
 
     // ---- bucket occupancy: the LSH quality diagnostic (skew check at scale)
