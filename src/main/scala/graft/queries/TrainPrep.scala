@@ -136,6 +136,31 @@ object TrainPrep {
             .as("dup_frac_ppm"))
     },
 
+    // ---- dedup APPLIED (not just detected): materialize the survivor
+    //      set — canonical = min doc_id per exact-content group — and
+    //      report the per-source reduction a curation dashboard shows.
+    //      The join back to metadata is keyed on doc_id; the group table
+    //      is one hash aggregation. Composes d_dedup_exact's decision
+    //      into the corpus that ships.
+    Q("d_dedup_apply",
+      s"""WITH $DOCS2,
+         |g AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |      FROM d2 GROUP BY md5(text))
+         |SELECT d2.source, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(d2.text, ' '))) AS BIGINT) AS n_tokens,
+         |       CAST(sum(g.n_copies) - count(*) AS BIGINT) AS n_dropped
+         |FROM g JOIN d2 ON d2.doc_id = g.keep_id
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val d2 = docs2(s, d)
+      val g = d2.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      g.join(d2, col("doc_id") === col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          (sum("n_copies") - count(lit(1))).cast("long").as("n_dropped"))
+    },
+
     // ---- TF-IDF top terms per document (keyword extraction / topic
     //      signal for curation dashboards). idf is quantized to integer
     //      micros (floor(ln(N/df)·10⁶ + 0.5) — the e_scalar_math/
