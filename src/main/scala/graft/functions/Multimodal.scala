@@ -450,4 +450,75 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual hash: the image member of the dedup family ----
+
+  /** Pattern key: images sharing it are byte-identical — the planted
+    * duplicates for perceptual-hash dedup. */
+  def phashKey(docId: Long): Long = docId % 30L
+
+  /** PATTERNED (non-constant) gray PNG: pixel g(x,y) = (pk·7 + x·13 +
+    * y·31) mod 256. PNG is lossless, so the decoded pixels are exactly
+    * this arithmetic — which is what makes a hash over REAL decoded
+    * pixels replayable by the SQL oracle (the constant-fill fixtures the
+    * JPEG gates need would make every aHash bit degenerate). */
+  def makePatternPng(docId: Long): Array[Byte] = {
+    val pk = phashKey(docId)
+    val w = (1L + pk % 8L).toInt
+    val h = (1L + pk % 5L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((pk * 7L + x * 13L + y * 31L) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class PhashRow(doc_id: Long, width: Int, height: Int,
+      phash: String, luma_mean: Long)
+
+  /** aHash over the DECODED image: sample an 8×8 grid (x = ⌊i·W/8⌋,
+    * y = ⌊j·H/8⌋), luma = low byte of the pixel (fixtures are gray),
+    * integer mean = Σ/64, bit k = j·8+i set iff sample ≥ mean. Emitted
+    * as a 64-char bit string — group-by-able with no 2⁶³ sign trap.
+    * Map-only over the binary column; equal-content images get equal
+    * hashes, near-variants differ in few bits (Hamming banding is the
+    * LSH-style scale path, same as SimHash's). */
+  def phashImages(spark: SparkSession, media: DataFrame): Dataset[PhashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) PhashRow(r.doc_id, -2, -2, "", -1L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val s = new Array[Long](64)
+            var k = 0
+            while (k < 64) {
+              val x = ((k % 8) * w) / 8
+              val y = ((k / 8) * h) / 8
+              s(k) = (img.getRGB(x, y) & 0xff).toLong
+              k += 1
+            }
+            val mean = s.sum / 64L
+            val sb = new StringBuilder(64)
+            k = 0
+            while (k < 64) { sb.append(if (s(k) >= mean) '1' else '0'); k += 1 }
+            PhashRow(r.doc_id, w, h, sb.toString, mean)
+          }
+        }
+      }
+    }
+  }
 }

@@ -143,6 +143,38 @@ object IngestSuite {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
       Multimodal.resizeImages(s,
         Multimodal.mediaTable(Tables(s, d, "documents")), 4, 4).toDF()
+    },
+
+    // perceptual-hash image dedup (aHash): REAL ImageIO decode of
+    // patterned LOSSLESS PNGs → 8×8 sampled luma grid → ≥-mean bit
+    // string → group stats. Images sharing the pattern key are
+    // byte-identical, so the hash provably collapses them; the oracle
+    // replays the pixel arithmetic (possible only because PNG decode is
+    // exact). Map-only hash + one shuffle on the 64-bit-string key.
+    Q("mm_phash",
+      """WITH b AS (SELECT doc_id, doc_id % 30 AS pk FROM documents),
+        |dims AS (SELECT *, 1 + pk % 8 AS w, 1 + pk % 5 AS h FROM b),
+        |sv AS (SELECT *, list_transform(generate_series(0, 63), k ->
+        |         (pk*7 + (((k % 8) * w) // 8) * 13 + (((k // 8) * h) // 8) * 31) % 256) AS s
+        |       FROM dims),
+        |ph AS (SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |         array_to_string(list_transform(s, v ->
+        |           CASE WHEN v >= list_sum(s) // 64 THEN '1' ELSE '0' END), '') AS phash,
+        |         CAST(list_sum(s) // 64 AS BIGINT) AS luma_mean
+        |       FROM sv)
+        |SELECT doc_id, width, height, phash, luma_mean,
+        |       count(*) OVER (PARTITION BY phash) AS n_copies,
+        |       min(doc_id) OVER (PARTITION BY phash) AS canonical_id
+        |FROM ph""".stripMargin) { (s, d) =>
+      val mkPng = udf(Multimodal.makePatternPng _)
+      val media = Tables(s, d, "documents").select(col("doc_id"),
+        mkPng(col("doc_id")).as("payload"), lit("image/png").as("mime"))
+      val wnd = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+      Multimodal.phashImages(s, media).toDF()
+        .withColumn("n_copies", count(lit(1)).over(wnd))
+        .withColumn("canonical_id", min("doc_id").over(wnd))
+        .select("doc_id", "width", "height", "phash", "luma_mean",
+          "n_copies", "canonical_id")
     }
   )
 }
