@@ -486,6 +486,106 @@ object Multimodal {
   final case class PhashRow(doc_id: Long, width: Int, height: Int,
       phash: String, luma_mean: Long)
 
+  /** Audio pattern key — WAVs sharing it are byte-identical (planted
+    * duplicates for audio fingerprint dedup). */
+  def audioKey(docId: Long): Long = docId % 24L
+
+  /** PATTERNED PCM16 WAV: sample i = ((pk·37 + i·17) mod 20000) − 10000,
+    * n = 50 + pk mod 200, rate keyed like the main fixtures. PCM is
+    * lossless, so a fingerprint over REAL decoded samples is replayable
+    * by the SQL oracle. */
+  def makePatternWav(docId: Long): Array[Byte] = {
+    val pk = audioKey(docId)
+    val rate = 8000 * (1 + (pk % 3L).toInt)
+    val n = (50L + pk % 200L).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((pk * 37L + i * 17L) % 20000L) - 10000L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  final case class AudioFpRow(doc_id: Long, n_samples: Long,
+      afp: String, level_mean: Long)
+
+  /** Audio fingerprint over the DECODED PCM: 64 grid samples
+    * (idx = ⌊j·n/64⌋), shifted unsigned (s + 10000 — keeps the integer
+    * mean a floor division in BOTH engines; a signed sum would truncate
+    * toward zero in JVM `/` but floor in SQL `//`), bit j set iff
+    * sample ≥ mean. The audio member of the dedup family — same shape
+    * as mm_phash's aHash. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (_, frames, _, _) = decodeWav(r.payload)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val bytes = try ais.readAllBytes() finally ais.close()
+          val n = (bytes.length / 2).min(frames.toInt)
+          if (n <= 0) AudioFpRow(r.doc_id, 0L, "", -1L)
+          else {
+            val u = new Array[Long](64)
+            var j = 0
+            while (j < 64) {
+              val idx = ((j.toLong * n) / 64L).toInt
+              val lo = bytes(2 * idx) & 0xff
+              val hi = bytes(2 * idx + 1).toInt
+              u(j) = ((hi << 8) | lo).toLong + 10000L
+              j += 1
+            }
+            val mean = u.sum / 64L
+            val sb = new StringBuilder(64)
+            j = 0
+            while (j < 64) { sb.append(if (u(j) >= mean) '1' else '0'); j += 1 }
+            AudioFpRow(r.doc_id, n.toLong, sb.toString, mean)
+          }
+        }
+      }
+    }
+  }
+
+  final case class SceneRow(doc_id: Long, frame_idx: Int, gray: Int, scene_id: Long)
+
+  /** Scene-change segmentation over REAL per-frame decodes: a cut opens
+    * wherever the decoded frame luma jumps ≥ `threshold` from its
+    * predecessor (frame 0 always opens scene 1); scene_id is the running
+    * cut count. The per-video fold happens inside the map task (frames
+    * of one container are one row's payload) — map-only, no window, no
+    * shuffle; the training-pipeline keyframe/segment-sampling shape. */
+  def videoScenes(spark: SparkSession, media: DataFrame,
+      threshold: Int = 32): Dataset[SceneRow] = {
+    import spark.implicits._
+    media.where(col("mime") === "video/avi").as[MediaRow].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          decodeAvi(r.payload).toSeq.flatMap { m =>
+            var prev = Int.MinValue
+            var scene = 0L
+            m.frames.zipWithIndex.map { case (f, idx) =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+              val g = if (img == null) -1 else img.getRGB(0, 0) & 0xff
+              if (idx == 0 || math.abs(g - prev) >= threshold) scene += 1
+              prev = g
+              SceneRow(r.doc_id, idx, g, scene)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** aHash over the DECODED image: sample an 8×8 grid (x = ⌊i·W/8⌋,
     * y = ⌊j·H/8⌋), luma = low byte of the pixel (fixtures are gray),
     * integer mean = Σ/64, bit k = j·8+i set iff sample ≥ mean. Emitted

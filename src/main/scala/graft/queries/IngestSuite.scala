@@ -175,6 +175,54 @@ object IngestSuite {
         .withColumn("canonical_id", min("doc_id").over(wnd))
         .select("doc_id", "width", "height", "phash", "luma_mean",
           "n_copies", "canonical_id")
+    },
+
+    // audio fingerprint dedup: REAL javax.sound decode of patterned
+    // (lossless PCM16) WAVs → 64 grid samples, shifted unsigned →
+    // ≥-mean bit string → group stats. The audio member of the dedup
+    // family; the oracle replays the sample arithmetic.
+    Q("mm_audio_fp",
+      """WITH b AS (SELECT doc_id, doc_id % 24 AS pk FROM documents),
+        |d2 AS (SELECT *, CAST(50 + pk % 200 AS BIGINT) AS n FROM b),
+        |sv AS (SELECT *, list_transform(generate_series(0, 63), j ->
+        |        (pk*37 + ((j * n) // 64) * 17) % 20000) AS u FROM d2),
+        |fp AS (SELECT doc_id, n AS n_samples,
+        |        array_to_string(list_transform(u, v ->
+        |          CASE WHEN v >= list_sum(u) // 64 THEN '1' ELSE '0' END), '') AS afp,
+        |        CAST(list_sum(u) // 64 AS BIGINT) AS level_mean FROM sv)
+        |SELECT doc_id, n_samples, afp, level_mean,
+        |       count(*) OVER (PARTITION BY afp) AS n_copies,
+        |       min(doc_id) OVER (PARTITION BY afp) AS canonical_id
+        |FROM fp""".stripMargin) { (s, d) =>
+      val mkWav = udf(Multimodal.makePatternWav _)
+      val media = Tables(s, d, "documents").select(col("doc_id"),
+        mkWav(col("doc_id")).as("payload"), lit("audio/wav").as("mime"))
+      val wnd = org.apache.spark.sql.expressions.Window.partitionBy("afp")
+      Multimodal.audioFingerprint(s, media).toDF()
+        .withColumn("n_copies", count(lit(1)).over(wnd))
+        .withColumn("canonical_id", min("doc_id").over(wnd))
+        .select("doc_id", "n_samples", "afp", "level_mean",
+          "n_copies", "canonical_id")
+    },
+
+    // scene-change segmentation: every frame of every AVI REALLY decodes
+    // (JPEG), a cut opens on a ≥32 luma jump, scene_id is the running cut
+    // count — keyframe/segment sampling for video training data. The
+    // per-video fold runs inside the map task (map-only, no shuffle);
+    // the oracle replays the fixture luma arithmetic with a lag window.
+    Q("mm_scenes",
+      """WITH f AS (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 5 AS BIGINT))) AS k
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT doc_id, k, 2 * ((doc_id * 11 + k * 17) % 128) AS gray FROM f),
+        |c AS (SELECT *, CASE WHEN k = 0 THEN 1
+        |        WHEN abs(gray - lag(gray) OVER (PARTITION BY doc_id ORDER BY k)) >= 32
+        |        THEN 1 ELSE 0 END AS cut FROM g)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx, CAST(gray AS INT) AS gray,
+        |       CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY k
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+        |FROM c""".stripMargin) { (s, d) =>
+      Multimodal.videoScenes(s,
+        Multimodal.mediaTable(Tables(s, d, "documents"))).toDF()
     }
   )
 }
