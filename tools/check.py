@@ -40,6 +40,12 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array cells (numpy arrays/lists) are unhashable and break sort_values;
+    # convert to tuples so array-valued columns can participate in the
+    # canonical row order (the compare itself already handles them)
+    for c in df.columns:
+        if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(tuple)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
