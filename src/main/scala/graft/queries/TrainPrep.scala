@@ -226,6 +226,36 @@ object TrainPrep {
           .as("postings"))
     },
 
+    // ---- per-document token-distribution entropy (gibberish / template
+    //      detector: repetitive boilerplate scores low, natural text
+    //      high — complements the Gopher repetition shares). H·n =
+    //      Σ_t c_t · log2(n/c_t); each per-term log2 is quantized to
+    //      integer micros BEFORE the sum (the transcendental discipline),
+    //      then one integer division by n — order-independent, engine-
+    //      exact. Two vocabulary-keyed aggregations, no window.
+    Q("d_token_entropy",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM
+        |         (SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |t AS (SELECT tc.doc_id, n.n,
+        |        c * CAST(floor(log2(CAST(n.n AS DOUBLE) / c) * 1000000.0 + 0.5) AS BIGINT) AS hterm
+        |      FROM tc JOIN n USING (doc_id))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(hterm) // max(n) AS BIGINT) AS entropy_micro
+        |FROM t GROUP BY 1""".stripMargin) { (s, d) =>
+      val tc = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val n = tc.groupBy("doc_id").agg(sum("c").as("n"))
+      tc.join(n, "doc_id")
+        .withColumn("hterm", col("c") *
+          floor(log2(col("n").cast("double") / col("c")) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_tokens"),
+          expr("sum(hterm) div max(n)").as("entropy_micro"))
+    },
+
     // ---- temperature-based source mixing weights (the multinomial
     //      sampling-rate computation for multi-source corpora, α = 0.5:
     //      w_i ∝ n_i^α normalized — upweights small sources). α = 0.5 is
