@@ -58,6 +58,15 @@ final class Translator(df: DataFrame, meta: TableMeta) {
         case f => List(f.copy(expr = normTyped(f.expr)))
       },
       where = sel0.where.map(normTyped))
+    // every named reference must resolve against this measurement NOW: an
+    // unknown identifier that reaches Catalyst surfaces as a Spark
+    // AnalysisException (an HTTP 500), not the dialect's 400 class
+    // (found by TranslatorPropSpec's generated queries)
+    val knownNames = meta.fields.map(_.name).toSet ++ meta.tags +
+      "time" + meta.timeCol
+    (sel.fields.map(_.expr) ++ sel.where).flatMap(collectIdents)
+      .find(!knownNames(_))
+      .foreach(n => throw ParseException(s"unknown field or tag: '$n'"))
     tzZone = sel.tz // literals below parse under the query's zone
     val filtered0 = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
     // durable time-bucket pruning: rebind the WHERE's constant time bounds
@@ -141,7 +150,13 @@ final class Translator(df: DataFrame, meta: TableMeta) {
           unix_micros(to_utc_timestamp(timestamp_micros(col("time")), z)))
       case _ => out
     }
-    val sorted = sortLimit(unshifted, sel, tags)
+    // positional safety net for paths that assemble their own output
+    // (raw select, transforms): duplicate names break the stable-order
+    // sort and the JSON serializer — rename later occurrences `_k`
+    val deduped =
+      if (unshifted.columns.distinct.length == unshifted.columns.length) unshifted
+      else unshifted.toDF(uniquify(unshifted.columns.toSeq): _*)
+    val sorted = sortLimit(deduped, sel, tags)
     slimit(sorted, sel, tags)
   }
 
@@ -416,12 +431,26 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       if (groupCols.isEmpty) withB.agg(aggExprs.head, aggExprs.tail: _*)
       else withB.groupBy(groupCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
 
+    // InfluxDB dedupes repeated output names (two mean(...) fields emit
+    // `mean`, `mean_1`) — without it the fill/sort references below are
+    // ambiguous and die in analysis (found by TranslatorPropSpec)
+    val outNames = uniquify(outCols.map(_._2))
     val projected = grouped.select(
       (groupCols.map {
         c => c
-      } ++ outCols.map { case (c, n) => c.as(n) }): _*)
+      } ++ outCols.zip(outNames).map { case ((c, _), n) => c.as(n) }): _*)
 
-    applyFill(projected, sel, tags, outCols.map(_._2))
+    applyFill(projected, sel, tags, outNames)
+  }
+
+  /** First occurrence keeps its name; later duplicates get `_1`, `_2`, …
+    * (InfluxDB's duplicate-column convention). */
+  private def uniquify(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
   }
 
   /** Translate an expression over aggregates; `reg` registers an aggregate
