@@ -79,14 +79,30 @@ class TranslatorPropSpec extends SparkSpec {
       yield s" LIMIT $l OFFSET $o"),
     1 -> Gen.choose(1, 3).map(l => s" SLIMIT $l"))
 
-  private val queryGen: Gen[String] = for {
+  private val tzClause: Gen[String] = Gen.frequency(
+    5 -> Gen.const(""),
+    1 -> Gen.oneOf(" tz('America/New_York')", " tz('UTC')"))
+
+  private val flatQuery: Gen[String] = for {
     fs <- Gen.nonEmptyListOf(fieldExpr).map(_.take(2).distinct)
     w <- whereClause
     g <- groupClause
     f <- fillClause
     t <- tailClause
+    z <- tzClause
     fill = if (g.contains("time(")) f else ""
-  } yield s"SELECT ${fs.mkString(", ")} FROM cpu$w$g$fill$t"
+    tz = if (g.contains("time(")) z else ""
+  } yield s"SELECT ${fs.mkString(", ")} FROM cpu$w$g$fill$tz$t"
+
+  // subquery shape: outer aggregates over an inner projection alias
+  private val subQuery: Gen[String] = for {
+    a <- agg
+    inner <- wherePred
+    g <- Gen.frequency(1 -> Gen.const(""), 2 -> dur.map(d => s" GROUP BY time($d)"))
+  } yield s"SELECT $a(vv) FROM (SELECT value AS vv FROM cpu WHERE $inner)$g"
+
+  private val queryGen: Gen[String] =
+    Gen.frequency(5 -> flatQuery, 1 -> subQuery)
 
   test("generated SELECTs execute or fail with the defined user error") {
     engine // force registration before the prop loop
