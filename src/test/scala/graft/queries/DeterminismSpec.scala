@@ -30,4 +30,17 @@ class DeterminismSpec extends SparkSpec {
       assert(wide.nonEmpty, s"$name produced no rows")
     }
   }
+
+  test("results are input-split independent (tiny maxPartitionBytes)") {
+    // a cluster reads the same file in many small splits — per-split
+    // folds must re-associate to the same answer
+    for (name <- Seq("d_bigram_lm", "d_pack_sequences", "em_cluster_reps")) {
+      val coarse = rows(name)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      val fine = try rows(name)
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (128 * 1024 * 1024).toString)
+      assert(coarse == fine, s"$name differs across input-split widths")
+    }
+  }
 }
