@@ -1085,7 +1085,7 @@ object EmbedOps {
          |        row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rn,
          |        count(*) OVER (PARTITION BY cid) AS n_members
          |      FROM asg)
-         |SELECT cluster, vec_id AS rep_id, d AS rep_dist, n_members
+         |SELECT cluster, vec_id AS rep_id, CAST(d AS BIGINT) AS rep_dist, n_members
          |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
       val in = emb(s, d).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")

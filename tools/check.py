@@ -44,8 +44,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # convert to tuples so array-valued columns can participate in the
     # canonical row order (the compare itself already handles them)
     for c in df.columns:
-        if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
-            df[c] = df[c].map(tuple)
+        # detect via ANY non-null value, not just row 0 — a column whose
+        # first row is None but holds arrays later must still be converted
+        if len(df) and df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -94,6 +97,17 @@ for name in names:
     bad = None
     for c in s.columns:
         a, b = s[c].to_numpy(), o[c].to_numpy()
+        # the driver's hash is type-sensitive: an oracle column rendered as
+        # float64 (e.g. an uncast DuckDB HUGEINT) against a Spark integer
+        # column hash-mismatches even when every value is equal. Catch that
+        # representational leak locally, before the driver sees it.
+        kinds = {a.dtype.kind, b.dtype.kind}
+        if kinds == {'f', 'i'} or kinds == {'f', 'u'}:
+            which = "oracle" if b.dtype.kind == 'f' else "spark"
+            bad = (f"col {c}: dtype leak — spark {a.dtype} vs oracle {b.dtype} "
+                   f"({which} side is float; driver hash would fail even on "
+                   f"equal values — CAST the {which} aggregate to BIGINT)")
+            break
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             a = a.astype(np.float64); b = b.astype(np.float64)
             neq = ~((a == b) | (np.isnan(a) & np.isnan(b)))
