@@ -43,6 +43,11 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   // align to local boundaries, fill spines step in local space
   private var tzZone: Option[String] = None
 
+  // identifiers the current query references that this measurement does
+  // not declare — bound to null columns (dialect empty-result behavior,
+  // see run); operand() types the null per comparison context
+  private var unknownNames: Set[String] = Set.empty
+
   // ---------------- entry
 
   def run(sel0: SelectStmt): DataFrame = {
@@ -60,15 +65,31 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       where = sel0.where.map(normTyped))
     // every named reference must resolve against this measurement NOW: an
     // unknown identifier that reaches Catalyst surfaces as a Spark
-    // AnalysisException (an HTTP 500), not the dialect's 400 class
-    // (found by TranslatorPropSpec's generated queries)
+    // AnalysisException (an HTTP 500), not a dialect behavior (found by
+    // TranslatorPropSpec's generated queries). InfluxDB 1.x answers
+    // queries over nonexistent fields/tags with an EMPTY result and HTTP
+    // 200 (only syntax errors are the 400 class), so the default here is
+    // that dialect behavior: bind each unknown name to a typed-null
+    // column (predicates and aggregates over it evaluate to null), and
+    // when the SELECT references no known field at all, return the
+    // translated schema with zero rows. `spark.graft.strictIdentifiers`
+    // =true opts into a hard 400 instead (a lint mode for migrations —
+    // a deliberate divergence, off by default to keep dashboards that
+    // query fields absent from some measurements working).
     val knownNames = meta.fields.map(_.name).toSet ++ meta.tags +
       "time" + meta.timeCol
-    (sel.fields.map(_.expr) ++ sel.where).flatMap(collectIdents)
-      .find(!knownNames(_))
-      .foreach(n => throw ParseException(s"unknown field or tag: '$n'"))
+    val unknown = (sel.fields.map(_.expr) ++ sel.where).flatMap(collectIdents)
+      .filterNot(knownNames).distinct
+    if (unknown.nonEmpty &&
+        df.sparkSession.conf.get("spark.graft.strictIdentifiers", "false").toBoolean)
+      throw ParseException(s"unknown field or tag: '${unknown.head}'")
+    val selIdents = sel.fields.map(_.expr).flatMap(collectIdents)
+      .filterNot(n => n.equalsIgnoreCase("time") || n == meta.timeCol)
+    val emptyBySchema = selIdents.nonEmpty && selIdents.forall(unknown.contains)
+    unknownNames = unknown.toSet
+    val dfu = unknown.foldLeft(df)((d, n) => d.withColumn(n, lit(null).cast("double")))
     tzZone = sel.tz // literals below parse under the query's zone
-    val filtered0 = sel.where.map(w => df.where(predicate(w))).getOrElse(df)
+    val filtered0 = sel.where.map(w => dfu.where(predicate(w))).getOrElse(dfu)
     // durable time-bucket pruning: rebind the WHERE's constant time bounds
     // onto the `_tb` directory-partition column so a time-ranged query
     // reads only the shard-group buckets it touches (PartitionFilters at
@@ -157,7 +178,10 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       if (unshifted.columns.distinct.length == unshifted.columns.length) unshifted
       else unshifted.toDF(uniquify(unshifted.columns.toSeq): _*)
     val sorted = sortLimit(deduped, sel, tags)
-    slimit(sorted, sel, tags)
+    val res = slimit(sorted, sel, tags)
+    // no known field contributes to the SELECT → the dialect's empty
+    // result, with the schema the query would have had (see above)
+    if (emptyBySchema) res.where(lit(false)) else res
   }
 
   // ---------------- predicates
@@ -169,8 +193,8 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case Bin("AND", l, r) => predicate(l) && predicate(r)
     case Bin("OR", l, r)  => predicate(l) || predicate(r)
     case Paren(x)         => predicate(x)
-    case Bin("=~", l, RegexLit(p)) => operand(l, other = l).rlike(p)
-    case Bin("!~", l, RegexLit(p)) => !operand(l, other = l).rlike(p)
+    case Bin("=~", l, r @ RegexLit(p)) => operand(l, other = r).rlike(p)
+    case Bin("!~", l, r @ RegexLit(p)) => !operand(l, other = r).rlike(p)
     // time comparisons against constants additionally emit a REDUNDANT
     // bound on the raw parquet time column: the semantic filter on the
     // derived µs column cannot convert to a parquet predicate, so
@@ -276,6 +300,16 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   /** WHERE operand; when the opposite side is `time`, literals become µs. */
   private def operand(e: Expr, other: Expr): Column = e match {
     case Ident(n) if n.equalsIgnoreCase("time") => time
+    // unknown identifiers resolve to null (dialect empty-result behavior,
+    // see run). Type the null from the OTHER side of the comparison: the
+    // injected column is DOUBLE, and under ANSI a double-vs-string
+    // comparison would fold `CAST('h0' AS DOUBLE)` into a runtime error
+    // instead of the null-comparison the dialect needs.
+    case Ident(n) if unknownNames(n) => other match {
+      case StrLit(_) | RegexLit(_) => lit(null).cast("string")
+      case BoolLit(_)              => lit(null).cast("boolean")
+      case _                       => lit(null).cast("double")
+    }
     case Ident(n)    => col(n)
     case TypedIdent(n, h) => col(n).cast(CastTypes(h))
     case StrLit(s) if isTimeRef(other) => lit(parseTimeUs(s))
@@ -336,7 +370,10 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case _             => Nil
   }
 
-  private def scaleOf(f: String): Option[Long] = meta.field(f).scale
+  private def scaleOf(f: String): Option[Long] =
+    // unknown identifiers (null-bound, see run) have no fixed-point scale;
+    // a TAG in a field position still hits meta.field's 400 below
+    if (unknownNames(f)) None else meta.field(f).scale
 
   /** Exact integer representation of a fixed-point field. */
   private def fx(f: String): Column = scaleOf(f) match {
@@ -434,7 +471,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     // InfluxDB dedupes repeated output names (two mean(...) fields emit
     // `mean`, `mean_1`) — without it the fill/sort references below are
     // ambiguous and die in analysis (found by TranslatorPropSpec)
-    val outNames = uniquify(outCols.map(_._2))
+    // seed with the group-by output names ("time" bucket + tags): an
+    // aliased aggregate like `SELECT mean(v) AS host … GROUP BY host`
+    // must not collide with the tag column it groups by, or applyFill's
+    // references become ambiguous and die in analysis
+    val reserved = (if (sel.groupByTime.isDefined) List("time") else Nil) ++ tags
+    val outNames = uniquify(outCols.map(_._2), reserved)
     val projected = grouped.select(
       (groupCols.map {
         c => c
@@ -444,9 +486,11 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   }
 
   /** First occurrence keeps its name; later duplicates get `_1`, `_2`, …
-    * (InfluxDB's duplicate-column convention). */
-  private def uniquify(names: Seq[String]): Seq[String] = {
+    * (InfluxDB's duplicate-column convention). `reserved` names count as
+    * already seen — the first occurrence in `names` renames to `_1`. */
+  private def uniquify(names: Seq[String], reserved: Seq[String] = Nil): Seq[String] = {
     val seen = scala.collection.mutable.Map.empty[String, Int]
+    reserved.foreach(r => seen(r) = 1)
     names.map { n =>
       val k = seen.getOrElse(n, 0); seen(n) = k + 1
       if (k == 0) n else s"${n}_$k"

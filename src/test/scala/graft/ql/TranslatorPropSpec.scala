@@ -39,20 +39,36 @@ class TranslatorPropSpec extends SparkSpec {
   private val dur = Gen.oneOf("10s", "5m", "1h", "12m", "1d")
   private val num = Gen.oneOf("1", "2.5", "0", "100")
 
-  private val fieldExpr: Gen[String] = Gen.frequency(
-    3 -> field,
-    4 -> (for { a <- agg; f <- field } yield s"$a($f)"),
-    1 -> (for { a <- agg; f <- field; n <- num } yield s"$a($f) * $n + 1"),
-    1 -> (for { t <- transform; a <- agg; f <- field } yield s"$t($a($f))"),
-    1 -> (for { f <- field; p <- Gen.oneOf("90", "50") } yield s"percentile($f, $p)"),
-    1 -> (for { f <- field; k <- Gen.choose(1, 3) } yield s"top($f, $k)"))
+  // "bogus"/"ghost" are names the measurement does NOT declare: the
+  // dialect answers those with an empty 200 result, so the generated
+  // space must include them (the lenient-identifier path is translator
+  // code like any other and crashes there are real bugs)
+  private val anyName = Gen.frequency(6 -> field, 1 -> Gen.oneOf("bogus", "ghost"))
+
+  // aliases deliberately include the group-by tag names and declared
+  // field names — `mean(v) AS host … GROUP BY host` must rename, not die
+  private val aliasClause: Gen[String] = Gen.frequency(
+    5 -> Gen.const(""),
+    1 -> Gen.oneOf(" AS x", " AS host", " AS region", " AS value", " AS mean"))
+
+  private val fieldExpr: Gen[String] = for {
+    e <- Gen.frequency(
+      3 -> anyName,
+      4 -> (for { a <- agg; f <- anyName } yield s"$a($f)"),
+      1 -> (for { a <- agg; f <- field; n <- num } yield s"$a($f) * $n + 1"),
+      1 -> (for { t <- transform; a <- agg; f <- field } yield s"$t($a($f))"),
+      1 -> (for { f <- field; p <- Gen.oneOf("90", "50") } yield s"percentile($f, $p)"),
+      1 -> (for { f <- field; k <- Gen.choose(1, 3) } yield s"top($f, $k)"))
+    al <- aliasClause
+  } yield s"$e$al"
 
   private val wherePred: Gen[String] = Gen.frequency(
-    3 -> (for { t <- tag; v <- Gen.oneOf("h0", "h1", "r0", "nope") } yield s"$t = '$v'"),
-    2 -> (for { f <- field; op <- Gen.oneOf(">", "<", ">=", "!="); n <- num }
+    3 -> (for { t <- Gen.frequency(4 -> tag, 1 -> Gen.const("bogus"))
+                v <- Gen.oneOf("h0", "h1", "r0", "nope") } yield s"$t = '$v'"),
+    2 -> (for { f <- anyName; op <- Gen.oneOf(">", "<", ">=", "!="); n <- num }
       yield s"$f $op $n"),
     2 -> dur.map(d => s"time > now() - $d"),
-    1 -> tag.map(t => s"$t =~ /h[0-9]+/"))
+    1 -> Gen.frequency(4 -> tag, 1 -> Gen.const("ghost")).map(t => s"$t =~ /h[0-9]+/"))
 
   private val whereClause: Gen[String] = Gen.frequency(
     1 -> Gen.const(""),

@@ -67,8 +67,32 @@ class TranslatorSpec extends SparkSpec {
     assertThrows[ParseException](run("SELECT mean(value), value FROM treasures"))
   }
 
-  test("unknown field errors") {
-    assertThrows[ParseException](run("SELECT mean(nope) FROM treasures"))
+  test("unknown identifiers yield the dialect's empty 200 result, not an error") {
+    // InfluxDB 1.x reserves 400 for syntax errors; a SELECT/WHERE over a
+    // field or tag the measurement doesn't declare answers empty with 200
+    val sel = Parser.parse("SELECT mean(nope) FROM treasures").asInstanceOf[SelectStmt]
+    val out = new Translator(treasures, meta).run(sel)
+    assert(out.columns.contains("mean")) // schema survives
+    assert(out.count() == 0)
+    assert(run("SELECT nope FROM treasures").isEmpty)
+    assert(run("SELECT value FROM treasures WHERE nope = 'x'").isEmpty)
+    assert(run("SELECT value FROM treasures WHERE nope =~ /x/").isEmpty)
+    assert(run("SELECT value FROM treasures WHERE nope > 3").isEmpty)
+    // mixed SELECT keeps rows; the unknown column is null
+    val mixed = run("SELECT value, nope FROM treasures")
+    assert(mixed.length == 3 && mixed.forall(_.isNullAt(mixed.head.fieldIndex("nope"))))
+  }
+
+  test("strict-identifier mode restores the hard 400") {
+    spark.conf.set("spark.graft.strictIdentifiers", "true")
+    try assertThrows[ParseException](run("SELECT mean(nope) FROM treasures"))
+    finally spark.conf.unset("spark.graft.strictIdentifiers")
+  }
+
+  test("aggregate aliased to a group-by tag name renames instead of dying") {
+    val rows = run("SELECT mean(value) AS type FROM treasures GROUP BY type")
+    assert(rows.length == 3)
+    assert(rows.head.schema.fieldNames.count(_.startsWith("type")) == 2) // type, type_1
   }
 
   test("GROUP BY * expands to the measurement's tags") {
