@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * bucket — the sub-linear candidate generation that replaces the full
   * cross product at scale.
   */
+/** Result of an incremental IVF append: batch size, the build-time vs
+  * batch mean assignment distance (micro-int scale), and whether the
+  * drift threshold says the frozen quantizer should be retrained. */
+final case class IvfAppendStats(appended: Long, buildMeanD2: Double,
+    batchMeanD2: Double, retrainAdvised: Boolean)
+
 object EmbedOps {
 
   private val DIMS = 64
@@ -298,10 +304,16 @@ object EmbedOps {
     * MAXLISTS=4096 rows × DIMS doubles ≈ 2 MB, the index artifact a real
     * IVF deployment persists. */
   private def ivfParts(s: SparkSession, d: String, nLists: Option[Int])
+      : (DataFrame, Seq[(Long, Seq[Double])]) =
+    ivfPartsV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), nLists)
+
+  /** Train the coarse quantizer on an explicit `(vec_id, emb)` corpus —
+    * the append gate trains on a subset and assigns everything. */
+  private def ivfPartsV(v: DataFrame, nLists: Option[Int])
       : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val s = v.sparkSession
     import s.implicits._
-    val v = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val n = v.count() // offline index build: the one driver-side action
     val k = nLists.getOrElse(
       math.max(2, math.min(MAXLISTS, math.sqrt(n.toDouble).toInt)))
@@ -353,14 +365,22 @@ object EmbedOps {
     * directories — at corpus scale the search half reads ≈ NPROBE/k of
     * the data from disk, which is the entire point of IVF. */
   def ivfBuild(s: SparkSession, d: String, indexDir: String,
-      nLists: Option[Int]): Unit = {
-    val (v, cents1) = ivfParts(s, d, nLists)
+      nLists: Option[Int]): Unit =
+    ivfBuildV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      indexDir, nLists)
+
+  /** Build from an explicit `(vec_id, emb)` corpus. Also persists the
+    * build-time assignment-distance mean (`stats.parquet`) — the drift
+    * baseline `ivfAppend` compares incoming batches against. */
+  def ivfBuildV(v: DataFrame, indexDir: String, nLists: Option[Int]): Unit = {
+    val (_, cents1) = ivfPartsV(v, nLists)
     val sp = v.sparkSession
     import sp.implicits._
     cents1.toDF("cid", "cvec")
       .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    ivfArgmin(v, cents1)
-      .select(col("vec_id"), col("emb"), col("cid").as("list_id"))
+    val asg = ivfAssignArgmin(v, cents1)
+    asg.select(col("vec_id"), col("emb"), col("list_id"))
       // cluster by list before the partitioned write: each list lands as
       // ONE file instead of one-per-input-task-per-list — k files not
       // k×tasks (file-commit cost locally; at corpus scale, fewer/larger
@@ -368,6 +388,58 @@ object EmbedOps {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/assign.parquet")
+    asg.agg(count(lit(1)).as("n"),
+        avg(col("d2").cast("double")).as("mean_d2"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats.parquet")
+  }
+
+  /** Corpus-scale nearest-centroid assignment WITH the assignment
+    * distance: the codegen argmin picks the index, one more codegen L2
+    * against the chosen centroid yields d2 (micro-int) — both stay
+    * inside whole-stage codegen for any batch size. */
+  private def ivfAssignArgmin(v: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val books = typedLit(cents.map(_._2))
+    val cids = typedLit(cents.map(_._1))
+    v.select(col("vec_id"), col("emb"),
+        call_function("cb_argmin", col("emb"), books).as("__i"))
+      .select(col("vec_id"), col("emb"),
+        element_at(cids, col("__i") + 1).as("list_id"),
+        l2micro(col("emb"), element_at(books, col("__i") + 1)).as("d2"))
+  }
+
+  /** Incremental index maintenance (the ingest story): assign a NEW batch
+    * of vectors to the EXISTING centroids — a map-only pass over only the
+    * new rows, the trained codebook rides along as a literal — and append
+    * them into the `partitionBy(list_id)` layout. Existing list files are
+    * never rewritten; a probe scan afterwards reads old + appended files
+    * of just its probed list directories. Retraining is advised (not
+    * performed) when the batch's mean assignment distance drifts past
+    * `driftRatio` × the build-time mean: a frozen quantizer goes stale
+    * under distribution shift, and that is the signal. Reference analog:
+    * the standing-CQ import path (syncing/importer.go:323-333) applies
+    * new points against existing state rather than recomputing it. */
+  def ivfAppend(s: SparkSession, newVecs: DataFrame, indexDir: String,
+      driftRatio: Double = 2.0): IvfAppendStats = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val batch = ivfAssignArgmin(
+      newVecs.select(col("vec_id"), col("emb")), cents).persist()
+    try {
+      batch.select(col("vec_id"), col("emb"), col("list_id"))
+        .repartition(col("list_id"))
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$indexDir/assign.parquet")
+      val st = batch.agg(count(lit(1)).cast("long").as("n"),
+        avg(col("d2").cast("double")).as("m")).head()
+      val (n, batchMean) =
+        (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+      val buildMean = s.read.parquet(s"$indexDir/stats.parquet")
+        .select("mean_d2").head().getDouble(0)
+      IvfAppendStats(n, buildMean, batchMean,
+        n > 0 && batchMean > driftRatio * buildMean)
+    } finally batch.unpersist()
   }
 
   /** Search a persisted index — no rebuild. Results identical to `ivfKnn`
@@ -393,7 +465,7 @@ object EmbedOps {
 
   /** The DuckDB mirror, self-sizing via a params CTE (k and step derive
     * from count(*) exactly as the Spark side computes them). */
-  def ivfOracleSql(nLists: Option[Int]): String = {
+  def ivfOracleSql(nLists: Option[Int], trainWhere: String = ""): String = {
     val kExpr = nLists.map(_.toString)
       .getOrElse(s"GREATEST(2, LEAST($MAXLISTS, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))")
     def l2(e: String, c: String) =
@@ -401,12 +473,16 @@ object EmbedOps {
          |  list_transform(generate_series(1, $DIMS),
          |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    // trainWhere restricts the quantizer-TRAINING corpus (seeds, sizing,
+    // the Lloyd update); assignment + search always cover ALL of e2 — the
+    // append gate's "train at N, append N/10" shape
     s"""WITH e2 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
+       |e2t AS (SELECT * FROM e2 $trainWhere),
        |params AS (SELECT n, k, GREATEST(1, n // k) AS step FROM
-       |            (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2) _n) _p),
-       |ranked0 AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |            (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2t) _n) _p),
+       |ranked0 AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2t),
        |seeds AS (SELECT rank // p.step AS cid, emb AS cvec
        |          FROM ranked0 CROSS JOIN params p
        |          WHERE rank % p.step = 0 AND rank // p.step < p.k),
@@ -421,7 +497,7 @@ object EmbedOps {
        |       FROM cd GROUP BY 1, 2),
        |cv AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM cm GROUP BY 1),
        |b0 AS (SELECT e.vec_id, e.emb, cv.cid, ${l2("e.emb", "cv.cvec")} AS d2
-       |       FROM ranked0 e CROSS JOIN cv),
+       |       FROM e2 e CROSS JOIN cv),
        |br AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM b0),
        |asg AS (SELECT vec_id, emb, cid AS list_id FROM br WHERE rn = 1),
        |q AS (SELECT vec_id AS qid, emb AS qe, cid AS list_id
@@ -754,10 +830,10 @@ object EmbedOps {
     // folds to ONE flat long[] reference object, keeping the pass inside
     // whole-stage codegen at any K (the K-literal struct array stopped
     // fitting generated code past ~tens of centroids)
-    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    def assign(cents: Seq[(Int, Seq[Long])], base: DataFrame = e): DataFrame = {
       val books = typedLit(cents.map(_._2))
       val cids = typedLit(cents.map(_._1))
-      e.withColumn("best", call_function("cb_argmin_i", col("q"), books))
+      base.withColumn("best", call_function("cb_argmin_i", col("q"), books))
         .withColumn("cluster",
           element_at(cids, element_at(col("best"), 2).cast("int") + 1))
         .withColumn("dist", element_at(col("best"), 1))
@@ -774,7 +850,13 @@ object EmbedOps {
       .toSeq.sortBy(_._1)
     var cents = seeds
     for (_ <- 1 to 2) cents = update(assign(cents))
-    assign(cents)
+    // the cache only serves the seed scan + the 2 update iterations; the
+    // returned assignment reads the UNCACHED input so the cache can drop
+    // now — a full-surface sweep calls lloyd from three gates, and holding
+    // the embedding column cached across them accumulates executor memory
+    val out = assign(cents, base = in)
+    e.unpersist()
+    out
   }
 
   def all: Seq[Q] = Seq(
@@ -932,6 +1014,22 @@ object EmbedOps {
     Q("em_ivf_persisted", ivfOracleSql(None)) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       ivfBuild(s, d, idx, None)
+      ivfKnnIndexed(s, d, idx)
+    },
+
+    // incremental maintenance: build the index on 90% of the corpus
+    // (vec_id % 10 <> 0), APPEND the held-out 10% against the frozen
+    // centroids — a map-only pass over only the new rows, no retrain, no
+    // rewrite of existing list files — then search the combined index.
+    // The oracle trains its quantizer on the same 90% and assigns all
+    // vectors, so a hash match proves the appended layout searches
+    // exactly like a train-on-subset/assign-everything build.
+    Q("em_ivf_append", ivfOracleSql(None, "WHERE vec_id % 10 <> 0")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+      ivfAppend(s, v.where(col("vec_id") % 10 === 0), idx)
       ivfKnnIndexed(s, d, idx)
     },
     Q("em_pq_adc", pqOracleSql)(pqAdc),
