@@ -104,6 +104,25 @@ object DocText {
     }.drop("_sig")
   }
 
+  /** Banded-LSH keys for any frame with a `text` column — ONE array
+    * column `bands` of NBANDS `"b:m:m"` strings, computed with exactly
+    * the batch kernel's constants (3-token shingles, the seeded
+    * `minhash_sig` codegen pass, 2 seeds per band), so the streaming
+    * near-dup path (`NearDedupStream`) collides the same documents the
+    * batch `d_lsh_pairs` would. Texts too short to shingle fall back to
+    * a single exact-content key (an exact-dup-only document — near-dup
+    * needs shingles). */
+  private[graft] def withBandKeys(df: DataFrame): DataFrame =
+    withSig(withShingles(df)).withColumn("bands",
+        when(size(col("shingles")) === 0,
+          array(concat(lit("x:"), md5(col("text")))))
+          .otherwise(array((0 until NBANDS).map { b =>
+            concat_ws(":", lit(b.toString),
+              col(s"m${2 * b}").cast("string"),
+              col(s"m${2 * b + 1}").cast("string"))
+          }: _*)))
+      .drop((0 until NSEEDS).map(i => s"m$i") ++ Seq("toks", "shingles"): _*)
+
   /** Banded-LSH candidate pairs joined back to their shingle sets
     * (`doc_a, doc_b, sh_a, sh_b`), ready for exact-Jaccard verification —
     * shared by `d_lsh_pairs` and `d_dup_clusters`.

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming near-dup dedup (VERDICT r9 item 6): planted near-duplicates
+  * — same text up to a word — must collapse within and across
+  * micro-batches via the banded MinHash state, unrelated docs must pass,
+  * at-least-once redelivery must collapse, and a near-dup arriving after
+  * the horizon must re-admit (bounded signature state). */
+class NearDedupStreamSpec extends SparkSpec {
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  // 40 words: long enough that a one-word edit keeps shingle Jaccard
+  // ≈ 0.93 — the banded kernel collides such pairs with near-certainty,
+  // and deterministically for these FIXED strings
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+  private val other = (1 to 40).map(i => s"q$i").mkString(" ")
+
+  test("near-dups collapse across micro-batches; unrelated docs pass; horizon re-admits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().map { case (ts, id, tx) => NearDedupStream.Doc(ts, id, tx) }
+    val q = NearDedupStream.bandFlags(docs, horizonMs = 600000L) // 10 min
+      .writeStream.outputMode("append")
+      .foreachBatch { (flags: org.apache.spark.sql.Dataset[NearDedupStream.Flag], _: Long) =>
+        NearDedupStream.admitted(flags.toDF()).collect()
+          .foreach(r => sink.add((r.getAs[Long]("doc_id"), r.getAs[String]("text"))))
+      }
+      .start()
+
+    def ids(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      sink.iterator().asScala.map(_._1).toSeq.sorted
+    }
+
+    try {
+      // batch 1: base + an unrelated doc → both admitted
+      input.addData((t("10:00"), 1L, base), (t("10:01"), 2L, other))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L))
+
+      // batch 2: near-dup of base (one word differs) + redelivery of doc 1
+      // → both suppressed; a genuinely new doc passes
+      input.addData((t("10:02"), 3L, nearDup), (t("10:00"), 1L, base),
+        (t("10:03"), 4L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 4L), s"near-dup or redelivery admitted: ${ids()}")
+
+      // in-batch near-dup pair (fresh content family): first by event
+      // time wins even when the later row is added first
+      val p = (1 to 40).map(i => s"p$i").mkString(" ")
+      val pDup = (1 to 39).map(i => s"p$i").mkString(" ") + " zz"
+      input.addData((t("10:05"), 6L, pDup), (t("10:04"), 5L, p))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 4L, 5L), s"in-batch near-dup: ${ids()}")
+
+      // push the watermark far past the horizon, then the same near-dup
+      // content re-admits (signature state evicted — the batch sweep owns
+      // duplicates older than the horizon)
+      input.addData((t("12:00"), 7L, (1 to 40).map(i => s"y$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData((t("12:01"), 8L, nearDup))
+      q.processAllAvailable()
+      assert(ids().contains(8L), s"post-horizon near-dup should re-admit: ${ids()}")
+    } finally q.stop()
+  }
+
+  test("short unshingleable texts fall back to exact-dup keys only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().map { case (ts, id, tx) => NearDedupStream.Doc(ts, id, tx) }
+    val q = NearDedupStream.bandFlags(docs, horizonMs = 600000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (flags: org.apache.spark.sql.Dataset[NearDedupStream.Flag], _: Long) =>
+        NearDedupStream.admitted(flags.toDF()).collect()
+          .foreach(r => sink.add(r.getAs[Long]("doc_id")))
+      }
+      .start()
+
+    try {
+      // two-word texts can't shingle: identical ones collapse (exact
+      // key), different ones both pass — no spurious near-dup collisions
+      input.addData((t("10:00"), 1L, "hi there"), (t("10:01"), 2L, "hi there"),
+        (t("10:02"), 3L, "bye now"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(sink.iterator().asScala.toSeq.sorted == Seq(1L, 3L))
+    } finally q.stop()
+  }
+}
