@@ -379,8 +379,11 @@ object EmbedOps {
     import sp.implicits._
     cents1.toDF("cid", "cvec")
       .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    val asg = ivfAssignArgmin(v, cents1)
-    asg.select(col("vec_id"), col("emb"), col("list_id"))
+    // d2 rides along INTO the layout (searches prune it away — columnar):
+    // the drift baseline then comes from a column-pruned read-back of the
+    // compacted files instead of a second full assignment pass over the
+    // corpus — ONE codegen pass at build, however large the corpus
+    ivfAssignArgmin(v, cents1)
       // cluster by list before the partitioned write: each list lands as
       // ONE file instead of one-per-input-task-per-list — k files not
       // k×tasks (file-commit cost locally; at corpus scale, fewer/larger
@@ -388,7 +391,8 @@ object EmbedOps {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/assign.parquet")
-    asg.agg(count(lit(1)).as("n"),
+    sp.read.parquet(s"$indexDir/assign.parquet")
+      .agg(count(lit(1)).as("n"),
         avg(col("d2").cast("double")).as("mean_d2"))
       .write.mode("overwrite").parquet(s"$indexDir/stats.parquet")
   }
@@ -427,7 +431,8 @@ object EmbedOps {
     val batch = ivfAssignArgmin(
       newVecs.select(col("vec_id"), col("emb")), cents).persist()
     try {
-      batch.select(col("vec_id"), col("emb"), col("list_id"))
+      // same column layout as the build (d2 included, pruned by searches)
+      batch
         .repartition(col("list_id"))
         .write.mode("append").partitionBy("list_id")
         .parquet(s"$indexDir/assign.parquet")
@@ -572,10 +577,16 @@ object EmbedOps {
     * Collecting the codebook is the offline "index build" step a real PQ
     * deployment persists. */
   private def pqTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, Long, Seq[Double])]) =
+    pqTrainV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
+
+  /** Train codebooks on an explicit `(vec_id, emb)` corpus — the append
+    * gate trains on a subset and encodes everything. */
+  private def pqTrainV(v: DataFrame)
       : (DataFrame, Seq[(Int, Long, Seq[Double])]) = {
+    val s = v.sparkSession
     import s.implicits._
-    val v = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val n = v.count() // offline index build: the one driver-side action
     val step = math.max(1L, n / PQ_K)
     val seeds: Seq[(Long, Seq[Double])] = globalRank(v, "vec_id")
@@ -664,14 +675,41 @@ object EmbedOps {
     * the 16×-compressed at-rest representation that IS the point of PQ
     * (the ADC scan reads codes, never raw vectors; only the shortlist
     * reranks against the source table). */
-  def pqBuild(s: SparkSession, d: String, indexDir: String): Unit = {
-    val (v, cb) = pqTrain(s, d)
+  def pqBuild(s: SparkSession, d: String, indexDir: String): Unit =
+    pqBuildV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      indexDir)
+
+  /** Build from an explicit `(vec_id, emb)` corpus. */
+  def pqBuildV(v: DataFrame, indexDir: String): Unit = {
+    val (_, cb) = pqTrainV(v)
     val sp = v.sparkSession
     import sp.implicits._
     cb.toDF("m", "cid", "cvec")
       .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
     pqEncode(v, pqBooks(cb)).write.mode("overwrite")
       .parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** Incremental PQ maintenance, the codes-table sibling of `ivfAppend`:
+    * encode a NEW batch against the FROZEN codebooks (the one generated
+    * `pq_encode` pass per row — reads only the new rows, the M×K book
+    * rides along as a literal) and append to the compressed codes table.
+    * No retrain, no re-encode of existing codes; the next ADC search
+    * scans old + appended codes identically. Distribution-drift
+    * monitoring is the IVF index's job (`ivfAppend` stats) — the two
+    * indexes ingest the same batches in a deployment. */
+  def pqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
+    import s.implicits._
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val enc = pqEncode(newVecs.select(col("vec_id"), col("emb")), pqBooks(cb))
+      .persist()
+    try {
+      enc.write.mode("append").parquet(s"$indexDir/codes.parquet")
+      enc.select("vec_id").distinct().count()
+    } finally enc.unpersist()
   }
 
   /** ADC search over a persisted index — no retrain, no re-encode. The
@@ -694,7 +732,12 @@ object EmbedOps {
 
   /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
     * argmin codes, and integer ADC sums, generated per subspace. */
-  def pqOracleSql: String = {
+  def pqOracleSql: String = pqOracleSql("")
+
+  /** `trainWhere` restricts the codebook-TRAINING corpus (seed ranks +
+    * integer means); encoding, LUTs, and the rerank always cover all of
+    * e2 — the append gate's "train at N, append N/10" shape. */
+  def pqOracleSql(trainWhere: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -721,14 +764,16 @@ object EmbedOps {
          |cb$m AS (SELECT $m AS m, cid, list(c ORDER BY dim) AS cvec FROM cm$m GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     val cbUnion = (0 until PQ_M).map(m => s"SELECT * FROM cb$m").mkString(" UNION ALL ")
+    // encode/search side covers ALL of e2 (ranked = the training subset)
     val vsUnion = (0 until PQ_M).map(m =>
-      s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM ranked").mkString(" UNION ALL ")
+      s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM e2").mkString(" UNION ALL ")
     s"""WITH e2 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
+       |e2t AS (SELECT * FROM e2 $trainWhere),
        |params AS (SELECT GREATEST(1, n // $PQ_K) AS step
-       |           FROM (SELECT count(*) AS n FROM e2) _n),
-       |ranked AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |           FROM (SELECT count(*) AS n FROM e2t) _n),
+       |ranked AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2t),
        |$perSub,
        |cb AS ($cbUnion),
        |vs AS ($vsUnion),
@@ -747,8 +792,8 @@ object EmbedOps {
        |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
        |         FROM adc) WHERE arn <= $PQ_SHORTLIST),
        |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
-       |       FROM sl s JOIN ranked x ON x.vec_id = s.vec_id
-       |                 JOIN ranked q ON q.vec_id = s.qid),
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
        |r AS (SELECT qid, vec_id, d2_micro,
        |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
        |      FROM rr)
@@ -1041,6 +1086,21 @@ object EmbedOps {
     Q("em_pq_persisted", pqOracleSql) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
       pqBuild(s, d, idx)
+      pqAdcIndexed(s, d, idx)
+    },
+
+    // incremental PQ maintenance (the codes-table sibling of
+    // em_ivf_append): codebooks train on 90% of the corpus, the held-out
+    // 10% ENCODES against the frozen books and appends to the compressed
+    // codes table; ADC-search the combined index. Oracle trains on the
+    // same 90% and encodes all — a hash match proves appended codes
+    // search exactly like a one-shot encode-everything build.
+    Q("em_pq_append", pqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      pqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
+      pqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
       pqAdcIndexed(s, d, idx)
     },
 
