@@ -312,14 +312,25 @@ final class Engine(val spark: SparkSession, sfDir: String,
     * appends into quadratic write amplification. */
   def compact(measurement: String, ifMoreThan: Int = 32): Unit =
     durableDirFor(measurement).foreach { dir =>
-      val (files, bytes) = sources.MeasurementStore.dataFileStats(spark, dir, measurement)
-      if (files > ifMoreThan) {
-        val (df, meta) = tables(measurement)
-        val targetFiles = math.max(1L, bytes / (512L << 20)).toInt // ~512 MB each
-        sources.MeasurementStore.rewrite(spark, dir, meta,
-          df.coalesce(targetFiles), keyTagsFor(measurement))
-        sources.MeasurementStore.read(spark, dir, measurement)
-          .foreach(t => tables(measurement) = t)
+      if (sources.MeasurementStore.bucketedLayout(spark, dir, measurement)) {
+        // bucketed layout: compact per shard-group directory — O(hot
+        // buckets), never O(table); sustained ingest churns only the
+        // current bucket, cold history is never re-copied
+        val done = sources.MeasurementStore.compactBuckets(
+          spark, dir, measurement, ifMoreThan)
+        if (done.nonEmpty)
+          sources.MeasurementStore.read(spark, dir, measurement)
+            .foreach(t => tables(measurement) = t)
+      } else {
+        val (files, bytes) = sources.MeasurementStore.dataFileStats(spark, dir, measurement)
+        if (files > ifMoreThan) {
+          val (df, meta) = tables(measurement)
+          val targetFiles = math.max(1L, bytes / (512L << 20)).toInt // ~512 MB each
+          sources.MeasurementStore.rewrite(spark, dir, meta,
+            df.coalesce(targetFiles), keyTagsFor(measurement))
+          sources.MeasurementStore.read(spark, dir, measurement)
+            .foreach(t => tables(measurement) = t)
+        }
       }
     }
 

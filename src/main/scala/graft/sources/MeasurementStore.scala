@@ -399,6 +399,109 @@ object MeasurementStore {
     s
   }
 
+  /** Whether the at-rest layout is time-bucketed (`_tb=N` top-level
+    * directories) — decides which compaction shape applies. */
+  def bucketedLayout(spark: SparkSession, dir: String, m: String): Boolean =
+    storedBucketUs(spark, dir, m).flatten.isDefined
+
+  /** Per-bucket small-file compaction — the O(hot-buckets) maintenance
+    * pass for bucketed layouts. The whole-table `rewrite` is O(table):
+    * at 100 TB with years of shard groups, merging the CURRENT bucket's
+    * append debris must not re-copy every cold bucket. Each top-level
+    * `_tb=N` directory whose parquet file count exceeds `ifMoreThan` is
+    * rewritten ALONE: read just that directory, cluster by the tag
+    * layout (one writer per tag value — same discipline as the clustered
+    * append), land in `<m>/compact.tmp/_tb=N`, swap via rename. The
+    * previous generation parks under `<m>/compact.old/_tb=N` until the
+    * same bucket's next compaction — a lazy plan handed out before the
+    * swap may still hold the old file listing (same discipline as
+    * `rewrite`; `.old`/`.tmp` live OUTSIDE `data/` so partition
+    * discovery never sees them). Reference analog: the data nodes'
+    * storage engine compacts per shard group, not per database
+    * (service/write_handler.go:157-212 lands batches; compaction folds
+    * them in the background). Single-maintainer contract like all
+    * rewrites. Returns (bucket, filesBefore, filesAfter). */
+  def compactBuckets(spark: SparkSession, dir: String, m: String,
+      ifMoreThan: Int = 8, targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] =
+    locked(spark, dir, m) {
+      val dataP = new Path(dataPath(dir, m))
+      val f = fs(spark, dataP)
+      if (!f.exists(dataP)) return Nil
+      val layout = loadKeyTags(spark, dir, m)
+      val buckets = f.listStatus(dataP).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tb="))
+        .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("_tb=").toLong)
+          .toOption.map(_ -> st.getPath))
+      def bucketStats(p: Path): (Int, Long) = {
+        val it = f.listFiles(p, true)
+        var n = 0; var bytes = 0L
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) { n += 1; bytes += s.getLen }
+        }
+        (n, bytes)
+      }
+      // partition-value inference OFF for the round trip: a zero-padded
+      // numeric tag value ("00123") inferred as int would write back as a
+      // RENAMED directory ("123") — values must survive verbatim
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prevInfer = spark.conf.get(inferKey, "true")
+      spark.conf.set(inferKey, "false")
+      try {
+        val done = buckets.sortBy(_._1).flatMap { case (tb, live) =>
+          val (n, bytes) = bucketStats(live)
+          if (n <= ifMoreThan) None
+          else {
+            import org.apache.spark.sql.functions.col
+            val df = spark.read.option("mergeSchema", "true").parquet(live.toString)
+            val tagCols = layout.filter(df.columns.contains)
+            val nFiles = math.max(1L, bytes / targetBytes).toInt
+            val out =
+              if (tagCols.isEmpty) df.coalesce(nFiles)
+              // hash by tags: every tag value lands in exactly one writer
+              // → one file per tag directory regardless of task count
+              else df.repartition(math.max(nFiles, 4), tagCols.map(col): _*)
+            val tmp = new Path(s"$dir/$m/compact.tmp/_tb=$tb")
+            val oldB = new Path(s"$dir/$m/compact.old/_tb=$tb")
+            val w = out.write.mode("overwrite")
+            (if (tagCols.nonEmpty) w.partitionBy(tagCols: _*) else w)
+              .parquet(tmp.toString)
+            if (f.exists(oldB)) f.delete(oldB, true)
+            f.mkdirs(oldB.getParent)
+            f.rename(live, oldB)
+            f.rename(tmp, live)
+            Some((tb, n, bucketStats(live)._1))
+          }
+        }
+        // restore the uniform-schema fast path (O(1) footer reads per
+        // scan) when PROVABLE: every remaining leaf file carries the same
+        // data schema (per-FILE footers — a bucket-level merged read
+        // would hide a mixed-schema skipped bucket). Compacted buckets
+        // are 1-2 files and skipped ones hold ≤ifMoreThan, so this is a
+        // bounded maintenance-time check; bail above a footer budget.
+        if (done.nonEmpty && !isUniform(spark, dir, m)) {
+          val leafFiles = {
+            val it = f.listFiles(dataP, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext) {
+              val s0 = it.next()
+              if (s0.getPath.getName.endsWith(".parquet")) buf += s0.getPath.toString
+            }
+            buf.toSeq
+          }
+          if (leafFiles.size <= 256) {
+            val schemas = leafFiles.map(p =>
+              spark.read.parquet(p).schema
+                .map(fld => (fld.name, fld.dataType)).toSet).distinct
+            if (schemas.size == 1)
+              loadMeta(spark, dir, m).foreach(meta =>
+                saveMeta(spark, dir, meta, layout, uniform = true))
+          }
+        }
+        done
+      } finally spark.conf.set(inferKey, prevInfer)
+    }
+
   /** Lazy scan of the durable measurement. mergeSchema only when appended
     * batches may have widened the field set (meta says non-uniform) — after
     * a compaction/rewrite a single footer read suffices, which is the

@@ -266,6 +266,87 @@ class DurabilitySpec extends SparkSpec {
     assert(e2.execute("SELECT v FROM dm").collect().length == 21)
   }
 
+  test("bucketed compaction rewrites only hot buckets, keeps rows, leaves cold buckets untouched") {
+    import graft.sources.MeasurementStore
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val bmeta = meta.copy(bucketUs = Some(3600L * 1000000L))
+    // bucket 0 goes COLD after 2 appends; bucket 1 runs HOT (10 appends
+    // of small batches — the append-only file debris compaction exists for)
+    (1 to 2).foreach { i =>
+      MeasurementStore.append(spark, dir, bmeta,
+        Seq((i.toLong * 1000000L, s"t${i % 2}", i.toDouble)).toDF("ts_us", "type", "v"),
+        keyTags = Seq("type"), timeBounds = Some((i.toLong * 1000000L, i.toLong * 1000000L)))
+    }
+    (1 to 10).foreach { i =>
+      val ts = 3600L * 1000000L + i.toLong * 1000000L
+      MeasurementStore.append(spark, dir, bmeta,
+        Seq((ts, s"t${i % 2}", i.toDouble)).toDF("ts_us", "type", "v"),
+        keyTags = Seq("type"), timeBounds = Some((ts, ts)))
+    }
+    def files(sub: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, "dm", "data", sub)
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(q => q.toString -> java.nio.file.Files.size(q)).toMap
+      finally st.close()
+    }
+    val cold0 = files("_tb=0")
+    assert(files("_tb=1").size >= 10)
+    val before = MeasurementStore.read(spark, dir, "dm").get._1
+      .select("ts_us", "type", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val done = MeasurementStore.compactBuckets(spark, dir, "dm", ifMoreThan = 4)
+    // only the hot bucket compacted; its file count collapsed to one per
+    // tag value; the cold bucket's files are byte-identical
+    assert(done.map(_._1) == Seq(1L), s"compacted: $done")
+    assert(files("_tb=1").size == 2) // tag values t0, t1 → one file each
+    assert(files("_tb=0") == cold0)
+    // purely physical: same rows; previous generation parked for lazy readers
+    val after = MeasurementStore.read(spark, dir, "dm").get._1
+      .select("ts_us", "type", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(after == before)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "dm", "compact.old", "_tb=1")))
+
+    // appends keep working afterwards, and a re-compaction replaces the
+    // parked generation rather than stacking a second one
+    val ts2 = 3600L * 1000000L + 999L * 1000000L
+    (1 to 6).foreach { i =>
+      MeasurementStore.append(spark, dir, bmeta,
+        Seq((ts2 + i, "t0", 9.9)).toDF("ts_us", "type", "v"),
+        keyTags = Seq("type"), timeBounds = Some((ts2 + i, ts2 + i)))
+    }
+    val done2 = MeasurementStore.compactBuckets(spark, dir, "dm", ifMoreThan = 4)
+    assert(done2.map(_._1) == Seq(1L))
+    assert(MeasurementStore.read(spark, dir, "dm").get._1.count() == before.size + 6)
+  }
+
+  test("Engine.maintain routes bucketed measurements to per-bucket compaction") {
+    val dir = tmpDir()
+    val e = new Engine(spark, sfDir, Some(dir))
+    val bmeta = meta.copy(bucketUs = Some(3600L * 1000000L))
+    e.registerMeasurement(bmeta, spark.emptyDataFrame)
+    (1 to 12).foreach { i =>
+      e.writeLineProtocol(Seq(s"dm,type=t${i % 2} v=$i ${i.toLong * 1000000000}"), "dm")
+    }
+    val before = e.execute("SELECT v FROM dm").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("v"))).toSet
+    e.maintain(compactIfMoreThan = 4)
+    val (filesAfter, _) = graft.sources.MeasurementStore.dataFileStats(spark, dir, "dm")
+    assert(filesAfter <= 4, s"files=$filesAfter")
+    val after = e.execute("SELECT v FROM dm").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("v"))).toSet
+    assert(after == before)
+    // the engine keeps answering after the swap (fresh listing)
+    e.writeLineProtocol(Seq("dm,type=z v=99 999000000000"), "dm")
+    assert(e.execute("SELECT v FROM dm").collect().length == 13)
+  }
+
   test("two engines interleaving appends on one measurement: no lost rows, schema widenings union") {
     val dir = tmpDir()
     val e1 = new Engine(spark, sfDir, Some(dir))
