@@ -79,6 +79,9 @@ object Components {
       prev = cur
       cur = sig(e)
     }
+    // observability for the scale gates: O(log n) is the design claim —
+    // the round count at 10×/100× corpora is how it gets CHECKED
+    System.err.println(s"[components] starContract rounds=$rounds")
     // star fixpoint: every edge is (component-min, member)
     e.select(col("b").as("id"), col("a").as("comp"))
       .union(e.select(col("a").as("id"), col("a").as("comp")).distinct())

@@ -127,8 +127,15 @@ object TrainPrep {
         .select(col("doc_id"),
           explode(array_distinct(expr("word_grams(toks, 8)"))).as("span"))
         .select(col("doc_id"), h60(col("span")).as("spanh"))
-      val c = sp.groupBy("spanh").agg(count(lit(1)).as("n_docs"))
-      sp.join(c, "spanh")
+      // per-span doc count as a WINDOW over spanh, not an aggregate
+      // joined back: the distinct-span table scales with the CORPUS, and
+      // at ×100 docs Spark's stats under-estimated it enough to pick a
+      // broadcast build that OOM'd the driver (found by the 500k-doc
+      // decade gate). The window is the same one spanh shuffle with no
+      // join and no broadcastable side at any scale.
+      sp.withColumn("n_docs",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("spanh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("n_docs") > 1, 1).otherwise(0)).as("n_dup_spans"),

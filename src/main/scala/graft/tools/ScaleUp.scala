@@ -54,38 +54,65 @@ object ScaleUp {
     run(spark,
       args.lift(0).getOrElse("/root/testdata/sf0.1"),
       args.lift(1).getOrElse("target/sf1"),
-      args.lift(2).map(_.toInt).getOrElse(10))
+      args.lift(2).map(_.toInt).getOrElse(10),
+      // optional 4th arg: comma-separated table subset — a ×100 documents
+      // decade doesn't need (or survive) a ×100 lineitem/embeddings build
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(AllTables))
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  val AllTables: Set[String] = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      tables: Set[String] = AllTables): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // dims: fixed
-    Seq("region", "nation", "customer", "supplier", "part").foreach(t => wr(rd(t), t))
+    Seq("region", "nation", "customer", "supplier", "part")
+      .filter(tables).foreach(t => wr(rd(t), t))
 
     // facts: key-offset replicas
-    val orders = rd("orders")
-    val ko = offsetFor(orders, "o_orderkey")
-    wr(replicate(orders, factor)
-        .withColumn("o_orderkey", col("o_orderkey") + col("_r") * ko)
-        .drop("_r"), "orders")
+    if (tables("orders") || tables("lineitem")) {
+      val orders = rd("orders")
+      val ko = offsetFor(orders, "o_orderkey")
+      if (tables("orders"))
+        wr(replicate(orders, factor)
+          .withColumn("o_orderkey", col("o_orderkey") + col("_r") * ko)
+          .drop("_r"), "orders")
 
-    val li = rd("lineitem")
-    wr(replicate(li, factor)
-        .withColumn("l_orderkey", col("l_orderkey") + col("_r") * ko)
-        .drop("_r"), "lineitem")
+      if (tables("lineitem")) {
+        val li = rd("lineitem")
+        wr(replicate(li, factor)
+          .withColumn("l_orderkey", col("l_orderkey") + col("_r") * ko)
+          .drop("_r"), "lineitem")
+      }
+    }
 
-    val ev = rd("events")
-    val ke = offsetFor(ev, "event_id")
-    val ku = offsetFor(ev, "user_id")
-    wr(replicate(ev, factor)
+    if (tables("events")) {
+      val ev = rd("events")
+      val ke = offsetFor(ev, "event_id")
+      val ku = offsetFor(ev, "user_id")
+      wr(replicate(ev, factor)
         .withColumn("event_id", col("event_id") + col("_r") * ke)
         .withColumn("user_id", col("user_id") + col("_r") * ku)
         .drop("_r"), "events")
+    }
 
+    if (tables("documents")) scaleDocuments(spark, src, dst, factor)
+    if (tables("embeddings")) scaleEmbeddings(spark, src, dst, factor)
+    println(s"scaled $src -> $dst x$factor (${tables.toSeq.sorted.mkString(",")})")
+  }
+
+  private def scaleDocuments(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     // documents: vocabulary bijection per replica (replica 0 untouched)
     val docs = rd("documents")
     val kd = offsetFor(docs, "doc_id")
@@ -98,7 +125,13 @@ object ScaleUp {
         .withColumn("text", mutated)
         .withColumn("n_chars", length(col("text")))
         .drop("_r"), "documents")
+  }
 
+  private def scaleEmbeddings(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     // embeddings: circular dimension shift per replica
     val emb = rd("embeddings")
     val kv = offsetFor(emb, "vec_id")
@@ -117,7 +150,5 @@ object ScaleUp {
         .withColumn("vec_id", col("vec_id") + col("_r") * kv)
         .withColumn("embedding", shifted)
         .drop("_r"), "embeddings")
-
-    println(s"scaled $src -> $dst x$factor")
   }
 }

@@ -9,6 +9,15 @@ annotates which ratios exceed linear scaling.
 """
 import json, sys, statistics
 
+# Queries with an ASSERTED scale bound (exit 1 on breach): documented
+# super-linear designs whose mitigations must keep holding round over
+# round. em_ivf_knn is N^1.5 by k≈√N list assignment — the 4096-list cap
+# (MAXLISTS) is what flattens it as N grows past 4096·256 vectors; its
+# measured sf1/sf0.1 ratio was 10.2 in r9, bounded at 12.
+CHECKED = {
+    "em_ivf_knn": 12.0,
+}
+
 base = json.load(open(sys.argv[1]))
 scaled = json.load(open(sys.argv[2]))
 factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
@@ -26,3 +35,15 @@ med = statistics.median(r for _, _, _, r in rows)
 over = [k for k, _, _, r in rows if r > factor]
 print(f"\nmedian ratio {med:.2f} over {len(rows)} queries; "
       f"{len(over)} above {factor:g}x: {' '.join(over) or '-'}")
+
+breached = []
+for k, bound in CHECKED.items():
+    got = next((r for q, _, _, r in rows if q == k), None)
+    if got is None:
+        print(f"CHECK {k}: not in both runs (bound {bound:g}x unverified)")
+    elif got > bound:
+        breached.append(k)
+        print(f"CHECK {k}: ratio {got:.1f} BREACHES bound {bound:g}x")
+    else:
+        print(f"CHECK {k}: ratio {got:.1f} within bound {bound:g}x")
+sys.exit(1 if breached else 0)
