@@ -712,6 +712,52 @@ object EmbedOps {
     } finally enc.unpersist()
   }
 
+  /** Small-file compaction for the persisted IVF index — the same
+    * shard-group discipline as the measurement store's per-bucket
+    * compaction, applied to `list_id=N` directories: every append lands
+    * one file per touched list, so sustained ingest grows the probed
+    * directories' file counts without bound (footer/listing cost lands
+    * on every SEARCH). Each over-threshold list dir is rewritten ALONE —
+    * O(hot lists), never O(index) — and swapped via rename, with the
+    * previous generation parked under `compact.old` for lazy readers.
+    * Returns (list_id, filesBefore, filesAfter). */
+  def ivfCompact(s: SparkSession, indexDir: String, ifMoreThan: Int = 8,
+      targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet")
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return Nil
+    val lists = f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("list_id=").toLong)
+        .toOption.map(_ -> st.getPath))
+    def stats(p: org.apache.hadoop.fs.Path): (Int, Long) = {
+      val it = f.listFiles(p, true)
+      var n = 0; var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) { n += 1; bytes += st.getLen }
+      }
+      (n, bytes)
+    }
+    lists.sortBy(_._1).flatMap { case (lid, live) =>
+      val (n, bytes) = stats(live)
+      if (n <= ifMoreThan) None
+      else {
+        val nFiles = math.max(1L, bytes / targetBytes).toInt
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/compact.tmp/list_id=$lid")
+        val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/compact.old/list_id=$lid")
+        s.read.parquet(live.toString).coalesce(nFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (f.exists(oldP)) f.delete(oldP, true)
+        f.mkdirs(oldP.getParent)
+        f.rename(live, oldP)
+        f.rename(tmp, live)
+        Some((lid, n, stats(live)._1))
+      }
+    }
+  }
+
   /** ADC search over a persisted index — no retrain, no re-encode. The
     * codebook (64 rows) loads and broadcasts; the compressed codes scan
     * streams from disk; raw vectors are read only for the shortlist

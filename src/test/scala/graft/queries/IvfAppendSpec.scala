@@ -95,6 +95,36 @@ class IvfAppendSpec extends SparkSpec {
     assert(out.batchMeanD2 > out.buildMeanD2)
   }
 
+  test("index compaction collapses per-list append debris without changing search results") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_app_compact").toString
+    val v = vecs
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    // five appended micro-batches: each lands one file per touched list
+    (0 until 5).foreach { i =>
+      EmbedOps.ivfAppend(spark,
+        v.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + (i + 1) * 1000000L).as("vec_id"), col("emb")), idx)
+    }
+    val before = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "sim_micro").collect().toSet
+    val filesBefore = listFiles(idx)
+    val done = EmbedOps.ivfCompact(spark, idx, ifMoreThan = 2)
+    assert(done.nonEmpty)
+    done.foreach { case (_, nb, na) => assert(na < nb) }
+    val filesAfter = listFiles(idx)
+    assert(filesAfter.size < filesBefore.size)
+    // untouched (cold) list dirs keep their exact files
+    val hot = done.map { case (lid, _, _) => s"list_id=$lid" }.toSet
+    filesBefore.filterNot { case (p, _) => hot.exists(p.contains) }
+      .foreach { case (p, sz) =>
+        assert(filesAfter.get(p).contains(sz), s"cold list file touched: $p")
+      }
+    // purely physical: identical search results
+    val after = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "sim_micro").collect().toSet
+    assert(after == before && after.nonEmpty)
+  }
+
   test("empty append batch is a no-op with no drift advice") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_app_empty").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
