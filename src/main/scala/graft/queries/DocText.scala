@@ -138,11 +138,16 @@ object DocText {
     * So: below `graft.lsh.pinMinDocs` leave the plan to AQE/broadcast;
     * above it pin the exchanges. The gating count doubles as the forced
     * materialization of the persisted shingle index (needed anyway). */
-  private def lshCandVerify(s: SparkSession, sh: DataFrame, sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
+  /** (doc_id, band, bkey) rows from a signature frame — the persisted
+    * shape of the banded LSH index (oracle mirror: the `bd` CTE). */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(array((0 until NBANDS).map { b =>
         concat_ws(":", col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
       }: _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+
+  private def lshCandVerify(s: SparkSession, sh: DataFrame, sig: DataFrame): DataFrame = {
+    val bands = bandRows(sig)
     val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pin = sh.count() >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
     val cand0 = bands.toDF("doc_a", "band", "bkey")
@@ -438,6 +443,62 @@ object DocText {
         .withColumn("jaccard", round(inter / uni, 4))
         .where(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
+    },
+
+    // ---- incremental near-dup against a PERSISTED LSH index — the
+    //      document-side sibling of em_ivf_append: a new crawl batch is
+    //      checked against the existing corpus WITHOUT re-pairing the
+    //      corpus with itself. The old corpus's band rows + shingle sets
+    //      persist as the index (what a deployment maintains between
+    //      crawls); the new batch computes ITS bands (O(batch)), joins
+    //      the band index on (band, bkey) — candidates only, the
+    //      corpus-side scan is the index table, never the documents —
+    //      and verifies exact Jaccard on colliding pairs. DOCS2's
+    //      planted replicas (doc_id+10⁶) all land in the new batch with
+    //      their originals in the old corpus, so the gate provably
+    //      catches every planted cross-set dup (plus organic ones).
+    Q("d_incr_neardup",
+      s"""WITH $DOCS2,
+         |${shCte("d2")},
+         |$SIG_CTE,
+         |bd AS (SELECT doc_id, b.b AS band,
+         |         CAST(max(CASE WHEN seed = 2*b.b THEN mh END) AS VARCHAR) || ':' ||
+         |         CAST(max(CASE WHEN seed = 2*b.b+1 THEN mh END) AS VARCHAR) AS bkey
+         |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${NBANDS - 1})) AS b) b
+         |       GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS old_doc, y.doc_id AS new_doc
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+         |         WHERE x.doc_id < 1000000 AND y.doc_id >= 1000000),
+         |v AS (SELECT c.new_doc, c.old_doc,
+         |        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |          / (len(sa.shingles) + len(sb.shingles)
+         |             - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         |      FROM cand c JOIN sh sa ON sa.doc_id = c.old_doc
+         |                  JOIN sh sb ON sb.doc_id = c.new_doc)
+         |SELECT new_doc, old_doc, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      val all = docs2(s, d)
+      // index build (the between-crawls artifact): band rows + shingle
+      // sets of the EXISTING corpus, at rest
+      val old = withSig(withShingles(all.where(col("doc_id") < 1000000L)))
+      bandRows(old).write.mode("overwrite").parquet(s"$idx/bands.parquet")
+      old.select("doc_id", "shingles").write.mode("overwrite")
+        .parquet(s"$idx/shingles.parquet")
+      // the incremental check: O(new batch) shingling + one keyed join
+      // against the index tables — the old DOCUMENTS are never touched
+      val fresh = withSig(withShingles(all.where(col("doc_id") >= 1000000L)))
+        .persist()
+      val cand = s.read.parquet(s"$idx/bands.parquet").toDF("old_doc", "band", "bkey")
+        .join(bandRows(fresh).toDF("new_doc", "band", "bkey"), Seq("band", "bkey"))
+        .select("new_doc", "old_doc").distinct()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
+      cand
+        .join(s.read.parquet(s"$idx/shingles.parquet").toDF("old_doc", "sh_a"), Seq("old_doc"))
+        .join(fresh.select(col("doc_id").as("new_doc"), col("shingles").as("sh_b")), Seq("new_doc"))
+        .withColumn("jaccard", round(inter / uni, 4))
+        .where(col("jaccard") >= 0.8)
+        .select("new_doc", "old_doc", "jaccard")
     },
 
     // ---- 48-bit SimHash over distinct tokens (bit 48..63 left clear so

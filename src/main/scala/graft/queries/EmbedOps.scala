@@ -712,6 +712,50 @@ object EmbedOps {
     } finally enc.unpersist()
   }
 
+  /** Targeted deletion from the persisted IVF index — corpus deletions
+    * (takedowns, retention) must propagate without a rebuild. Affected
+    * lists are found with a column-pruned (vec_id, list_id) scan joined
+    * to the deletion set (broadcast — deletion batches are bounded);
+    * then ONLY those list directories are rewritten (partition-pruned
+    * read, anti-join, swap via rename with the previous generation
+    * parked) — O(affected lists), never O(index). Returns
+    * (rows deleted, affected list ids). */
+  def ivfDelete(s: SparkSession, indexDir: String,
+      ids: DataFrame): (Long, Seq[Long]) = {
+    val assignDir = s"$indexDir/assign.parquet"
+    val del = ids.select(col("vec_id")).distinct()
+    val asg = s.read.parquet(assignDir)
+    val affected = asg.select("vec_id", "list_id")
+      .join(broadcast(del), Seq("vec_id"))
+      // partition-column inference is off session-wide: list_id reads
+      // back as string — cast for the collected id list
+      .select(col("list_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return (0L, Nil)
+    val hit = s.read.parquet(assignDir)
+      .where(col("list_id").isin(affected: _*)) // PartitionFilters: pruned
+    val survivors = hit.join(broadcast(del), Seq("vec_id"), "left_anti")
+    val nDel = hit.count() - survivors.count()
+    val root = new org.apache.hadoop.fs.Path(assignDir)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmpRoot = s"$indexDir/compact.tmp"
+    survivors.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
+    affected.foreach { lid =>
+      val live = new org.apache.hadoop.fs.Path(s"$assignDir/list_id=$lid")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/compact.old/list_id=$lid")
+      if (f.exists(oldP)) f.delete(oldP, true)
+      f.mkdirs(oldP.getParent)
+      if (f.exists(live)) f.rename(live, oldP)
+      // a list whose every vector was deleted has no tmp dir: the rename
+      // above already emptied it out of the live layout
+      if (f.exists(tmp)) f.rename(tmp, live)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    (nDel, affected)
+  }
+
   /** Small-file compaction for the persisted IVF index — the same
     * shard-group discipline as the measurement store's per-bucket
     * compaction, applied to `list_id=N` directories: every append lands

@@ -110,12 +110,15 @@ class TranslatorPropSpec extends SparkSpec {
     tz = if (g.contains("time(")) z else ""
   } yield s"SELECT ${fs.mkString(", ")} FROM cpu$w$g$fill$tz$t"
 
-  // subquery shape: outer aggregates over an inner projection alias
+  // subquery shape: outer aggregates over an inner projection alias —
+  // inner field sometimes unknown, inner alias sometimes a tag name
   private val subQuery: Gen[String] = for {
     a <- agg
+    f <- Gen.frequency(5 -> Gen.const("value"), 1 -> Gen.const("bogus"))
+    al <- Gen.frequency(4 -> Gen.const("vv"), 1 -> Gen.const("host"))
     inner <- wherePred
     g <- Gen.frequency(1 -> Gen.const(""), 2 -> dur.map(d => s" GROUP BY time($d)"))
-  } yield s"SELECT $a(vv) FROM (SELECT value AS vv FROM cpu WHERE $inner)$g"
+  } yield s"SELECT $a($al) FROM (SELECT $f AS $al FROM cpu WHERE $inner)$g"
 
   private val queryGen: Gen[String] =
     Gen.frequency(5 -> flatQuery, 1 -> subQuery)

@@ -125,6 +125,37 @@ class IvfAppendSpec extends SparkSpec {
     assert(after == before && after.nonEmpty)
   }
 
+  test("targeted deletion rewrites only affected lists and vanishes from searches") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    EmbedOps.ivfBuildV(vecs, idx, None)
+    val filesBefore = listFiles(idx)
+    // delete a handful of ids that DO appear in search results
+    val pre = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
+      .select("vec_id").distinct().as[Long].collect().toSeq.sorted.take(5)
+    assert(pre.nonEmpty)
+    val (nDel, affected) = EmbedOps.ivfDelete(spark, idx, pre.toDF("vec_id"))
+    assert(nDel == pre.size && affected.nonEmpty)
+    // unaffected list dirs keep their exact files
+    val hot = affected.map(l => s"list_id=$l").toSet
+    val filesAfter = listFiles(idx)
+    filesBefore.filterNot { case (p, _) => hot.exists(p.contains) }
+      .foreach { case (p, sz) =>
+        assert(filesAfter.get(p).contains(sz), s"cold list touched: $p")
+      }
+    // deleted ids are gone from the layout and from every search
+    val remaining = spark.read.parquet(s"$idx/assign.parquet")
+      .where(col("vec_id").isin(pre: _*)).count()
+    assert(remaining == 0L)
+    val post = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(pre.forall(!post.contains(_)))
+    // deleting ids not in the index is a clean no-op
+    assert(EmbedOps.ivfDelete(spark, idx,
+      Seq(99999999L).toDF("vec_id")) == ((0L, Nil)))
+  }
+
   test("empty append batch is a no-op with no drift advice") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_app_empty").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
