@@ -57,6 +57,22 @@ class DocPlanSpec extends SparkSpec {
     assert(ok.nonEmpty)
   }
 
+  test("incremental near-dup reads the persisted index, never re-shingling the old corpus") {
+    // the scale claim of d_incr_neardup: the existing corpus enters the
+    // plan ONLY through its at-rest index tables (bands + shingle store);
+    // shingling work is O(new batch)
+    val p = plan("d_incr_neardup")
+    assert(p.contains("bands.parquet"), p)
+    assert(p.contains("shingles.parquet"), p)
+    // shingling appears ONLY in the new-batch subtree: the fixture union
+    // has 2 branches and the cached batch's plan echoes under both its
+    // consumers (cand + verify) → 4 word_grams projections. More would
+    // mean the OLD corpus is being re-shingled instead of read from the
+    // index (the un-indexed formulation shows 8+).
+    assert("word_grams".r.findAllIn(p).size <= 4,
+      s"old corpus re-shingled:\n$p")
+  }
+
   test("single-token docs don't crash the n-gram builders (sequence(1,0) is " +
       "DESCENDING in Spark — ADVICE r6)") {
     import org.apache.spark.sql.functions.col
