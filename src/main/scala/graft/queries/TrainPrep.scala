@@ -329,6 +329,33 @@ object TrainPrep {
     //      before the (distributed, partitionBy(shard)) write fans out.
     //      One partial+final aggregation; at 100 TB the same hash drives
     //      `write.partitionBy("shard")`.
+    // ---- deterministic global shuffle (training order): reproducible
+    //      pseudorandom permutation of the corpus, seeded — the property
+    //      a training run needs to resume or replay byte-identically.
+    //      Order key = md5(seed:doc_id); the global position comes from
+    //      the DISTRIBUTED rank (Ranks.globalRank: sampled range
+    //      partitioning, no single-task sort — a 100 TB corpus must not
+    //      funnel through one executor to be ordered), then position
+    //      folds into (shard, pos_in_shard) for the writer. Same seed →
+    //      same order on any cluster size; changing the seed is a fresh
+    //      epoch-level shuffle.
+    Q("d_global_shuffle",
+      s"""WITH p AS (SELECT doc_id,
+         |             md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+         |           FROM documents),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS pos FROM p)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |       CAST(pos // 1000 AS BIGINT) AS shard,
+         |       CAST(pos % 1000 AS BIGINT) AS pos_in_shard
+         |FROM r""".stripMargin) { (s, d) =>
+      val p = docs(s, d).select(col("doc_id"),
+        md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"))
+      Ranks.globalRank(p, Seq(col("k"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("pos div 1000").cast("long").as("shard"),
+          (col("pos") % 1000).cast("long").as("pos_in_shard"))
+    },
+
     Q("d_shard_export",
       s"""WITH s AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_toks,
          |             ${H("'shard:'||CAST(doc_id AS VARCHAR)")} % 64 AS shard

@@ -20,7 +20,8 @@ class DeterminismSpec extends SparkSpec {
 
   test("new corpus-prep gates are shuffle-width independent") {
     for (name <- Seq("d_bigram_lm", "d_pack_sequences", "d_repeated_spans",
-        "em_semdedup", "em_cluster_reps", "mm_phash", "e_asof_attrib")) {
+        "em_semdedup", "em_cluster_reps", "mm_phash", "e_asof_attrib",
+        "d_global_shuffle", "d_incr_neardup")) {
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val wide = rows(name)
       spark.conf.set("spark.sql.shuffle.partitions", "5")
@@ -34,7 +35,8 @@ class DeterminismSpec extends SparkSpec {
   test("results are input-split independent (tiny maxPartitionBytes)") {
     // a cluster reads the same file in many small splits — per-split
     // folds must re-associate to the same answer
-    for (name <- Seq("d_bigram_lm", "d_pack_sequences", "em_cluster_reps")) {
+    for (name <- Seq("d_bigram_lm", "d_pack_sequences", "em_cluster_reps",
+        "d_global_shuffle")) {
       val coarse = rows(name)
       spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       val fine = try rows(name)
