@@ -802,6 +802,30 @@ object EmbedOps {
     }
   }
 
+  /** Targeted deletion from the persisted PQ index. The codes table is
+    * the 32×-compressed representation — tiny relative to the corpus —
+    * so deletion is a filtered rewrite of the codes table via tmp+swap
+    * (O(codes), which is O(corpus/32) bytes; there is no per-list layout
+    * to prune here by design — the ADC scan reads all codes). Returns
+    * rows deleted (per-subspace code rows / PQ_M = vectors). */
+  def pqDelete(s: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    val codesDir = s"$indexDir/codes.parquet"
+    val del = ids.select(col("vec_id")).distinct()
+    val codes = s.read.parquet(codesDir)
+    val survivors = codes.join(broadcast(del), Seq("vec_id"), "left_anti")
+    val nDel = codes.count() - survivors.count()
+    if (nDel == 0L) return 0L
+    val root = new org.apache.hadoop.fs.Path(codesDir)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(codesDir + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(codesDir + ".old")
+    survivors.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(old)) f.delete(old, true)
+    f.rename(root, old)
+    f.rename(tmp, root)
+    nDel / PQ_M
+  }
+
   /** ADC search over a persisted index — no retrain, no re-encode. The
     * codebook (64 rows) loads and broadcasts; the compressed codes scan
     * streams from disk; raw vectors are read only for the shortlist

@@ -52,6 +52,25 @@ class PqAppendSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("deletion drops the vectors from the codes table and from ADC searches") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("pq_del").toString
+    EmbedOps.pqBuildV(vecs, idx)
+    val pre = EmbedOps.pqAdcIndexed(spark, sfDir, idx)
+      .select("vec_id").distinct().as[Long].collect().toSeq.sorted.take(5)
+    assert(pre.nonEmpty)
+    val nDel = EmbedOps.pqDelete(spark, idx, pre.toDF("vec_id"))
+    assert(nDel == pre.size)
+    assert(spark.read.parquet(s"$idx/codes.parquet")
+      .where(col("vec_id").isin(pre: _*)).count() == 0L)
+    val post = EmbedOps.pqAdcIndexed(spark, sfDir, idx)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(pre.forall(!post.contains(_)))
+    // absent ids: clean no-op
+    assert(EmbedOps.pqDelete(spark, idx, Seq(99999999L).toDF("vec_id")) == 0L)
+  }
+
   test("append works with the stored codes deleted (reads only new rows + codebook)") {
     val idx = java.nio.file.Files.createTempDirectory("pq_app_del").toString
     val v = vecs
