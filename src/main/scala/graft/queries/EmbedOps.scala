@@ -440,10 +440,20 @@ object EmbedOps {
         avg(col("d2").cast("double")).as("m")).head()
       val (n, batchMean) =
         (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
-      val buildMean = s.read.parquet(s"$indexDir/stats.parquet")
-        .select("mean_d2").head().getDouble(0)
+      // an index without the drift-baseline artifact (built before the
+      // stats.parquet convention, or a hand-assembled centroids+assign
+      // layout) stays appendable: the append itself needs only the
+      // centroids — absent baseline → NaN and no retrain advice
+      val buildMean = try {
+        val bm = s.read.parquet(s"$indexDir/stats.parquet")
+          .select("mean_d2").head()
+        if (bm.isNullAt(0)) Double.NaN else bm.getDouble(0)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => Double.NaN
+        case _: NoSuchElementException => Double.NaN
+      }
       IvfAppendStats(n, buildMean, batchMean,
-        n > 0 && batchMean > driftRatio * buildMean)
+        n > 0 && !buildMean.isNaN && batchMean > driftRatio * buildMean)
     } finally batch.unpersist()
   }
 

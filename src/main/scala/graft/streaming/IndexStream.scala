@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.queries.{EmbedOps, IvfAppendStats}
@@ -13,6 +13,23 @@ import graft.queries.{EmbedOps, IvfAppendStats}
   * centroids (broadcast as a literal), appended into the
   * `partitionBy(list_id)` layout — O(batch) work and O(batch) new
   * files, the same cost shape as the measurement store's ingest.
+  *
+  * `foreachBatch` is at-least-once: on failure/restart the last
+  * micro-batch REPLAYS, and a blind `mode("append")` would duplicate
+  * its vectors in the persisted index. The sink therefore carries the
+  * same committed-batch high-water discipline the measurement store's
+  * CQ target uses (`patchIntoTarget`, SURVEY §2.11), keyed on the
+  * `batchId` that `foreachBatch` supplies for exactly this purpose:
+  *   - `_commits/<batchId>` marker present → the batch fully landed in
+  *     a previous run; the replay is skipped outright.
+  *   - `_pending/<batchId>` present without its commit → a crash hit
+  *     between the parquet append and the commit marker; the batch's
+  *     vec_ids are scrubbed (`ivfDelete` — partition-pruned to the
+  *     affected lists, a no-op when nothing was appended) before the
+  *     append re-runs. The scrub path only executes after an actual
+  *     mid-batch crash; the normal path costs two empty marker files.
+  * Net: appends are replay-idempotent — no duplicate vec_id can
+  * survive, whatever point the previous run died at.
   *
   * Retraining stays OUT of the stream: each batch's drift stats
   * (mean assignment distance vs the build-time baseline) surface
@@ -30,17 +47,55 @@ object IndexStream {
 
   final case class Vec(vec_id: Long, emb: Seq[Double])
 
+  private def fs(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Idempotent per-batch append (the `foreachBatch` body, factored out
+    * so the replay contract is directly testable): returns `None` when
+    * `batchId` is already committed (replayed batch skipped), otherwise
+    * the append stats. Safe to call again with the same (batch,
+    * batchId) after a crash at ANY point — a partial append is scrubbed
+    * by vec_id before re-running. */
+  def appendBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      driftRatio: Double = 2.0): Option[IvfAppendStats] = {
+    val s = batch.sparkSession
+    val (f, _) = fs(s, indexDir)
+    val commit = new org.apache.hadoop.fs.Path(s"$indexDir/_commits/$batchId")
+    val pending = new org.apache.hadoop.fs.Path(s"$indexDir/_pending/$batchId")
+    if (f.exists(commit)) return None
+    if (f.exists(pending)) {
+      // crashed between append and commit: any rows this batch managed
+      // to land carry its vec_ids — scrub them (partition-pruned to the
+      // affected lists; a clean crash-before-append scrubs nothing)
+      EmbedOps.ivfDelete(s, indexDir, batch.select("vec_id"))
+    }
+    f.mkdirs(pending.getParent)
+    f.create(pending, true).close()
+    val stats = EmbedOps.ivfAppend(s, batch, indexDir, driftRatio)
+    f.mkdirs(commit.getParent)
+    f.create(commit, true).close()
+    f.delete(pending, false)
+    Some(stats)
+  }
+
   /** Start appending `input` to the index at `indexDir` (must already be
-    * built — the stream maintains, never trains). `onBatch` receives
-    * (batchId, stats) after each commit; use it to alert on
-    * `retrainAdvised`. */
+    * built — the stream maintains, never trains). The commit-marker
+    * namespace ties the index to ONE maintaining stream lineage (the
+    * single-writer contract): `batchId` is monotone only within a
+    * checkpoint, so starting a NEW stream (fresh checkpoint) against an
+    * index a previous stream maintained requires clearing
+    * `_commits`/`_pending` first. `onBatch` receives
+    * (batchId, stats) after each committed batch — replayed
+    * already-committed batches are skipped and do NOT re-fire it; use it
+    * to alert on `retrainAdvised`. */
   def start(input: Dataset[Vec], indexDir: String, driftRatio: Double = 2.0)
       (onBatch: (Long, IvfAppendStats) => Unit = (_, _) => ()): StreamingQuery =
     input.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
-        val stats = EmbedOps.ivfAppend(
-          batch.sparkSession, batch.toDF(), indexDir, driftRatio)
-        onBatch(batchId, stats)
+        appendBatch(batch.toDF(), batchId, indexDir, driftRatio)
+          .foreach(stats => onBatch(batchId, stats))
       }
       .start()
 }

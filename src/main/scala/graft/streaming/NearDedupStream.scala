@@ -61,12 +61,21 @@ object NearDedupStream {
             // deterministic across micro-batch boundaries falling anywhere
             val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
             var held = state.getOption
-            val out = sorted.map { r =>
-              // any prior claim — INCLUDING this doc's own, so an
-              // at-least-once redelivery collapses like DedupStream's
-              val dup = held.isDefined
-              if (held.isEmpty) held = Some(Claim(r.doc_id))
-              Flag(r.doc_id, r.ts, r.text, dup)
+            // a doc_id repeated WITHIN this batch is a pure at-least-once
+            // redelivery: emit only the first occurrence's flag and drop
+            // the rest silently — flagging the copy dup=true would merge
+            // into the same `admitted` group and kill the doc entirely
+            // (zero copies admitted). A CROSS-batch self-claim (held from
+            // an earlier batch) still flags dup=true: that batch already
+            // admitted the doc, so this one must not re-admit it.
+            val seenDoc = scala.collection.mutable.HashSet.empty[Long]
+            val out = sorted.flatMap { r =>
+              if (!seenDoc.add(r.doc_id)) None
+              else {
+                val dup = held.isDefined
+                if (held.isEmpty) held = Some(Claim(r.doc_id))
+                Some(Flag(r.doc_id, r.ts, r.text, dup))
+              }
             }
             held.foreach { h =>
               state.update(h)

@@ -60,4 +60,38 @@ class IndexStreamSpec extends SparkSpec {
       .groupBy("qid").count().collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ == 5L))
   }
+
+  test("replayed batches are idempotent: no duplicate vec_id survives (VERDICT r10 item 2)") {
+    val s = spark
+    val v = vecs
+    val idx = java.nio.file.Files.createTempDirectory("ivf_replay").toString
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+
+    val fresh = v.where(col("vec_id") % 10 === 0)
+    val b0 = fresh.where(col("vec_id") % 20 === 0)
+    val b1 = fresh.where(col("vec_id") % 20 =!= 0)
+
+    // committed batch replay (restart after full commit): skipped outright
+    assert(IndexStream.appendBatch(b0, 0L, idx).isDefined)
+    assert(IndexStream.appendBatch(b0, 0L, idx).isEmpty,
+      "replay of a committed batch must be skipped")
+
+    // crash BETWEEN the parquet append and the commit marker: the batch
+    // landed but only the pending marker exists — the replay must scrub
+    // the partial landing before re-appending
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(s"$idx/_pending/1")
+    f.mkdirs(pending.getParent)
+    f.create(pending, true).close()
+    EmbedOps.ivfAppend(s, b1.toDF(), idx) // the crashed run's landed rows
+    assert(IndexStream.appendBatch(b1, 1L, idx).isDefined)
+
+    val dupes = s.read.parquet(s"$idx/assign.parquet")
+      .groupBy("vec_id").count().where(col("count") > 1).count()
+    assert(dupes == 0L, s"$dupes duplicate vec_ids after replay")
+    // and nothing was lost: every fresh vector is present exactly once
+    val total = s.read.parquet(s"$idx/assign.parquet").count()
+    assert(total == v.count(), s"index row count $total != corpus")
+  }
 }
