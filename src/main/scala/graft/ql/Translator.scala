@@ -55,7 +55,7 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     // NUMERIC field, named <fn>_<field> (InfluxQL expands wildcards over
     // fields the function can aggregate — string/boolean columns would
     // fail analysis)
-    val sel = sel0.copy(
+    val sel1 = sel0.copy(
       fields = sel0.fields.flatMap {
         case Field(Call(fn, List(Wildcard)), None) if AGGS(fn) =>
           meta.fields.filter(f => f.ftype == "float" || f.ftype == "integer")
@@ -78,16 +78,42 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     // query fields absent from some measurements working).
     val knownNames = meta.fields.map(_.name).toSet ++ meta.tags +
       "time" + meta.timeCol
-    val unknown = (sel.fields.map(_.expr) ++ sel.where).flatMap(collectIdents)
+    val unknown = (sel1.fields.map(_.expr) ++ sel1.where).flatMap(collectIdents)
       .filterNot(knownNames).distinct
     if (unknown.nonEmpty &&
         df.sparkSession.conf.get("spark.graft.strictIdentifiers", "false").toBoolean)
       throw ParseException(s"unknown field or tag: '${unknown.head}'")
-    val selIdents = sel.fields.map(_.expr).flatMap(collectIdents)
+    val selIdents = sel1.fields.map(_.expr).flatMap(collectIdents)
       .filterNot(n => n.equalsIgnoreCase("time") || n == meta.timeCol)
     val emptyBySchema = selIdents.nonEmpty && selIdents.forall(unknown.contains)
-    unknownNames = unknown.toSet
-    val dfu = unknown.foldLeft(df)((d, n) => d.withColumn(n, lit(null).cast("double")))
+    // Spark resolves withColumn case-INsensitively (caseSensitive stays
+    // default-false session-wide) but InfluxQL identifiers are
+    // case-sensitive: injecting a null for unknown 'Value' would silently
+    // REPLACE a declared 'value' column. Bind case-colliding unknowns
+    // under a reserved internal name and rewrite the query AST to
+    // reference it — pinning each touched field's output alias to the
+    // user's spelling first, so result column names are unchanged.
+    val ren: Map[String, String] = unknown
+      .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
+      .map(n => n -> s"__unk_$n").toMap
+    def renamed(e: Expr): Expr = e match {
+      case Ident(n) if ren.contains(n)         => Ident(ren(n))
+      case TypedIdent(n, h) if ren.contains(n) => TypedIdent(ren(n), h)
+      case Call(f, a)   => Call(f, a.map(renamed))
+      case Bin(o, l, r) => Bin(o, renamed(l), renamed(r))
+      case Paren(x)     => Paren(renamed(x))
+      case x            => x
+    }
+    val sel = if (ren.isEmpty) sel1 else sel1.copy(
+      fields = sel1.fields.map { f =>
+        if (collectIdents(f.expr).exists(ren.contains))
+          Field(renamed(f.expr), Some(f.alias.getOrElse(exprName(f.expr))))
+        else f
+      },
+      where = sel1.where.map(renamed))
+    unknownNames = unknown.map(n => ren.getOrElse(n, n)).toSet
+    val dfu = unknownNames.foldLeft(df)((d, n) =>
+      d.withColumn(n, lit(null).cast("double")))
     tzZone = sel.tz // literals below parse under the query's zone
     val filtered0 = sel.where.map(w => dfu.where(predicate(w))).getOrElse(dfu)
     // durable time-bucket pruning: rebind the WHERE's constant time bounds
@@ -233,17 +259,40 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       }
       base && push
     case Bin(op, l, r)    =>
-      val (lc, rc) = (operand(l, other = r), operand(r, other = l))
-      op match {
-        case "="         => lc === rc
-        case "!=" | "<>" => lc =!= rc
-        case "<"         => lc < rc
-        case "<="        => lc <= rc
-        case ">"         => lc > rc
-        case ">="        => lc >= rc
-        case o           => throw ParseException(s"unsupported predicate operator $o")
+      // two KNOWN identifiers of conflicting type classes (numeric field
+      // vs string tag, boolean vs string …) answer the dialect's empty
+      // result — comparing the columns directly would implicitly cast
+      // and fold into a runtime ANSI cast error (the HTTP-500 class)
+      (identClass(l), identClass(r)) match {
+        case (Some(a), Some(b)) if a != b => lit(null).cast("boolean")
+        case _ =>
+          val (lc, rc) = (operand(l, other = r), operand(r, other = l))
+          op match {
+            case "="         => lc === rc
+            case "!=" | "<>" => lc =!= rc
+            case "<"         => lc < rc
+            case "<="        => lc <= rc
+            case ">"         => lc > rc
+            case ">="        => lc >= rc
+            case o           => throw ParseException(s"unsupported predicate operator $o")
+          }
       }
     case x => throw ParseException(s"unsupported WHERE expression $x")
+  }
+
+  /** Declared type class of a KNOWN identifier operand — None for
+    * literals, time, expressions, and unknown (null-bound) names. */
+  private def identClass(e: Expr): Option[String] = e match {
+    case Ident(n) if unknownNames(n) || n.equalsIgnoreCase("time") => None
+    case Ident(n) if meta.isTag(n) => Some("string")
+    case Ident(n) if meta.fields.exists(_.name == n) =>
+      Some(meta.field(n).ftype match {
+        case "string"  => "string"
+        case "boolean" => "boolean"
+        case _         => "number"
+      })
+    case Paren(x) => identClass(x)
+    case _        => None
   }
 
   private def isTimeRef(e: Expr): Boolean = e match {
@@ -308,6 +357,15 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     case Ident(n) if unknownNames(n) => other match {
       case StrLit(_) | RegexLit(_) => lit(null).cast("string")
       case BoolLit(_)              => lit(null).cast("boolean")
+      // known-identifier comparand (WHERE nope = host): type the null from
+      // ITS declared type — leaving it DOUBLE would implicitly cast the
+      // string/boolean column and fold into a runtime ANSI cast error
+      case Ident(k) if meta.isTag(k) => lit(null).cast("string")
+      case Ident(k) if meta.fields.exists(_.name == k) =>
+        meta.field(k).ftype match {
+          case "string" | "boolean" => lit(null).cast(meta.field(k).ftype)
+          case _                    => lit(null).cast("double")
+        }
       case _                       => lit(null).cast("double")
     }
     case Ident(n)    => col(n)

@@ -67,6 +67,17 @@ class TranslatorPropSpec extends SparkSpec {
                 v <- Gen.oneOf("h0", "h1", "r0", "nope") } yield s"$t = '$v'"),
     2 -> (for { f <- anyName; op <- Gen.oneOf(">", "<", ">=", "!="); n <- num }
       yield s"$f $op $n"),
+    // ident-vs-ident, either side possibly unknown and possibly a
+    // case-variant of a declared name (Value/HOST): the null bind must
+    // type from the known side's declared type and must never clobber
+    // the real column through case-insensitive resolution
+    1 -> (for {
+      l <- Gen.frequency(3 -> anyName, 2 -> tag,
+        1 -> Gen.oneOf("Value", "HOST"))
+      r <- Gen.frequency(3 -> anyName, 2 -> tag,
+        1 -> Gen.oneOf("Value", "HOST"))
+      op <- Gen.oneOf("=", "!=")
+    } yield s"$l $op $r"),
     2 -> dur.map(d => s"time > now() - $d"),
     1 -> Gen.frequency(4 -> tag, 1 -> Gen.const("ghost")).map(t => s"$t =~ /h[0-9]+/"))
 

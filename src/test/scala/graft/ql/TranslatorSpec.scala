@@ -83,6 +83,43 @@ class TranslatorSpec extends SparkSpec {
     assert(mixed.length == 3 && mixed.forall(_.isNullAt(mixed.head.fieldIndex("nope"))))
   }
 
+  test("case-variant unknown identifiers don't clobber the real column") {
+    // InfluxQL identifiers are case-sensitive, so 'Value' is unknown —
+    // but Spark's withColumn resolves case-INsensitively, and the r10
+    // null-bind would silently REPLACE the declared 'value' column's
+    // data. The real column must keep its rows; the variant binds null
+    // under an internal name, output spelling preserved.
+    val mixed = run("SELECT value, Value FROM treasures")
+    assert(mixed.length == 3)
+    val schema = mixed.head.schema.fieldNames.toSeq
+    assert(schema.contains("value") && schema.contains("Value"), schema.toString)
+    val iReal = mixed.head.schema.fieldNames.indexOf("value")
+    val iUnk = mixed.head.schema.fieldNames.indexOf("Value")
+    assert(mixed.map(_.getDouble(iReal)).sorted.toSeq == Seq(0.0, 50.0, 100.0))
+    assert(mixed.forall(_.isNullAt(iUnk)))
+    // aggregate over the case-variant alone: empty by schema, not all-null
+    // rows computed from the clobbered real column
+    assert(run("SELECT mean(VALUE) FROM treasures").isEmpty)
+    // known + case-variant aggregates side by side: the known one keeps
+    // its real data
+    val both = run("SELECT mean(value), mean(VALUE) FROM treasures")
+    assert(both.length == 1 && both.head.getAs[Double]("mean") == 50.0)
+  }
+
+  test("unknown-vs-known-identifier predicates compare as null, not ANSI cast errors") {
+    // WHERE nope = <known string tag>: the injected null must take the
+    // tag's STRING type — a double null would implicitly cast the tag
+    // column and fold into a runtime cast error under ANSI
+    assert(run("SELECT value FROM treasures WHERE nope = type").isEmpty)
+    assert(run("SELECT value FROM treasures WHERE type = nope").isEmpty)
+    assert(run("SELECT value FROM treasures WHERE nope = value").isEmpty)
+    // KNOWN numeric field vs KNOWN string tag type-conflict: also the
+    // dialect's empty result, not a cast error
+    assert(run("SELECT value FROM treasures WHERE value != type").isEmpty)
+    // same-class comparison still evaluates normally
+    assert(run("SELECT value FROM treasures WHERE type = type").length == 3)
+  }
+
   test("strict-identifier mode restores the hard 400") {
     spark.conf.set("spark.graft.strictIdentifiers", "true")
     try assertThrows[ParseException](run("SELECT mean(nope) FROM treasures"))
