@@ -146,6 +146,99 @@ object DocText {
       }: _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
 
+  // ---- persisted near-dup index lifecycle (build / check / delete) ----
+
+  /** Bucket count for the persisted near-dup index layout: both tables
+    * are laid out `partitionBy(_db = doc_id % 64)` so a takedown batch
+    * rewrites only the bucket directories its ids hash to — the same
+    * shard-group discipline as the measurement store's `_tb` buckets. */
+  private val NEARDUP_BUCKETS = 64L
+
+  private def dbBucket: Column = pmod(col("doc_id"), lit(NEARDUP_BUCKETS))
+
+  /** Build the persisted banded-LSH near-dup index over `corpus`
+    * (doc_id, text, …): the (doc_id, band, bkey) band rows plus the
+    * per-doc shingle sets — the between-crawls at-rest artifact that
+    * `neardupCheck` joins each new batch against. */
+  def neardupIndexBuild(corpus: DataFrame, idxDir: String): Unit = {
+    val sig = withSig(withShingles(corpus))
+    bandRows(sig).withColumn("_db", dbBucket)
+      .repartition(col("_db"))
+      .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
+    sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
+      .repartition(col("_db"))
+      .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+  }
+
+  /** Incremental near-dup check of a new batch against the persisted
+    * index: O(batch) shingling + keyed joins against the at-rest index
+    * tables — the existing corpus's documents are never re-read or
+    * re-shingled (DocPlanSpec asserts this on the executed plan).
+    * Returns (new_doc, old_doc, jaccard ≥ 0.8). */
+  def neardupCheck(fresh0: DataFrame, idxDir: String): DataFrame = {
+    val s = fresh0.sparkSession
+    val fresh = withSig(withShingles(fresh0)).persist()
+    val cand = s.read.parquet(s"$idxDir/bands.parquet")
+      .select(col("doc_id").as("old_doc"), col("band"), col("bkey"))
+      .join(bandRows(fresh).toDF("new_doc", "band", "bkey"), Seq("band", "bkey"))
+      .select("new_doc", "old_doc").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(col("sh_a")) + size(col("sh_b")) -
+      size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(s.read.parquet(s"$idxDir/shingles.parquet")
+        .select(col("doc_id").as("old_doc"), col("shingles").as("sh_a")), Seq("old_doc"))
+      .join(fresh.select(col("doc_id").as("new_doc"), col("shingles").as("sh_b")),
+        Seq("new_doc"))
+      .withColumn("jaccard", round(inter / uni, 4))
+      .where(col("jaccard") >= 0.8)
+      .select("new_doc", "old_doc", "jaccard")
+  }
+
+  /** Takedown propagation for the persisted near-dup index — the
+    * document-side `ivfDelete`: a removed doc's band rows and shingle
+    * set must not linger, or they keep suppressing future admits against
+    * content that no longer exists. The deletion set is bounded (a
+    * takedown batch), and its buckets are known WITHOUT any scan (`_db`
+    * is a pure function of doc_id), so each table rewrites ONLY the
+    * affected bucket directories — O(affected buckets), never O(index) —
+    * and swaps via rename with the previous generation parked under
+    * `del.old` for lazy readers. Returns docs removed. */
+  def neardupIndexDelete(s: SparkSession, idxDir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val buckets = ids.map(i => (i % NEARDUP_BUCKETS).toString).distinct.sorted
+    var removedDocs = 0L
+    Seq("bands.parquet", "shingles.parquet").foreach { t =>
+      val dir = s"$idxDir/$t"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(root)) {
+        // raw string compare on the partition value (inference is off
+        // session-wide) keeps the filter a PartitionFilter: the scan
+        // lists only the affected bucket directories
+        val hit = s.read.parquet(dir).where(col("_db").isin(buckets: _*))
+        val survivors = hit.where(!col("doc_id").isin(ids: _*))
+        if (t == "shingles.parquet") removedDocs = hit.count() - survivors.count()
+        val tmpRoot = s"$idxDir/del.tmp/$t"
+        survivors.repartition(col("_db"))
+          .write.mode("overwrite").partitionBy("_db").parquet(tmpRoot)
+        buckets.foreach { b =>
+          val live = new org.apache.hadoop.fs.Path(s"$dir/_db=$b")
+          val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/_db=$b")
+          val oldP = new org.apache.hadoop.fs.Path(s"$idxDir/del.old/$t/_db=$b")
+          if (f.exists(oldP)) f.delete(oldP, true)
+          f.mkdirs(oldP.getParent)
+          if (f.exists(live)) f.rename(live, oldP)
+          // a bucket whose every doc was deleted has no tmp dir: the
+          // rename above already emptied it out of the live layout
+          if (f.exists(tmp)) f.rename(tmp, live)
+        }
+        f.delete(new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp"), true)
+      }
+    }
+    removedDocs
+  }
+
   private def lshCandVerify(s: SparkSession, sh: DataFrame, sig: DataFrame): DataFrame = {
     val bands = bandRows(sig)
     val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -478,27 +571,50 @@ object DocText {
          |SELECT new_doc, old_doc, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
       val all = docs2(s, d)
-      // index build (the between-crawls artifact): band rows + shingle
-      // sets of the EXISTING corpus, at rest
-      val old = withSig(withShingles(all.where(col("doc_id") < 1000000L)))
-      bandRows(old).write.mode("overwrite").parquet(s"$idx/bands.parquet")
-      old.select("doc_id", "shingles").write.mode("overwrite")
-        .parquet(s"$idx/shingles.parquet")
-      // the incremental check: O(new batch) shingling + one keyed join
-      // against the index tables — the old DOCUMENTS are never touched
-      val fresh = withSig(withShingles(all.where(col("doc_id") >= 1000000L)))
-        .persist()
-      val cand = s.read.parquet(s"$idx/bands.parquet").toDF("old_doc", "band", "bkey")
-        .join(bandRows(fresh).toDF("new_doc", "band", "bkey"), Seq("band", "bkey"))
-        .select("new_doc", "old_doc").distinct()
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      val uni = size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))
-      cand
-        .join(s.read.parquet(s"$idx/shingles.parquet").toDF("old_doc", "sh_a"), Seq("old_doc"))
-        .join(fresh.select(col("doc_id").as("new_doc"), col("shingles").as("sh_b")), Seq("new_doc"))
-        .withColumn("jaccard", round(inter / uni, 4))
-        .where(col("jaccard") >= 0.8)
-        .select("new_doc", "old_doc", "jaccard")
+      // index build (the between-crawls artifact), then the incremental
+      // check: O(new batch) shingling + keyed joins against the index
+      // tables — the old DOCUMENTS are never touched
+      neardupIndexBuild(all.where(col("doc_id") < 1000000L), idx)
+      neardupCheck(all.where(col("doc_id") >= 1000000L), idx)
+    },
+
+    // ---- takedown propagation through the near-dup index: a removed
+    //      original's bands/shingles must stop suppressing new admits.
+    //      Build the index, DELETE every original with doc_id % 10 == 3
+    //      (the bounded takedown batch — a partition-pruned rewrite of
+    //      only the buckets those ids hash to), then run the incremental
+    //      check: replicas of deleted originals now ADMIT (no match
+    //      row), replicas of survivors still collapse. The oracle is the
+    //      incremental check with the takedown set excluded from the
+    //      index side.
+    Q("d_neardup_takedown",
+      s"""WITH $DOCS2,
+         |${shCte("d2")},
+         |$SIG_CTE,
+         |bd AS (SELECT doc_id, b.b AS band,
+         |         CAST(max(CASE WHEN seed = 2*b.b THEN mh END) AS VARCHAR) || ':' ||
+         |         CAST(max(CASE WHEN seed = 2*b.b+1 THEN mh END) AS VARCHAR) AS bkey
+         |       FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${NBANDS - 1})) AS b) b
+         |       GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS old_doc, y.doc_id AS new_doc
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.bkey = y.bkey
+         |         WHERE x.doc_id < 1000000 AND x.doc_id % 10 <> 3
+         |               AND y.doc_id >= 1000000),
+         |v AS (SELECT c.new_doc, c.old_doc,
+         |        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |          / (len(sa.shingles) + len(sb.shingles)
+         |             - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         |      FROM cand c JOIN sh sa ON sa.doc_id = c.old_doc
+         |                  JOIN sh sb ON sb.doc_id = c.new_doc)
+         |SELECT new_doc, old_doc, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_lsh_td").toString
+      val all = docs2(s, d)
+      val old = all.where(col("doc_id") < 1000000L)
+      neardupIndexBuild(old, idx)
+      val takedown = old.where(col("doc_id") % 10 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      neardupIndexDelete(s, idx, takedown)
+      neardupCheck(all.where(col("doc_id") >= 1000000L), idx)
     },
 
     // ---- 48-bit SimHash over distinct tokens (bit 48..63 left clear so
