@@ -336,7 +336,19 @@ final class Engine(val spark: SparkSession, sfDir: String,
 
   /** The scheduled maintenance pass: reclaim expired rows, then merge
     * small files. The at-scale deployment runs this per measurement on a
-    * timer (the analog of the reference data nodes' compaction daemon). */
+    * timer (the analog of the reference data nodes' compaction daemon).
+    *
+    * Cadence guidance (same thresholds across the engine's at-rest
+    * artifacts): per-append debris accumulates one file per touched
+    * partition, so schedule the pass when steady-state appends since the
+    * last run exceed the `ifMoreThan` file threshold for the hottest
+    * partition — hourly under sustained ingest, daily otherwise. ANN
+    * index maintenance follows the identical discipline on its own
+    * layouts: `EmbedOps.ivfCompact(s, indexDir, ifMoreThan)` (all hot
+    * `list_id=` dirs rewritten in ONE partition-pruned job) after
+    * sustained `ivfAppend`/`IndexStream` activity, and
+    * `EmbedOps.ivfDelete`/`pqDelete`/`DocText.neardupIndexDelete` for
+    * takedown batches — both O(hot partitions), safe at any cadence. */
   def maintain(compactIfMoreThan: Int = 32): Unit = {
     enforceRetention()
     tables.keys.toSeq.sorted.foreach(compact(_, compactIfMoreThan))

@@ -771,10 +771,11 @@ object EmbedOps {
     * compaction, applied to `list_id=N` directories: every append lands
     * one file per touched list, so sustained ingest grows the probed
     * directories' file counts without bound (footer/listing cost lands
-    * on every SEARCH). Each over-threshold list dir is rewritten ALONE —
-    * O(hot lists), never O(index) — and swapped via rename, with the
-    * previous generation parked under `compact.old` for lazy readers.
-    * Returns (list_id, filesBefore, filesAfter). */
+    * on every SEARCH). All over-threshold lists are rewritten in ONE
+    * partition-pruned job — O(hot lists) data read, never O(index), and
+    * one Spark job however many lists are hot — then swapped via rename,
+    * with the previous generation parked under `compact.old` for lazy
+    * readers. Returns (list_id, filesBefore, filesAfter). */
   def ivfCompact(s: SparkSession, indexDir: String, ifMoreThan: Int = 8,
       targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] = {
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet")
@@ -794,22 +795,39 @@ object EmbedOps {
       }
       (n, bytes)
     }
-    lists.sortBy(_._1).flatMap { case (lid, live) =>
+    val hot = lists.sortBy(_._1).flatMap { case (lid, live) =>
       val (n, bytes) = stats(live)
       if (n <= ifMoreThan) None
-      else {
-        val nFiles = math.max(1L, bytes / targetBytes).toInt
-        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/compact.tmp/list_id=$lid")
-        val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/compact.old/list_id=$lid")
-        s.read.parquet(live.toString).coalesce(nFiles)
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (f.exists(oldP)) f.delete(oldP, true)
-        f.mkdirs(oldP.getParent)
-        f.rename(live, oldP)
-        f.rename(tmp, live)
-        Some((lid, n, stats(live)._1))
-      }
+      else Some((lid, live, n, math.max(1L, bytes / targetBytes).toInt))
     }
+    if (hot.isEmpty) return Nil
+    // ONE rewrite job over ALL hot lists, not a sequential Spark job per
+    // list (fine at 4096 lists, serialized at pathological fan-out): the
+    // scan partition-prunes to the hot directories, one shuffle keyed on
+    // (list_id, salt) lands each list as ≈bytes/targetBytes files, and
+    // cold lists stay byte-untouched. The salt only spreads oversized
+    // lists across writer tasks — file placement, not semantics.
+    val nf = typedLit(hot.map(t => t._1 -> t._4).toMap)
+    val tmpRoot = s"$indexDir/compact.tmp"
+    s.read.parquet(root.toString)
+      // string compare on the raw partition value (inference is off
+      // session-wide) keeps this a PartitionFilter
+      .where(col("list_id").isin(hot.map(_._1.toString): _*))
+      .withColumn("_salt", pmod(xxhash64(col("vec_id")),
+        element_at(nf, col("list_id").cast("long"))))
+      .repartition(col("list_id"), col("_salt")).drop("_salt")
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
+    val done = hot.map { case (lid, live, n, _) =>
+      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/compact.old/list_id=$lid")
+      if (f.exists(oldP)) f.delete(oldP, true)
+      f.mkdirs(oldP.getParent)
+      f.rename(live, oldP)
+      f.rename(tmp, live)
+      (lid, n, stats(live)._1)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    done
   }
 
   /** Targeted deletion from the persisted PQ index. The codes table is
