@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode with a TEMP
+  // FILE — at corpus scale that is millions of open/create/delete syscalls
+  // against one temp directory, and the ×100 decade gate caught all 32
+  // decode threads RUNNABLE inside UnixNativeDispatcher.open0 while one
+  // core did work. Memory-cached streams remove the chokepoint; media
+  // payloads here are KB-scale, and a real deployment's decode UDFs want
+  // the same setting on every executor JVM (this initializer runs once
+  // per JVM on first use of the object, which is exactly that).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val BatchSize = 64
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
@@ -89,14 +99,44 @@ object Multimodal {
     bb.array()
   }
 
+  /** `AudioSystem.getAudioInputStream` funnels EVERY call through
+    * `JSSecurityManager.getProviders`, which is class-synchronized — the
+    * ×100 decade gate caught all 32 decode threads queued on that single
+    * lock while one core worked. The SPI list is stable per JVM
+    * (java.desktop's module-info provides the readers): load it once via
+    * the public ServiceLoader and probe directly — the SAME JDK
+    * WaveFileReader still does the real parse, minus the global lock. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+      // SoftMidiAudioFileReader is a SYNTHESIZER probe, not a decoder, and
+      // its getAudioInputStream re-enters MidiSystem.getProviders — the
+      // very JSSecurityManager class lock this path exists to avoid (the
+      // decade gate caught it: 30/32 threads blocked on the probe for
+      // payloads that aren't even MIDI). Excluded; MIDI rendering is not a
+      // decode capability this engine claims.
+      .filterNot(_.getClass.getSimpleName.startsWith("SoftMidi"))
+      // probe WAV readers first: the dominant format here — a hit on the
+      // first probe means zero exception-throwing misprobes per row
+      .sortBy(r => if (r.getClass.getSimpleName.contains("Wave")) 0 else 1)
+  }
+
+  private def audioStream(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException("no SPI reader accepted the payload")
+  }
+
   /** The real audio decode: the JDK's javax.sound.sampled WAV codec over
     * the binary payload. (sampleRateHz, nSamples, firstSample, peakAbs);
     * (-2, -2, 0, -1) marks an undecodable payload — visible, never
     * silently stubbed. */
   def decodeWav(payload: Array[Byte]): (Int, Long, Int, Int) =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = audioStream(payload)
       try {
         val fmt = ais.getFormat
         val frames = ais.getFrameLength
@@ -311,12 +351,27 @@ object Multimodal {
   /** documents → media table: image rows (doc_id ≡ 0 mod 3) carry REAL
     * PNG payloads, audio rows (≡ 1) REAL WAV payloads, video rows (≡ 2)
     * REAL RIFF/AVI MJPEG payloads. Mime assignment is the same
-    * deterministic sniff as before. */
+    * deterministic sniff as before.
+    *
+    * Parallelism note (found by the ×100 decade gate): everything
+    * downstream of this table is per-row decode-heavy map work whose
+    * task count Spark inherits from the INPUT's split count — and the
+    * driving table is a narrow metadata projection (one LONG column), so
+    * a compact corpus parquet (one 128 MB split holding 500k ids) would
+    * serialize hours of decode onto one core. This is the standard
+    * metadata-driven fetch/synth shape: shuffle the cheap ids BEFORE the
+    * heavy per-row work exists, never after. The repartition moves ~8
+    * bytes/doc and only fires when the source is narrower than the
+    * session's shuffle width. */
   def mediaTable(docs: DataFrame): DataFrame = {
     val mkPng = udf((docId: Long) => makePng(docId))
     val mkWav = udf((docId: Long) => makeWav(docId))
     val mkAvi = udf((docId: Long) => makeAvi(docId))
-    docs.select(col("doc_id"),
+    val s = docs.sparkSession
+    val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ids = docs.select(col("doc_id"))
+    val spread = if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids
+    spread.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, mkPng(col("doc_id")))
         .when(pmod(col("doc_id"), lit(3)) === 1, mkWav(col("doc_id")))
         .otherwise(mkAvi(col("doc_id"))).as("payload"),
@@ -530,8 +585,7 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (_, frames, _, _) = decodeWav(r.payload)
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
+          val ais = audioStream(r.payload)
           val bytes = try ais.readAllBytes() finally ais.close()
           val n = (bytes.length / 2).min(frames.toInt)
           if (n <= 0) AudioFpRow(r.doc_id, 0L, "", -1L)

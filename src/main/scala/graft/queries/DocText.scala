@@ -170,6 +170,22 @@ object DocText {
       .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
   }
 
+  /** Append a new batch's band rows + shingle sets into the persisted
+    * index — the between-crawls maintenance step after `neardupCheck`
+    * admits it: O(batch) shingling, appended into the `partitionBy(_db)`
+    * layout without rewriting existing bucket files (the `ivfAppend`
+    * discipline; per-bucket small-file debris is a compaction concern,
+    * same as every other at-rest layout here). */
+  def neardupIndexAppend(batch: DataFrame, idxDir: String): Unit = {
+    val sig = withSig(withShingles(batch))
+    bandRows(sig).withColumn("_db", dbBucket)
+      .repartition(col("_db"))
+      .write.mode("append").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
+    sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
+      .repartition(col("_db"))
+      .write.mode("append").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+  }
+
   /** Incremental near-dup check of a new batch against the persisted
     * index: O(batch) shingling + keyed joins against the at-rest index
     * tables — the existing corpus's documents are never re-read or

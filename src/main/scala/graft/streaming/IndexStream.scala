@@ -52,33 +52,51 @@ object IndexStream {
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Idempotent per-batch append (the `foreachBatch` body, factored out
-    * so the replay contract is directly testable): returns `None` when
-    * `batchId` is already committed (replayed batch skipped), otherwise
-    * the append stats. Safe to call again with the same (batch,
-    * batchId) after a crash at ANY point — a partial append is scrubbed
-    * by vec_id before re-running. */
-  def appendBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      driftRatio: Double = 2.0): Option[IvfAppendStats] = {
-    val s = batch.sparkSession
-    val (f, _) = fs(s, indexDir)
-    val commit = new org.apache.hadoop.fs.Path(s"$indexDir/_commits/$batchId")
-    val pending = new org.apache.hadoop.fs.Path(s"$indexDir/_pending/$batchId")
+  /** Run `append` under the committed-batch marker discipline rooted at
+    * `dir`: skip if `batchId` is committed, `scrub` first if a pending
+    * marker shows a crash landed a partial append, and only mark
+    * committed after `append` returns. */
+  private def guarded[T](s: SparkSession, dir: String, batchId: Long)(
+      scrub: => Unit)(append: => T): Option[T] = {
+    val (f, _) = fs(s, dir)
+    val commit = new org.apache.hadoop.fs.Path(s"$dir/_commits/$batchId")
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_pending/$batchId")
     if (f.exists(commit)) return None
-    if (f.exists(pending)) {
-      // crashed between append and commit: any rows this batch managed
-      // to land carry its vec_ids — scrub them (partition-pruned to the
-      // affected lists; a clean crash-before-append scrubs nothing)
-      EmbedOps.ivfDelete(s, indexDir, batch.select("vec_id"))
-    }
+    if (f.exists(pending)) scrub
     f.mkdirs(pending.getParent)
     f.create(pending, true).close()
-    val stats = EmbedOps.ivfAppend(s, batch, indexDir, driftRatio)
+    val out = append
     f.mkdirs(commit.getParent)
     f.create(commit, true).close()
     f.delete(pending, false)
-    Some(stats)
+    Some(out)
   }
+
+  /** Idempotent per-batch IVF append (the `foreachBatch` body, factored
+    * out so the replay contract is directly testable): returns `None`
+    * when `batchId` is already committed (replayed batch skipped),
+    * otherwise the append stats. Safe to call again with the same
+    * (batch, batchId) after a crash at ANY point — a partial append is
+    * scrubbed by vec_id before re-running (partition-pruned to the
+    * affected lists; a clean crash-before-append scrubs nothing). */
+  def appendBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      driftRatio: Double = 2.0): Option[IvfAppendStats] =
+    guarded(batch.sparkSession, indexDir, batchId) {
+      EmbedOps.ivfDelete(batch.sparkSession, indexDir, batch.select("vec_id"))
+    } {
+      EmbedOps.ivfAppend(batch.sparkSession, batch, indexDir, driftRatio)
+    }
+
+  /** Idempotent per-batch PQ-codes append — same discipline, own marker
+    * namespace under `pqDir` (a crash between the IVF commit and the PQ
+    * append replays ONLY the PQ half). Returns vectors encoded, None on
+    * a committed replay. */
+  def appendBatchPq(batch: DataFrame, batchId: Long, pqDir: String): Option[Long] =
+    guarded(batch.sparkSession, pqDir, batchId) {
+      EmbedOps.pqDelete(batch.sparkSession, pqDir, batch.select("vec_id"))
+    } {
+      EmbedOps.pqAppend(batch.sparkSession, batch, pqDir)
+    }
 
   /** Start appending `input` to the index at `indexDir` (must already be
     * built — the stream maintains, never trains). The commit-marker
@@ -90,12 +108,18 @@ object IndexStream {
     * (batchId, stats) after each committed batch — replayed
     * already-committed batches are skipped and do NOT re-fire it; use it
     * to alert on `retrainAdvised`. */
-  def start(input: Dataset[Vec], indexDir: String, driftRatio: Double = 2.0)
+  def start(input: Dataset[Vec], indexDir: String, driftRatio: Double = 2.0,
+      pqDir: Option[String] = None)
       (onBatch: (Long, IvfAppendStats) => Unit = (_, _) => ()): StreamingQuery =
     input.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
-        appendBatch(batch.toDF(), batchId, indexDir, driftRatio)
+        val df = batch.toDF()
+        appendBatch(df, batchId, indexDir, driftRatio)
           .foreach(stats => onBatch(batchId, stats))
+        // a deployment feeds BOTH indexes the same batches (BENCH_NOTES
+        // r10): the compressed codes table rides the same stream, its
+        // own marker namespace keeping each half independently replayable
+        pqDir.foreach(appendBatchPq(df, batchId, _))
       }
       .start()
 }

@@ -24,6 +24,37 @@ class NearDupIndexSpec extends SparkSpec {
       .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
   }
 
+  test("crawl cycle: append admitted batch, next batch collapses against it, append-only files") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("neardup_app").toString
+    // cycle 1: index the first half of the corpus
+    val half1 = corpus.where(col("doc_id") % 2 === 0)
+    val half2 = corpus.where(col("doc_id") % 2 === 1)
+    DocText.neardupIndexBuild(half1, idx)
+    // cycle 2: the second half arrives — fresh content, all admits
+    assert(DocText.neardupCheck(half2, idx)
+      .where(col("new_doc") === col("old_doc")).count() == 0)
+    val before = listFiles(idx)
+    DocText.neardupIndexAppend(half2, idx)
+    val after = listFiles(idx)
+    // append-only: every pre-existing bucket file survives byte-identical
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"existing bucket file rewritten: $p")
+    }
+    assert(after.size > before.size)
+    // cycle 3: replicas of the APPENDED half now collapse against the
+    // grown index (they'd have admitted against the cycle-1 index)
+    val replicas = half2.withColumn("doc_id", col("doc_id") + 1000000L)
+    val pairs = DocText.neardupCheck(replicas, idx)
+      .select("new_doc", "old_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    half2.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(pairs.contains((id + 1000000L, id)),
+        s"replica of appended $id missed its original")
+    }
+  }
+
   test("takedown rewrites only affected buckets and re-admits deleted content") {
     val s = spark
     val idx = java.nio.file.Files.createTempDirectory("neardup_idx").toString

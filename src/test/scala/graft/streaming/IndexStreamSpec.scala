@@ -94,4 +94,51 @@ class IndexStreamSpec extends SparkSpec {
     val total = s.read.parquet(s"$idx/assign.parquet").count()
     assert(total == v.count(), s"index row count $total != corpus")
   }
+
+  test("one stream maintains BOTH indexes; the PQ half replays independently") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val v = vecs
+    val idx = java.nio.file.Files.createTempDirectory("ivf_both").toString
+    val pq = java.nio.file.Files.createTempDirectory("pq_both").toString
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    EmbedOps.pqBuildV(v.where(col("vec_id") % 10 =!= 0), pq)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.start(
+      input.toDS().map { case (id, e) => IndexStream.Vec(id, e) },
+      idx, pqDir = Some(pq))()
+    try {
+      val fresh = v.where(col("vec_id") % 10 === 0)
+        .as[(Long, Seq[Double])].collect().toSeq
+      input.addData(fresh: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // crash between the IVF commit and the PQ append: the IVF half is
+    // committed for batch 0, the PQ half replays alone — simulate by
+    // re-running the composed batch body for the same batchId
+    val fresh = v.where(col("vec_id") % 10 === 0)
+    assert(IndexStream.appendBatch(fresh.toDF(), 0L, idx).isEmpty)
+    // PQ: pending marker without commit = its append may have partially
+    // landed; the replay must scrub and land exactly once
+    val f = new org.apache.hadoop.fs.Path(pq)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$pq/_commits/0"), false)
+    val pending = new org.apache.hadoop.fs.Path(s"$pq/_pending/0")
+    f.mkdirs(pending.getParent); f.create(pending, true).close()
+    assert(IndexStream.appendBatchPq(fresh.toDF(), 0L, pq).isDefined)
+
+    // both indexes hold every vector exactly once
+    val ivfDup = s.read.parquet(s"$idx/assign.parquet")
+      .groupBy("vec_id").count().where(col("count") > 1).count()
+    assert(ivfDup == 0L)
+    assert(s.read.parquet(s"$idx/assign.parquet").count() == v.count())
+    val pqPerVec = s.read.parquet(s"$pq/codes.parquet")
+      .groupBy("vec_id").count().select("count").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(pqPerVec.length == 1, s"uneven code rows per vec: $pqPerVec")
+    assert(s.read.parquet(s"$pq/codes.parquet").select("vec_id").distinct().count()
+      == v.count())
+  }
 }
