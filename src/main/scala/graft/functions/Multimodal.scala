@@ -42,6 +42,133 @@ object Multimodal {
 
   val BatchSize = 64
 
+  // ---- Disposer-free image codec plumbing -------------------------------
+  // Even with the stream cache off, ImageIO.read/write CONSTRUCT a fresh
+  // reader/writer plus a cache-stream per call, and every construction
+  // registers with the globally-synchronized sun.java2d.Disposer — at
+  // tiny-image corpus scale that lock caps the decode path at a handful
+  // of effective cores (decade-gate jstack: 17/32 threads BLOCKED in
+  // Disposer.add). The fix is the standard server pattern, all public
+  // javax.imageio API: per-thread reader/writer instances (they are not
+  // thread-safe, so ThreadLocal) over byte-array Image{Input,Output}-
+  // Stream subclasses that never touch the Disposer.
+
+  /** In-memory seekable ImageInputStream over a byte array — no Disposer
+    * registration (Memory/FileCacheImageInputStream both register). */
+  private final class BytesImageInputStream(b: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= b.length) -1
+      else { val v = b(streamPos.toInt) & 0xff; streamPos += 1; v }
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= b.length) -1
+      else {
+        val n = math.min(len, b.length - streamPos.toInt)
+        System.arraycopy(b, streamPos.toInt, buf, off, n)
+        streamPos += n; n
+      }
+    }
+    override def length(): Long = b.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
+  /** In-memory seekable ImageOutputStream (writers patch headers, so the
+    * buffer supports positioned rewrites) — no Disposer registration. */
+  private final class BytesImageOutputStream
+      extends javax.imageio.stream.ImageOutputStreamImpl {
+    private var buf = new Array[Byte](8192)
+    private var size = 0
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, size)
+    private def ensure(cap: Int): Unit =
+      if (cap > buf.length) {
+        var n = buf.length
+        while (n < cap) n <<= 1
+        buf = java.util.Arrays.copyOf(buf, n)
+      }
+    override def write(b: Int): Unit = {
+      flushBits()
+      ensure(streamPos.toInt + 1)
+      buf(streamPos.toInt) = b.toByte
+      streamPos += 1
+      if (streamPos > size) size = streamPos.toInt
+    }
+    override def write(bs: Array[Byte], off: Int, len: Int): Unit = {
+      flushBits()
+      ensure(streamPos.toInt + len)
+      System.arraycopy(bs, off, buf, streamPos.toInt, len)
+      streamPos += len
+      if (streamPos > size) size = streamPos.toInt
+    }
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= size) -1
+      else { val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    }
+    override def read(bs: Array[Byte], off: Int, len: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= size) -1
+      else {
+        val n = math.min(len, size - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, bs, off, n)
+        streamPos += n; n
+      }
+    }
+    override def length(): Long = size.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
+  private def tlReader(fmt: String): ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial { () =>
+      javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+    }
+  private def tlWriter(fmt: String): ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial { () =>
+      javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+    }
+  private val pngR = tlReader("png"); private val pngW = tlWriter("png")
+  private val jpgR = tlReader("jpeg"); private val jpgW = tlWriter("jpeg")
+
+  /** Decode via the thread's cached reader; null for undecodable input
+    * (same contract as ImageIO.read). */
+  private def readImg(tl: ThreadLocal[javax.imageio.ImageReader],
+      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = tl.get()
+    val iis = new BytesImageInputStream(bytes)
+    try { r.setInput(iis, true, true); r.read(0) }
+    catch { case _: Exception => null }
+    finally { r.setInput(null); iis.close() }
+  }
+
+  /** Encode via the thread's cached writer (same JDK codec, same bytes
+    * as ImageIO.write). */
+  private def writeImg(tl: ThreadLocal[javax.imageio.ImageWriter],
+      img: java.awt.image.RenderedImage): Array[Byte] = {
+    val w = tl.get()
+    val ios = new BytesImageOutputStream
+    try { w.setOutput(ios); w.write(img); ios.flush() }
+    finally { w.setOutput(null); ios.close() }
+    ios.toByteArray
+  }
+
+  private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    // dispatch on magic bytes: PNG or JPEG (the two formats this engine
+    // synthesizes); anything else → null like ImageIO.read
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      readImg(pngR, bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      readImg(jpgR, bytes)
+    else null
+  }
+  private[graft] def encodePng(img: java.awt.image.RenderedImage): Array[Byte] =
+    writeImg(pngW, img)
+  private[graft] def encodeJpg(img: java.awt.image.RenderedImage): Array[Byte] =
+    writeImg(jpgW, img)
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
   final case class MediaFeatures(
       doc_id: Long, mime: String,
@@ -189,9 +316,7 @@ object Multimodal {
       val rgb = (g << 16) | (g << 8) | g
       var y = 0
       while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      encodeJpg(img)
     }
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length % 2 // RIFF chunks are word-aligned
@@ -286,16 +411,14 @@ object Multimodal {
       while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** The real decode: JDK ImageIO over the binary payload. (width, height,
     * packed (0,0) RGB); (-2, -2, -1) marks an undecodable payload — made
     * visible, never silently stubbed. */
   def decodePng(payload: Array[Byte]): (Int, Int, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img = decodeImage(payload)
     if (img == null) (-2, -2, -1L)
     else (img.getWidth, img.getHeight, (img.getRGB(0, 0) & 0xffffff).toLong)
   }
@@ -305,7 +428,7 @@ object Multimodal {
     * The media-pipeline thumbnail/downsample stage, no external codecs.
     * Returns None for an undecodable payload. */
   def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val src = decodeImage(payload)
     if (src == null) None
     else {
       val dst = new java.awt.image.BufferedImage(
@@ -315,9 +438,7 @@ object Multimodal {
         java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
       g.drawImage(src, 0, 0, w, h, null)
       g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(dst, "png", bos)
-      Some(bos.toByteArray)
+      Some(encodePng(dst))
     }
   }
 
@@ -462,8 +583,7 @@ object Multimodal {
         batch.iterator.map { r =>
           decodeAvi(r.payload) match {
             case Some(m) =>
-              val decoded = m.frames.map(f =>
-                javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+              val decoded = m.frames.map(decodeImage)
               val gray0 = decoded.headOption.filter(_ != null)
                 .map(i => i.getRGB(0, 0) & 0xff).getOrElse(-1)
               VideoProbe(r.doc_id, m.width, m.height, m.frames.size,
@@ -495,7 +615,7 @@ object Multimodal {
           decodeAvi(r.payload).toSeq.flatMap { m =>
             m.frames.zipWithIndex.collect {
               case (f, idx) if idx % stride == 0 =>
-                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+                val img = decodeImage(f)
                 if (img == null) VideoFrame(r.doc_id, idx, -2, -2, -1)
                 else VideoFrame(r.doc_id, idx, img.getWidth, img.getHeight,
                   img.getRGB(0, 0) & 0xff)
@@ -533,9 +653,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   final case class PhashRow(doc_id: Long, width: Int, height: Int,
@@ -628,7 +746,7 @@ object Multimodal {
             var prev = Int.MinValue
             var scene = 0L
             m.frames.zipWithIndex.map { case (f, idx) =>
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+              val img = decodeImage(f)
               val g = if (img == null) -1 else img.getRGB(0, 0) & 0xff
               if (idx == 0 || math.abs(g - prev) >= threshold) scene += 1
               prev = g
@@ -652,8 +770,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
+          val img = decodeImage(r.payload)
           if (img == null) PhashRow(r.doc_id, -2, -2, "", -1L)
           else {
             val w = img.getWidth; val h = img.getHeight
