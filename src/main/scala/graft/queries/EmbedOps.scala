@@ -1285,18 +1285,33 @@ object EmbedOps {
     }) { (s, d) =>
       val base = emb(s, d).select("vec_id", "embedding")
       val v = base.union(base.withColumn("vec_id", col("vec_id") + 1000000L))
+      val n = v.count()
+      // ADAPTIVE banding — the sizing note's "k must grow as log2(N/c)"
+      // made real (the ×100-embeddings decade measured the fixed 8×12
+      // config at 1000× cost for 100× vectors: bucket COUNT is fixed, so
+      // occupancy grows linearly and within-bucket pairs quadratically).
+      // Hold E[occupancy] ≈ 2.4 (kd = log2(n/2.4)) so spurious candidate
+      // pairs stay LINEAR in n, and grow the table count to keep the
+      // 0.95-boundary miss rate at the 8-table baseline ((1-0.899^12)^8
+      // ≈ 0.073; exact duplicates collide in every table at any size).
+      // At the oracle's gate scales this resolves to exactly 8×12 — the
+      // DuckDB side and the sf0.01/sf0.1 plan are byte-unchanged.
+      val kd = math.max(12, math.ceil(math.log(n / 2.4) / math.log(2)).toInt)
+      val missTarget = math.pow(1 - math.pow(0.899, 12), 8)
+      val nt = math.max(8, math.ceil(
+        math.log(missTarget) / math.log(1 - math.pow(0.899, kd)) - 1e-9).toInt)
       // map-only signatures, un-persisted (see em_ann_lsh note). Each join
       // side recomputes the signature subtree (cheap, no shuffle); in the
       // large-N shuffle-join regime both sides exchange on (tbl, bucket)
       // with identical child plans, so ReuseExchange shares one shuffle
       val bands = v.select(col("vec_id"),
-          posexplode(tableBuckets(8, 12, 100)))
+          posexplode(tableBuckets(nt, kd, 100)))
         .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
       val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       // pinning gated on corpus size, same rationale + threshold as
       // DocText.lshCandVerify (VERDICT r8 #3): small corpora take AQE's
       // broadcast plan, large ones pin against the coalesce-to-one-task trap
-      val pin = v.count() >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
+      val pin = n >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
       val cand0 = bands.toDF("vec_a", "tbl", "bucket")
         .join(bands.toDF("vec_b", "tbl", "bucket"), Seq("tbl", "bucket"))
         .where(col("vec_a") < col("vec_b"))

@@ -70,11 +70,12 @@ object ScaleUp {
       tables: Set[String] = AllTables): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      wrFact(spark, df, s"$dst/$t.parquet")
 
-    // dims: fixed
+    // dims: fixed — written as-is (small single files, like real dims)
     Seq("region", "nation", "customer", "supplier", "part")
-      .filter(tables).foreach(t => wr(rd(t), t))
+      .filter(tables).foreach(t =>
+        rd(t).write.mode("overwrite").parquet(s"$dst/$t.parquet"))
 
     // facts: key-offset replicas
     if (tables("orders") || tables("lineitem")) {
@@ -108,11 +109,21 @@ object ScaleUp {
     println(s"scaled $src -> $dst x$factor (${tables.toSeq.sorted.mkString(",")})")
   }
 
+  /** Scaled FACT tables must land as a realistic multi-file layout: the
+    * replica explode inherits the source's split count, so a compact
+    * source (one file) would write the whole scaled corpus as ONE file —
+    * and every map-only consumer's parallelism is bound to input splits
+    * (the em-family decade stalled on exactly this: one 7.6 MB file,
+    * one core). A real corpus at this scale is thousands of files; the
+    * default-parallelism repartition restores that shape. */
+  private def wrFact(spark: SparkSession, df: DataFrame, path: String): Unit =
+    df.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(path)
+
   private def scaleDocuments(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit = wrFact(spark, df, s"$dst/$t.parquet")
     // documents: vocabulary bijection per replica (replica 0 untouched)
     val docs = rd("documents")
     val kd = offsetFor(docs, "doc_id")
@@ -130,22 +141,29 @@ object ScaleUp {
   private def scaleEmbeddings(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit = wrFact(spark, df, s"$dst/$t.parquet")
     // embeddings: circular dimension shift per replica
     val emb = rd("embeddings")
     val kv = offsetFor(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    // factor > dim would make the per-replica step dim/factor = 0: every
-    // replica an exact copy, cross-replica cosine = 1 — silently breaking
-    // the decorrelation invariant the scale measurements rely on
-    require(factor <= dim,
-      s"ScaleUp: factor $factor exceeds embedding dim $dim; the circular-shift " +
-        "decorrelation needs factor <= dim (distinct shifts per replica)")
-    val shift = (col("_r") * math.max(1, dim / factor)) % dim
-    val shifted = when(col("_r") === 0, col("embedding")).otherwise(
+    // each replica needs a DISTINCT decorrelating transform or it becomes
+    // an exact copy of another (cross-replica cosine 1 — silently breaking
+    // the invariant the scale measurements rely on). Cycle 1 (r < dim):
+    // distinct circular shifts. Cycle 2 (dim <= r < 2*dim): the same
+    // shifts NEGATED — cos(-a,-b)=cos(a,b) preserves every intra-replica
+    // relation exactly, and against the same-shift un-negated replica the
+    // cross cosine is the negated autocorrelation (≈0, or -1 at lag 0) —
+    // never a positive near-dup. 2*dim distinct transforms total.
+    require(factor <= 2 * dim,
+      s"ScaleUp: factor $factor exceeds 2x embedding dim $dim; the shift+" +
+        "negation decorrelation needs factor <= 2*dim (distinct transforms)")
+    val rr = col("_r") % dim
+    val shift = (rr * math.max(1, dim / math.min(factor, dim))) % dim
+    val rolled = when(rr === 0, col("embedding")).otherwise(
       concat(slice(col("embedding"), shift + 1, lit(dim) - shift),
              slice(col("embedding"), lit(1), shift)))
+    val shifted = when(col("_r") >= dim, transform(rolled, x => -x))
+      .otherwise(rolled)
     wr(replicate(emb, factor)
         .withColumn("vec_id", col("vec_id") + col("_r") * kv)
         .withColumn("embedding", shifted)

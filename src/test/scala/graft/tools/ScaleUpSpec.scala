@@ -82,15 +82,30 @@ class ScaleUpSpec extends SparkSpec {
     assert(cos(em(1L), em(1L + kv)) < 0.5)
   }
 
-  test("factor above embedding dim is refused (decorrelation would break)") {
-    // dim = 8 here: factor 16 would give every replica a zero shift —
-    // exact copies, cross-replica cosine 1 — silently invalidating the
-    // scale measurements, so the guard must fire instead
-    val dst = java.nio.file.Files.createTempDirectory("scaleup_refuse").toString
+  test("second shift cycle negates: factor to 2x dim decorrelates, beyond refused") {
+    // dim = 8 here: replicas 8..15 reuse shifts 0..7 NEGATED —
+    // cos(-a,-b) = cos(a,b) keeps every intra-replica relation exact,
+    // and the same-shift un-negated pair lands at cosine -1 (never a
+    // positive near-dup); factor 17 exceeds the 2*dim distinct
+    // transforms and must refuse loudly
+    val dst = java.nio.file.Files.createTempDirectory("scaleup_neg").toString
+    ScaleUp.run(spark, dirs._1, dst, 16)
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val em = spark.read.parquet(s"$dst/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(em.size == 48) // 3 vectors x 16 replicas
+    val kv = 10L
+    // replica 8 = shift 0 negated: intra-replica inner products exact
+    assert(dot(em(1L + 8 * kv), em(2L + 8 * kv)) == dot(em(1L), em(2L)))
+    def cos(a: Seq[Float], b: Seq[Float]) =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    assert(math.abs(cos(em(1L), em(1L + 8 * kv)) + 1.0) < 1e-9)
     val e = intercept[IllegalArgumentException] {
-      ScaleUp.run(spark, dirs._1, dst, 16)
+      ScaleUp.run(spark, dirs._1,
+        java.nio.file.Files.createTempDirectory("scaleup_refuse").toString, 17)
     }
-    assert(e.getMessage.contains("exceeds embedding dim"))
+    assert(e.getMessage.contains("exceeds 2x embedding dim"))
   }
 
   test("empty source table fails loudly instead of NPE") {
