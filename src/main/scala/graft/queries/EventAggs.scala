@@ -184,10 +184,20 @@ object EventAggs {
          |FROM ev
          |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
          |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
-      val w = series.rowsBetween(-2, 0)
-      ev(s, d).select(col("event_id"), col("event_type"),
-        (sum(col("cents")).over(w).cast("double")
-          / (lit(100.0) * count(col("cents")).over(w))).as("moving_avg"))
+      // 5 event_type series = 5 window tasks at any cluster width (the
+      // ×100 decade measured 54× for 100× data); chunk-parallel fold with
+      // boundary repair when large, sequential window below the gate
+      val in = ev(s, d)
+      def avg3(w: org.apache.spark.sql.expressions.WindowSpec) = {
+        val f = w.rowsBetween(-2, 0)
+        Seq(((sum(col("cents")).over(f).cast("double")
+          / (lit(100.0) * count(col("cents")).over(f))), "moving_avg"))
+      }
+      SeriesChunks.fold(in, Seq("event_type"), "ts_us",
+          Seq(col("ts_us"), col("event_id")), 2,
+          Seq(col("event_id"), col("event_type")))(avg3)
+        .getOrElse(in.select(col("event_id"), col("event_type"),
+          avg3(series).head._1.as("moving_avg")))
     },
 
     // ---- difference / derivative / elapsed / cumulative_sum / integral
@@ -200,10 +210,19 @@ object EventAggs {
          |  FROM ev)
          |SELECT event_id, event_type, CAST(cents - pc AS DOUBLE) / 100.0 AS diff
          |FROM l WHERE pc IS NOT NULL""".stripMargin) { (s, d) =>
-      ev(s, d).withColumn("pc", lag("cents", 1).over(series))
-        .where(col("pc").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          ((col("cents") - col("pc")).cast("double") / 100.0).as("diff"))
+      val in = ev(s, d)
+      def mk(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+        (lag("cents", 1).over(w), "__pc"),
+        (((col("cents") - lag("cents", 1).over(w)).cast("double") / 100.0), "diff"))
+      SeriesChunks.fold(in, Seq("event_type"), "ts_us",
+          Seq(col("ts_us"), col("event_id")), 1,
+          Seq(col("event_id"), col("event_type")))(mk)
+        .map(_.where(col("__pc").isNotNull)
+          .select("event_id", "event_type", "diff"))
+        .getOrElse(in.withColumn("pc", lag("cents", 1).over(series))
+          .where(col("pc").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            ((col("cents") - col("pc")).cast("double") / 100.0).as("diff")))
     },
 
     Q("e_derivative",
@@ -216,13 +235,24 @@ object EventAggs {
          |  (CAST(cents - pc AS DOUBLE) / 100.0)
          |    / (CAST(ts_us - pt AS DOUBLE) / 1000000.0) AS deriv_per_sec
          |FROM l WHERE pt IS NOT NULL AND ts_us > pt""".stripMargin) { (s, d) =>
-      ev(s, d)
-        .withColumn("pc", lag("cents", 1).over(series))
-        .withColumn("pt", lag("ts_us", 1).over(series))
-        .where(col("pt").isNotNull && col("ts_us") > col("pt"))
-        .select(col("event_id"), col("event_type"),
-          (((col("cents") - col("pc")).cast("double") / 100.0)
-            / ((col("ts_us") - col("pt")).cast("double") / 1000000.0)).as("deriv_per_sec"))
+      val in = ev(s, d)
+      def mk(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+        (lag("ts_us", 1).over(w), "__pt"),
+        ((((col("cents") - lag("cents", 1).over(w)).cast("double") / 100.0)
+          / ((col("ts_us") - lag("ts_us", 1).over(w)).cast("double") / 1000000.0)),
+          "deriv_per_sec"))
+      SeriesChunks.fold(in, Seq("event_type"), "ts_us",
+          Seq(col("ts_us"), col("event_id")), 1,
+          Seq(col("event_id"), col("event_type"), col("ts_us")))(mk)
+        .map(_.where(col("__pt").isNotNull && col("ts_us") > col("__pt"))
+          .select("event_id", "event_type", "deriv_per_sec"))
+        .getOrElse(in
+          .withColumn("pc", lag("cents", 1).over(series))
+          .withColumn("pt", lag("ts_us", 1).over(series))
+          .where(col("pt").isNotNull && col("ts_us") > col("pt"))
+          .select(col("event_id"), col("event_type"),
+            (((col("cents") - col("pc")).cast("double") / 100.0)
+              / ((col("ts_us") - col("pt")).cast("double") / 1000000.0)).as("deriv_per_sec")))
     },
 
     Q("e_elapsed",
@@ -232,9 +262,17 @@ object EventAggs {
          |  FROM ev)
          |SELECT event_id, event_type, ts_us - pt AS elapsed_us
          |FROM l WHERE pt IS NOT NULL""".stripMargin) { (s, d) =>
-      ev(s, d).withColumn("pt", lag("ts_us", 1).over(series))
-        .where(col("pt").isNotNull)
-        .select(col("event_id"), col("event_type"), (col("ts_us") - col("pt")).as("elapsed_us"))
+      val in = ev(s, d)
+      def mk(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+        ((col("ts_us") - lag("ts_us", 1).over(w)), "elapsed_us"))
+      SeriesChunks.fold(in, Seq("event_type"), "ts_us",
+          Seq(col("ts_us"), col("event_id")), 1,
+          Seq(col("event_id"), col("event_type")))(mk)
+        .map(_.where(col("elapsed_us").isNotNull))
+        .getOrElse(in.withColumn("pt", lag("ts_us", 1).over(series))
+          .where(col("pt").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            (col("ts_us") - col("pt")).as("elapsed_us")))
     },
 
     Q("e_cumulative_sum",
@@ -244,9 +282,18 @@ object EventAggs {
          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |    / 100.0 AS cum_sum
          |FROM ev""".stripMargin) { (s, d) =>
-      ev(s, d).select(col("event_id"), col("event_type"),
-        (sum(col("cents")).over(series.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
-          / 100.0).as("cum_sum"))
+      val in = ev(s, d)
+      // unbounded lookback, but the BIGINT prefix sum is associative:
+      // chunk-parallel in-chunk prefixes + broadcast per-chunk offsets
+      // reproduce the sequential window bit-for-bit (one double division
+      // at the end). Window-sum null semantics via the non-null count.
+      SeriesChunks.prefixSum(in, Seq("event_type"), "ts_us",
+          Seq(col("ts_us"), col("event_id")), col("cents"),
+          Seq(col("event_id"), col("event_type")), "cum_sum") {
+        (ps, pc) => when(pc > 0, ps.cast("double") / 100.0)
+      }.getOrElse(in.select(col("event_id"), col("event_type"),
+        (sum(col("cents")).over(series.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / 100.0).as("cum_sum")))
     },
 
     // trapezoidal integral in value·seconds; the per-pair terms are exact
