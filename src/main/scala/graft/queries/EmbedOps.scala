@@ -1368,7 +1368,15 @@ object EmbedOps {
       // K grows with the corpus (K = max(16, N/256), i.e. ~256-vector
       // clusters): the within-cluster quadratic Σ|c|² ≈ N·256 stays
       // LINEAR in N — fixed K measured 14× for 10× data at sf1, adaptive
-      // K restores ~linear scaling at the same oracle
+      // K restores ~linear scaling at the same oracle.
+      // Honest ceiling (×100 decade: 23× for 100× data, sub-linear in
+      // wall-clock but not in work): the Lloyd ASSIGNMENT is N×K×dim per
+      // iteration, and with K ∝ N that term is quadratic — the two
+      // phases cannot both be linear under exact Lloyd + exact pairwise.
+      // Published SemDeDup runs at fixed K with approximate assignment;
+      // the exact-oracle gate keeps exact Lloyd, and the linear-in-N
+      // near-dup path at extreme N is em_cosine_neardup's adaptive
+      // banding, not this method.
       val asg = lloyd(s, in, adaptiveK)
         .select(col("vec_id"), col("embedding"), col("cluster"))
         .withColumn("nrm", norm(col("embedding")))
