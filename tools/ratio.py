@@ -16,6 +16,11 @@ import json, sys, statistics
 # measured sf1/sf0.1 ratio was 10.2 in r9, bounded at 12.
 CHECKED = {
     "em_ivf_knn": 12.0,
+    # adaptive banding (round 11): kd = log2(N/2.4) holds bucket occupancy
+    # so candidates stay linear; measured 6.2x sf1/sf0.1 and 12.1x at the
+    # x100 embeddings decade after the fix (the fixed 8x12 config measured
+    # 1000x at x100). A breach means the adaptive sizing regressed.
+    "em_cosine_neardup": 12.0,
 }
 
 base = json.load(open(sys.argv[1]))
