@@ -161,13 +161,17 @@ object DocText {
     * per-doc shingle sets — the between-crawls at-rest artifact that
     * `neardupCheck` joins each new batch against. */
   def neardupIndexBuild(corpus: DataFrame, idxDir: String): Unit = {
-    val sig = withSig(withShingles(corpus))
-    bandRows(sig).withColumn("_db", dbBucket)
-      .repartition(col("_db"))
-      .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
-    sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
-      .repartition(col("_db"))
-      .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+    // two table writes = two actions: persist the shingle+signature pass
+    // so the corpus is shingled ONCE, not once per artifact
+    val sig = withSig(withShingles(corpus)).persist()
+    try {
+      bandRows(sig).withColumn("_db", dbBucket)
+        .repartition(col("_db"))
+        .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
+      sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
+        .repartition(col("_db"))
+        .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+    } finally sig.unpersist()
   }
 
   /** Append a new batch's band rows + shingle sets into the persisted
@@ -177,13 +181,15 @@ object DocText {
     * discipline; per-bucket small-file debris is a compaction concern,
     * same as every other at-rest layout here). */
   def neardupIndexAppend(batch: DataFrame, idxDir: String): Unit = {
-    val sig = withSig(withShingles(batch))
-    bandRows(sig).withColumn("_db", dbBucket)
-      .repartition(col("_db"))
-      .write.mode("append").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
-    sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
-      .repartition(col("_db"))
-      .write.mode("append").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+    val sig = withSig(withShingles(batch)).persist()
+    try {
+      bandRows(sig).withColumn("_db", dbBucket)
+        .repartition(col("_db"))
+        .write.mode("append").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
+      sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
+        .repartition(col("_db"))
+        .write.mode("append").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+    } finally sig.unpersist()
   }
 
   /** Incremental near-dup check of a new batch against the persisted
