@@ -812,21 +812,30 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     applyFill(out, sel, tags, Seq(name)) // single row per bucket → fillable
   }
 
+  /** Cross-engine deterministic draw key for sample(): the first 60 bits of
+    * md5 over the row's timestamp rendered as a decimal string. sample() is
+    * non-deterministic by spec (calls.go:136-151), so ANY fixed uniform
+    * choice is valid — md5-of-timestamp is chosen (over the faster xxhash64
+    * used pre-r12) because every SQL engine computes it identically, which
+    * makes the draw oracle-checkable. Ties (same timestamp) break on the
+    * sampled value, so equal sort keys imply equal output tuples. */
+  private def sampleKey: Column =
+    conv(substring(md5(time.cast("string")), 1, 15), 16, 10).cast("long")
+
   private def sampleSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
       f: String, n: Int, alias: Option[String]): DataFrame = {
-    // deterministic pseudo-random sample: hash order (sample() is
-    // non-deterministic by spec — calls.go:136-151 — so any fixed choice
-    // ok); N drawn per (bucket, tags) partition under GROUP BY time
+    // seeded-deterministic pseudo-random sample: md5-hash order (see
+    // sampleKey); N drawn per (bucket, tags) partition under GROUP BY time
     val (d, parts, _) = multirowBucket(base, sel, tags)
     if (parts.isEmpty)
       // ungrouped: same hash order + same N, but through orderBy().limit()
       // — Spark's distributed TakeOrdered (per-partition top-N + driver
       // merge of N-row heads) instead of a single-task global window
-      d.orderBy(xxhash64(time, col(f)))
+      d.orderBy(sampleKey, time, col(f))
         .limit(n)
         .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)
     else {
-      val w = Window.partitionBy(parts: _*).orderBy(xxhash64(time, col(f)))
+      val w = Window.partitionBy(parts: _*).orderBy(sampleKey, time, col(f))
       d.withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= n)
         .select(time.as("time") +: tags.map(col) :+ col(f).as(alias.getOrElse("sample")): _*)

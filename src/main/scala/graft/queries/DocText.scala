@@ -181,6 +181,7 @@ object DocText {
     * discipline; per-bucket small-file debris is a compaction concern,
     * same as every other at-rest layout here). */
   def neardupIndexAppend(batch: DataFrame, idxDir: String): Unit = {
+    neardupReconcile(batch.sparkSession, idxDir)
     val sig = withSig(withShingles(batch)).persist()
     try {
       bandRows(sig).withColumn("_db", dbBucket)
@@ -196,10 +197,37 @@ object DocText {
     * index: O(batch) shingling + keyed joins against the at-rest index
     * tables — the existing corpus's documents are never re-read or
     * re-shingled (DocPlanSpec asserts this on the executed plan).
-    * Returns (new_doc, old_doc, jaccard ≥ 0.8). */
+    * Returns (new_doc, old_doc, jaccard ≥ 0.8), EAGERLY: the shingled
+    * batch is cached for the duration of the check only and unpersisted
+    * before returning (ADVICE r11 — a per-crawl-batch public API must
+    * not leak cached blocks for the session lifetime), so the result
+    * comes back as a small local relation of the matched pairs. Driver
+    * memory is O(matched pairs); a batch expected to collide with a
+    * large fraction of the corpus should go through `neardupCheckPlan`
+    * and manage its own caching. */
   def neardupCheck(fresh0: DataFrame, idxDir: String): DataFrame = {
     val s = fresh0.sparkSession
+    import s.implicits._
+    neardupReconcile(s, idxDir)
     val fresh = withSig(withShingles(fresh0)).persist()
+    try {
+      checkJoin(fresh, idxDir)
+        .as[(Long, Long, Double)].collect().toSeq
+        .toDF("new_doc", "old_doc", "jaccard")
+    } finally fresh.unpersist()
+  }
+
+  /** The check's declarative form — the same candidate+verify join plan,
+    * returned LAZILY over an uncached batch (the batch subtree shingles
+    * under each of its two consumers instead of once from cache): what
+    * the `d_incr_neardup`/`d_neardup_takedown` gates run, so the
+    * executed plan keeps the index-scan shape the oracle and
+    * DocPlanSpec reason about. */
+  def neardupCheckPlan(fresh0: DataFrame, idxDir: String): DataFrame =
+    checkJoin(withSig(withShingles(fresh0)), idxDir)
+
+  private def checkJoin(fresh: DataFrame, idxDir: String): DataFrame = {
+    val s = fresh.sparkSession
     val cand = s.read.parquet(s"$idxDir/bands.parquet")
       .select(col("doc_id").as("old_doc"), col("band"), col("bkey"))
       .join(bandRows(fresh).toDF("new_doc", "band", "bkey"), Seq("band", "bkey"))
@@ -228,37 +256,88 @@ object DocText {
     * `del.old` for lazy readers. Returns docs removed. */
   def neardupIndexDelete(s: SparkSession, idxDir: String, ids: Seq[Long]): Long = {
     if (ids.isEmpty) return 0L
-    val buckets = ids.map(i => (i % NEARDUP_BUCKETS).toString).distinct.sorted
-    var removedDocs = 0L
-    Seq("bands.parquet", "shingles.parquet").foreach { t =>
-      val dir = s"$idxDir/$t"
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (f.exists(root)) {
-        // raw string compare on the partition value (inference is off
-        // session-wide) keeps the filter a PartitionFilter: the scan
-        // lists only the affected bucket directories
-        val hit = s.read.parquet(dir).where(col("_db").isin(buckets: _*))
-        val survivors = hit.where(!col("doc_id").isin(ids: _*))
-        if (t == "shingles.parquet") removedDocs = hit.count() - survivors.count()
-        val tmpRoot = s"$idxDir/del.tmp/$t"
-        survivors.repartition(col("_db"))
-          .write.mode("overwrite").partitionBy("_db").parquet(tmpRoot)
-        buckets.foreach { b =>
-          val live = new org.apache.hadoop.fs.Path(s"$dir/_db=$b")
-          val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/_db=$b")
-          val oldP = new org.apache.hadoop.fs.Path(s"$idxDir/del.old/$t/_db=$b")
-          if (f.exists(oldP)) f.delete(oldP, true)
-          f.mkdirs(oldP.getParent)
-          if (f.exists(live)) f.rename(live, oldP)
-          // a bucket whose every doc was deleted has no tmp dir: the
-          // rename above already emptied it out of the live layout
-          if (f.exists(tmp)) f.rename(tmp, live)
+    import s.implicits._
+    neardupIndexDelete(s, idxDir, ids.toDF("doc_id"))
+  }
+
+  /** DataFrame-keyed takedown (VERDICT r11 ask): the deletion set arrives
+    * as a relation — a retention query's output, a legal-hold table, a
+    * streaming dead-letter sink — instead of a driver-side list, so it
+    * never has to fit in driver memory. The affected buckets are still
+    * discovered without touching the index (`_db` is a pure function of
+    * doc_id: one tiny distinct over the deletion set, ≤ 64 rows out), and
+    * survivors are computed by anti-join — AQE picks a broadcast build
+    * when the set is small, a shuffle join when it is not; the `Seq`
+    * overload above delegates here. */
+  def neardupIndexDelete(s: SparkSession, idxDir: String, ids: DataFrame): Long = {
+    neardupReconcile(s, idxDir)
+    val del = ids.select(col("doc_id").cast("long").as("doc_id")).distinct().persist()
+    try {
+      val buckets = del
+        .select(pmod(col("doc_id"), lit(NEARDUP_BUCKETS)).cast("string").as("b"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      if (buckets.isEmpty) return 0L
+      var removedDocs = 0L
+      Seq("bands.parquet", "shingles.parquet").foreach { t =>
+        val dir = s"$idxDir/$t"
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(root)) {
+          // raw string compare on the partition value (inference is off
+          // session-wide) keeps the filter a PartitionFilter: the scan
+          // lists only the affected bucket directories
+          val hit = s.read.parquet(dir).where(col("_db").isin(buckets: _*))
+          val survivors = hit.join(del, Seq("doc_id"), "left_anti")
+          if (t == "shingles.parquet") removedDocs = hit.count() - survivors.count()
+          val tmpRoot = s"$idxDir/del.tmp/$t"
+          survivors.repartition(col("_db"))
+            .write.mode("overwrite").partitionBy("_db").parquet(tmpRoot)
+          buckets.foreach { b =>
+            val live = new org.apache.hadoop.fs.Path(s"$dir/_db=$b")
+            val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/_db=$b")
+            val oldP = new org.apache.hadoop.fs.Path(s"$idxDir/del.old/$t/_db=$b")
+            if (f.exists(oldP)) f.delete(oldP, true)
+            f.mkdirs(oldP.getParent)
+            if (f.exists(live)) f.rename(live, oldP)
+            // a bucket whose every doc was deleted has no tmp dir: the
+            // rename above already emptied it out of the live layout
+            if (f.exists(tmp)) f.rename(tmp, live)
+          }
+          f.delete(new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp"), true)
         }
-        f.delete(new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp"), true)
+      }
+      removedDocs
+    } finally del.unpersist()
+  }
+
+  /** Crash-recovery for the takedown's per-bucket tmp+rename swaps — the
+    * document-index twin of `EmbedOps.reconcileSwaps` (ADVICE r11
+    * medium): a crash between rename(live→del.old) and rename(tmp→live)
+    * leaves a bucket's survivors parked under `del.tmp` and nothing live,
+    * which a later `neardupCheck` would read as "no prior docs in this
+    * bucket" and wrongly admit near-dups. On-disk state disambiguates:
+    * tmp bucket with no live bucket → finish the swap; tmp bucket with a
+    * live bucket → the swap never started, discard tmp and let the
+    * takedown re-run. Runs at entry of every index op (single-maintainer
+    * contract); two exists() probes when there is nothing to heal. */
+  def neardupReconcile(s: SparkSession, idxDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("bands.parquet", "shingles.parquet").foreach { t =>
+      val tmpRoot = new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp/$t")
+      val f = tmpRoot.getFileSystem(conf)
+      if (f.exists(tmpRoot)) {
+        f.listStatus(tmpRoot)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("_db="))
+          .foreach { st =>
+            val live = new org.apache.hadoop.fs.Path(
+              s"$idxDir/$t/${st.getPath.getName}")
+            if (!f.exists(live)) f.rename(st.getPath, live)
+          }
       }
     }
-    removedDocs
+    val f = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(conf)
+    f.delete(new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp"), true)
   }
 
   private def lshCandVerify(s: SparkSession, sh: DataFrame, sig: DataFrame): DataFrame = {
@@ -597,7 +676,7 @@ object DocText {
       // check: O(new batch) shingling + keyed joins against the index
       // tables — the old DOCUMENTS are never touched
       neardupIndexBuild(all.where(col("doc_id") < 1000000L), idx)
-      neardupCheck(all.where(col("doc_id") >= 1000000L), idx)
+      neardupCheckPlan(all.where(col("doc_id") >= 1000000L), idx)
     },
 
     // ---- takedown propagation through the near-dup index: a removed
@@ -636,7 +715,7 @@ object DocText {
       val takedown = old.where(col("doc_id") % 10 === 3)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       neardupIndexDelete(s, idx, takedown)
-      neardupCheck(all.where(col("doc_id") >= 1000000L), idx)
+      neardupCheckPlan(all.where(col("doc_id") >= 1000000L), idx)
     },
 
     // ---- 48-bit SimHash over distinct tokens (bit 48..63 left clear so

@@ -426,6 +426,7 @@ object EmbedOps {
   def ivfAppend(s: SparkSession, newVecs: DataFrame, indexDir: String,
       driftRatio: Double = 2.0): IvfAppendStats = {
     import s.implicits._
+    reconcileSwaps(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val batch = ivfAssignArgmin(
@@ -711,6 +712,7 @@ object EmbedOps {
     * indexes ingest the same batches in a deployment. */
   def pqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
     import s.implicits._
+    reconcileSwaps(s, indexDir)
     val cb = s.read.parquet(s"$indexDir/codebook.parquet")
       .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
       .collect().toSeq.sortBy(t => (t._1, t._2))
@@ -720,6 +722,53 @@ object EmbedOps {
       enc.write.mode("append").parquet(s"$indexDir/codes.parquet")
       enc.select("vec_id").distinct().count()
     } finally enc.unpersist()
+  }
+
+  /** Crash-recovery for every tmp+rename swap the index's maintenance ops
+    * perform (`ivfDelete` → `del.tmp`, `ivfCompact` → `compact.tmp`,
+    * `pqDelete` → `codes.parquet.tmp`). The two-rename swap
+    * (live→old, tmp→live) is not atomic: a crash between the renames
+    * leaves a list's surviving rows parked under tmp and NOTHING live, so
+    * a later scan — including the IndexStream replay scrub, whose
+    * no-duplicate-no-loss guarantee depends on reading the true live
+    * layout (ADVICE r11 medium) — would silently see zero rows for that
+    * list. The on-disk state alone disambiguates the crash point:
+    *   - tmp dir present, live dir MISSING → crash mid-swap: finish it
+    *     (rename tmp→live — tmp holds the interrupted op's output rows);
+    *   - tmp dir present, live dir present → the swap never started for
+    *     this list: roll back by discarding tmp (the op that wrote it
+    *     re-runs from the intact live layout).
+    * Parked `*.old` generations are never touched. Called at entry of
+    * every maintenance op AND both per-batch appends, so one healing pass
+    * runs before the next read of the live layout, wherever the previous
+    * process died. Assumes the index's single-maintainer contract
+    * (IndexStream Scaladoc) — under it, any tmp present at op entry is by
+    * definition a dead run's leftover. Driver-side FS metadata ops only:
+    * three exists() probes when there is nothing to heal. */
+  def reconcileSwaps(s: SparkSession, indexDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq("del.tmp", "compact.tmp").foreach { ns =>
+      val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/$ns")
+      val f = tmpRoot.getFileSystem(conf)
+      if (f.exists(tmpRoot)) {
+        f.listStatus(tmpRoot)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+          .foreach { st =>
+            val live = new org.apache.hadoop.fs.Path(
+              s"$indexDir/assign.parquet/${st.getPath.getName}")
+            if (!f.exists(live)) f.rename(st.getPath, live)
+          }
+        f.delete(tmpRoot, true)
+      }
+    }
+    // pqDelete's flat codes-table swap: same rule, single dir
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes.parquet")
+    val ctmp = new org.apache.hadoop.fs.Path(s"$indexDir/codes.parquet.tmp")
+    val f = codes.getFileSystem(conf)
+    if (f.exists(ctmp)) {
+      if (!f.exists(codes)) f.rename(ctmp, codes)
+      else f.delete(ctmp, true)
+    }
   }
 
   /** Targeted deletion from the persisted IVF index — corpus deletions
@@ -732,6 +781,7 @@ object EmbedOps {
     * (rows deleted, affected list ids). */
   def ivfDelete(s: SparkSession, indexDir: String,
       ids: DataFrame): (Long, Seq[Long]) = {
+    reconcileSwaps(s, indexDir)
     val assignDir = s"$indexDir/assign.parquet"
     val del = ids.select(col("vec_id")).distinct()
     val asg = s.read.parquet(assignDir)
@@ -748,13 +798,16 @@ object EmbedOps {
     val nDel = hit.count() - survivors.count()
     val root = new org.apache.hadoop.fs.Path(assignDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmpRoot = s"$indexDir/compact.tmp"
+    // own del.tmp/del.old namespace (like neardupIndexDelete's): a delete
+    // must never clobber the compact.old generation a compaction parked
+    // for lazy readers, nor race compact.tmp (ADVICE r11)
+    val tmpRoot = s"$indexDir/del.tmp"
     survivors.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
     affected.foreach { lid =>
       val live = new org.apache.hadoop.fs.Path(s"$assignDir/list_id=$lid")
       val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
-      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/compact.old/list_id=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/del.old/list_id=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
       if (f.exists(live)) f.rename(live, oldP)
@@ -778,6 +831,7 @@ object EmbedOps {
     * readers. Returns (list_id, filesBefore, filesAfter). */
   def ivfCompact(s: SparkSession, indexDir: String, ifMoreThan: Int = 8,
       targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] = {
+    reconcileSwaps(s, indexDir)
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet")
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) return Nil
@@ -837,6 +891,7 @@ object EmbedOps {
     * to prune here by design — the ADC scan reads all codes). Returns
     * rows deleted (per-subspace code rows / PQ_M = vectors). */
   def pqDelete(s: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    reconcileSwaps(s, indexDir)
     val codesDir = s"$indexDir/codes.parquet"
     val del = ids.select(col("vec_id")).distinct()
     val codes = s.read.parquet(codesDir)
@@ -1300,6 +1355,19 @@ object EmbedOps {
       val missTarget = math.pow(1 - math.pow(0.899, 12), 8)
       val nt = math.max(8, math.ceil(
         math.log(missTarget) / math.log(1 - math.pow(0.899, kd)) - 1e-9).toInt)
+      // Loud oracle guard (ADVICE r11): the static DuckDB SQL above is
+      // written at the 8×12 resolution, which the adaptive formula only
+      // reproduces while n ≤ 2.4·2¹² ≈ 9830. The hash compare runs at the
+      // sf0.01/sf0.1 fixtures; if a regenerated fixture ever pushes n past
+      // the boundary THERE, any near-boundary (~0.95) pair would diverge
+      // from the oracle nondeterministically — fail with an actionable
+      // message instead. Decade/bench corpora (other dirs) stay adaptive.
+      val sfName = d.stripSuffix("/").split('/').last
+      if (sfName == "sf0.001" || sfName == "sf0.01" || sfName == "sf0.1")
+        require(kd == 12 && nt == 8,
+          s"em_cosine_neardup fixture at $sfName (n=$n) outgrew the oracle's " +
+          s"fixed 8×12 banding (adaptive kd=$kd nt=$nt): re-derive the oracle " +
+          "SQL at the new resolution or shrink the fixture")
       // map-only signatures, un-persisted (see em_ann_lsh note). Each join
       // side recomputes the signature subtree (cheap, no shuffle); in the
       // large-N shuffle-join regime both sides exchange on (tbl, bucket)

@@ -339,11 +339,25 @@ object EventAggs {
           col("p").getItem(2).as("p99"))
     },
 
-    // sample(value, n): non-deterministic by spec (calls.go:136-151) → rows-only
-    Q.noOracle("e_sample") { (s, d) =>
+    // sample(value, n): non-deterministic by spec (calls.go:136-151), so
+    // any fixed uniform draw is valid — r12 seeds the draw ("s42:" prefix,
+    // a different stream than e_sample_det's unseeded key, pinning that the
+    // seed genuinely re-parameterizes the draw) and the md5 key is computed
+    // identically by DuckDB → oracle-checkable, closing the gate's
+    // no_oracle row (VERDICT r11 top ask)
+    Q("e_sample",
+      """WITH h AS (SELECT event_type, event_id, value,
+        |  CAST('0x'||substr(md5('s42:'||CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  FROM events)
+        |SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hk ASC, event_id ASC) AS rn
+        |  FROM h) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      val hk = conv(substring(md5(concat(lit("s42:"), col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
       ev(s, d)
+        .withColumn("hk", hk)
         .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(xxhash64(col("event_id")))))
+          Window.partitionBy("event_type").orderBy(col("hk").asc, col("event_id").asc)))
         .where(col("rn") <= 5).select("event_type", "event_id", "value")
     },
 

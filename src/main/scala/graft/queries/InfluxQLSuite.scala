@@ -111,9 +111,6 @@ object InfluxQLSuite {
   private def iql(name: String, oracleSql: String)(influxql: String): Q =
     Q(name, oracleSql) { (s, d) => Translator.query(s, d, influxql) }
 
-  private def iqlRowsOnly(name: String)(influxql: String): Q =
-    Q.noOracle(name) { (s, d) => Translator.query(s, d, influxql) }
-
   def all: Seq[Q] = Seq(
 
     // ---- raw select: time+tag predicates, sort, limit (coordinator SELECT path)
@@ -370,8 +367,19 @@ object InfluxQLSuite {
          |FROM l WHERE pt IS NOT NULL GROUP BY 1""".stripMargin)(
       "SELECT integral(value, 1s) FROM events GROUP BY time(1d)"),
 
-    // sample per bucket: non-deterministic by spec → rows-only
-    iqlRowsOnly("iql_sample_per_bucket")(
+    // sample per bucket: the reference's sample() is non-deterministic by
+    // spec (calls.go:136-151), so any fixed uniform draw is valid — r12
+    // pins the md5-of-timestamp draw (Translator.sampleKey), which DuckDB
+    // computes identically → fully oracle-checkable
+    iql("iql_sample_per_bucket",
+      s"""WITH $EV, h AS (
+         |  SELECT ts_us, ts_us - ts_us % $DAY_US AS bkt, value,
+         |    CAST('0x'||substr(md5(CAST(ts_us AS VARCHAR)),1,15) AS BIGINT) AS hk
+         |  FROM ev)
+         |SELECT ts_us AS time, value AS sample FROM (
+         |  SELECT ts_us, value,
+         |    row_number() OVER (PARTITION BY bkt ORDER BY hk ASC, ts_us ASC, value ASC) AS rn
+         |  FROM h) WHERE rn <= 2""".stripMargin)(
       "SELECT sample(value, 2) FROM events GROUP BY time(1d)"),
 
     // ---- count(distinct f): nested-call form through the full front-end
@@ -949,7 +957,17 @@ object InfluxQLSuite {
     iql("iql_show_measurement_cardinality",
       "SELECT CAST(1 AS BIGINT) AS count")("SHOW MEASUREMENT CARDINALITY"),
 
-    // sample(): non-deterministic by spec → rows-only check
-    iqlRowsOnly("iql_sample")("SELECT sample(value, 5) FROM events GROUP BY event_type")
+    // sample(): non-deterministic by spec → r12 pins the md5-of-timestamp
+    // draw (Translator.sampleKey) so the gate is oracle-checkable
+    iql("iql_sample",
+      s"""WITH $EV, h AS (
+         |  SELECT ts_us, event_type, value,
+         |    CAST('0x'||substr(md5(CAST(ts_us AS VARCHAR)),1,15) AS BIGINT) AS hk
+         |  FROM ev)
+         |SELECT ts_us AS time, event_type, value AS sample FROM (
+         |  SELECT ts_us, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hk ASC, ts_us ASC, value ASC) AS rn
+         |  FROM h) WHERE rn <= 5""".stripMargin)(
+      "SELECT sample(value, 5) FROM events GROUP BY event_type")
   )
 }

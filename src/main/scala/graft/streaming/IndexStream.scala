@@ -29,7 +29,12 @@ import graft.queries.{EmbedOps, IvfAppendStats}
   *     append re-runs. The scrub path only executes after an actual
   *     mid-batch crash; the normal path costs two empty marker files.
   * Net: appends are replay-idempotent — no duplicate vec_id can
-  * survive, whatever point the previous run died at.
+  * survive, whatever point the previous run died at. That includes a
+  * crash INSIDE a previous scrub: the delete's own tmp+rename swap is
+  * not atomic, so `ivfDelete`/`pqDelete` first run
+  * `EmbedOps.reconcileSwaps`, which finishes (or rolls back) any
+  * interrupted per-list swap from the on-disk state before the scrub
+  * reads the live layout (ADVICE r11).
   *
   * Retraining stays OUT of the stream: each batch's drift stats
   * (mean assignment distance vs the build-time baseline) surface

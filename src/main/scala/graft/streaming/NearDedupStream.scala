@@ -61,16 +61,20 @@ object NearDedupStream {
             // deterministic across micro-batch boundaries falling anywhere
             val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
             var held = state.getOption
-            // a doc_id repeated WITHIN this batch is a pure at-least-once
-            // redelivery: emit only the first occurrence's flag and drop
-            // the rest silently — flagging the copy dup=true would merge
-            // into the same `admitted` group and kill the doc entirely
-            // (zero copies admitted). A CROSS-batch self-claim (held from
-            // an earlier batch) still flags dup=true: that batch already
-            // admitted the doc, so this one must not re-admit it.
-            val seenDoc = scala.collection.mutable.HashSet.empty[Long]
+            // a (doc_id, ts, text) row repeated WITHIN this batch is a
+            // pure at-least-once redelivery: emit only the first
+            // occurrence's flag and drop the rest silently — flagging the
+            // copy dup=true would merge into the same `admitted` group
+            // (keyed on exactly that triple) and kill the doc entirely
+            // (zero copies admitted). The full triple is the key (ADVICE
+            // r11): a same-doc_id row with a DIFFERENT payload is a
+            // distinct doc downstream and must still receive its dup
+            // flag from the held claim. A CROSS-batch self-claim (held
+            // from an earlier batch) still flags dup=true: that batch
+            // already admitted the doc, so this one must not re-admit it.
+            val seenDoc = scala.collection.mutable.HashSet.empty[(Long, Long, String)]
             val out = sorted.flatMap { r =>
-              if (!seenDoc.add(r.doc_id)) None
+              if (!seenDoc.add((r.doc_id, r.ts.getTime, r.text))) None
               else {
                 val dup = held.isDefined
                 if (held.isEmpty) held = Some(Claim(r.doc_id))

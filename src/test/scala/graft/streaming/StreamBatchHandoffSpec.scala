@@ -98,4 +98,64 @@ class StreamBatchHandoffSpec extends SparkSpec {
       s"handoff seam leak: stream+sweep=$finalSurvivors, all-batch=$baseline")
     assert(baseline == Set(1L, 2L, 3L, 5L)) // the planted expectation
   }
+
+  /** The takedown↔stream-state seam (VERDICT r11 ask): deleting a doc
+    * from the persisted index does NOT purge its in-flight band claims —
+    * stream state is horizon-bounded and index-independent by design. The
+    * contract this pins: suppression on behalf of removed content is
+    * TRANSIENT, ending within one watermark horizon (claims evict, and
+    * the sweep checks against the post-takedown index), while takedowns
+    * never leak suppression onto surviving content. */
+  test("takedown does not purge in-flight claims; suppression ends with the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val corpus: Seq[(Long, Timestamp, String)] = Seq(
+      (1L, t("10:00"), words("a")),  // A: indexed, streamed, then taken down
+      (2L, t("10:01"), words("b")),  // B: indexed survivor
+      (3L, t("10:05"), nearOf("a")), // A-replica INSIDE A's claim horizon
+      (4L, t("12:00"), words("d")),  // watermark mover
+      (5L, t("12:01"), nearOf("a")), // A-replica after the horizon
+      (6L, t("12:02"), nearOf("b"))) // B-replica after the horizon
+    val byId = corpus.map(c => c._1 -> c).toMap
+
+    // the settled corpus at rest, then the takedown of A — through the
+    // DataFrame-keyed API (the retention-query shape)
+    val idx = java.nio.file.Files.createTempDirectory("takedown_seam").toString
+    DocText.neardupIndexBuild(
+      Seq(byId(1L), byId(2L)).map(c => (c._1, c._3)).toDF("doc_id", "text"), idx)
+    assert(DocText.neardupIndexDelete(s, idx, Seq(1L).toDF("doc_id")) == 1L)
+
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().map { case (ts, id, tx) => NearDedupStream.Doc(ts, id, tx) }
+    val q = NearDedupStream.bandFlags(docs, horizonMs = 600000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (flags: org.apache.spark.sql.Dataset[NearDedupStream.Flag], _: Long) =>
+        NearDedupStream.admitted(flags.toDF()).collect()
+          .foreach(r => admitted.add(r.getAs[Long]("doc_id")))
+      }
+      .start()
+    try {
+      Seq(Seq(0, 1), Seq(2), Seq(3), Seq(4, 5)).foreach { ix =>
+        input.addData(ix.map(corpus).map { case (id, ts, tx) => (ts, id, tx) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamAdmits = admitted.iterator().asScala.toSet
+    // doc 3 suppressed by A's still-live claim (bounded staleness: the
+    // takedown happened before it arrived, and that is accepted within
+    // one horizon); docs 5 and 6 re-admit — horizon passed, sweep's call
+    assert(streamAdmits == Set(1L, 2L, 4L, 5L, 6L), streamAdmits.toString)
+
+    // the sweep against the post-takedown index: A's replica SURVIVES
+    // (its original is gone), B's replica collapses
+    val recent = Seq(byId(5L), byId(6L)).map(c => (c._1, c._3)).toDF("doc_id", "text")
+    val swept = DocText.neardupCheck(recent, idx)
+      .select("new_doc").collect().map(_.getLong(0)).toSet
+    assert(swept == Set(6L),
+      s"post-takedown sweep: expected only B's replica to collapse, got $swept")
+  }
 }
