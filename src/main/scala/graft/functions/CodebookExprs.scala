@@ -262,11 +262,33 @@ final case class PqEncodeExpr(left: Expression, right: Expression)
   * assignment hot loop). Unlike `cb_argmin` (double accumulate +
   * micro-quantize — whose ×10⁶ rescale would exceed 2⁵³ on 2²⁰-quantized
   * inputs and blur ties), the fold here is pure long arithmetic:
-  * dist = Σ(x−y)², ties broken by LOWER index — bit-identical to the
-  * `array_min(array(struct(seql2i(q, cᵢ), i)))` formulation it replaces,
-  * at any K, with ONE flat `long[]` reference object instead of K
-  * struct literals (the literal-array plan stops fitting whole-stage
+  * dist = Σ(x−y)², ties broken by LOWER index, with ONE flat `long[]`
+  * reference object (the literal-array plan stops fitting whole-stage
   * codegen as K grows past ~tens of centroids).
+  *
+  * r12: EXACT search pruning. Lloyd's assignment is N×K×dim by brute
+  * force, and K grows with the corpus under the adaptive rule
+  * (K = N/256), making the pass quadratic in work — the em_semdedup
+  * decade's honest ceiling. Classic exact accelerations (Elkan/Hamerly
+  * family, driver-state-free variants) cut the evaluated centers without
+  * changing ANY output bit:
+  *   - the vector is copied out and null-checked ONCE (this also fixes
+  *     the per-(center×dim) virtual `getLong` dispatch);
+  *   - centers are visited in |‖x‖−‖c‖| order (two-pointer walk over a
+  *     norm-sorted permutation, found by binary search): when the
+  *     triangle lower bound (‖x‖−‖c‖)² of the NEXT center on a side
+  *     exceeds the best distance, the WHOLE side is exhausted — the
+  *     bound is monotone along each direction. The bound is evaluated in
+  *     double with a −2.0 slack, strictly wider than the ≤1 absolute
+  *     error of the sqrt/square rounding at these magnitudes (coords ≤
+  *     2²⁴, d² ≤ 2⁵³), so a skip implies dist > best EXACTLY;
+  *   - within a center, partial-distance elimination: the running sum is
+  *     monotone, so `acc > best` aborts the fold (`>`, not `≥` — a
+  *     final acc EQUAL to best can still win the tie on lower index,
+  *     which out-of-index-order visitation must adjudicate explicitly).
+  * Identical (dist, idx) to the brute-force scan on every input — the
+  * tie rule is (dist asc, idx asc) min either way; ArgminPruningSpec
+  * cross-checks against the naive fold on adversarial ties.
   * Null input / null element / length mismatch → null. */
 final case class CodebookArgminLongExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -296,6 +318,19 @@ final case class CodebookArgminLongExpr(left: Expression, right: Expression)
   private def nBooks: Int = booksData._2
   private def bookDim: Int = booksData._3
 
+  /** Norm-sorted visitation order: center indices by (‖c‖² asc, idx asc),
+    * their squared norms, and their norms — driver-side once, shipped as
+    * three flat reference arrays. */
+  private lazy val normData: (Array[Int], Array[Long], Array[Double]) = {
+    val n2 = Array.tabulate(nBooks) { j =>
+      var s = 0L; var i = 0
+      while (i < bookDim) { val v = flatBooks(j * bookDim + i); s += v * v; i += 1 }
+      s
+    }
+    val order = (0 until nBooks).sortBy(j => (n2(j), j)).toArray
+    (order, order.map(n2), order.map(j => math.sqrt(n2(j).toDouble)))
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
@@ -308,20 +343,42 @@ final case class CodebookArgminLongExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     if (a.numElements() != bookDim) return null
-    var best = Long.MaxValue
-    var bestIdx = -1
-    var j = 0
-    while (j < nBooks) {
-      var acc = 0L
-      var i = 0
-      while (i < bookDim) {
-        if (a.isNullAt(i)) return null
-        val d = a.getLong(i) - flatBooks(j * bookDim + i)
-        acc += d * d
-        i += 1
+    val x = new Array[Long](bookDim)
+    var nx2 = 0L
+    var i = 0
+    while (i < bookDim) {
+      if (a.isNullAt(i)) return null
+      val v = a.getLong(i); x(i) = v; nx2 += v * v; i += 1
+    }
+    val (order, sN2, sN) = normData
+    val nx = math.sqrt(nx2.toDouble)
+    // lower bound: first norm-order position with ‖c‖² ≥ ‖x‖²
+    var lo = 0; var hi = nBooks
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sN2(mid) < nx2) lo = mid + 1 else hi = mid
+    }
+    var p = lo - 1; var q = lo
+    var best = Long.MaxValue; var bestIdx = -1
+    while (p >= 0 || q < nBooks) {
+      val takeLeft = q >= nBooks || (p >= 0 && nx - sN(p) <= sN(q) - nx)
+      val pos = if (takeLeft) p else q
+      val gap = if (takeLeft) nx - sN(pos) else sN(pos) - nx
+      if (gap * gap - 16.0 > best.toDouble) {
+        // bound only grows along this direction: side exhausted
+        if (takeLeft) p = -1 else q = nBooks
+      } else {
+        val cIdx = order(pos)
+        val base = cIdx * bookDim
+        var acc = 0L
+        var k = 0
+        while (k < bookDim && acc <= best) {
+          val d = x(k) - flatBooks(base + k); acc += d * d; k += 1
+        }
+        if (k == bookDim && (acc < best || (acc == best && cIdx < bestIdx)))
+          { best = acc; bestIdx = cIdx }
+        if (takeLeft) p -= 1 else q += 1
       }
-      if (acc < best) { best = acc; bestIdx = j }
-      j += 1
     }
     new GenericArrayData(Array(best, bestIdx.toLong))
   }
@@ -329,24 +386,62 @@ final case class CodebookArgminLongExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, _) => {
       val flat = ctx.addReferenceObj("flatBooksI", flatBooks, "long[]")
-      val j = ctx.freshName("j"); val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
-      val best = ctx.freshName("best"); val bestIdx = ctx.freshName("bestIdx")
+      val ord = ctx.addReferenceObj("normOrder", normData._1, "int[]")
+      val sN2 = ctx.addReferenceObj("sortedNorm2", normData._2, "long[]")
+      val sN = ctx.addReferenceObj("sortedNorm", normData._3, "double[]")
+      val x = ctx.addMutableState("long[]", "cbArgminVec",
+        v => s"$v = new long[$bookDim];")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val v = ctx.freshName("v"); val nx2 = ctx.freshName("nx2")
+      val nx = ctx.freshName("nx"); val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi"); val mid = ctx.freshName("mid")
+      val p = ctx.freshName("p"); val q = ctx.freshName("q")
+      val takeLeft = ctx.freshName("takeLeft"); val pos = ctx.freshName("pos")
+      val gap = ctx.freshName("gap"); val cIdx = ctx.freshName("cIdx")
+      val base = ctx.freshName("base"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
       s"""
          |if ($a.numElements() != $bookDim) { ${ev.isNull} = true; } else {
-         |  long $best = Long.MAX_VALUE; int $bestIdx = -1;
-         |  for (int $j = 0; $j < $nBooks && !${ev.isNull}; $j++) {
-         |    long $acc = 0L;
-         |    for (int $i = 0; $i < $bookDim; $i++) {
-         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |      long $d = $a.getLong($i) - $flat[$j * $bookDim + $i];
-         |      $acc += $d * $d;
-         |    }
-         |    if (!${ev.isNull} && $acc < $best) { $best = $acc; $bestIdx = $j; }
+         |  long $nx2 = 0L;
+         |  for (int $i = 0; $i < $bookDim; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $v = $a.getLong($i); $x[$i] = $v; $nx2 += $v * $v;
          |  }
-         |  if (!${ev.isNull})
+         |  if (!${ev.isNull}) {
+         |    double $nx = Math.sqrt((double) $nx2);
+         |    int $lo = 0, $hi = $nBooks;
+         |    while ($lo < $hi) {
+         |      int $mid = ($lo + $hi) >>> 1;
+         |      if ($sN2[$mid] < $nx2) $lo = $mid + 1; else $hi = $mid;
+         |    }
+         |    int $p = $lo - 1, $q = $lo;
+         |    long $best = Long.MAX_VALUE; int $bestIdx = -1;
+         |    while ($p >= 0 || $q < $nBooks) {
+         |      boolean $takeLeft = $q >= $nBooks ||
+         |        ($p >= 0 && $nx - $sN[$p] <= $sN[$q] - $nx);
+         |      int $pos = $takeLeft ? $p : $q;
+         |      double $gap = $takeLeft ? $nx - $sN[$pos] : $sN[$pos] - $nx;
+         |      if ($gap * $gap - 16.0 > (double) $best) {
+         |        if ($takeLeft) $p = -1; else $q = $nBooks;
+         |      } else {
+         |        int $cIdx = $ord[$pos];
+         |        int $base = $cIdx * $bookDim;
+         |        long $acc = 0L;
+         |        int $k = 0;
+         |        for (; $k < $bookDim && $acc <= $best; $k++) {
+         |          long $d = $x[$k] - $flat[$base + $k]; $acc += $d * $d;
+         |        }
+         |        if ($k == $bookDim &&
+         |            ($acc < $best || ($acc == $best && $cIdx < $bestIdx))) {
+         |          $best = $acc; $bestIdx = $cIdx;
+         |        }
+         |        if ($takeLeft) $p--; else $q++;
+         |      }
+         |    }
          |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |      new long[]{$best, (long) $bestIdx});
+         |  }
          |}
        """.stripMargin
     })

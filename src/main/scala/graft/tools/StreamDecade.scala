@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{IndexStream, NearDedupStream}
+
+/** Streaming-path decade probe (VERDICT r11 "what's missing" #3): the
+  * batch families all have measured ×100 decades; this records the same
+  * evidence for the streaming operators — sustained throughput AND state
+  * size under a real Structured Streaming replay, so two runs (sf0.1 vs
+  * the ScaleUp ×10/×100 corpora) give the scaling ratio.
+  *
+  * Both replays use the FileStreamSource discipline of `CqBench`: the
+  * corpus is re-chunked into time-contiguous parquet slices, drained one
+  * per trigger, so each micro-batch is one ingest slice and event time
+  * advances monotonically like live ingest. Ingest RATE is held constant
+  * across scales (DOC_RATE docs per simulated second): a bigger corpus
+  * replays as a LONGER stream, not a denser one, so NearDedupStream's
+  * claim-state plateau must stay bounded by rate × horizon — corpus-size-
+  * independent — which the recorded `max_state_rows` verifies, while
+  * docs/s measures the sustained processing rate.
+  *
+  * IndexStream replays the corpus tail as appends against an index built
+  * from the head: per-batch work is O(batch) against frozen centroids, so
+  * vecs/s should hold flat as the at-rest index under it grows 10–100×.
+  *
+  * Usage: StreamDecade <sfDir> [chunks] [horizonMs]
+  * Prints ONE JSON line with both families' numbers.
+  */
+object StreamDecade {
+
+  private val DOC_RATE = 50L // docs per simulated second, all scales
+
+  private def maxStateRows(q: StreamingQuery): Long =
+    q.recentProgress.flatMap(p => p.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+
+  /** Chunked replay dir: `src` ordered by `ord`, written as `chunks`
+    * sequential single-file slices (modification order == event order). */
+  private def replayDir(src: DataFrame, ord: String, chunks: Int,
+      work: String): (String, Long) = {
+    val dir = s"$work/replay"
+    val n = src.count()
+    val per = math.max(1L, (n + chunks - 1) / chunks)
+    // ntile-free deterministic slicing on the order key's rank: one
+    // global sort per slice write is tool-scale work, not engine work
+    val ranked = src.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(ord))))
+    ranked.persist()
+    try {
+      var i = 0L
+      while (i * per < n) {
+        ranked.where(col("__rn") > i * per && col("__rn") <= (i + 1) * per)
+          .coalesce(1).write.mode("append").parquet(dir)
+        i += 1
+      }
+    } finally ranked.unpersist()
+    (dir, n)
+  }
+
+  private def bench(name: String)(run: => (Long, Long, Long)): String = {
+    val t0 = System.nanoTime()
+    val (rows, state, batches) = run
+    val wall = (System.nanoTime() - t0) / 1e9
+    f""""$name":{"rows":$rows,"wall_s":$wall%.2f,"rows_per_s":${rows / wall}%.0f,"max_state_rows":$state,"batches":$batches}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.build("graft-streamdecade")
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val chunks = args.lift(1).map(_.toInt).getOrElse(32)
+    val horizonMs = args.lift(2).map(_.toLong).getOrElse(600000L)
+    import spark.implicits._
+
+    def has(t: String): Boolean =
+      new java.io.File(s"$sfDir/$t.parquet").exists()
+
+    // ---- NearDedupStream: the whole documents corpus as one crawl feed
+    val neardedup = if (!has("documents")) "\"neardedup\":null" else bench("neardedup") {
+      val work = java.nio.file.Files.createTempDirectory("sdec_doc").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val (dir, n) = replayDir(docs, "doc_id", chunks, work)
+      val admitted = new java.util.concurrent.atomic.AtomicLong
+      val nBatches = new java.util.concurrent.atomic.AtomicLong
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, __rn INT")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        // constant-rate event time: rank/DOC_RATE simulated seconds
+        .select(timestamp_millis(lit(1704067200000L) +
+            col("__rn").cast("long") * (1000L / DOC_RATE)).as("ts"),
+          col("doc_id"), col("text"))
+        .as[NearDedupStream.Doc]
+      val q = NearDedupStream.bandFlags(stream, horizonMs)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (flags: org.apache.spark.sql.Dataset[NearDedupStream.Flag], _: Long) =>
+          admitted.addAndGet(NearDedupStream.admitted(flags.toDF()).count())
+          nBatches.incrementAndGet(); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(admitted.get > 0, "neardedup replay admitted nothing")
+      (n, maxStateRows(q), nBatches.get)
+    }
+
+    // ---- IndexStream: head 90% builds the at-rest index, tail 10%
+    //      streams in as maintenance appends
+    val indexstream = if (!has("embeddings")) "\"indexstream\":null" else bench("indexstream") {
+      val work = java.nio.file.Files.createTempDirectory("sdec_vec").toString
+      val idx = s"$work/ivf"
+      val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      graft.queries.EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+      val fresh = v.where(col("vec_id") % 10 === 0)
+      val (dir, n) = replayDir(fresh, "vec_id", math.max(4, chunks / 4), work)
+      val appended = new java.util.concurrent.atomic.AtomicLong
+      val nBatches = new java.util.concurrent.atomic.AtomicLong
+      val stream = spark.readStream
+        .schema("vec_id LONG, emb ARRAY<DOUBLE>, __rn INT")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("vec_id"), col("emb")).as[IndexStream.Vec]
+      val q = IndexStream.start(stream, idx) { (_, stats) =>
+        appended.addAndGet(stats.appended); nBatches.incrementAndGet(); ()
+      }
+      try q.processAllAvailable() finally q.stop()
+      require(appended.get == n, s"appended ${appended.get} of $n")
+      (n, 0L, nBatches.get)
+    }
+
+    println(s"""{"dir":"$sfDir","horizon_ms":$horizonMs,$neardedup,$indexstream}""")
+    spark.stop()
+  }
+}
