@@ -52,6 +52,7 @@ object Sessions {
     graft.functions.CodebookExprs.register(spark)  // ANN index-build argmin/encode loops
     graft.functions.MinHashSigExpr.register(spark) // one-pass seeded MinHash signatures
     graft.functions.WordGramExprs.register(spark)  // n-gram build/stats loops
+    graft.functions.CosPruneExprs.register(spark)  // Cauchy–Schwarz-pruned cosine verify
     spark
   }
 }

@@ -73,24 +73,36 @@ trait CodebookFold { self: BinaryExpression =>
   override def nullable: Boolean = true
 
   /** Interpreted argmin over codewords [from, until) of the flat books;
-    * returns -1 when a null element is hit (→ null result). */
+    * returns -1 when a null element is hit (→ null result). r12: partial-
+    * distance elimination — the fold aborts once the raw accumulator
+    * reaches `rawCut = nextUp((best + 0.5)/1e6)`, past which the
+    * quantized distance provably exceeds `best` (index order keeps the
+    * first winner, so an aborted ≥-tie loses either way). The FIRST
+    * codeword of a range always folds fully, preserving the null scan of
+    * every input element. */
   protected def argminRange(a: ArrayData, aOff: Int, from: Int, until: Int): Int = {
     val lFloat = vecElemType == FloatType
     var best = Long.MaxValue
     var bestIdx = -1
+    var rawCut = Double.MaxValue
     var j = from
     while (j < until) {
       var acc = 0.0
       var i = 0
-      while (i < bookDim) {
+      while (i < bookDim && acc < rawCut) {
         if (a.isNullAt(aOff + i)) return -1
         val x = if (lFloat) a.getFloat(aOff + i).toDouble else a.getDouble(aOff + i)
         val d = x - flatBooks(j * bookDim + i)
         acc = acc + d * d
         i += 1
       }
-      val d2 = math.floor(acc * 1000000.0 + 0.5).toLong
-      if (d2 < best) { best = d2; bestIdx = j - from }
+      if (i == bookDim && acc < rawCut) {
+        val d2 = math.floor(acc * 1000000.0 + 0.5).toLong
+        if (d2 < best) {
+          best = d2; bestIdx = j - from
+          rawCut = Math.nextUp((best + 0.5) / 1000000.0)
+        }
+      }
       j += 1
     }
     bestIdx
@@ -104,41 +116,148 @@ trait CodebookFold { self: BinaryExpression =>
 
 /** `cb_argmin(vec, books)` → INT index (0-based, = position in `books`)
   * of the codeword minimizing (floor(l2·1e6+0.5), index). Null input or
-  * null element or length mismatch → null. */
+  * null element or length mismatch → null.
+  *
+  * r12: the same exact pruning as `cb_argmin_i` (norm-ordered two-pointer
+  * visitation + monotone triangle-bound side cutoff + partial-distance
+  * elimination), adapted to the quantized comparison: a center is skipped
+  * or a fold aborted only when the RAW accumulator provably lands at or
+  * past `rawCut = nextUp((best + 0.5) / 1e6)` — the exact raw threshold
+  * beyond which floor(acc·1e6 + 0.5) > best, so the discarded center
+  * loses even the tie (the 1e-6 bound slack and the nextUp absorb every
+  * floating rounding conservatively). Out-of-order exact ties adjudicate
+  * to the lower index explicitly. Bit-identical (idx) to the brute scan
+  * on every input — ArgminPruningSpec cross-checks. This is the IVF
+  * corpus-assignment loop, where K reaches MAXLISTS = 4096. */
 final case class CodebookArgminExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodebookFold {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "cb_argmin"
 
+  /** Center visitation order by (‖c‖ asc, idx asc) + norms — driver-side
+    * once, shipped as flat reference arrays. */
+  private lazy val normData: (Array[Int], Array[Double]) = {
+    val n2 = Array.tabulate(nBooks) { j =>
+      var s = 0.0; var i = 0
+      while (i < bookDim) { val v = flatBooks(j * bookDim + i); s += v * v; i += 1 }
+      s
+    }
+    val order = (0 until nBooks).sortBy(j => (n2(j), j)).toArray
+    (order, order.map(j => math.sqrt(n2(j))))
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     if (a.numElements() != bookDim) return null
-    val idx = argminRange(a, 0, 0, nBooks)
-    if (idx < 0) null else idx
+    val lFloat = vecElemType == FloatType
+    val x = new Array[Double](bookDim)
+    var nx2 = 0.0
+    var i = 0
+    while (i < bookDim) {
+      if (a.isNullAt(i)) return null
+      val v = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      x(i) = v; nx2 += v * v; i += 1
+    }
+    val (order, sN) = normData
+    val nx = math.sqrt(nx2)
+    var lo = 0; var hi = nBooks
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sN(mid) < nx) lo = mid + 1 else hi = mid
+    }
+    var p = lo - 1; var q = lo
+    var best = Long.MaxValue; var bestIdx = -1
+    var rawCut = Double.MaxValue
+    while (p >= 0 || q < nBooks) {
+      val takeLeft = q >= nBooks || (p >= 0 && nx - sN(p) <= sN(q) - nx)
+      val pos = if (takeLeft) p else q
+      val gap = if (takeLeft) nx - sN(pos) else sN(pos) - nx
+      if (gap * gap - 1e-6 - 4.0 * Math.ulp(gap * gap) >= rawCut) {
+        if (takeLeft) p = -1 else q = nBooks
+      } else {
+        val cIdx = order(pos)
+        val base = cIdx * bookDim
+        var acc = 0.0
+        var k = 0
+        while (k < bookDim && acc < rawCut) {
+          val d = x(k) - flatBooks(base + k); acc += d * d; k += 1
+        }
+        if (k == bookDim && acc < rawCut) {
+          val d2 = math.floor(acc * 1000000.0 + 0.5).toLong
+          if (d2 < best || (d2 == best && cIdx < bestIdx)) {
+            best = d2; bestIdx = cIdx
+            rawCut = Math.nextUp((best + 0.5) / 1000000.0)
+          }
+        }
+        if (takeLeft) p -= 1 else q += 1
+      }
+    }
+    bestIdx
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, _) => {
       val flat = ctx.addReferenceObj("flatBooks", flatBooks, "double[]")
-      val j = ctx.freshName("j"); val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
-      val d2 = ctx.freshName("d2"); val best = ctx.freshName("best")
-      val bestIdx = ctx.freshName("bestIdx")
+      val ord = ctx.addReferenceObj("normOrder", normData._1, "int[]")
+      val sN = ctx.addReferenceObj("sortedNorm", normData._2, "double[]")
+      val x = ctx.addMutableState("double[]", "cbArgminVecD",
+        v => s"$v = new double[$bookDim];")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val v = ctx.freshName("v"); val nx2 = ctx.freshName("nx2")
+      val nx = ctx.freshName("nx"); val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi"); val mid = ctx.freshName("mid")
+      val p = ctx.freshName("p"); val q = ctx.freshName("q")
+      val takeLeft = ctx.freshName("takeLeft"); val pos = ctx.freshName("pos")
+      val gap = ctx.freshName("gap"); val cIdx = ctx.freshName("cIdx")
+      val base = ctx.freshName("base"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val d2 = ctx.freshName("d2")
+      val best = ctx.freshName("best"); val bestIdx = ctx.freshName("bestIdx")
+      val rawCut = ctx.freshName("rawCut")
       s"""
          |if ($a.numElements() != $bookDim) { ${ev.isNull} = true; } else {
-         |  long $best = Long.MAX_VALUE; int $bestIdx = -1;
-         |  for (int $j = 0; $j < $nBooks && !${ev.isNull}; $j++) {
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $bookDim; $i++) {
-         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |      double $d = ${vecGetter(a, i)} - $flat[$j * $bookDim + $i];
-         |      $acc = $acc + $d * $d;
-         |    }
-         |    long $d2 = (long) Math.floor($acc * 1000000.0 + 0.5);
-         |    if ($d2 < $best) { $best = $d2; $bestIdx = $j; }
+         |  double $nx2 = 0.0;
+         |  for (int $i = 0; $i < $bookDim; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $v = ${vecGetter(a, i)}; $x[$i] = $v; $nx2 += $v * $v;
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = $bestIdx;
+         |  if (!${ev.isNull}) {
+         |    double $nx = Math.sqrt($nx2);
+         |    int $lo = 0, $hi = $nBooks;
+         |    while ($lo < $hi) {
+         |      int $mid = ($lo + $hi) >>> 1;
+         |      if ($sN[$mid] < $nx) $lo = $mid + 1; else $hi = $mid;
+         |    }
+         |    int $p = $lo - 1, $q = $lo;
+         |    long $best = Long.MAX_VALUE; int $bestIdx = -1;
+         |    double $rawCut = Double.MAX_VALUE;
+         |    while ($p >= 0 || $q < $nBooks) {
+         |      boolean $takeLeft = $q >= $nBooks ||
+         |        ($p >= 0 && $nx - $sN[$p] <= $sN[$q] - $nx);
+         |      int $pos = $takeLeft ? $p : $q;
+         |      double $gap = $takeLeft ? $nx - $sN[$pos] : $sN[$pos] - $nx;
+         |      if ($gap * $gap - 1e-6 - 4.0 * Math.ulp($gap * $gap) >= $rawCut) {
+         |        if ($takeLeft) $p = -1; else $q = $nBooks;
+         |      } else {
+         |        int $cIdx = $ord[$pos];
+         |        int $base = $cIdx * $bookDim;
+         |        double $acc = 0.0;
+         |        int $k = 0;
+         |        for (; $k < $bookDim && $acc < $rawCut; $k++) {
+         |          double $d = $x[$k] - $flat[$base + $k]; $acc += $d * $d;
+         |        }
+         |        if ($k == $bookDim && $acc < $rawCut) {
+         |          long $d2 = (long) Math.floor($acc * 1000000.0 + 0.5);
+         |          if ($d2 < $best || ($d2 == $best && $cIdx < $bestIdx)) {
+         |            $best = $d2; $bestIdx = $cIdx;
+         |            $rawCut = Math.nextUp(($best + 0.5) / 1000000.0);
+         |          }
+         |        }
+         |        if ($takeLeft) $p--; else $q++;
+         |      }
+         |    }
+         |    ${ev.value} = $bestIdx;
+         |  }
          |}
        """.stripMargin
     })
@@ -227,22 +346,33 @@ final case class PqEncodeExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       val d = ctx.freshName("d"); val d2 = ctx.freshName("d2")
       val best = ctx.freshName("best"); val bestIdx = ctx.freshName("bestIdx")
-      val out = ctx.freshName("out")
+      val out = ctx.freshName("out"); val rawCut = ctx.freshName("rawCut")
+      // PDE mirror of argminRange: abort a fold at acc >= rawCut (the
+      // quantized distance then provably exceeds best; index order keeps
+      // the first winner). Codeword 0 of each subspace folds fully, so
+      // the per-element null scan is preserved.
       s"""
          |if ($a.numElements() != ${m * bookDim}) { ${ev.isNull} = true; } else {
          |  int[] $out = new int[$m];
          |  for (int $mi = 0; $mi < $m && !${ev.isNull}; $mi++) {
          |    long $best = Long.MAX_VALUE; int $bestIdx = -1;
+         |    double $rawCut = Double.MAX_VALUE;
          |    for (int $j = 0; $j < $kPerM && !${ev.isNull}; $j++) {
          |      double $acc = 0.0;
-         |      for (int $i = 0; $i < $bookDim; $i++) {
+         |      int $i = 0;
+         |      for (; $i < $bookDim && $acc < $rawCut; $i++) {
          |        if ($a.isNullAt($mi * $bookDim + $i)) { ${ev.isNull} = true; break; }
          |        double $d = ${vecGetter(a, s"$mi * $bookDim + $i")}
          |          - $flat[(($mi * $kPerM + $j) * $bookDim) + $i];
          |        $acc = $acc + $d * $d;
          |      }
-         |      long $d2 = (long) Math.floor($acc * 1000000.0 + 0.5);
-         |      if ($d2 < $best) { $best = $d2; $bestIdx = $j; }
+         |      if (!${ev.isNull} && $i == $bookDim && $acc < $rawCut) {
+         |        long $d2 = (long) Math.floor($acc * 1000000.0 + 0.5);
+         |        if ($d2 < $best) {
+         |          $best = $d2; $bestIdx = $j;
+         |          $rawCut = Math.nextUp(($best + 0.5) / 1000000.0);
+         |        }
+         |      }
          |    }
          |    $out[$mi] = $bestIdx;
          |  }
@@ -364,7 +494,7 @@ final case class CodebookArgminLongExpr(left: Expression, right: Expression)
       val takeLeft = q >= nBooks || (p >= 0 && nx - sN(p) <= sN(q) - nx)
       val pos = if (takeLeft) p else q
       val gap = if (takeLeft) nx - sN(pos) else sN(pos) - nx
-      if (gap * gap - 16.0 > best.toDouble) {
+      if (gap * gap - 16.0 - 4.0 * Math.ulp(gap * gap) > best.toDouble) {
         // bound only grows along this direction: side exhausted
         if (takeLeft) p = -1 else q = nBooks
       } else {
@@ -422,7 +552,7 @@ final case class CodebookArgminLongExpr(left: Expression, right: Expression)
          |        ($p >= 0 && $nx - $sN[$p] <= $sN[$q] - $nx);
          |      int $pos = $takeLeft ? $p : $q;
          |      double $gap = $takeLeft ? $nx - $sN[$pos] : $sN[$pos] - $nx;
-         |      if ($gap * $gap - 16.0 > (double) $best) {
+         |      if ($gap * $gap - 16.0 - 4.0 * Math.ulp($gap * $gap) > (double) $best) {
          |        if ($takeLeft) $p = -1; else $q = $nBooks;
          |      } else {
          |        int $cIdx = $ord[$pos];

@@ -63,6 +63,15 @@ object EmbedOps {
   private def micro(c: Column): Column =
     floor(c * 1000000.0 + 0.5).cast("long")
 
+  /** Checkpoint suffix norms for the Cauchy–Schwarz-pruned verify fold. */
+  private def sfx(a: Column): Column = call_function("sfx_norms", a)
+
+  /** seqdot that bails (→ null) when the pair provably can't reach the
+    * 0.95-cosine report threshold (sim_micro ≥ 950000 ⟺ cos ≥ 0.9499995);
+    * survivors are bit-identical to `dot` (graft.functions.DotGeExpr). */
+  private def dotGe(a: Column, b: Column, sa: Column, sb: Column): Column =
+    call_function("dot_ge", a, b, sa, sb, lit(0.9499995))
+
   /** DuckDB: sequential left fold of the element-product list. */
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1389,13 +1398,17 @@ object EmbedOps {
       // norms precomputed per VECTOR (not per candidate pair — same double,
       // a third of the fold work at verification time); pinned like the
       // pair set so the verify probe is never a 1-split raw scan
-      val vn0 = v.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val vn0 = v.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), sfx(col("embedding")).as("sfx"))
       val vn = if (pin) vn0.repartition(p, col("vec_id")) else vn0
       cand
-        .join(vn.toDF("vec_a", "ea", "na"), Seq("vec_a"))
-        .join(vn.toDF("vec_b", "eb", "nb"), Seq("vec_b"))
+        .join(vn.toDF("vec_a", "ea", "na", "sxa"), Seq("vec_a"))
+        .join(vn.toDF("vec_b", "eb", "nb", "sxb"), Seq("vec_b"))
+        // bounded verify fold (see em_semdedup note): pruned pairs null
+        // out before the filter, survivors are bit-equal to plain seqdot
         .select(col("vec_a"), col("vec_b"),
-          micro(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim_micro"))
+          micro(dotGe(col("ea"), col("eb"), col("sxa"), col("sxb"))
+            / (col("na") * col("nb"))).as("sim_micro"))
         .where(col("sim_micro") >= 950000L)
     },
 
@@ -1448,14 +1461,20 @@ object EmbedOps {
       val asg = lloyd(s, in, adaptiveK)
         .select(col("vec_id"), col("embedding"), col("cluster"))
         .withColumn("nrm", norm(col("embedding")))
+        .withColumn("sfx", sfx(col("embedding")))
       val a = asg.select(col("cluster"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
+        col("embedding").as("ea"), col("nrm").as("na"), col("sfx").as("sxa"))
       val b = asg.select(col("cluster"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
+        col("embedding").as("eb"), col("nrm").as("nb"), col("sfx").as("sxb"))
       a.join(b, Seq("cluster"))
         .where(col("vec_a") < col("vec_b"))
+        // bounded fold (dot_ge): a pair the Cauchy–Schwarz checkpoints
+        // prove below 0.95 folds ~8–16 dims instead of all of them and
+        // nulls out; survivors produce the identical seqdot value, so
+        // the filtered result is bit-equal to the unpruned DuckDB oracle
         .withColumn("sim_micro",
-          micro(dot(col("ea"), col("eb")) / (col("na") * col("nb"))))
+          micro(dotGe(col("ea"), col("eb"), col("sxa"), col("sxb"))
+            / (col("na") * col("nb"))))
         .where(col("sim_micro") >= 950000L)
         .groupBy(col("cluster"), col("vec_b").as("drop_id"))
         .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))

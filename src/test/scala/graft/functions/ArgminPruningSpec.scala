@@ -69,6 +69,53 @@ class ArgminPruningSpec extends SparkSpec {
     assert(viaSpark(xs, books) == xs.map(naive(_, books)))
   }
 
+  private def naiveQ(x: Seq[Double], books: Seq[Seq[Double]]): Int = {
+    var best = Long.MaxValue; var bi = -1
+    for ((c, j) <- books.zipWithIndex) {
+      var acc = 0.0
+      for (i <- x.indices) { val d = x(i) - c(i); acc = acc + d * d }
+      val d2 = math.floor(acc * 1000000.0 + 0.5).toLong
+      if (d2 < best) { best = d2; bi = j }
+    }
+    bi
+  }
+
+  test("cb_argmin (quantized double variant) pruning equals the naive scan") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    for (k <- Seq(5, 37, 128)) {
+      val base = Seq.fill(k)(Seq.fill(8)(rnd.nextInt(7) - 3.0))
+      // duplicates force exact quantized ties; micro-offsets force
+      // DISTINCT raw distances that quantize EQUAL (the subtle tie class)
+      val books = base.zipWithIndex.map { case (c, j) =>
+        if (j % 4 == 1) base(j / 4)
+        else if (j % 4 == 2) c.updated(0, c.head + 1e-9) else c }
+      val booksSql = books.map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      val xs = Seq.fill(80)(Seq.fill(8)(rnd.nextInt(7) - 3.0))
+      val got = xs.toDF("v").select(expr(s"cb_argmin(v, $booksSql)"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == xs.map(naiveQ(_, books)), s"k=$k")
+    }
+  }
+
+  test("pq_encode PDE equals the naive per-subspace argmin") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val m = 4; val sub = 4; val kPer = 16
+    val books3 = Seq.fill(m)(Seq.fill(kPer)(Seq.fill(sub)(rnd.nextInt(9) - 4.0)))
+    val sql = books3.map(_.map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val xs = Seq.fill(60)(Seq.fill(m * sub)(rnd.nextInt(9) - 4.0))
+    val got = xs.toDF("v").select(expr(s"pq_encode(v, $sql)"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val want = xs.map(x => (0 until m).map(mi =>
+      naiveQ(x.slice(mi * sub, (mi + 1) * sub), books3(mi))).toSeq)
+    assert(got == want)
+  }
+
   test("null element and length mismatch stay null") {
     val s = spark
     import s.implicits._
