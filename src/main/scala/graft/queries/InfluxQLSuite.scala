@@ -369,12 +369,12 @@ object InfluxQLSuite {
 
     // sample per bucket: the reference's sample() is non-deterministic by
     // spec (calls.go:136-151), so any fixed uniform draw is valid — r12
-    // pins the md5-of-timestamp draw (Translator.sampleKey), which DuckDB
+    // pins the Lehmer integer draw (Translator.sampleKey), which DuckDB
     // computes identically → fully oracle-checkable
     iql("iql_sample_per_bucket",
       s"""WITH $EV, h AS (
          |  SELECT ts_us, ts_us - ts_us % $DAY_US AS bkt, value,
-         |    CAST('0x'||substr(md5(CAST(ts_us AS VARCHAR)),1,15) AS BIGINT) AS hk
+         |    ts_us % 2147483647 * 48271 % 2147483647 AS hk
          |  FROM ev)
          |SELECT ts_us AS time, value AS sample FROM (
          |  SELECT ts_us, value,
@@ -957,12 +957,12 @@ object InfluxQLSuite {
     iql("iql_show_measurement_cardinality",
       "SELECT CAST(1 AS BIGINT) AS count")("SHOW MEASUREMENT CARDINALITY"),
 
-    // sample(): non-deterministic by spec → r12 pins the md5-of-timestamp
+    // sample(): non-deterministic by spec → r12 pins the Lehmer integer
     // draw (Translator.sampleKey) so the gate is oracle-checkable
     iql("iql_sample",
       s"""WITH $EV, h AS (
          |  SELECT ts_us, event_type, value,
-         |    CAST('0x'||substr(md5(CAST(ts_us AS VARCHAR)),1,15) AS BIGINT) AS hk
+         |    ts_us % 2147483647 * 48271 % 2147483647 AS hk
          |  FROM ev)
          |SELECT ts_us AS time, event_type, value AS sample FROM (
          |  SELECT ts_us, event_type, value,
