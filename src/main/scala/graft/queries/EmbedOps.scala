@@ -1020,7 +1020,18 @@ object EmbedOps {
   /** Corpus-adaptive cluster count: K = max(16, N/256), i.e. ~256-vector
     * clusters — keeps any within-cluster quadratic work linear in N.
     * Mirrored in SQL by lloydSqlCtes' prm1 (identical integer math). */
-  private val adaptiveK: Long => Int = n => math.max(16L, n / 256L).toInt
+  /** Capped at MAXK: the centroid table is a collected driver artifact
+    * broadcast into the map-only assignment (the MAXLISTS discipline,
+    * EmbedOps.scala:256) — unbounded K ∝ N would grow it past what a
+    * plan can carry (~4 GB of codebook at N = 10⁹). The cap binds only
+    * past N ≈ 4.2M vectors; beyond it, clusters grow past the ~256-vector
+    * target and the within-cluster quadratic re-emerges — at that scale a
+    * deployment shards semantic dedup by a coarse partition (language /
+    * source bucket) and runs this per shard, the same way the near-dup
+    * index shards by `_db`. Mirrored exactly in lloydSqlCtes (LEAST). */
+  private val MAXK = 16384L
+  private val adaptiveK: Long => Int =
+    n => math.min(MAXK, math.max(16L, n / 256L)).toInt
 
   /** DuckDB replay of `lloyd` over a prior CTE `e2(vec_id, embedding)`
     * with the adaptiveK cluster count: quantize → rank-order seeds →
@@ -1045,7 +1056,7 @@ object EmbedOps {
        |       FROM e2),
        |rk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM eq),
        |prm0 AS (SELECT count(*) AS n FROM eq),
-       |prm1 AS (SELECT n, greatest(CAST(floor(n / 256.0) AS BIGINT), 16) AS kk FROM prm0),
+       |prm1 AS (SELECT n, least(greatest(CAST(floor(n / 256.0) AS BIGINT), 16), $MAXK) AS kk FROM prm0),
        |prm AS (SELECT kk, greatest(CAST(floor(CAST(n AS DOUBLE) / kk) AS BIGINT), 1) AS step
        |        FROM prm1),
        |c0 AS (SELECT CAST(rn / step AS INT) AS cid, q AS c FROM rk, prm
