@@ -957,6 +957,18 @@ object InfluxQLSuite {
     iql("iql_show_measurement_cardinality",
       "SELECT CAST(1 AS BIGINT) AS count")("SHOW MEASUREMENT CARDINALITY"),
 
+    // ungrouped sample(): the TakeOrdered branch of sampleSelect
+    // (per-partition top-N + driver merge of N-row heads — no global
+    // window task), same Lehmer draw, same oracle discipline
+    iql("iql_sample_global",
+      s"""WITH $EV, h AS (
+         |  SELECT ts_us, value,
+         |    ts_us % 2147483647 * 48271 % 2147483647 AS hk
+         |  FROM ev)
+         |SELECT ts_us AS time, value AS sample FROM h
+         |ORDER BY hk ASC, ts_us ASC, value ASC LIMIT 5""".stripMargin)(
+      "SELECT sample(value, 5) FROM events"),
+
     // sample(): non-deterministic by spec → r12 pins the Lehmer integer
     // draw (Translator.sampleKey) so the gate is oracle-checkable
     iql("iql_sample",
