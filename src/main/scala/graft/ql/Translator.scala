@@ -186,7 +186,9 @@ final class Translator(df: DataFrame, meta: TableMeta) {
                 case Field(Ident(t), _) => meta.isTag(t)
                 case _                  => false } =>
             selectorWithTags(base0, sel, tags, n, f, alias,
-              tagFields.map { case Field(Ident(t), a) => (t, a.getOrElse(t)) })
+              // collect, not map: the guard above proves every tagField is
+              // Field(Ident, _), which the exhaustivity checker can't see
+              tagFields.collect { case Field(Ident(t), a) => (t, a.getOrElse(t)) })
           case _ => aggSelect(base0, sel, tags)
         }
       } else rawSelect(base0, sel, tags)
