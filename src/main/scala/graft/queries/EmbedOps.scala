@@ -1072,8 +1072,74 @@ object EmbedOps {
        |        WHERE rn2 = 1)""".stripMargin
   }
 
-  private def lloyd(s: SparkSession, in: DataFrame, kOf: Long => Int): DataFrame = {
-    val e = in.persist()
+  /** em_semdedup_approx parameters — the published SemDeDup shape (Abbas
+    * et al. 2023 run faiss k-means at a FIXED, user-chosen K and train the
+    * centroids on a subset): K is a deployment knob, not a function of N,
+    * and the training sample is a fixed budget (~8 vectors per centroid),
+    * so centroid training costs O(SEM_SAMPLE·K·dim) — CONSTANT in the
+    * corpus — and the only full-corpus work is one map-only pruned-argmin
+    * assignment pass, O(N·K·dim), linear in N at fixed K. This removes
+    * em_semdedup's exact-Lloyd ceiling (assignment N×K×dim with K ∝ N is
+    * quadratic work); the exact gate stays as the oracle anchor. */
+  private val SEM_KF = 64
+  private val SEM_SAMPLE = 512L
+
+  /** DuckDB replay of the sample-trained fixed-K Lloyd over a prior CTE
+    * `e2(vec_id, embedding)`: quantize → rank-based deterministic sample
+    * (every ⌊N/512⌋-th vector in vec_id order) → seeds + 2 Lloyd passes
+    * over the SAMPLE only → one argmin assignment of EVERY vector against
+    * the trained centroids, ending in `asg(vec_id, cid, d)`. Identical
+    * integer math to lloydSqlCtes; only the training population differs. */
+  private val approxLloydSqlCtes: String = {
+    def pass(src: String, cin: String, n: Int) =
+      s"""d$n AS (SELECT s.vec_id, $cin.cid,
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> (s.q[i] - $cin.c[i]) * (s.q[i] - $cin.c[i]))) AS d
+         |      FROM $src s CROSS JOIN $cin),
+         |a$n AS (SELECT vec_id, cid, d FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
+         |         FROM d$n) WHERE rn2 = 1),
+         |u$n AS (SELECT a$n.cid, i,
+         |          CAST(floor(CAST(sum(s.q[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+         |        FROM a$n JOIN $src s USING (vec_id)
+         |        CROSS JOIN unnest(generate_series(1, 64)) AS t(i) GROUP BY a$n.cid, i),
+         |c$n AS (SELECT cid, list(v ORDER BY i) AS c FROM u$n GROUP BY cid)""".stripMargin
+    s"""eq AS (SELECT vec_id, list_transform(generate_series(1, 64),
+       |         i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |       FROM e2),
+       |rk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM eq),
+       |ap AS (SELECT greatest(CAST(floor(CAST(count(*) AS DOUBLE) / $SEM_SAMPLE) AS BIGINT), 1) AS sstep
+       |       FROM eq),
+       |srk AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS srn
+       |        FROM (SELECT vec_id, q FROM rk, ap WHERE rn % sstep = 0)),
+       |sp AS (SELECT greatest(CAST(floor(CAST(count(*) AS DOUBLE) / $SEM_KF) AS BIGINT), 1) AS step
+       |       FROM srk),
+       |c0 AS (SELECT CAST(srn / step AS INT) AS cid, q AS c FROM srk, sp
+       |       WHERE srn % step = 0 AND srn / step < $SEM_KF),
+       |${pass("srk", "c0", 1)},
+       |${pass("srk", "c1", 2)},
+       |adf AS (SELECT eq.vec_id, c2.cid,
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> (eq.q[i] - c2.c[i]) * (eq.q[i] - c2.c[i]))) AS d
+       |      FROM eq CROSS JOIN c2),
+       |asg AS (SELECT vec_id, cid, d FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2 FROM adf)
+       |        WHERE rn2 = 1)""".stripMargin
+  }
+
+  private def lloyd(s: SparkSession, in: DataFrame, kOf: Long => Int): DataFrame =
+    lloydTrainAssign(s, in, in, kOf)
+
+  /** The generalized Lloyd pipeline: seed + 2 update passes over `train`,
+    * final assignment over `full`. `lloyd` is the exact path
+    * (train == full); em_semdedup_approx trains on a fixed-budget
+    * deterministic sample so the training cost is O(|sample|·K·dim) —
+    * independent of the corpus — and only the ONE map-only pruned-argmin
+    * assignment pass touches all of `full` (the published SemDeDup shape:
+    * fixed K, centroids fit on a subset). `kOf` receives the TRAIN count. */
+  private def lloydTrainAssign(s: SparkSession, train: DataFrame,
+      full: DataFrame, kOf: Long => Int): DataFrame = {
+    val e = train.persist()
     val n = e.count()
     val k = kOf(n)
     val step = math.max(1L, n / k)
@@ -1116,7 +1182,7 @@ object EmbedOps {
     // returned assignment reads the UNCACHED input so the cache can drop
     // now — a full-surface sweep calls lloyd from three gates, and holding
     // the embedding column cached across them accumulates executor memory
-    val out = assign(cents, base = in)
+    val out = assign(cents, base = full)
     e.unpersist()
     out
   }
@@ -1486,6 +1552,97 @@ object EmbedOps {
         .withColumn("sim_micro",
           micro(dotGe(col("ea"), col("eb"), col("sxa"), col("sxb"))
             / (col("na") * col("nb"))))
+        .where(col("sim_micro") >= 950000L)
+        .groupBy(col("cluster"), col("vec_b").as("drop_id"))
+        .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))
+    },
+
+    // ---- approximate SemDeDup (the published extreme-N shape, VERDICT
+    //      r11 #6): FIXED K, centroids trained on a fixed-budget
+    //      deterministic sample, ONE map-only pruned-argmin assignment
+    //      pass over the corpus, then near-dup only within a cluster —
+    //      with candidate generation LSH-BANDED inside each cluster
+    //      (cluster + table + bucket is the join key) so neither phase is
+    //      quadratic: training is O(SEM_SAMPLE·K·dim) constant, assignment
+    //      O(N·K·dim) linear at fixed K, and banding keeps within-cluster
+    //      spurious pairs linear exactly as em_cosine_neardup (the
+    //      adaptive kd/nt sizing and its oracle guard are shared). The
+    //      exact-Lloyd em_semdedup stays the oracle anchor; this gate is
+    //      the recommended path at extreme N — no quadratic work anywhere.
+    //      Planted replicas (identical q → identical argmin cluster,
+    //      identical band buckets in every table) force each pair
+    //      (i, i+10⁶) into the candidate set at sim 10⁶ — recall 1.0 is
+    //      part of the oracle hash, not vacuous.
+    Q("em_semdedup_approx", {
+      val buckets = (0 until 8).map(t =>
+        s"STRUCT_PACK(t := $t, b := (${duckTableBucketLit(t, 12, 100)}))").mkString(", ")
+      s"""WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+         |            UNION ALL
+         |            SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+         |$approxLloydSqlCtes,
+         |sig AS (SELECT vec_id, unnest([$buckets]) AS tb FROM e2),
+         |bands AS (SELECT s.vec_id, a.cid, s.tb.t AS tbl, s.tb.b AS bucket
+         |          FROM sig s JOIN asg a USING (vec_id)),
+         |cand AS (SELECT DISTINCT x.cid AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.cid = y.cid AND x.tbl = y.tbl AND x.bucket = y.bucket
+         |          AND x.vec_id < y.vec_id),
+         |n2 AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM e2),
+         |v AS (SELECT c.cluster, c.vec_a, c.vec_b,
+         |        CAST(floor(${duckDot("a.embedding", "b.embedding")}
+         |                   / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+         |      FROM cand c JOIN n2 a ON a.vec_id = c.vec_a
+         |                  JOIN n2 b ON b.vec_id = c.vec_b)
+         |SELECT cluster, vec_b AS drop_id, min(vec_a) AS keep_id, max(sim_micro) AS best_sim_micro
+         |FROM v WHERE sim_micro >= 950000 GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val v0 = emb(s, d).select(col("vec_id"), col("embedding"))
+      val e2 = v0.union(v0.withColumn("vec_id", col("vec_id") + 1000000L))
+      val in = e2.withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"))
+      val n = in.count()
+      // fixed-budget deterministic sample: every ⌊N/512⌋-th vector in
+      // vec_id rank order (distributed rank — no single-task sort)
+      val sstep = math.max(1L, n / SEM_SAMPLE)
+      val sample = globalRank(in.select("vec_id", "q"), "vec_id")
+        .where(col("rank") % sstep === 0)
+        .select("vec_id", "q")
+      // train on the sample, assign the corpus: ONE codegen argmin pass
+      val asg = lloydTrainAssign(s, sample, in, _ => SEM_KF)
+      // within-cluster banding: identical sizing + oracle guard as
+      // em_cosine_neardup (the static SQL above is written at 8×12)
+      val kd = math.max(12, math.ceil(math.log(n / 2.4) / math.log(2)).toInt)
+      val missTarget = math.pow(1 - math.pow(0.899, 12), 8)
+      val nt = math.max(8, math.ceil(
+        math.log(missTarget) / math.log(1 - math.pow(0.899, kd)) - 1e-9).toInt)
+      val sfName = d.stripSuffix("/").split('/').last
+      if (sfName == "sf0.001" || sfName == "sf0.01" || sfName == "sf0.1")
+        require(kd == 12 && nt == 8,
+          s"em_semdedup_approx fixture at $sfName (n=$n) outgrew the oracle's " +
+          s"fixed 8×12 banding (adaptive kd=$kd nt=$nt): re-derive the oracle " +
+          "SQL at the new resolution or shrink the fixture")
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val pin = n >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
+      // cluster rides the SAME map-only pass that computes the buckets —
+      // no vec_id join to attach it (asg carries embedding through)
+      val sigs = asg.select(col("cluster"), col("vec_id"),
+          posexplode(tableBuckets(nt, kd, 100)))
+        .select(col("cluster"), col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+      val cand0 = sigs.toDF("cluster", "vec_a", "tbl", "bucket")
+        .join(sigs.toDF("cluster", "vec_b", "tbl", "bucket"), Seq("cluster", "tbl", "bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select("cluster", "vec_a", "vec_b")
+      val cand = (if (pin) cand0.repartition(p, col("vec_a"), col("vec_b")) else cand0)
+        .distinct()
+      val vn0 = e2.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), sfx(col("embedding")).as("sfx"))
+      val vn = if (pin) vn0.repartition(p, col("vec_id")) else vn0
+      cand
+        .join(vn.toDF("vec_a", "ea", "na", "sxa"), Seq("vec_a"))
+        .join(vn.toDF("vec_b", "eb", "nb", "sxb"), Seq("vec_b"))
+        .select(col("cluster"), col("vec_a"), col("vec_b"),
+          micro(dotGe(col("ea"), col("eb"), col("sxa"), col("sxb"))
+            / (col("na") * col("nb"))).as("sim_micro"))
         .where(col("sim_micro") >= 950000L)
         .groupBy(col("cluster"), col("vec_b").as("drop_id"))
         .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))

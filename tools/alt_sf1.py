@@ -71,4 +71,25 @@ if len(got) != len(planted) or not (
 else:
     print(f"PASS em_cosine_neardup: exactly the {len(planted)} planted pairs, recall 1.0, all sim 10^6")
 
+# ---- em_semdedup_approx ----
+# Same planted-set truth (identical vectors share the argmin cluster and
+# every band bucket, random vectors never reach 0.95), plus the fixed-K
+# contract: every cluster id < 64. The cluster column itself is
+# engine-internal (depends on seed ranks), so it is range-checked, and the
+# value columns are compared exactly.
+got = spark_out("em_semdedup_approx").sort_values(["drop_id"]).reset_index(drop=True)
+planted = pd.DataFrame({
+    "keep_id": emb_ids, "drop_id": emb_ids + 1_000_000,
+    "best_sim_micro": 1_000_000}).sort_values(["drop_id"]).reset_index(drop=True)
+if len(got) != len(planted) or not (
+        got["keep_id"].values == planted["keep_id"].values).all() or not (
+        got["drop_id"].values == planted["drop_id"].values).all() or not (
+        got["best_sim_micro"].values == planted["best_sim_micro"].values).all() or not (
+        (got["cluster"].values >= 0) & (got["cluster"].values < 64)).all():
+    ok = False
+    extra = len(got) - len(planted)
+    print(f"FAIL em_semdedup_approx: {len(got)} rows vs {len(planted)} planted ({extra:+d})")
+else:
+    print(f"PASS em_semdedup_approx: exactly the {len(planted)} planted pairs, recall 1.0, clusters < 64")
+
 sys.exit(0 if ok else 1)
