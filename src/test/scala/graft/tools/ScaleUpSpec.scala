@@ -127,6 +127,22 @@ class ScaleUpSpec extends SparkSpec {
     assert(e.getMessage.contains("source table is empty"))
   }
 
+  test("every scaled FACT table lands multi-file (decade-realistic layout)") {
+    // The replica explode inherits the source's split count: without the
+    // wrFact repartition a compact source writes the whole scaled corpus
+    // as ONE file and every map-only consumer is split-bound to one core
+    // (the r11 em-decade bug). Pin the layout for ALL fact tables: at
+    // least min(rows, defaultParallelism) part files each.
+    val par = spark.sparkContext.defaultParallelism
+    for (t <- Seq("orders", "lineitem", "events", "documents", "embeddings")) {
+      val rows = spark.read.parquet(s"${dirs._2}/$t.parquet").count()
+      val parts = new java.io.File(s"${dirs._2}/$t.parquet")
+        .listFiles().count(_.getName.startsWith("part-"))
+      assert(parts >= math.min(rows, par.toLong),
+        s"$t: $parts part files for $rows rows (parallelism $par) — split-bound")
+    }
+  }
+
   test("facts scale by the factor, dims stay fixed, keys stay disjoint") {
     def cnt(t: String) = spark.read.parquet(s"${dirs._2}/$t.parquet").count()
     assert(cnt("lineitem") == 4 && cnt("orders") == 4 && cnt("events") == 4)
