@@ -423,15 +423,24 @@ object EmbedOps {
 
   /** Incremental index maintenance (the ingest story): assign a NEW batch
     * of vectors to the EXISTING centroids — a map-only pass over only the
-    * new rows, the trained codebook rides along as a literal — and append
-    * them into the `partitionBy(list_id)` layout. Existing list files are
-    * never rewritten; a probe scan afterwards reads old + appended files
-    * of just its probed list directories. Retraining is advised (not
-    * performed) when the batch's mean assignment distance drifts past
-    * `driftRatio` × the build-time mean: a frozen quantizer goes stale
-    * under distribution shift, and that is the signal. Reference analog:
-    * the standing-CQ import path (syncing/importer.go:323-333) applies
-    * new points against existing state rather than recomputing it. */
+    * new rows, the trained codebook rides along as a literal — and land
+    * them in the DELTA tier (`delta.parquet`, list_id as a data column):
+    * ONE file commit per batch, no shuffle, no per-list directory fan-out.
+    * The r12 streaming decade measured the former direct
+    * `partitionBy(list_id)` append's per-batch cost as dominated by its
+    * ~√N per-list file commits; the delta tier amortizes that commit
+    * storm into `ivfFoldDelta` — an O(delta) file-move merge into the
+    * partitioned layout, auto-triggered every `graft.ivf.deltaMaxFiles`
+    * delta files (the LSM L0→L1 shape). Existing list files are never
+    * rewritten; searches read the partitioned tier partition-pruned plus
+    * the (bounded) delta tier filtered on list_id. Retraining is advised
+    * (not performed) when the batch's mean assignment distance drifts
+    * past `driftRatio` × the build-time mean: a frozen quantizer goes
+    * stale under distribution shift, and that is the signal. Reference
+    * analog: the standing-CQ import path (syncing/importer.go:323-333)
+    * applies new points against existing state rather than recomputing
+    * it; the delta/fold split is the reference's WAL→shard landing
+    * discipline re-expressed for a parquet layout. */
   def ivfAppend(s: SparkSession, newVecs: DataFrame, indexDir: String,
       driftRatio: Double = 2.0): IvfAppendStats = {
     import s.implicits._
@@ -441,15 +450,17 @@ object EmbedOps {
     val batch = ivfAssignArgmin(
       newVecs.select(col("vec_id"), col("emb")), cents).persist()
     try {
-      // same column layout as the build (d2 included, pruned by searches)
-      batch
-        .repartition(col("list_id"))
-        .write.mode("append").partitionBy("list_id")
-        .parquet(s"$indexDir/assign.parquet")
       val st = batch.agg(count(lit(1)).cast("long").as("n"),
         avg(col("d2").cast("double")).as("m")).head()
       val (n, batchMean) =
         (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+      if (n > 0) {
+        // same column layout as the build (d2 included, pruned by reads)
+        batch.write.mode("append").parquet(s"$indexDir/delta.parquet")
+        val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
+        val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
+        if (parquetFileCount(f, deltaP) >= maxFiles) ivfFoldDelta(s, indexDir)
+      }
       // an index without the drift-baseline artifact (built before the
       // stats.parquet convention, or a hand-assembled centroids+assign
       // layout) stays appendable: the append itself needs only the
