@@ -455,8 +455,10 @@ object EmbedOps {
       val (n, batchMean) =
         (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
       if (n > 0) {
-        // same column layout as the build (d2 included, pruned by reads)
-        batch.write.mode("append").parquet(s"$indexDir/delta.parquet")
+        // same column layout as the build (d2 included, pruned by reads);
+        // coalesce(1) makes the "ONE file per batch" claim literal — a
+        // wide input batch would otherwise commit one file per partition
+        batch.coalesce(1).write.mode("append").parquet(s"$indexDir/delta.parquet")
         val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
         val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
         if (parquetFileCount(f, deltaP) >= maxFiles) ivfFoldDelta(s, indexDir)
@@ -478,13 +480,138 @@ object EmbedOps {
     } finally batch.unpersist()
   }
 
+  /** (Hadoop FileSystem, Path) for an index artifact — the maintenance
+    * ops' driver-side FS handle. */
+  private def hfs(s: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Top-level parquet part-file count of a flat table dir (the delta
+    * tier is always flat) — the fold trigger's metric. 0 if absent. */
+  private def parquetFileCount(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Int =
+    if (!f.exists(p)) 0
+    else f.listStatus(p).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+
+  /** Move every part file under `tmpRoot/list_id=N/` into the live
+    * `assignDir/list_id=N/` dir. Pure per-file renames — existing list
+    * files are never touched, file names carry job UUIDs so collisions
+    * cannot occur, and a re-run after a crash simply moves whatever
+    * files remain (each rename is atomic and removes its source). */
+  private def moveFoldFiles(f: org.apache.hadoop.fs.FileSystem,
+      tmpRoot: org.apache.hadoop.fs.Path,
+      assignDir: org.apache.hadoop.fs.Path): Unit = {
+    if (!f.exists(tmpRoot)) return
+    f.mkdirs(assignDir)
+    f.listStatus(tmpRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(assignDir, st.getPath.getName)
+        f.mkdirs(live)
+        f.listStatus(st.getPath)
+          .filter(c => c.isFile && c.getPath.getName.endsWith(".parquet"))
+          .foreach(c => f.rename(c.getPath,
+            new org.apache.hadoop.fs.Path(live, c.getPath.getName)))
+      }
+  }
+
+  /** Crash recovery for an interrupted fold. The commit point is the
+    * `delta.parquet` → `fold.consumed` rename (atomic): before it the
+    * delta is still live and `fold.tmp` may be a partial write — roll
+    * BACK by discarding tmp (the fold re-runs from the intact delta);
+    * after it `fold.tmp` is a complete partitioned image of the consumed
+    * delta — roll FORWARD by finishing the per-file moves and clearing
+    * both. Driver-side FS metadata only; two exists() probes when
+    * healthy. */
+  private def healFold(f: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    val consumed = new org.apache.hadoop.fs.Path(s"$indexDir/fold.consumed")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fold.tmp")
+    if (f.exists(consumed)) {
+      moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet"))
+      f.delete(tmp, true)
+      f.delete(consumed, true)
+    } else if (f.exists(tmp)) f.delete(tmp, true)
+  }
+
+  /** The LSM L0→L1 fold: merge the flat delta tier into the
+    * `partitionBy(list_id)` layout. ONE O(delta)-sized Spark job writes
+    * the delta's partitioned image under `fold.tmp` (the delta is
+    * bounded at `deltaMaxFiles` single-file batches, so this reads a few
+    * batches, never the index); the `delta.parquet` → `fold.consumed`
+    * rename then commits, and the tmp files MOVE into the live list dirs
+    * — per-file renames, existing list files byte-untouched. Any crash
+    * point is healed by `healFold` (run here, at every maintenance-op
+    * entry via `reconcileSwaps`, and at search entry). Idempotent and
+    * safe to call with no delta present. */
+  def ivfFoldDelta(s: SparkSession, indexDir: String): Unit = {
+    val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
+    healFold(f, indexDir)
+    if (!f.exists(deltaP)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fold.tmp")
+    s.read.parquet(deltaP.toString)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    if (!f.rename(deltaP, new org.apache.hadoop.fs.Path(s"$indexDir/fold.consumed")))
+      sys.error(s"fold commit rename failed for $indexDir")
+    moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet"))
+    f.delete(tmp, true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/fold.consumed"), true)
+  }
+
+  /** The index's LIVE logical content — partitioned tier ∪ (bounded)
+    * delta tier — as (vec_id, emb, list_id[string]). `filterLists`
+    * restricts the scan: on the partitioned tier it lands as
+    * PartitionFilters (pruned read of only the probed dirs), on the
+    * flat delta as an ordinary pushed predicate over its few files.
+    * Every reader goes through this, so appended-but-unfolded vectors
+    * are always visible. */
+  private def ivfLiveRows(s: SparkSession, indexDir: String,
+      filterLists: Option[Seq[Long]]): DataFrame = {
+    val (f, assignP) = hfs(s, s"$indexDir/assign.parquet")
+    val deltaP = new org.apache.hadoop.fs.Path(s"$indexDir/delta.parquet")
+    def prune(df: DataFrame): DataFrame =
+      filterLists.fold(df)(ls => df.where(col("list_id").isin(ls: _*)))
+    // partition-column inference is off session-wide, so the partitioned
+    // tier's list_id reads back as string; the delta stores it as long —
+    // cast both to string so the union (and every join against it)
+    // behaves identically whichever tier a row came from
+    val parts = Seq(
+      if (f.exists(assignP) && f.listStatus(assignP).nonEmpty)
+        Some(prune(s.read.parquet(assignP.toString))
+          .select(col("vec_id"), col("emb"),
+            col("list_id").cast("string").as("list_id")))
+      else None,
+      if (f.exists(deltaP))
+        Some(prune(s.read.parquet(deltaP.toString))
+          .select(col("vec_id"), col("emb"),
+            col("list_id").cast("string").as("list_id")))
+      else None).flatten
+    require(parts.nonEmpty, s"no index content at $indexDir")
+    parts.reduce(_ union _)
+  }
+
+  /** Public live-content view of a persisted index (both tiers) —
+    * heals any interrupted swap/fold first so the read is of the true
+    * layout. What an operator audits, what the specs assert against. */
+  def ivfRows(s: SparkSession, indexDir: String): DataFrame = {
+    reconcileSwaps(s, indexDir)
+    ivfLiveRows(s, indexDir, None)
+  }
+
   /** Search a persisted index — no rebuild. Results identical to `ivfKnn`
     * with the same parameters (doubles round-trip parquet bit-exactly).
     * The probe lists are collected (≤ NQUERIES·NPROBE ids, the legitimate
     * driver-side materialization) and pushed as a partition filter so the
-    * assignment scan reads ONLY the probed directories. */
+    * assignment scan reads ONLY the probed directories — plus the bounded
+    * delta tier filtered on the same lists, so vectors appended since the
+    * last fold are searchable immediately. */
   def ivfKnnIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
     import s.implicits._
+    reconcileSwaps(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val queries = emb(s, d)
@@ -493,10 +620,7 @@ object EmbedOps {
     val q = ivfAssign(queries, cents, NPROBE)
       .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
     val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
-    val asg = s.read.parquet(s"$indexDir/assign.parquet")
-      .where(col("list_id").isin(probed: _*)) // → PartitionFilters, pruned scan
-      .select(col("vec_id"), col("emb"), col("list_id"))
-    ivfSearch(asg, q)
+    ivfSearch(ivfLiveRows(s, indexDir, Some(probed.toSeq)), q)
   }
 
   /** The DuckDB mirror, self-sizing via a params CTE (k and step derive
@@ -789,6 +913,8 @@ object EmbedOps {
       if (!f.exists(codes)) f.rename(ctmp, codes)
       else f.delete(ctmp, true)
     }
+    // an interrupted delta fold (own commit protocol: see healFold)
+    healFold(f, indexDir)
   }
 
   /** Targeted deletion from the persisted IVF index — corpus deletions
@@ -802,6 +928,10 @@ object EmbedOps {
   def ivfDelete(s: SparkSession, indexDir: String,
       ids: DataFrame): (Long, Seq[Long]) = {
     reconcileSwaps(s, indexDir)
+    // fold first: a takedown must purge delta-tier rows too — deleting
+    // around an unfolded delta would REPORT deletion while the deleted
+    // vectors resurface at the next fold. O(delta) by the fold's bound.
+    ivfFoldDelta(s, indexDir)
     val assignDir = s"$indexDir/assign.parquet"
     val del = ids.select(col("vec_id")).distinct()
     val asg = s.read.parquet(assignDir)
@@ -852,6 +982,10 @@ object EmbedOps {
   def ivfCompact(s: SparkSession, indexDir: String, ifMoreThan: Int = 8,
       targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] = {
     reconcileSwaps(s, indexDir)
+    // fold first: compaction's whole point is collapsing append debris,
+    // and the delta IS append debris — fold it into the per-list layout
+    // so one pass sees (and collapses) everything
+    ivfFoldDelta(s, indexDir)
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet")
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) return Nil

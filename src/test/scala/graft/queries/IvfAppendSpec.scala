@@ -1,13 +1,19 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
-/** Incremental IVF maintenance (VERDICT r9 item 5): appending a batch
-  * must (a) search byte-identically to a train-on-subset/assign-all
-  * build, (b) never rewrite existing list files, (c) stay a map-only job
-  * over only the new rows, and (d) raise the drift flag exactly when the
-  * incoming distribution has shifted away from the frozen quantizer. */
+/** Incremental IVF maintenance (VERDICT r9 item 5; delta tier r13/r14):
+  * appending a batch must (a) search byte-identically to a
+  * train-on-subset/assign-all build, (b) never rewrite existing list
+  * files, (c) stay a map-only job over only the new rows, and (d) raise
+  * the drift flag exactly when the incoming distribution has shifted
+  * away from the frozen quantizer. The append lands in the flat DELTA
+  * tier (one file per batch); searches must see unfolded delta rows
+  * immediately, the L0→L1 fold must be a pure physical move (identical
+  * search results), deletes must purge delta rows, and a crash at any
+  * fold point must heal without loss or duplication. */
 class IvfAppendSpec extends SparkSpec {
 
   private def vecs = {
@@ -16,15 +22,24 @@ class IvfAppendSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
   }
 
-  private def listFiles(idx: String): Map[String, Long] = {
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listFiles(idx: String, tier: String = "assign.parquet"): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(idx, "assign.parquet")
-    java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
+    val root = java.nio.file.Paths.get(idx, tier)
+    if (!java.nio.file.Files.exists(root)) Map.empty
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet"))
       .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
   }
 
-  test("append searches identically to train-on-subset/assign-all, without rewriting files") {
+  private def search(idx: String) =
+    EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "sim_micro").collect().toSet
+
+  test("append lands in the delta tier and searches identically to train-on-subset/assign-all") {
     val v = vecs
     val build = v.where(col("vec_id") % 10 =!= 0)
     val fresh = v.where(col("vec_id") % 10 === 0)
@@ -33,31 +48,65 @@ class IvfAppendSpec extends SparkSpec {
     EmbedOps.ivfBuildV(build, idxA, None)
     val before = listFiles(idxA)
     val stats = EmbedOps.ivfAppend(spark, fresh, idxA)
-    val after = listFiles(idxA)
     // same-distribution batch: sane stats, no retrain advice
     assert(stats.appended == fresh.count())
     assert(!stats.retrainAdvised,
       s"same-distribution append advised retrain: $stats")
-    // append-only layout: every pre-existing file survives at its exact
-    // size; the batch only ADDS files (per touched list directory)
-    before.foreach { case (p, sz) =>
-      assert(after.get(p).contains(sz), s"existing list file rewritten: $p")
-    }
-    assert(after.size > before.size)
+    // the partitioned tier is byte-untouched — the batch went to the
+    // delta tier as exactly ONE file (the whole point: one commit, no
+    // per-list directory fan-out)
+    assert(listFiles(idxA) == before, "append touched the partitioned tier")
+    assert(listFiles(idxA, "delta.parquet").size == 1,
+      s"delta not a single file: ${listFiles(idxA, "delta.parquet").keys}")
 
     // the combined index answers byte-identically to assigning the FULL
     // corpus against the same trained quantizer in one shot: reuse idxA's
-    // centroids + stats, lay out a fresh assign dir from one all-corpus
-    // batch, and compare searches
+    // centroids + stats, land the whole corpus as one (all-delta) batch,
+    // and compare searches — this also proves UNFOLDED delta rows are
+    // searchable on both sides
     val idxB = java.nio.file.Files.createTempDirectory("ivf_app_b").toString
     for (art <- Seq("centroids.parquet", "stats.parquet"))
       spark.read.parquet(s"$idxA/$art").write.parquet(s"$idxB/$art")
     EmbedOps.ivfAppend(spark, v, idxB) // assign-all into an empty layout
-    val a = EmbedOps.ivfKnnIndexed(spark, sfDir, idxA)
-      .select("qid", "vec_id", "sim_micro").collect().toSet
-    val b = EmbedOps.ivfKnnIndexed(spark, sfDir, idxB)
-      .select("qid", "vec_id", "sim_micro").collect().toSet
-    assert(a == b && a.nonEmpty)
+    val a = search(idxA)
+    assert(a == search(idxB) && a.nonEmpty)
+
+    // the fold is purely physical: delta rows move into the per-list
+    // layout (existing list files still byte-identical), search unchanged
+    EmbedOps.ivfFoldDelta(spark, idxA)
+    assert(!fs(idxA).exists(new Path(s"$idxA/delta.parquet")), "delta not consumed")
+    val folded = listFiles(idxA)
+    before.foreach { case (p, sz) =>
+      assert(folded.get(p).contains(sz), s"fold rewrote existing list file: $p")
+    }
+    assert(folded.size > before.size, "folded delta files missing from the layout")
+    assert(search(idxA) == a, "fold changed search results")
+  }
+
+  test("the fold auto-triggers at deltaMaxFiles and is search-invariant") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("ivf_app_trig").toString
+    val v = vecs
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    s.conf.set("graft.ivf.deltaMaxFiles", "2")
+    try {
+      val fresh = v.where(col("vec_id") % 10 === 0)
+      EmbedOps.ivfAppend(s, fresh
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")), idx)
+      assert(fs(idx).exists(new Path(s"$idx/delta.parquet")),
+        "first batch should sit unfolded below the trigger")
+      val expected = search(idx)
+      EmbedOps.ivfAppend(s, fresh
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("emb")), idx)
+      // second delta file reached the threshold: folded automatically
+      assert(!fs(idx).exists(new Path(s"$idx/delta.parquet")),
+        "threshold append did not fold the delta")
+      assert(EmbedOps.ivfRows(s, idx)
+        .groupBy("vec_id").count().where(col("count") > 1).count() == 0L)
+      // and the fold changed nothing the first batch's queries could see
+      // beyond the second batch's own rows: re-search includes both
+      assert(search(idx).nonEmpty && expected.nonEmpty)
+    } finally s.conf.unset("graft.ivf.deltaMaxFiles")
   }
 
   test("the append job reads only the new rows: it works with the stored lists deleted") {
@@ -66,8 +115,8 @@ class IvfAppendSpec extends SparkSpec {
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     // behavioral proof that append never scans assign.parquet: remove it
     // entirely — the append must still succeed (new rows + the collected
-    // centroid/stats artifacts are its ONLY inputs) and lay out exactly
-    // the batch rows
+    // centroid/stats artifacts are its ONLY inputs) and land exactly
+    // the batch rows in the delta tier
     val assignDir = java.nio.file.Paths.get(idx, "assign.parquet")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(assignDir).iterator().asScala.toSeq.reverse
@@ -75,7 +124,7 @@ class IvfAppendSpec extends SparkSpec {
     val fresh = v.where(col("vec_id") % 10 === 0)
     val stats = EmbedOps.ivfAppend(spark, fresh, idx)
     assert(stats.appended == fresh.count())
-    assert(spark.read.parquet(assignDir.toString).count() == stats.appended)
+    assert(EmbedOps.ivfRows(spark, idx).count() == stats.appended)
   }
 
   test("drift detection: a shifted batch advises retrain, an in-distribution one does not") {
@@ -96,17 +145,22 @@ class IvfAppendSpec extends SparkSpec {
   }
 
   test("index compaction collapses per-list append debris without changing search results") {
+    val s = spark
     val idx = java.nio.file.Files.createTempDirectory("ivf_app_compact").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
-    // five appended micro-batches: each lands one file per touched list
-    (0 until 5).foreach { i =>
-      EmbedOps.ivfAppend(spark,
-        v.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + (i + 1) * 1000000L).as("vec_id"), col("emb")), idx)
-    }
-    val before = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
-      .select("qid", "vec_id", "sim_micro").collect().toSet
+    // five appended micro-batches, folded per batch (deltaMaxFiles=1 —
+    // the pre-delta per-batch landing shape): each fold lands one file
+    // per touched list, so hot lists accumulate real file debris
+    s.conf.set("graft.ivf.deltaMaxFiles", "1")
+    try {
+      (0 until 5).foreach { i =>
+        EmbedOps.ivfAppend(spark,
+          v.where(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + (i + 1) * 1000000L).as("vec_id"), col("emb")), idx)
+      }
+    } finally s.conf.unset("graft.ivf.deltaMaxFiles")
+    val before = search(idx)
     val filesBefore = listFiles(idx)
     val done = EmbedOps.ivfCompact(spark, idx, ifMoreThan = 2)
     assert(done.nonEmpty)
@@ -120,8 +174,7 @@ class IvfAppendSpec extends SparkSpec {
         assert(filesAfter.get(p).contains(sz), s"cold list file touched: $p")
       }
     // purely physical: identical search results
-    val after = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
-      .select("qid", "vec_id", "sim_micro").collect().toSet
+    val after = search(idx)
     assert(after == before && after.nonEmpty)
   }
 
@@ -156,6 +209,67 @@ class IvfAppendSpec extends SparkSpec {
       Seq(99999999L).toDF("vec_id")) == ((0L, Nil)))
   }
 
+  test("deletion purges unfolded delta rows (takedown correctness across tiers)") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivf_del_delta").toString
+    val v = vecs
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    EmbedOps.ivfAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+    assert(fs(idx).exists(new Path(s"$idx/delta.parquet")))
+    // victims from the APPENDED (delta-resident) batch
+    val victims = v.where(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect().toSeq.sorted.take(5)
+    val (nDel, affected) = EmbedOps.ivfDelete(s, idx, victims.toDF("vec_id"))
+    assert(nDel == victims.size && affected.nonEmpty,
+      s"delta-resident victims not deleted: $nDel of ${victims.size}")
+    // the delete folded first — no delta row can outlive a takedown
+    assert(!fs(idx).exists(new Path(s"$idx/delta.parquet")))
+    val live = EmbedOps.ivfRows(s, idx)
+    assert(live.where(col("vec_id").isin(victims: _*)).count() == 0L)
+    assert(live.count() == v.count() - victims.size)
+    val post = EmbedOps.ivfKnnIndexed(s, sfDir, idx)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(victims.forall(!post.contains(_)))
+  }
+
+  test("a crash at either fold window heals without loss or duplication") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("ivf_fold_crash").toString
+    val v = vecs
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    EmbedOps.ivfAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+    val expected = search(idx)
+    val f = fs(idx)
+
+    // window A — crash DURING the tmp write (pre-commit): fold.tmp is a
+    // partial image, delta still live. Heal must roll BACK (discard tmp);
+    // nothing lost, nothing duplicated, the next fold re-runs cleanly.
+    s.read.parquet(s"$idx/delta.parquet").limit(3)
+      .withColumn("list_id", col("list_id"))
+      .write.partitionBy("list_id").parquet(s"$idx/fold.tmp")
+    assert(search(idx) == expected, "pre-commit crash changed search results")
+    assert(!f.exists(new Path(s"$idx/fold.tmp")), "stale pre-commit tmp not discarded")
+    assert(f.exists(new Path(s"$idx/delta.parquet")), "rollback consumed the delta")
+
+    // window B — crash AFTER the commit rename (delta → fold.consumed)
+    // but before the file moves: tmp is the complete image. Heal must
+    // roll FORWARD (finish the moves); same rows, now all in the
+    // partitioned tier.
+    s.read.parquet(s"$idx/delta.parquet").repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/fold.tmp")
+    assert(f.rename(new Path(s"$idx/delta.parquet"),
+      new Path(s"$idx/fold.consumed")))
+    assert(search(idx) == expected, "post-commit crash lost or duplicated rows")
+    assert(!f.exists(new Path(s"$idx/fold.tmp")))
+    assert(!f.exists(new Path(s"$idx/fold.consumed")))
+    assert(!f.exists(new Path(s"$idx/delta.parquet")))
+    val dupes = EmbedOps.ivfRows(s, idx)
+      .groupBy("vec_id").count().where(col("count") > 1).count()
+    assert(dupes == 0L)
+    assert(EmbedOps.ivfRows(s, idx).count() == v.count())
+  }
+
   test("empty append batch is a no-op with no drift advice") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_app_empty").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
@@ -163,5 +277,7 @@ class IvfAppendSpec extends SparkSpec {
     val stats = EmbedOps.ivfAppend(spark, vecs.where(lit(false)), idx)
     assert(stats.appended == 0L && !stats.retrainAdvised)
     assert(listFiles(idx) == before)
+    assert(!fs(idx).exists(new Path(s"$idx/delta.parquet")),
+      "empty batch created a delta tier")
   }
 }

@@ -100,7 +100,11 @@ class SwapReconcileSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("ivf_ns").toString
     val slices = (0 until 4).map(i => vecs.where(pmod(col("vec_id"), lit(4)) === i))
     EmbedOps.ivfBuildV(slices.head, idx, Some(2))
-    slices.tail.foreach(b => EmbedOps.ivfAppend(s, b, idx))
+    // fold per batch (deltaMaxFiles=1): each append lands one file per
+    // touched list, accumulating the per-list debris compaction targets
+    s.conf.set("graft.ivf.deltaMaxFiles", "1")
+    try slices.tail.foreach(b => EmbedOps.ivfAppend(s, b, idx))
+    finally s.conf.unset("graft.ivf.deltaMaxFiles")
     val done = EmbedOps.ivfCompact(s, idx, ifMoreThan = 2)
     assert(done.nonEmpty, "fixture did not trigger compaction")
     val f = fs(idx)

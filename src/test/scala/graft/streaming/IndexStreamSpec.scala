@@ -87,11 +87,13 @@ class IndexStreamSpec extends SparkSpec {
     EmbedOps.ivfAppend(s, b1.toDF(), idx) // the crashed run's landed rows
     assert(IndexStream.appendBatch(b1, 1L, idx).isDefined)
 
-    val dupes = s.read.parquet(s"$idx/assign.parquet")
+    // count the index's LIVE content — partitioned tier ∪ delta tier
+    // (the re-appended batch legitimately sits unfolded in the delta)
+    val dupes = EmbedOps.ivfRows(s, idx)
       .groupBy("vec_id").count().where(col("count") > 1).count()
     assert(dupes == 0L, s"$dupes duplicate vec_ids after replay")
     // and nothing was lost: every fresh vector is present exactly once
-    val total = s.read.parquet(s"$idx/assign.parquet").count()
+    val total = EmbedOps.ivfRows(s, idx).count()
     assert(total == v.count(), s"index row count $total != corpus")
   }
 
@@ -129,11 +131,12 @@ class IndexStreamSpec extends SparkSpec {
     f.mkdirs(pending.getParent); f.create(pending, true).close()
     assert(IndexStream.appendBatchPq(fresh.toDF(), 0L, pq).isDefined)
 
-    // both indexes hold every vector exactly once
-    val ivfDup = s.read.parquet(s"$idx/assign.parquet")
+    // both indexes hold every vector exactly once (IVF counted across
+    // both tiers — the streamed batch sits unfolded in the delta)
+    val ivfDup = EmbedOps.ivfRows(s, idx)
       .groupBy("vec_id").count().where(col("count") > 1).count()
     assert(ivfDup == 0L)
-    assert(s.read.parquet(s"$idx/assign.parquet").count() == v.count())
+    assert(EmbedOps.ivfRows(s, idx).count() == v.count())
     val pqPerVec = s.read.parquet(s"$pq/codes.parquet")
       .groupBy("vec_id").count().select("count").distinct()
       .collect().map(_.getLong(0)).toSeq
