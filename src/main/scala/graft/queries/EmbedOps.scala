@@ -1081,6 +1081,119 @@ object EmbedOps {
     pqSearch(codes, lut, v, shortlistN)
   }
 
+  // ---- IVFPQ: the coarse quantizer composed over the compressed codes —
+  //      the canonical big-corpus ANN shape (IVF prunes WHERE the scan
+  //      looks, PQ compresses WHAT it reads). At 100 TB the ADC scan
+  //      reads ≈ NPROBE/k of a 32×-compressed codes table — the full
+  //      table never fits a scan budget raw, and an unpruned ADC still
+  //      pays O(N·M); composed, the per-query cost is
+  //      O(NPROBE·N/k · M) code lookups + a SHORTLIST×queries exact
+  //      rerank. Both halves reuse the deterministic training already
+  //      gated (em_ivf_knn seeds/Lloyd, em_pq_adc books), so the whole
+  //      composition stays exactly DuckDB-replayable.
+
+  /** ADC over coarse-probed candidates + exact rerank. `codes` carries
+    * (vec_id, list_id, m, cid); `q` is (qid, list_id) probe rows —
+    * joining on list_id restricts the compressed scan to each query's
+    * NPROBE lists BEFORE any distance work, the IVF pruning applied in
+    * codes space. LUT and probe rows broadcast (≤ NQUERIES·M·K and
+    * NQUERIES·NPROBE rows); only the shortlist touches raw vectors. */
+  private def ivfPqSearch(codes: DataFrame, q: DataFrame, lut: DataFrame,
+      v: DataFrame): DataFrame = {
+    val shortlist = codes.join(broadcast(q), Seq("list_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("qd2").as("d2_adc"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
+      .where(col("arn") <= PQ_SHORTLIST)
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    shortlist
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
+  /** One map-only pass producing the at-rest IVFPQ rows: each vector's
+    * coarse list (codegen argmin over the centroid literal) AND its M PQ
+    * codes (one generated `pq_encode` triple loop) — no join between the
+    * two assignment passes, whole-stage codegen end to end. */
+  private def ivfPqEncode(v: DataFrame, cents: Seq[(Long, Seq[Double])],
+      books: PqBooks): DataFrame =
+    v.select(col("vec_id"),
+        element_at(typedLit(cents.map(_._1)),
+          call_function("cb_argmin", col("emb"), typedLit(cents.map(_._2))) + 1)
+          .as("list_id"),
+        posexplode(call_function("pq_encode", col("emb"),
+          typedLit(books.map(_.map(_._2))))))
+      .select(col("vec_id"), col("list_id"), col("pos").as("m"),
+        element_at(typedLit(books.head.map(_._1)), col("col") + 1).as("cid"))
+
+  /** In-memory IVFPQ search: train both quantizers (deterministic, as
+    * their standalone gates), encode in one pass, probe + ADC + rerank. */
+  def ivfPqAdc(s: SparkSession, d: String): DataFrame = {
+    val (v, cents) = ivfParts(s, d, None)
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    ivfPqSearch(ivfPqEncode(v, cents, books), q,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v)
+  }
+
+  /** Persist the composed index: the k-row centroid table, the M×K
+    * codebook, and the codes table laid out `partitionBy(list_id)` — the
+    * 32×-compressed rows under the coarse layout, so a probe's ADC scan
+    * prunes to its NPROBE list directories of CODES (the raw corpus is
+    * touched only by the shortlist rerank). */
+  def ivfPqBuild(s: SparkSession, d: String, indexDir: String): Unit = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val (_, cents) = ivfPartsV(v, None)
+    val (_, cb) = pqTrainV(v)
+    import s.implicits._
+    cents.toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    cb.toDF("m", "cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    ivfPqEncode(v, cents, pqBooks(cb))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** Search the persisted composed index — byte-identical to `ivfPqAdc`
+    * (codes and doubles round-trip parquet exactly). The probed lists
+    * push as PartitionFilters on the CODES scan: the per-query compressed
+    * read is ≈ NPROBE/k of the codes table, and raw vectors stream only
+    * into the shortlist rerank. */
+  def ivfPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = v.where(col("vec_id") < NQUERIES)
+    // string-typed probe rows: the partition column reads back as string
+    // (inference off session-wide), and the raw-value compare is what
+    // keeps the isin a PartitionFilter (ivfCompact precedent)
+    val q = ivfAssign(queries, cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").cast("string").as("list_id"))
+    val probed = q.select("list_id").distinct().as[String].collect()
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+      .where(col("list_id").isin(probed.toSeq: _*))
+    ivfPqSearch(codes, q, pqLut(pqSubRows(queries), pqBooks(cb)), v)
+  }
+
   /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
     * argmin codes, and integer ADC sums, generated per subspace. */
   def pqOracleSql: String = pqOracleSql("")
@@ -1138,6 +1251,100 @@ object EmbedOps {
        |adc AS (SELECT l.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_adc
        |        FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
        |        WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |sl AS (SELECT qid, vec_id FROM
+       |        (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
+       |         FROM adc) WHERE arn <= $PQ_SHORTLIST),
+       |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, d2_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
+       |      FROM rr)
+       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
+  /** DuckDB mirror of the IVFPQ composition: the em_ivf_knn training CTEs
+    * (renamed i*) produce per-vector lists + probe rows, the em_pq_adc
+    * CTEs produce codes + LUTs, and the ADC sum runs only over coarse-
+    * probed (qid, vec_id) candidates before the exact TOPK rerank. */
+  def ivfPqOracleSql: String = {
+    def l2n(n: Int)(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $n),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    def l2 = l2n(DIMS) _
+    def l2s = l2n(PQ_SUB) _
+    def fullL2 = l2n(DIMS) _
+    def sub(m: Int) = s"emb[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}]"
+    val kExpr =
+      s"GREATEST(2, LEAST($MAXLISTS, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))"
+    val perSub = (0 until PQ_M).map { m =>
+      s"""sv$m AS (SELECT vec_id, rank, ${sub(m)} AS sub FROM rk),
+         |sd$m AS (SELECT rank // p.step AS cid, sub AS cvec
+         |         FROM sv$m CROSS JOIN pprm p
+         |         WHERE rank % p.step = 0 AND rank // p.step < $PQ_K),
+         |aa$m AS (SELECT vec_id, sub, cid FROM
+         |          (SELECT v.vec_id, v.sub, s.cid, ${l2s("v.sub", "s.cvec")} AS d2,
+         |                  row_number() OVER (PARTITION BY v.vec_id
+         |                    ORDER BY ${l2s("v.sub", "s.cvec")} ASC, s.cid ASC) AS rn
+         |           FROM sv$m v CROSS JOIN sd$m s) WHERE rn = 1),
+         |pcm$m AS (SELECT cid, i - 1 AS dim,
+         |           CAST(sum(CAST(round(sub[i] * 1048576) AS BIGINT)) AS DOUBLE)
+         |             / (1048576.0 * count(*)) AS c
+         |         FROM aa$m CROSS JOIN unnest(generate_series(1, $PQ_SUB)) AS t(i)
+         |         GROUP BY 1, 2),
+         |cb$m AS (SELECT $m AS m, cid, list(c ORDER BY dim) AS cvec FROM pcm$m GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until PQ_M).map(m => s"SELECT * FROM cb$m").mkString(" UNION ALL ")
+    val vsUnion = (0 until PQ_M).map(m =>
+      s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM e2").mkString(" UNION ALL ")
+    s"""WITH e2 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |iprm AS (SELECT n, k, GREATEST(1, n // k) AS step FROM
+       |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2) _n) _p),
+       |rk AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |isd AS (SELECT rank // p.step AS cid, emb AS cvec
+       |        FROM rk CROSS JOIN iprm p
+       |        WHERE rank % p.step = 0 AND rank // p.step < p.k),
+       |ia1 AS (SELECT vec_id, emb, cid FROM
+       |         (SELECT e.vec_id, e.emb, s.cid, ${l2("e.emb", "s.cvec")} AS d2,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY ${l2("e.emb", "s.cvec")} ASC, s.cid ASC) AS rn
+       |          FROM rk e CROSS JOIN isd s) WHERE rn = 1),
+       |icm AS (SELECT cid, i - 1 AS dim,
+       |          CAST(sum(CAST(round(emb[i] * 1048576) AS BIGINT)) AS DOUBLE)
+       |            / (1048576.0 * count(*)) AS c
+       |        FROM ia1 CROSS JOIN unnest(generate_series(1, $DIMS)) AS t(i)
+       |        GROUP BY 1, 2),
+       |icv AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM icm GROUP BY 1),
+       |ibr AS (SELECT e.vec_id, cv.cid,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${l2("e.emb", "cv.cvec")} ASC, cv.cid ASC) AS rn
+       |        FROM e2 e CROSS JOIN icv cv),
+       |asg AS (SELECT vec_id, cid AS list_id FROM ibr WHERE rn = 1),
+       |qp AS (SELECT vec_id AS qid, cid AS list_id
+       |       FROM ibr WHERE rn <= $NPROBE AND vec_id < $NQUERIES),
+       |pprm AS (SELECT GREATEST(1, n // $PQ_K) AS step
+       |         FROM (SELECT count(*) AS n FROM e2) _n),
+       |$perSub,
+       |cb AS ($cbUnion),
+       |vs AS ($vsUnion),
+       |codes AS (SELECT vec_id, m, cid FROM
+       |           (SELECT v.vec_id, v.m, c.cid, ${l2s("v.sub", "c.cvec")} AS d2,
+       |                   row_number() OVER (PARTITION BY v.vec_id, v.m
+       |                     ORDER BY ${l2s("v.sub", "c.cvec")} ASC, c.cid ASC) AS rn
+       |            FROM vs v JOIN cb c ON v.m = c.m) WHERE rn = 1),
+       |lut AS (SELECT v.vec_id AS qid, v.m, c.cid, ${l2s("v.sub", "c.cvec")} AS qd2
+       |        FROM vs v JOIN cb c ON v.m = c.m WHERE v.vec_id < $NQUERIES),
+       |cand AS (SELECT q.qid, v.vec_id
+       |         FROM qp q JOIN asg v ON q.list_id = v.list_id AND v.vec_id <> q.qid),
+       |adc AS (SELECT x.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_adc
+       |        FROM cand x JOIN codes c ON c.vec_id = x.vec_id
+       |                    JOIN lut l ON l.qid = x.qid AND l.m = c.m AND l.cid = c.cid
+       |        GROUP BY 1, 2),
        |sl AS (SELECT qid, vec_id FROM
        |        (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
@@ -1530,6 +1737,23 @@ object EmbedOps {
       pqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
       pqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
       pqAdcIndexed(s, d, idx)
+    },
+
+    // ---- IVFPQ: the two index families composed — coarse probing prunes
+    //      WHERE the scan looks (NPROBE/k of the corpus), PQ compresses
+    //      WHAT it reads (codes, never raw vectors, until the shortlist
+    //      rerank). The at-scale ANN shape: per-query cost is
+    //      O(NPROBE·N/k·M) code lookups instead of O(N·DIMS) floats.
+    Q("em_ivfpq_adc", ivfPqOracleSql)(ivfPqAdc),
+
+    // build-once / query-many for the composition: centroids + codebook +
+    // codes partitioned BY COARSE LIST, so the probe lists push as
+    // PartitionFilters on the compressed scan itself. Shares
+    // em_ivfpq_adc's oracle — the persisted search must be byte-identical.
+    Q("em_ivfpq_persisted", ivfPqOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      ivfPqBuild(s, d, idx)
+      ivfPqIndexed(s, d, idx)
     },
 
     // ---- embedding-cosine near-dup pairs: the vector-space member of the
