@@ -518,49 +518,70 @@ object EmbedOps {
       }
   }
 
-  /** Crash recovery for an interrupted fold. The commit point is the
-    * `delta.parquet` → `fold.consumed` rename (atomic): before it the
-    * delta is still live and `fold.tmp` may be a partial write — roll
+  /** Crash recovery for an interrupted fold, per foldable table. The
+    * commit point is the delta → consumed-marker rename (atomic): before
+    * it the delta is still live and the tmp may be a partial write — roll
     * BACK by discarding tmp (the fold re-runs from the intact delta);
-    * after it `fold.tmp` is a complete partitioned image of the consumed
+    * after it the tmp is a complete partitioned image of the consumed
     * delta — roll FORWARD by finishing the per-file moves and clearing
     * both. Driver-side FS metadata only; two exists() probes when
     * healthy. */
-  private def healFold(f: org.apache.hadoop.fs.FileSystem,
-      indexDir: String): Unit = {
-    val consumed = new org.apache.hadoop.fs.Path(s"$indexDir/fold.consumed")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fold.tmp")
+  private def healFoldAt(f: org.apache.hadoop.fs.FileSystem, indexDir: String,
+      live: String, tmpName: String, consumedName: String): Unit = {
+    val consumed = new org.apache.hadoop.fs.Path(s"$indexDir/$consumedName")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$tmpName")
     if (f.exists(consumed)) {
-      moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet"))
+      moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/$live"))
       f.delete(tmp, true)
       f.delete(consumed, true)
     } else if (f.exists(tmp)) f.delete(tmp, true)
   }
 
-  /** The LSM L0→L1 fold: merge the flat delta tier into the
+  /** Heal both foldable tables an index dir can carry: the IVF
+    * assignment tier and (for a composed IVFPQ index) the codes tier —
+    * each has its own delta/marker namespace, so a crash in one fold
+    * never confuses the other's recovery. */
+  private def healFold(f: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    healFoldAt(f, indexDir, "assign.parquet", "fold.tmp", "fold.consumed")
+    healFoldAt(f, indexDir, "codes.parquet", "codes.fold.tmp", "codes.fold.consumed")
+  }
+
+  /** The LSM L0→L1 fold: merge a flat delta tier into its table's
     * `partitionBy(list_id)` layout. ONE O(delta)-sized Spark job writes
-    * the delta's partitioned image under `fold.tmp` (the delta is
+    * the delta's partitioned image under the tmp dir (the delta is
     * bounded at `deltaMaxFiles` single-file batches, so this reads a few
-    * batches, never the index); the `delta.parquet` → `fold.consumed`
-    * rename then commits, and the tmp files MOVE into the live list dirs
-    * — per-file renames, existing list files byte-untouched. Any crash
-    * point is healed by `healFold` (run here, at every maintenance-op
-    * entry via `reconcileSwaps`, and at search entry). Idempotent and
-    * safe to call with no delta present. */
-  def ivfFoldDelta(s: SparkSession, indexDir: String): Unit = {
-    val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
+    * batches, never the index); the delta → consumed-marker rename then
+    * commits, and the tmp files MOVE into the live list dirs — per-file
+    * renames, existing list files byte-untouched. Any crash point is
+    * healed by `healFold` (run at every maintenance-op entry via
+    * `reconcileSwaps`, and at search entry). Idempotent and safe to call
+    * with no delta present. */
+  private def foldDeltaAt(s: SparkSession, indexDir: String, delta: String,
+      tmpName: String, consumedName: String, live: String): Unit = {
+    val (f, deltaP) = hfs(s, s"$indexDir/$delta")
     healFold(f, indexDir)
     if (!f.exists(deltaP)) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fold.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$tmpName")
     s.read.parquet(deltaP.toString)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
-    if (!f.rename(deltaP, new org.apache.hadoop.fs.Path(s"$indexDir/fold.consumed")))
-      sys.error(s"fold commit rename failed for $indexDir")
-    moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet"))
+    if (!f.rename(deltaP, new org.apache.hadoop.fs.Path(s"$indexDir/$consumedName")))
+      sys.error(s"fold commit rename failed for $indexDir/$delta")
+    moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/$live"))
     f.delete(tmp, true)
-    f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/fold.consumed"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$consumedName"), true)
   }
+
+  /** The IVF assignment tier's fold (delta.parquet → assign.parquet). */
+  def ivfFoldDelta(s: SparkSession, indexDir: String): Unit =
+    foldDeltaAt(s, indexDir, "delta.parquet", "fold.tmp", "fold.consumed",
+      "assign.parquet")
+
+  /** The IVFPQ codes tier's fold (codes.delta.parquet → codes.parquet). */
+  def codesFoldDelta(s: SparkSession, indexDir: String): Unit =
+    foldDeltaAt(s, indexDir, "codes.delta.parquet", "codes.fold.tmp",
+      "codes.fold.consumed", "codes.parquet")
 
   /** The index's LIVE logical content — partitioned tier ∪ (bounded)
     * delta tier — as (vec_id, emb, list_id[string]). `filterLists`
@@ -1168,13 +1189,69 @@ object EmbedOps {
       .parquet(s"$indexDir/codes.parquet")
   }
 
+  /** The composed index's LIVE codes — partitioned tier ∪ (bounded)
+    * codes delta — as (vec_id, m, cid, list_id[string]). `filterLists`
+    * lands as PartitionFilters on the partitioned tier and as a pushed
+    * predicate over the delta's few files; every codes reader goes
+    * through this, so appended-but-unfolded codes are always visible. */
+  private def codesLiveRows(s: SparkSession, indexDir: String,
+      filterLists: Option[Seq[String]]): DataFrame = {
+    val (f, liveP) = hfs(s, s"$indexDir/codes.parquet")
+    val deltaP = new org.apache.hadoop.fs.Path(s"$indexDir/codes.delta.parquet")
+    def shape(df: DataFrame): DataFrame = {
+      val pruned = filterLists.fold(df)(ls => df.where(col("list_id").isin(ls: _*)))
+      pruned.select(col("vec_id"), col("m"), col("cid"),
+        col("list_id").cast("string").as("list_id"))
+    }
+    val parts = Seq(
+      if (f.exists(liveP) && f.listStatus(liveP).nonEmpty)
+        Some(shape(s.read.parquet(liveP.toString))) else None,
+      if (f.exists(deltaP))
+        Some(shape(s.read.parquet(deltaP.toString))) else None).flatten
+    require(parts.nonEmpty, s"no codes content at $indexDir")
+    parts.reduce(_ union _)
+  }
+
+  /** Incremental maintenance of the composed index: one map-only
+    * `ivfPqEncode` pass over ONLY the new rows (both frozen quantizers
+    * ride along as literals) lands the batch as ONE file in the codes
+    * delta tier — the same LSM landing discipline as `ivfAppend`, with
+    * its own fold namespace. Returns vectors encoded. Drift monitoring
+    * stays the IVF index's job (the two indexes ingest the same batches
+    * in a deployment — IndexStream precedent). */
+  def ivfPqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
+    import s.implicits._
+    reconcileSwaps(s, indexDir)
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val batch = ivfPqEncode(
+      newVecs.select(col("vec_id"), col("emb")), cents, pqBooks(cb)).persist()
+    try {
+      val n = batch.select("vec_id").distinct().count()
+      if (n > 0) {
+        batch.coalesce(1).write.mode("append")
+          .parquet(s"$indexDir/codes.delta.parquet")
+        val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
+        val (f, deltaP) = hfs(s, s"$indexDir/codes.delta.parquet")
+        if (parquetFileCount(f, deltaP) >= maxFiles) codesFoldDelta(s, indexDir)
+      }
+      n
+    } finally batch.unpersist()
+  }
+
   /** Search the persisted composed index — byte-identical to `ivfPqAdc`
     * (codes and doubles round-trip parquet exactly). The probed lists
     * push as PartitionFilters on the CODES scan: the per-query compressed
-    * read is ≈ NPROBE/k of the codes table, and raw vectors stream only
-    * into the shortlist rerank. */
+    * read is ≈ NPROBE/k of the codes table plus the bounded delta tier
+    * filtered on the same lists, so codes appended since the last fold
+    * are searchable immediately. Raw vectors stream only into the
+    * shortlist rerank. */
   def ivfPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
     import s.implicits._
+    reconcileSwaps(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val cb = s.read.parquet(s"$indexDir/codebook.parquet")
@@ -1189,9 +1266,8 @@ object EmbedOps {
     val q = ivfAssign(queries, cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").cast("string").as("list_id"))
     val probed = q.select("list_id").distinct().as[String].collect()
-    val codes = s.read.parquet(s"$indexDir/codes.parquet")
-      .where(col("list_id").isin(probed.toSeq: _*))
-    ivfPqSearch(codes, q, pqLut(pqSubRows(queries), pqBooks(cb)), v)
+    ivfPqSearch(codesLiveRows(s, indexDir, Some(probed.toSeq)), q,
+      pqLut(pqSubRows(queries), pqBooks(cb)), v)
   }
 
   /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
@@ -1268,7 +1344,13 @@ object EmbedOps {
     * (renamed i*) produce per-vector lists + probe rows, the em_pq_adc
     * CTEs produce codes + LUTs, and the ADC sum runs only over coarse-
     * probed (qid, vec_id) candidates before the exact TOPK rerank. */
-  def ivfPqOracleSql: String = {
+  def ivfPqOracleSql: String = ivfPqOracleSql("")
+
+  /** `trainWhere` restricts BOTH quantizers' training corpus (coarse
+    * seeds/Lloyd and the PQ codebooks); assignment, encoding, probing,
+    * and the rerank always cover all of e2 — the append gate's
+    * "train at N, append N/10" shape. */
+  def ivfPqOracleSql(trainWhere: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1303,9 +1385,10 @@ object EmbedOps {
     s"""WITH e2 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
+       |e2t AS (SELECT * FROM e2 $trainWhere),
        |iprm AS (SELECT n, k, GREATEST(1, n // k) AS step FROM
-       |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2) _n) _p),
-       |rk AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2t) _n) _p),
+       |rk AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2t),
        |isd AS (SELECT rank // p.step AS cid, emb AS cvec
        |        FROM rk CROSS JOIN iprm p
        |        WHERE rank % p.step = 0 AND rank // p.step < p.k),
@@ -1328,7 +1411,7 @@ object EmbedOps {
        |qp AS (SELECT vec_id AS qid, cid AS list_id
        |       FROM ibr WHERE rn <= $NPROBE AND vec_id < $NQUERIES),
        |pprm AS (SELECT GREATEST(1, n // $PQ_K) AS step
-       |         FROM (SELECT count(*) AS n FROM e2) _n),
+       |         FROM (SELECT count(*) AS n FROM e2t) _n),
        |$perSub,
        |cb AS ($cbUnion),
        |vs AS ($vsUnion),
@@ -1753,6 +1836,34 @@ object EmbedOps {
     Q("em_ivfpq_persisted", ivfPqOracleSql) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
       ivfPqBuild(s, d, idx)
+      ivfPqIndexed(s, d, idx)
+    },
+
+    // incremental maintenance of the composition: both quantizers train
+    // on 90% of the corpus, the held-out 10% encodes against the FROZEN
+    // centroids + codebooks in one map-only pass and lands in the codes
+    // DELTA tier (one file per batch, own fold namespace); the search
+    // reads partitioned ∪ delta. Oracle trains on the same 90% and
+    // encodes all — a hash match proves appended codes search exactly
+    // like a one-shot build, including the unfolded-delta read path.
+    Q("em_ivfpq_append", ivfPqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // build from the training subset only (centroids, codebook, codes)
+      val sub = v.where(col("vec_id") % 10 =!= 0)
+      val (_, cents) = ivfPartsV(sub, None)
+      val (_, cb) = pqTrainV(sub)
+      import s.implicits._
+      cents.toDF("cid", "cvec")
+        .write.mode("overwrite").parquet(s"$idx/centroids.parquet")
+      cb.toDF("m", "cid", "cvec")
+        .write.mode("overwrite").parquet(s"$idx/codebook.parquet")
+      ivfPqEncode(sub, cents, pqBooks(cb))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$idx/codes.parquet")
+      ivfPqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
       ivfPqIndexed(s, d, idx)
     },
 

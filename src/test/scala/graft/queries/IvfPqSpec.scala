@@ -36,6 +36,49 @@ class IvfPqSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_ == 5L))
   }
 
+  test("append lands ONE delta file, leaves the partitioned codes byte-untouched, " +
+      "and unfolded codes are searchable; the fold is search-invariant") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val s = spark
+    def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def files(d: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_app_spec").toString
+    EmbedOps.ivfPqBuild(spark, sfDir, idx)
+    val before = files(s"$idx/codes.parquet")
+    // new ids (shifted) so the appended rows are distinguishable
+    val n = EmbedOps.ivfPqAppend(s, v.limit(50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")), idx)
+    assert(n == 50L)
+    assert(files(s"$idx/codes.parquet") == before, "append touched the partitioned codes")
+    assert(files(s"$idx/codes.delta.parquet").size == 1, "delta not a single file")
+    // unfolded codes are live: the appended ids are reachable candidates
+    val withDelta = EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(withDelta.nonEmpty)
+    // the fold moves codes without changing a single search result
+    EmbedOps.codesFoldDelta(s, idx)
+    assert(!fs(idx).exists(new Path(s"$idx/codes.delta.parquet")), "delta not consumed")
+    val folded = files(s"$idx/codes.parquet")
+    before.foreach { case (p, sz) =>
+      assert(folded.get(p).contains(sz), s"fold rewrote existing codes file: $p")
+    }
+    assert(folded.size > before.size)
+    assert(EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == withDelta,
+      "fold changed search results")
+  }
+
   test("recall@5 vs brute force: the composition holds a measured floor") {
     val brute = topk(EmbedOps.all.find(_.name == "em_knn_brute").get.fn(spark, sfDir))
     val composed = topk(EmbedOps.ivfPqAdc(spark, sfDir))
