@@ -912,7 +912,9 @@ object EmbedOps {
     * three exists() probes when there is nothing to heal. */
   def reconcileSwaps(s: SparkSession, indexDir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    Seq("del.tmp", "compact.tmp").foreach { ns =>
+    Seq("del.tmp" -> "assign.parquet", "compact.tmp" -> "assign.parquet",
+        "codes.del.tmp" -> "codes.parquet",
+        "codes.compact.tmp" -> "codes.parquet").foreach { case (ns, table) =>
       val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/$ns")
       val f = tmpRoot.getFileSystem(conf)
       if (f.exists(tmpRoot)) {
@@ -920,7 +922,7 @@ object EmbedOps {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
           .foreach { st =>
             val live = new org.apache.hadoop.fs.Path(
-              s"$indexDir/assign.parquet/${st.getPath.getName}")
+              s"$indexDir/$table/${st.getPath.getName}")
             if (!f.exists(live)) f.rename(st.getPath, live)
           }
         f.delete(tmpRoot, true)
@@ -953,32 +955,56 @@ object EmbedOps {
     // around an unfolded delta would REPORT deletion while the deleted
     // vectors resurface at the next fold. O(delta) by the fold's bound.
     ivfFoldDelta(s, indexDir)
-    val assignDir = s"$indexDir/assign.parquet"
+    deleteFromPartitioned(s, indexDir, "assign.parquet", "del", ids)
+  }
+
+  /** Targeted deletion from the persisted composed (IVFPQ) index — the
+    * takedown path for the compressed codes. Folds the codes delta first
+    * (deleting around an unfolded delta would REPORT deletion while the
+    * deleted codes resurface at the next fold), then rewrites ONLY the
+    * affected list directories — O(affected lists of CODES, i.e.
+    * 32×-compressed bytes). Returns (vectors deleted, affected lists). */
+  def ivfPqDelete(s: SparkSession, indexDir: String,
+      ids: DataFrame): (Long, Seq[Long]) = {
+    reconcileSwaps(s, indexDir)
+    codesFoldDelta(s, indexDir)
+    val (rows, affected) =
+      deleteFromPartitioned(s, indexDir, "codes.parquet", "codes.del", ids)
+    (rows / PQ_M, affected)
+  }
+
+  /** The shared per-list deletion rewrite for any `partitionBy(list_id)`
+    * table (`table`), under its own `<ns>.tmp`/`<ns>.old` swap namespace
+    * so concurrent maintenance generations never clobber each other
+    * (ADVICE r11). Affected lists are found with a column-pruned
+    * (vec_id, list_id) scan joined to the broadcast deletion set; only
+    * those list dirs are rewritten (partition-pruned read, anti-join,
+    * per-list rename swap, previous generation parked under `<ns>.old`).
+    * Returns (rows deleted, affected list ids). */
+  private def deleteFromPartitioned(s: SparkSession, indexDir: String,
+      table: String, ns: String, ids: DataFrame): (Long, Seq[Long]) = {
+    val liveDir = s"$indexDir/$table"
     val del = ids.select(col("vec_id")).distinct()
-    val asg = s.read.parquet(assignDir)
-    val affected = asg.select("vec_id", "list_id")
+    val affected = s.read.parquet(liveDir).select("vec_id", "list_id")
       .join(broadcast(del), Seq("vec_id"))
       // partition-column inference is off session-wide: list_id reads
       // back as string — cast for the collected id list
       .select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (affected.isEmpty) return (0L, Nil)
-    val hit = s.read.parquet(assignDir)
+    val hit = s.read.parquet(liveDir)
       .where(col("list_id").isin(affected: _*)) // PartitionFilters: pruned
     val survivors = hit.join(broadcast(del), Seq("vec_id"), "left_anti")
     val nDel = hit.count() - survivors.count()
-    val root = new org.apache.hadoop.fs.Path(assignDir)
+    val root = new org.apache.hadoop.fs.Path(liveDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // own del.tmp/del.old namespace (like neardupIndexDelete's): a delete
-    // must never clobber the compact.old generation a compaction parked
-    // for lazy readers, nor race compact.tmp (ADVICE r11)
-    val tmpRoot = s"$indexDir/del.tmp"
+    val tmpRoot = s"$indexDir/$ns.tmp"
     survivors.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
     affected.foreach { lid =>
-      val live = new org.apache.hadoop.fs.Path(s"$assignDir/list_id=$lid")
+      val live = new org.apache.hadoop.fs.Path(s"$liveDir/list_id=$lid")
       val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
-      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/del.old/list_id=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/list_id=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
       if (f.exists(live)) f.rename(live, oldP)
@@ -1007,7 +1033,28 @@ object EmbedOps {
     // and the delta IS append debris — fold it into the per-list layout
     // so one pass sees (and collapses) everything
     ivfFoldDelta(s, indexDir)
-    val root = new org.apache.hadoop.fs.Path(s"$indexDir/assign.parquet")
+    compactPartitioned(s, indexDir, "assign.parquet", "compact",
+      ifMoreThan, targetBytes)
+  }
+
+  /** Small-file compaction for the composed index's codes table — folds
+    * the codes delta first, then collapses per-list code-file debris
+    * exactly like `ivfCompact` does for the assignment tier (own
+    * `codes.compact.*` namespace). */
+  def ivfPqCompact(s: SparkSession, indexDir: String, ifMoreThan: Int = 8,
+      targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] = {
+    reconcileSwaps(s, indexDir)
+    codesFoldDelta(s, indexDir)
+    compactPartitioned(s, indexDir, "codes.parquet", "codes.compact",
+      ifMoreThan, targetBytes)
+  }
+
+  /** The shared hot-list compaction for any `partitionBy(list_id)` table,
+    * under its own `<ns>.tmp`/`<ns>.old` swap namespace. */
+  private def compactPartitioned(s: SparkSession, indexDir: String,
+      table: String, ns: String, ifMoreThan: Int,
+      targetBytes: Long): Seq[(Long, Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) return Nil
     val lists = f.listStatus(root).toSeq
@@ -1037,7 +1084,7 @@ object EmbedOps {
     // cold lists stay byte-untouched. The salt only spreads oversized
     // lists across writer tasks — file placement, not semantics.
     val nf = typedLit(hot.map(t => t._1 -> t._4).toMap)
-    val tmpRoot = s"$indexDir/compact.tmp"
+    val tmpRoot = s"$indexDir/$ns.tmp"
     s.read.parquet(root.toString)
       // string compare on the raw partition value (inference is off
       // session-wide) keeps this a PartitionFilter
@@ -1048,7 +1095,7 @@ object EmbedOps {
       .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
     val done = hot.map { case (lid, live, n, _) =>
       val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
-      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/compact.old/list_id=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/list_id=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
       f.rename(live, oldP)

@@ -79,6 +79,57 @@ class IvfPqSpec extends SparkSpec {
       "fold changed search results")
   }
 
+  test("takedown purges unfolded delta codes; compaction collapses fold debris — " +
+      "both search-invariant modulo the deleted vectors") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_del_spec").toString
+    EmbedOps.ivfPqBuild(spark, sfDir, idx)
+    // delta-resident victims: append a batch, then take down part of it
+    EmbedOps.ivfPqAppend(s, v.limit(40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")), idx)
+    assert(fs(idx).exists(new Path(s"$idx/codes.delta.parquet")))
+    val victims = v.limit(40).select((col("vec_id") + 1000000L).as("vec_id"))
+      .as[Long].collect().toSeq.sorted.take(7)
+    val (nDel, affected) = EmbedOps.ivfPqDelete(s, idx, victims.toDF("vec_id"))
+    assert(nDel == victims.size && affected.nonEmpty,
+      s"delta-resident codes not deleted: $nDel of ${victims.size}")
+    // the delete folded first — no delta code can outlive a takedown
+    assert(!fs(idx).exists(new Path(s"$idx/codes.delta.parquet")))
+    val live = s.read.parquet(s"$idx/codes.parquet")
+    assert(live.where(col("vec_id").isin(victims: _*)).count() == 0L)
+    // every surviving vector still carries exactly M code rows
+    val perVec = live.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect().toSeq
+    assert(perVec == Seq(8L), s"uneven code rows after delete: $perVec")
+
+    // per-batch folds (deltaMaxFiles=1) pile real per-list file debris;
+    // compaction collapses hot lists without changing search results
+    val expected = EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    s.conf.set("graft.ivf.deltaMaxFiles", "1")
+    try {
+      (0 until 3).foreach { i =>
+        EmbedOps.ivfPqAppend(s, v.limit(30)
+          .select((col("vec_id") + (i + 2) * 1000000L).as("vec_id"), col("emb")), idx)
+      }
+    } finally s.conf.unset("graft.ivf.deltaMaxFiles")
+    val before = EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val done = EmbedOps.ivfPqCompact(s, idx, ifMoreThan = 2)
+    assert(done.nonEmpty, "fixture did not trigger codes compaction")
+    assert(done.forall { case (_, nBefore, nAfter) => nAfter < nBefore })
+    assert(EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == before,
+      "codes compaction changed search results")
+    assert(expected.nonEmpty && before.nonEmpty)
+  }
+
   test("recall@5 vs brute force: the composition holds a measured floor") {
     val brute = topk(EmbedOps.all.find(_.name == "em_knn_brute").get.fn(spark, sfDir))
     val composed = topk(EmbedOps.ivfPqAdc(spark, sfDir))
