@@ -103,6 +103,19 @@ object IndexStream {
       EmbedOps.pqAppend(batch.sparkSession, batch, pqDir)
     }
 
+  /** Idempotent per-batch append for the COMPOSED (IVFPQ) index — same
+    * discipline, own marker namespace under `ivfPqDir`. The scrub is
+    * `ivfPqDelete`, which folds the codes delta first, so a crash that
+    * landed a partial batch in the delta tier is purged before the
+    * re-append whichever tier it reached. Returns vectors encoded. */
+  def appendBatchIvfPq(batch: DataFrame, batchId: Long,
+      ivfPqDir: String): Option[Long] =
+    guarded(batch.sparkSession, ivfPqDir, batchId) {
+      EmbedOps.ivfPqDelete(batch.sparkSession, ivfPqDir, batch.select("vec_id"))
+    } {
+      EmbedOps.ivfPqAppend(batch.sparkSession, batch, ivfPqDir)
+    }
+
   /** Start appending `input` to the index at `indexDir` (must already be
     * built — the stream maintains, never trains). The commit-marker
     * namespace ties the index to ONE maintaining stream lineage (the
@@ -114,7 +127,7 @@ object IndexStream {
     * already-committed batches are skipped and do NOT re-fire it; use it
     * to alert on `retrainAdvised`. */
   def start(input: Dataset[Vec], indexDir: String, driftRatio: Double = 2.0,
-      pqDir: Option[String] = None)
+      pqDir: Option[String] = None, ivfPqDir: Option[String] = None)
       (onBatch: (Long, IvfAppendStats) => Unit = (_, _) => ()): StreamingQuery =
     input.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
@@ -125,6 +138,9 @@ object IndexStream {
         // r10): the compressed codes table rides the same stream, its
         // own marker namespace keeping each half independently replayable
         pqDir.foreach(appendBatchPq(df, batchId, _))
+        // the composed index rides the same way — each maintained index
+        // is an independent replayable half with its own markers
+        ivfPqDir.foreach(appendBatchIvfPq(df, batchId, _))
       }
       .start()
 }

@@ -144,4 +144,54 @@ class IndexStreamSpec extends SparkSpec {
     assert(s.read.parquet(s"$pq/codes.parquet").select("vec_id").distinct().count()
       == v.count())
   }
+
+  test("the composed (IVFPQ) half rides the stream and replays idempotently") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val v = vecs
+    val idx = java.nio.file.Files.createTempDirectory("ivf_c").toString
+    val cpq = java.nio.file.Files.createTempDirectory("ivfpq_c").toString
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    // a composed index built from the same 90% (build uses the sf dir's
+    // full corpus; assemble the artifacts from the subset directly)
+    locally {
+      val sub = v.where(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("emb"))
+      val e = sub.withColumnRenamed("emb", "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_src").toString
+      e.write.parquet(s"$tmp/embeddings.parquet")
+      EmbedOps.ivfPqBuild(s, tmp, cpq)
+    }
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.start(
+      input.toDS().map { case (id, e) => IndexStream.Vec(id, e) },
+      idx, ivfPqDir = Some(cpq))()
+    try {
+      val fresh = v.where(col("vec_id") % 10 === 0)
+        .as[(Long, Seq[Double])].collect().toSeq
+      input.addData(fresh: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val fresh = v.where(col("vec_id") % 10 === 0)
+    // committed replay of the composed half: skipped outright
+    assert(IndexStream.appendBatchIvfPq(fresh.toDF(), 0L, cpq).isEmpty)
+    // crash window: pending without commit — a partial landing (half the
+    // batch, in the DELTA tier) must be scrubbed before the re-append
+    val f = new org.apache.hadoop.fs.Path(cpq)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$cpq/_commits/0"), false)
+    val pending = new org.apache.hadoop.fs.Path(s"$cpq/_pending/0")
+    f.mkdirs(pending.getParent); f.create(pending, true).close()
+    EmbedOps.ivfPqAppend(s, fresh.limit(10).toDF(), cpq) // the crashed run's rows
+    assert(IndexStream.appendBatchIvfPq(fresh.toDF(), 0L, cpq).isDefined)
+
+    // exactly M code rows per vector, every vector present exactly once
+    EmbedOps.codesFoldDelta(s, cpq)
+    val codes = s.read.parquet(s"$cpq/codes.parquet")
+    val perVec = codes.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect().toSeq
+    assert(perVec == Seq(8L), s"uneven code rows per vec after replay: $perVec")
+    assert(codes.select("vec_id").distinct().count() == v.count())
+  }
 }
