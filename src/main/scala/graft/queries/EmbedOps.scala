@@ -1215,6 +1215,76 @@ object EmbedOps {
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v)
   }
 
+  /** Residual-encoded IVFPQ — the published refinement: PQ quantizes
+    * `emb − centroid[assigned list]` instead of the raw vector, so the
+    * codebooks spend their resolution on the WITHIN-list geometry (the
+    * coarse quantizer already removed the between-list variance — the
+    * residual distribution is tighter than the raw one, so the same M×K
+    * budget quantizes finer). The cost: the ADC lookup table becomes
+    * per-(query, probed list) — the query's residual differs per probe —
+    * still ≤ NQUERIES·NPROBE·M·K tiny rows, broadcast. Everything stays
+    * deterministic (same seeded training on the residual corpus), so the
+    * full composition remains DuckDB-replayable. */
+  def ivfPqResidualAdc(s: SparkSession, d: String): DataFrame = {
+    val (v, cents) = ivfParts(s, d, None)
+    val cvecs = typedLit(cents.map(_._2))
+    val cids = typedLit(cents.map(_._1))
+    // corpus residuals in one map-only pass (argmin index → centroid
+    // literal → element-wise subtract), list_id carried
+    val resid = v.select(col("vec_id"), col("emb"),
+        call_function("cb_argmin", col("emb"), cvecs).as("__i"))
+      .select(col("vec_id"),
+        element_at(cids, col("__i") + 1).as("list_id"),
+        zip_with(col("emb"), element_at(cvecs, col("__i") + 1),
+          (a, b) => a - b).as("remb"))
+    // PQ books train on the RESIDUAL corpus — same deterministic seeds
+    // (every step-th vector in vec_id rank order), same integer means
+    val (_, cb) = pqTrainV(resid.select(col("vec_id"), col("remb").as("emb")))
+    val books = pqBooks(cb)
+    val codes = resid.select(col("vec_id"), col("list_id"),
+        posexplode(call_function("pq_encode", col("remb"),
+          typedLit(books.map(_.map(_._2))))))
+      .select(col("vec_id"), col("list_id"), col("pos").as("m"),
+        element_at(typedLit(books.head.map(_._1)), col("col") + 1).as("cid"))
+    // per-(query, probe) residuals: each probe subtracts ITS list centroid
+    val cmap = typedLit(cents.toMap)
+    val qr = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"),
+        zip_with(col("emb"), element_at(cmap, col("cid")),
+          (a, b) => a - b).as("qr"))
+    val subs = array((0 until PQ_M).map(m =>
+      struct(lit(m).as("m"),
+        expr(s"slice(qr, ${m * PQ_SUB + 1}, $PQ_SUB)").as("sub"))): _*)
+    val lut = qr.select(col("qid"), col("list_id"), explode(subs).as("s"))
+      .select(col("qid"), col("list_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+      .select(col("qid"), col("list_id"), col("m"),
+        explode(transform(pqBookCol(books, col("m")), c =>
+          struct(c.getField("_2").as("cid"),
+            l2micro(col("sub"), c.getField("_1")).as("qd2")))).as("e"))
+      .select(col("qid"), col("list_id"), col("m"),
+        col("e.cid").as("cid"), col("e.qd2").as("qd2"))
+    // the (list_id, m, cid) join against the broadcast LUT restricts the
+    // compressed scan to probed lists AND resolves each code's per-query
+    // distance in one move
+    val shortlist = codes.join(broadcast(lut), Seq("list_id", "m", "cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("qd2").as("d2_adc"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
+      .where(col("arn") <= PQ_SHORTLIST)
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    shortlist
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
   /** Persist the composed index: the k-row centroid table, the M×K
     * codebook, and the codes table laid out `partitionBy(list_id)` — the
     * 32×-compressed rows under the coarse layout, so a probe's ADC scan
@@ -1475,6 +1545,113 @@ object EmbedOps {
        |        FROM cand x JOIN codes c ON c.vec_id = x.vec_id
        |                    JOIN lut l ON l.qid = x.qid AND l.m = c.m AND l.cid = c.cid
        |        GROUP BY 1, 2),
+       |sl AS (SELECT qid, vec_id FROM
+       |        (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
+       |         FROM adc) WHERE arn <= $PQ_SHORTLIST),
+       |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, d2_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
+       |      FROM rr)
+       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
+  /** DuckDB mirror of the residual-encoded composition: the coarse CTEs
+    * produce per-vector lists, a residual corpus (emb − list centroid)
+    * feeds the PQ training/encoding CTEs, and the ADC joins codes to a
+    * per-(query, probed-list) residual LUT. */
+  def ivfPqResidualOracleSql: String = {
+    def l2n(n: Int)(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $n),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    def l2 = l2n(DIMS) _
+    def l2s = l2n(PQ_SUB) _
+    def fullL2 = l2n(DIMS) _
+    def rsub(m: Int) = s"remb[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}]"
+    val kExpr =
+      s"GREATEST(2, LEAST($MAXLISTS, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))"
+    val perSub = (0 until PQ_M).map { m =>
+      s"""sv$m AS (SELECT vec_id, rank, ${rsub(m)} AS sub FROM rkr),
+         |sd$m AS (SELECT rank // p.step AS cid, sub AS cvec
+         |         FROM sv$m CROSS JOIN pprm p
+         |         WHERE rank % p.step = 0 AND rank // p.step < $PQ_K),
+         |aa$m AS (SELECT vec_id, sub, cid FROM
+         |          (SELECT v.vec_id, v.sub, s.cid, ${l2s("v.sub", "s.cvec")} AS d2,
+         |                  row_number() OVER (PARTITION BY v.vec_id
+         |                    ORDER BY ${l2s("v.sub", "s.cvec")} ASC, s.cid ASC) AS rn
+         |           FROM sv$m v CROSS JOIN sd$m s) WHERE rn = 1),
+         |pcm$m AS (SELECT cid, i - 1 AS dim,
+         |           CAST(sum(CAST(round(sub[i] * 1048576) AS BIGINT)) AS DOUBLE)
+         |             / (1048576.0 * count(*)) AS c
+         |         FROM aa$m CROSS JOIN unnest(generate_series(1, $PQ_SUB)) AS t(i)
+         |         GROUP BY 1, 2),
+         |cb$m AS (SELECT $m AS m, cid, list(c ORDER BY dim) AS cvec FROM pcm$m GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until PQ_M).map(m => s"SELECT * FROM cb$m").mkString(" UNION ALL ")
+    val vsUnion = (0 until PQ_M).map(m =>
+      s"SELECT vec_id, list_id, $m AS m, ${rsub(m)} AS sub FROM res").mkString(" UNION ALL ")
+    val qsUnion = (0 until PQ_M).map(m =>
+      s"SELECT qid, list_id, $m AS m, qr[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}] AS sub FROM qres")
+      .mkString(" UNION ALL ")
+    s"""WITH e2 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |iprm AS (SELECT n, k, GREATEST(1, n // k) AS step FROM
+       |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2) _n) _p),
+       |rk AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |isd AS (SELECT rank // p.step AS cid, emb AS cvec
+       |        FROM rk CROSS JOIN iprm p
+       |        WHERE rank % p.step = 0 AND rank // p.step < p.k),
+       |ia1 AS (SELECT vec_id, emb, cid FROM
+       |         (SELECT e.vec_id, e.emb, s.cid, ${l2("e.emb", "s.cvec")} AS d2,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY ${l2("e.emb", "s.cvec")} ASC, s.cid ASC) AS rn
+       |          FROM rk e CROSS JOIN isd s) WHERE rn = 1),
+       |icm AS (SELECT cid, i - 1 AS dim,
+       |          CAST(sum(CAST(round(emb[i] * 1048576) AS BIGINT)) AS DOUBLE)
+       |            / (1048576.0 * count(*)) AS c
+       |        FROM ia1 CROSS JOIN unnest(generate_series(1, $DIMS)) AS t(i)
+       |        GROUP BY 1, 2),
+       |icv AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM icm GROUP BY 1),
+       |ibr AS (SELECT e.vec_id, cv.cid,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${l2("e.emb", "cv.cvec")} ASC, cv.cid ASC) AS rn
+       |        FROM e2 e CROSS JOIN icv cv),
+       |asg AS (SELECT vec_id, cid AS list_id FROM ibr WHERE rn = 1),
+       |qp AS (SELECT vec_id AS qid, cid AS list_id
+       |       FROM ibr WHERE rn <= $NPROBE AND vec_id < $NQUERIES),
+       |res AS (SELECT a.vec_id, a.list_id,
+       |          list_transform(generate_series(1, $DIMS),
+       |            i -> e.emb[i] - cv.cvec[i]) AS remb
+       |        FROM asg a JOIN e2 e USING (vec_id)
+       |                   JOIN icv cv ON cv.cid = a.list_id),
+       |rkr AS (SELECT vec_id, remb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM res),
+       |pprm AS (SELECT GREATEST(1, n // $PQ_K) AS step
+       |         FROM (SELECT count(*) AS n FROM res) _n),
+       |$perSub,
+       |cb AS ($cbUnion),
+       |vs AS ($vsUnion),
+       |codes AS (SELECT vec_id, list_id, m, cid FROM
+       |           (SELECT v.vec_id, v.list_id, v.m, c.cid, ${l2s("v.sub", "c.cvec")} AS d2,
+       |                   row_number() OVER (PARTITION BY v.vec_id, v.m
+       |                     ORDER BY ${l2s("v.sub", "c.cvec")} ASC, c.cid ASC) AS rn
+       |            FROM vs v JOIN cb c ON v.m = c.m) WHERE rn = 1),
+       |qres AS (SELECT q.qid, q.list_id,
+       |           list_transform(generate_series(1, $DIMS),
+       |             i -> e.emb[i] - cv.cvec[i]) AS qr
+       |         FROM qp q JOIN e2 e ON e.vec_id = q.qid
+       |                   JOIN icv cv ON cv.cid = q.list_id),
+       |qs AS ($qsUnion),
+       |lutr AS (SELECT v.qid, v.list_id, v.m, c.cid, ${l2s("v.sub", "c.cvec")} AS qd2
+       |         FROM qs v JOIN cb c ON v.m = c.m),
+       |adc AS (SELECT l.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_adc
+       |        FROM codes c JOIN lutr l ON l.list_id = c.list_id
+       |                                AND l.m = c.m AND l.cid = c.cid
+       |        WHERE c.vec_id <> l.qid GROUP BY 1, 2),
        |sl AS (SELECT qid, vec_id FROM
        |        (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
@@ -1893,6 +2070,12 @@ object EmbedOps {
     // reads partitioned ∪ delta. Oracle trains on the same 90% and
     // encodes all — a hash match proves appended codes search exactly
     // like a one-shot build, including the unfolded-delta read path.
+    // the residual refinement (the published IVFPQ shape): PQ quantizes
+    // emb − centroid[list], spending the M×K budget on within-list
+    // geometry; the LUT becomes per-(query, probed list) — still tiny,
+    // still broadcast, and the whole composition stays DuckDB-replayable.
+    Q("em_ivfpq_residual", ivfPqResidualOracleSql)(ivfPqResidualAdc),
+
     Q("em_ivfpq_append", ivfPqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
       val v = emb(s, d)

@@ -130,7 +130,8 @@ class IvfPqSpec extends SparkSpec {
     assert(expected.nonEmpty && before.nonEmpty)
   }
 
-  test("recall@5 vs brute force: the composition holds a measured floor") {
+  test("recall@5 vs brute force: the composition holds a measured floor, " +
+      "and residual encoding does not lose candidates the rerank could save") {
     val brute = topk(EmbedOps.all.find(_.name == "em_knn_brute").get.fn(spark, sfDir))
     val composed = topk(EmbedOps.ivfPqAdc(spark, sfDir))
     val recall = (composed & brute).size.toDouble / brute.size
@@ -139,5 +140,14 @@ class IvfPqSpec extends SparkSpec {
     // class as IvfRecallSpec's k=sqrt(N) row); PQ's shortlist (150 >> 5)
     // loses nothing further after the wide exact rerank
     assert(recall >= 0.2, s"composed recall collapsed: $recall")
+    // residual encoding shares the IVF filter, so its recall differs only
+    // through ADC shortlist ordering — with SHORTLIST=150 >> TOPK on a
+    // ≤~N/k-sized probe set both variants rerank essentially the full
+    // candidate pool: identical floors, and near-identical sets here
+    val residual = topk(EmbedOps.ivfPqResidualAdc(spark, sfDir))
+    val rRecall = (residual & brute).size.toDouble / brute.size
+    assert(rRecall >= 0.2, s"residual recall collapsed: $rRecall")
+    assert(rRecall >= recall - 0.05,
+      s"residual encoding lost recall vs raw: $rRecall < $recall")
   }
 }
