@@ -1558,6 +1558,113 @@ object EmbedOps {
        |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
   }
 
+  // ---- scalar (int8) quantization: the third compression family beside
+  //      PQ and the IVF layouts. Each vector stores DIMS uint8 codes plus
+  //      its own (mn, mx) range — 8× compression of float64 at full
+  //      dimensionality, and NO training phase: the encode is a pure map
+  //      with no collected artifact, so it composes with any ingest
+  //      (against PQ's trained codebooks, SQ trades compression ratio for
+  //      zero build dependency — the standard first rung of the
+  //      compression ladder). The approximate scan runs against the
+  //      DEQUANTIZED codes (asymmetric: full-precision query vs
+  //      reconstructed corpus) and the SHORTLIST exact rerank removes the
+  //      quantization error from the final TOPK — the same two-stage
+  //      discipline as the PQ gates, with the same at-scale property
+  //      that the full corpus is only ever read compressed.
+
+  /** Encode: per-vector range + codes. Every arithmetic step is written
+    * in the exact order the oracle replays (the round() of a nonnegative
+    * value is engine-identical), so codes match bit-for-bit. */
+  private def sq8Encode(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+        array_min(col("emb")).as("mn"), array_max(col("emb")).as("mx"),
+        col("emb"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("""transform(emb, x -> CAST(round(CASE WHEN mx > mn
+                THEN (x - mn) / (mx - mn) * 255.0 ELSE 0.0 END) AS INT))""")
+          .as("q"))
+
+  /** Approximate scan + exact rerank over an encoded codes frame. */
+  private def sq8Search(enc: DataFrame, v: DataFrame): DataFrame = {
+    val dq = enc.select(col("vec_id"),
+      expr("transform(q, c -> mn + CAST(c AS DOUBLE) * (mx - mn) / 255.0)")
+        .as("dq"))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val shortlist = dq.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("qe"), col("dq")).as("d2_adc"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
+      .where(col("arn") <= PQ_SHORTLIST)
+    shortlist
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
+  def sq8Adc(s: SparkSession, d: String): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    sq8Search(sq8Encode(v), v)
+  }
+
+  /** Persist the SQ8 codes table (the 8×-compressed at-rest form); the
+    * search from disk is byte-identical (ints and the per-vector range
+    * doubles round-trip parquet exactly). */
+  def sq8Build(s: SparkSession, d: String, indexDir: String): Unit = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    sq8Encode(v).write.mode("overwrite").parquet(s"$indexDir/sq8.parquet")
+  }
+
+  def sq8Indexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    sq8Search(s.read.parquet(s"$indexDir/sq8.parquet"), v)
+  }
+
+  /** DuckDB mirror: identical encode/dequant arithmetic (same operation
+    * order, same nonnegative round), asymmetric scan, exact rerank. */
+  def sq8OracleSql: String = {
+    def l2n(n: Int)(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $n),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH e2 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |rng AS (SELECT vec_id, emb,
+       |          list_aggregate(emb, 'min') AS mn,
+       |          list_aggregate(emb, 'max') AS mx FROM e2),
+       |enc AS (SELECT vec_id, mn, mx,
+       |          list_transform(emb, x -> CAST(round(CASE WHEN mx > mn
+       |            THEN (x - mn) / (mx - mn) * 255.0 ELSE 0.0 END) AS INT)) AS q
+       |        FROM rng),
+       |dq AS (SELECT vec_id,
+       |         list_transform(q, c -> mn + CAST(c AS DOUBLE) * (mx - mn) / 255.0) AS dq
+       |       FROM enc),
+       |cand AS (SELECT e.vec_id AS qid, v.vec_id,
+       |           ${l2n(DIMS)("e.emb", "v.dq")} AS d2_adc
+       |         FROM e2 e JOIN dq v ON v.vec_id <> e.vec_id
+       |         WHERE e.vec_id < $NQUERIES),
+       |sl AS (SELECT qid, vec_id FROM
+       |        (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
+       |         FROM cand) WHERE arn <= $PQ_SHORTLIST),
+       |rr AS (SELECT s.qid, s.vec_id, ${l2n(DIMS)("x.emb", "q.emb")} AS d2_micro
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, d2_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
+       |      FROM rr)
+       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
   /** DuckDB mirror of the residual-encoded composition: the coarse CTEs
     * produce per-vector lists, a residual corpus (emb − list centroid)
     * feeds the PQ training/encoding CTEs, and the ADC joins codes to a
@@ -2075,6 +2182,17 @@ object EmbedOps {
     // geometry; the LUT becomes per-(query, probed list) — still tiny,
     // still broadcast, and the whole composition stays DuckDB-replayable.
     Q("em_ivfpq_residual", ivfPqResidualOracleSql)(ivfPqResidualAdc),
+
+    // scalar (int8) quantization: training-free 8× compression — per-
+    // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,
+    // exact rerank. The persisted twin searches the at-rest codes table
+    // byte-identically (shared oracle).
+    Q("em_sq8", sq8OracleSql)(sq8Adc),
+    Q("em_sq8_persisted", sq8OracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+      sq8Build(s, d, idx)
+      sq8Indexed(s, d, idx)
+    },
 
     Q("em_ivfpq_append", ivfPqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
