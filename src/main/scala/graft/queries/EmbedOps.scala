@@ -1665,6 +1665,109 @@ object EmbedOps {
        |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
   }
 
+  // ---- binary (sign) quantization: the extreme rung of the compression
+  //      ladder — DIMS dims pack into ONE 64-bit code (bit i = dim i
+  //      above the vector's own mean), 64× compression of float64. The
+  //      approximate scan ranks by Hamming distance (one xor + popcount
+  //      per pair — the cheapest possible compressed comparison) and the
+  //      exact rerank recovers true distances for the shortlist. Encode
+  //      is a pure map (per-vector mean threshold, no training, no
+  //      collected artifact); the oracle replays the same bits as an
+  //      unpacked boolean fold, so the Hamming sort keys match exactly.
+
+  /** Pack: bit i set iff emb[i] > mean(emb). Bitwise OR accumulation —
+    * no additive overflow however the top bit lands (ANSI-safe). */
+  private def bqEncode(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("emb"),
+        (expr("aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / lit(DIMS.toDouble)).as("mu"))
+      .select(col("vec_id"),
+        expr(s"""aggregate(sequence(0, ${DIMS - 1}), CAST(0 AS BIGINT),
+                 (acc, i) -> acc | IF(element_at(emb, i + 1) > mu,
+                                      shiftleft(CAST(1 AS BIGINT), i),
+                                      CAST(0 AS BIGINT)))""").as("code"))
+
+  /** Hamming shortlist + exact rerank over packed codes. */
+  private def bqSearch(codes: DataFrame, v: DataFrame): DataFrame = {
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val qc = bqEncode(v.where(col("vec_id") < NQUERIES))
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val shortlist = codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("bit_count(code ^ qcode)").as("ham"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .where(col("arn") <= PQ_SHORTLIST)
+    shortlist
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
+  def bqAdc(s: SparkSession, d: String): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    bqSearch(bqEncode(v), v)
+  }
+
+  /** Persist the packed codes (8 bytes per vector at rest). */
+  def bqBuild(s: SparkSession, d: String, indexDir: String): Unit = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    bqEncode(v).write.mode("overwrite").parquet(s"$indexDir/bq.parquet")
+  }
+
+  def bqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    bqSearch(s.read.parquet(s"$indexDir/bq.parquet"), v)
+  }
+
+  /** DuckDB mirror: the same sign bits as an UNPACKED boolean list (no
+    * 64-bit packing oracle-side — BIGINT overflow semantics differ), a
+    * mismatch-count Hamming fold producing identical sort keys, and the
+    * same shortlist/rerank. */
+  def bqOracleSql: String = {
+    def l2n(n: Int)(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $n),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH e2 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |mu AS (SELECT vec_id, emb,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), emb),
+       |           (a, x) -> a + x) / CAST($DIMS AS DOUBLE) AS mu
+       |       FROM e2),
+       |bits AS (SELECT vec_id,
+       |           list_transform(emb, x -> CASE WHEN x > mu THEN 1 ELSE 0 END) AS b
+       |         FROM mu),
+       |cand AS (SELECT q.vec_id AS qid, v.vec_id,
+       |           list_reduce(list_prepend(0,
+       |             list_transform(generate_series(1, $DIMS),
+       |               i -> CASE WHEN q.b[i] <> v.b[i] THEN 1 ELSE 0 END)),
+       |             (a, x) -> a + x) AS ham
+       |         FROM bits q JOIN bits v ON v.vec_id <> q.vec_id
+       |         WHERE q.vec_id < $NQUERIES),
+       |sl AS (SELECT qid, vec_id FROM
+       |        (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS arn
+       |         FROM cand) WHERE arn <= $PQ_SHORTLIST),
+       |rr AS (SELECT s.qid, s.vec_id, ${l2n(DIMS)("x.emb", "q.emb")} AS d2_micro
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, d2_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
+       |      FROM rr)
+       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
   /** DuckDB mirror of the residual-encoded composition: the coarse CTEs
     * produce per-vector lists, a residual corpus (emb − list centroid)
     * feeds the PQ training/encoding CTEs, and the ADC joins codes to a
@@ -2187,6 +2290,17 @@ object EmbedOps {
     // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,
     // exact rerank. The persisted twin searches the at-rest codes table
     // byte-identically (shared oracle).
+    // binary (sign) quantization: 64× compression — one packed 64-bit
+    // code per vector, Hamming (xor+popcount) shortlist, exact rerank.
+    // The oracle replays the same sign bits unpacked, so the Hamming
+    // sort keys match exactly.
+    Q("em_bq", bqOracleSql)(bqAdc),
+    Q("em_bq_persisted", bqOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_bq_idx").toString
+      bqBuild(s, d, idx)
+      bqIndexed(s, d, idx)
+    },
+
     Q("em_sq8", sq8OracleSql)(sq8Adc),
     Q("em_sq8_persisted", sq8OracleSql) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
