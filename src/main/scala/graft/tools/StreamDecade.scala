@@ -130,7 +130,34 @@ object StreamDecade {
       (n, 0L, nBatches.get)
     }
 
-    println(s"""{"dir":"$sfDir","horizon_ms":$horizonMs,$neardedup,$indexstream}""")
+    // ---- IndexStream, composed (IVFPQ) half: same head/tail replay
+    //      against a persisted composed index (codes delta landing)
+    val ivfpqstream = if (!has("embeddings")) "\"ivfpqstream\":null" else bench("ivfpqstream") {
+      val work = java.nio.file.Files.createTempDirectory("sdec_cpq").toString
+      val idx = s"$work/ivf"
+      val cpq = s"$work/ivfpq"
+      val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val head = v.where(col("vec_id") % 10 =!= 0)
+      graft.queries.EmbedOps.ivfBuildV(head, idx, None)
+      head.withColumnRenamed("emb", "embedding")
+        .write.parquet(s"$work/src/embeddings.parquet")
+      graft.queries.EmbedOps.ivfPqBuild(spark, s"$work/src", cpq)
+      val fresh = v.where(col("vec_id") % 10 === 0)
+      val (dir, n) = replayDir(fresh, "vec_id", math.max(4, chunks / 4), work)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong
+      val stream = spark.readStream
+        .schema("vec_id LONG, emb ARRAY<DOUBLE>, __rn INT")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("vec_id"), col("emb")).as[IndexStream.Vec]
+      val q = IndexStream.start(stream, idx, ivfPqDir = Some(cpq)) { (_, _) =>
+        nBatches.incrementAndGet(); ()
+      }
+      try q.processAllAvailable() finally q.stop()
+      (n, 0L, nBatches.get)
+    }
+
+    println(s"""{"dir":"$sfDir","horizon_ms":$horizonMs,$neardedup,$indexstream,$ivfpqstream}""")
     spark.stop()
   }
 }
