@@ -130,6 +130,51 @@ class IvfPqSpec extends SparkSpec {
     assert(expected.nonEmpty && before.nonEmpty)
   }
 
+  test("a crash at either CODES-fold window heals into codes.parquet — " +
+      "never into the assignment tier's namespace") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val s = spark
+    def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_fold_crash").toString
+    EmbedOps.ivfPqBuild(spark, sfDir, idx)
+    EmbedOps.ivfPqAppend(s, v.limit(30)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")), idx)
+    val expected = EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val f = fs(idx)
+
+    // window A — crash DURING the tmp write: codes.fold.tmp partial,
+    // delta live. Heal rolls BACK; search unchanged.
+    s.read.parquet(s"$idx/codes.delta.parquet").limit(3)
+      .write.partitionBy("list_id").parquet(s"$idx/codes.fold.tmp")
+    assert(EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == expected)
+    assert(!f.exists(new Path(s"$idx/codes.fold.tmp")))
+    assert(f.exists(new Path(s"$idx/codes.delta.parquet")))
+
+    // window B — crash AFTER the commit rename: tmp complete. Heal rolls
+    // FORWARD into codes.parquet; the assignment namespace (absent for a
+    // composed index) must stay untouched.
+    s.read.parquet(s"$idx/codes.delta.parquet").repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/codes.fold.tmp")
+    assert(f.rename(new Path(s"$idx/codes.delta.parquet"),
+      new Path(s"$idx/codes.fold.consumed")))
+    assert(EmbedOps.ivfPqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == expected)
+    assert(!f.exists(new Path(s"$idx/codes.fold.tmp")))
+    assert(!f.exists(new Path(s"$idx/codes.fold.consumed")))
+    assert(!f.exists(new Path(s"$idx/codes.delta.parquet")))
+    assert(!f.exists(new Path(s"$idx/assign.parquet")),
+      "codes fold leaked into the assignment tier's namespace")
+    // every appended vector folded exactly once
+    val dupes = spark.read.parquet(s"$idx/codes.parquet")
+      .groupBy("vec_id", "m").count().where(col("count") > 1).count()
+    assert(dupes == 0L)
+  }
+
   test("recall@5 vs brute force: the composition holds a measured floor, " +
       "and residual encoding does not lose candidates the rerank could save") {
     val brute = topk(EmbedOps.all.find(_.name == "em_knn_brute").get.fn(spark, sfDir))
