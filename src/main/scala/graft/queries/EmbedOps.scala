@@ -1665,6 +1665,127 @@ object EmbedOps {
        |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
   }
 
+  // ---- MMR (maximal marginal relevance) diversified top-k: the standard
+  //      retrieval-diversification selection — greedily pick K results
+  //      maximizing λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s),
+  //      so near-duplicate hits don't crowd the result set (the curation
+  //      use: diverse exemplar selection per prompt/cluster). Scale
+  //      shape: candidate generation is the distributed scan (same as
+  //      knn); the greedy loop is inherently sequential but only over a
+  //      CAND-sized shortlist PER QUERY, so queries are the parallel
+  //      unit (mapGroups) and per-group state is CAND vectors — bounded.
+  //      All scores are integer micro-arithmetic (λ = 0.7 as the exact
+  //      7/3 split over a ×10 scale), so the greedy trace replays
+  //      bit-identically in the oracle's unrolled SQL.
+  private val MMR_CAND = 20
+
+  /** Encoder-visible row shapes for the per-query greedy (Dataset
+    * encoders generate accessor code, so these cannot be private). */
+  final case class MmrCand(qid: Long, vec_id: Long,
+      sim_micro: Long, emb: Seq[Double])
+  final case class MmrPick(qid: Long, vec_id: Long,
+      pick: Int, score_micro: Long)
+
+  /** The oracle's fold arithmetic, locally: sequential left-fold dot,
+    * micro-floor cosine — the same IEEE sequence as codegen seqdot and
+    * DuckDB's list_reduce, so pairwise sims match bit-for-bit. */
+  private def simMicroLocal(a: Seq[Double], b: Seq[Double]): Long = {
+    var da = 0.0; var db = 0.0; var d = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1
+    }
+    math.floor(d / (math.sqrt(da) * math.sqrt(db)) * 1000000.0 + 0.5).toLong
+  }
+
+  def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val cand = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        micro(dot(col("qe"), col("emb"))
+          / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"), col("emb"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
+      .where(col("crn") <= MMR_CAND)
+      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb"))
+      .as[MmrCand]
+    cand.groupByKey(_.qid).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (-c.sim_micro, c.vec_id))
+      val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      var k = 0
+      while (k < TOPK && sel.size < cs.length) {
+        // score = 7·sim(q,d) − 3·max_{s∈sel} sim(d,s); empty set → 0
+        val best = cs.iterator.filterNot(c => sel.exists(_.vec_id == c.vec_id))
+          .map { c =>
+            val maxSel =
+              if (sel.isEmpty) 0L
+              else sel.iterator.map(x => simMicroLocal(c.emb, x.emb)).max
+            (c, 7L * c.sim_micro - 3L * maxSel)
+          }
+          .minBy { case (c, score) => (-score, c.vec_id) }
+        sel += best._1
+        picks += MmrPick(qid, best._1.vec_id, k + 1, best._2)
+        k += 1
+      }
+      picks.iterator
+    }.toDF("qid", "vec_id", "pick", "score_micro")
+  }
+
+  /** Unrolled greedy replay: one CTE pair per selection step — the
+    * argmax by (score desc, vec_id asc) over candidates not yet picked,
+    * with maxsel folded from the pairwise-sim CTE. */
+  def mmrOracleSql: String = {
+    val steps = (2 to TOPK).map { k =>
+      val prev = (1 until k).map(j => s"SELECT qid, vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""prev$k AS ($prev),
+         |m$k AS (SELECT c.qid, c.vec_id, c.sim_micro,
+         |          max(p.sim) AS maxsel
+         |        FROM cand c
+         |          JOIN prev$k s ON s.qid = c.qid
+         |          JOIN psim p ON p.qid = c.qid AND p.a = c.vec_id AND p.b = s.vec_id
+         |        WHERE c.vec_id NOT IN (SELECT vec_id FROM prev$k WHERE qid = c.qid)
+         |        GROUP BY 1, 2, 3),
+         |s$k AS (SELECT qid, vec_id, $k AS pick, score_micro FROM
+         |         (SELECT qid, vec_id, 7 * sim_micro - 3 * maxsel AS score_micro,
+         |            row_number() OVER (PARTITION BY qid
+         |              ORDER BY 7 * sim_micro - 3 * maxsel DESC, vec_id ASC) AS rn
+         |          FROM m$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to TOPK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"""WITH e2 AS (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |            FROM embeddings),
+       |cand AS (SELECT qid, vec_id, sim_micro FROM
+       |          (SELECT q.vec_id AS qid, v.vec_id,
+       |             CAST(floor(${duckDot("q.emb", "v.emb")}
+       |                        / (${duckNorm("q.emb")} * ${duckNorm("v.emb")})
+       |                        * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+       |             row_number() OVER (PARTITION BY q.vec_id
+       |               ORDER BY CAST(floor(${duckDot("q.emb", "v.emb")}
+       |                        / (${duckNorm("q.emb")} * ${duckNorm("v.emb")})
+       |                        * 1000000.0 + 0.5) AS BIGINT) DESC, v.vec_id ASC) AS crn
+       |           FROM e2 q JOIN e2 v ON v.vec_id <> q.vec_id
+       |           WHERE q.vec_id < $NQUERIES) WHERE crn <= $MMR_CAND),
+       |psim AS (SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+       |           CAST(floor(${duckDot("x.emb", "y.emb")}
+       |                      / (${duckNorm("x.emb")} * ${duckNorm("y.emb")})
+       |                      * 1000000.0 + 0.5) AS BIGINT) AS sim
+       |         FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |              JOIN e2 x ON x.vec_id = a.vec_id
+       |              JOIN e2 y ON y.vec_id = b.vec_id),
+       |s1 AS (SELECT qid, vec_id, 1 AS pick, 7 * sim_micro AS score_micro FROM
+       |        (SELECT qid, vec_id, sim_micro,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY sim_micro DESC, vec_id ASC) AS rn
+       |         FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT qid, vec_id, CAST(pick AS INT) AS pick, score_micro FROM ($union)""".stripMargin
+  }
+
   // ---- binary (sign) quantization: the extreme rung of the compression
   //      ladder — DIMS dims pack into ONE 64-bit code (bit i = dim i
   //      above the vector's own mean), 64× compression of float64. The
@@ -2290,6 +2411,11 @@ object EmbedOps {
     // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,
     // exact rerank. The persisted twin searches the at-rest codes table
     // byte-identically (shared oracle).
+    // MMR diversified top-k: greedy diverse selection over per-query
+    // shortlists — integer micro-score trace replays exactly in the
+    // oracle's unrolled greedy SQL.
+    Q("em_mmr", mmrOracleSql)(mmrSelect),
+
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.
     // The oracle replays the same sign bits unpacked, so the Hamming
