@@ -1225,28 +1225,39 @@ object EmbedOps {
     * still ≤ NQUERIES·NPROBE·M·K tiny rows, broadcast. Everything stays
     * deterministic (same seeded training on the residual corpus), so the
     * full composition remains DuckDB-replayable. */
-  def ivfPqResidualAdc(s: SparkSession, d: String): DataFrame = {
-    val (v, cents) = ivfParts(s, d, None)
+  /** Residual corpus + trained residual books: the shared offline half.
+    * One map-only pass produces (vec_id, list_id, remb); books train on
+    * the residual corpus with the same deterministic seed ranks. */
+  private def residParts(v: DataFrame, cents: Seq[(Long, Seq[Double])])
+      : (DataFrame, PqBooks) = {
     val cvecs = typedLit(cents.map(_._2))
     val cids = typedLit(cents.map(_._1))
-    // corpus residuals in one map-only pass (argmin index → centroid
-    // literal → element-wise subtract), list_id carried
     val resid = v.select(col("vec_id"), col("emb"),
         call_function("cb_argmin", col("emb"), cvecs).as("__i"))
       .select(col("vec_id"),
         element_at(cids, col("__i") + 1).as("list_id"),
         zip_with(col("emb"), element_at(cvecs, col("__i") + 1),
           (a, b) => a - b).as("remb"))
-    // PQ books train on the RESIDUAL corpus — same deterministic seeds
-    // (every step-th vector in vec_id rank order), same integer means
     val (_, cb) = pqTrainV(resid.select(col("vec_id"), col("remb").as("emb")))
-    val books = pqBooks(cb)
-    val codes = resid.select(col("vec_id"), col("list_id"),
+    (resid, pqBooks(cb))
+  }
+
+  private def residEncode(resid: DataFrame, books: PqBooks): DataFrame =
+    resid.select(col("vec_id"), col("list_id"),
         posexplode(call_function("pq_encode", col("remb"),
           typedLit(books.map(_.map(_._2))))))
       .select(col("vec_id"), col("list_id"), col("pos").as("m"),
         element_at(typedLit(books.head.map(_._1)), col("col") + 1).as("cid"))
-    // per-(query, probe) residuals: each probe subtracts ITS list centroid
+
+  /** Residual ADC search over a codes source: per-(query, probe)
+    * residual LUT (each probe subtracts ITS list centroid), the
+    * (list_id, m, cid) broadcast join restricting the compressed scan to
+    * probed lists AND resolving per-query distances in one move, then
+    * the shortlist exact rerank. list_id is normalized to string on both
+    * join sides so in-memory (long) and persisted (partition-column
+    * string) codes behave identically. */
+  private def ivfPqResidualSearch(codes: DataFrame,
+      cents: Seq[(Long, Seq[Double])], books: PqBooks, v: DataFrame): DataFrame = {
     val cmap = typedLit(cents.toMap)
     val qr = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"),
@@ -1257,16 +1268,15 @@ object EmbedOps {
         expr(s"slice(qr, ${m * PQ_SUB + 1}, $PQ_SUB)").as("sub"))): _*)
     val lut = qr.select(col("qid"), col("list_id"), explode(subs).as("s"))
       .select(col("qid"), col("list_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-      .select(col("qid"), col("list_id"), col("m"),
+      .select(col("qid"), col("list_id").cast("string").as("list_id"), col("m"),
         explode(transform(pqBookCol(books, col("m")), c =>
           struct(c.getField("_2").as("cid"),
             l2micro(col("sub"), c.getField("_1")).as("qd2")))).as("e"))
       .select(col("qid"), col("list_id"), col("m"),
         col("e.cid").as("cid"), col("e.qd2").as("qd2"))
-    // the (list_id, m, cid) join against the broadcast LUT restricts the
-    // compressed scan to probed lists AND resolves each code's per-query
-    // distance in one move
-    val shortlist = codes.join(broadcast(lut), Seq("list_id", "m", "cid"))
+    val codesS = codes.select(col("vec_id"),
+      col("list_id").cast("string").as("list_id"), col("m"), col("cid"))
+    val shortlist = codesS.join(broadcast(lut), Seq("list_id", "m", "cid"))
       .where(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg(sum("qd2").as("d2_adc"))
@@ -1283,6 +1293,52 @@ object EmbedOps {
         Window.partitionBy("qid").orderBy(col("d2_micro").asc, col("vec_id").asc)))
       .where(col("rn") <= TOPK)
       .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+  }
+
+  def ivfPqResidualAdc(s: SparkSession, d: String): DataFrame = {
+    val (v, cents) = ivfParts(s, d, None)
+    val (resid, books) = residParts(v, cents)
+    ivfPqResidualSearch(residEncode(resid, books), cents, books, v)
+  }
+
+  /** Persist the residual composition: centroids, residual codebook, and
+    * the residual codes `partitionBy(list_id)` — probes prune the
+    * compressed scan exactly as the raw composition's layout does. */
+  def ivfPqResidualBuild(s: SparkSession, d: String, indexDir: String): Unit = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val (_, cents) = ivfPartsV(v, None)
+    val (resid, books) = residParts(v, cents)
+    import s.implicits._
+    cents.toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    (0 until PQ_M).flatMap(m => books(m).map { case (cid, cv) => (m, cid, cv) })
+      .toDF("m", "cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    residEncode(resid, books)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** Search the persisted residual index — byte-identical to
+    * `ivfPqResidualAdc`; probed lists land as PartitionFilters on the
+    * residual-codes scan. */
+  def ivfPqResidualIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val probed = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("cid").cast("string").as("list_id"))
+      .distinct().as[String].collect()
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+      .where(col("list_id").isin(probed.toSeq: _*)) // → PartitionFilters
+    ivfPqResidualSearch(codes, cents, pqBooks(cb), v)
   }
 
   /** Persist the composed index: the k-row centroid table, the M×K
@@ -2406,6 +2462,11 @@ object EmbedOps {
     // geometry; the LUT becomes per-(query, probed list) — still tiny,
     // still broadcast, and the whole composition stays DuckDB-replayable.
     Q("em_ivfpq_residual", ivfPqResidualOracleSql)(ivfPqResidualAdc),
+    Q("em_ivfpq_residual_persisted", ivfPqResidualOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_idx").toString
+      ivfPqResidualBuild(s, d, idx)
+      ivfPqResidualIndexed(s, d, idx)
+    },
 
     // scalar (int8) quantization: training-free 8× compression — per-
     // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,

@@ -30,6 +30,19 @@ class IvfPqSpec extends SparkSpec {
       s"codes scan not partition-pruned:\n$plan")
   }
 
+  test("persisted RESIDUAL index: identical neighbors, partition-pruned codes scan") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqr_idx_spec").toString
+    EmbedOps.ivfPqResidualBuild(spark, sfDir, idx)
+    val fromIndex = EmbedOps.ivfPqResidualIndexed(spark, sfDir, idx)
+    val live = EmbedOps.ivfPqResidualAdc(spark, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(fromIndex.select("qid", "vec_id", "d2_micro").collect().toSet == live)
+    assert(live.nonEmpty)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
+      s"residual codes scan not partition-pruned:\n$plan")
+  }
+
   test("every query returns exactly TOPK ranked candidates") {
     val counts = EmbedOps.ivfPqAdc(spark, sfDir)
       .groupBy("qid").count().collect().map(_.getLong(1))
