@@ -122,8 +122,9 @@ if has_out("em_semdedup_approx"):
 # pair, ranks must be the dense (d2_micro asc, vec_id asc) order within
 # qid, exactly TOPK rows per qid, no self-matches. (The probe/shortlist
 # structure is replayed in full at sf0.01/sf0.1 where the oracle fits.)
-if has_out("em_ivfpq_residual"):
-    got = spark_out("em_ivfpq_residual")
+for name in ("em_ivfpq_residual", "em_ivfpq_residual_persisted"):
+  if has_out(name):
+    got = spark_out(name)
     con1 = duckdb.connect()
     import os
     ep = f"{sf1}/embeddings.parquet"
@@ -148,10 +149,10 @@ if has_out("em_ivfpq_residual"):
     per_q = got.groupby("qid").size()
     if bad_d2 or not rank_ok or not (per_q == 5).all():
         ok = False
-        print(f"FAIL em_ivfpq_residual: {bad_d2} wrong distances, rank_ok={rank_ok}, "
+        print(f"FAIL {name}: {bad_d2} wrong distances, rank_ok={rank_ok}, "
               f"per-qid sizes {sorted(per_q.unique())}")
     else:
-        print(f"PASS em_ivfpq_residual: all {len(got)} output distances exact, "
+        print(f"PASS {name}: all {len(got)} output distances exact, "
               f"dense (d2, vec_id) ranks, TOPK rows per query")
 
 sys.exit(0 if ok else 1)
