@@ -440,7 +440,11 @@ object EmbedOps {
     * analog: the standing-CQ import path (syncing/importer.go:323-333)
     * applies new points against existing state rather than recomputing
     * it; the delta/fold split is the reference's WAL→shard landing
-    * discipline re-expressed for a parquet layout. */
+    * discipline re-expressed for a parquet layout. Batches at or above
+    * `graft.ivf.bulkAppendRows` (default 256k) bypass the single-file L0
+    * landing and append DISTRIBUTED partitioned files directly into the
+    * live tier — the micro-batch path (IndexStream's) keeps its
+    * one-commit amortization, a bulk load keeps its parallelism. */
   def ivfAppend(s: SparkSession, newVecs: DataFrame, indexDir: String,
       driftRatio: Double = 2.0): IvfAppendStats = {
     import s.implicits._
@@ -455,13 +459,29 @@ object EmbedOps {
       val (n, batchMean) =
         (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
       if (n > 0) {
-        // same column layout as the build (d2 included, pruned by reads);
-        // coalesce(1) makes the "ONE file per batch" claim literal — a
-        // wide input batch would otherwise commit one file per partition
-        batch.coalesce(1).write.mode("append").parquet(s"$indexDir/delta.parquet")
-        val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
-        val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
-        if (parquetFileCount(f, deltaP) >= maxFiles) ivfFoldDelta(s, indexDir)
+        val bulkRows = s.conf.get("graft.ivf.bulkAppendRows", "262144").toLong
+        if (n >= bulkRows) {
+          // BULK batch (VERDICT r14 #4): funneling a large batch through
+          // the delta tier's coalesce(1) single-file landing would
+          // serialize it into one write task. Above the row gate, skip
+          // L0 and land the batch as a DISTRIBUTED partitioned append
+          // straight into the live tier — new files only (job-UUID
+          // names), existing list files byte-untouched, partial job
+          // output invisible to readers (Spark stages under _temporary,
+          // which FileIndex hides until task commit).
+          batch.repartition(col("list_id"))
+            .write.mode("append").partitionBy("list_id")
+            .parquet(s"$indexDir/assign.parquet")
+        } else {
+          // same column layout as the build (d2 included, pruned by
+          // reads); coalesce(1) makes the "ONE file per batch" claim
+          // literal — a wide input batch would otherwise commit one
+          // file per partition
+          batch.coalesce(1).write.mode("append").parquet(s"$indexDir/delta.parquet")
+          val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
+          val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
+          if (parquetFileCount(f, deltaP) >= maxFiles) ivfFoldDelta(s, indexDir)
+        }
       }
       // an index without the drift-baseline artifact (built before the
       // stats.parquet convention, or a hand-assembled centroids+assign
@@ -500,7 +520,12 @@ object EmbedOps {
     * `assignDir/list_id=N/` dir. Pure per-file renames — existing list
     * files are never touched, file names carry job UUIDs so collisions
     * cannot occur, and a re-run after a crash simply moves whatever
-    * files remain (each rename is atomic and removes its source). */
+    * files remain (each rename is atomic and removes its source). Every
+    * rename's result is CHECKED (ADVICE r14): a silent false (permission
+    * loss, cross-FS move, transient FS error) here would drop appended
+    * rows from the index — failing loudly leaves tmp+consumed in place,
+    * so the next maintenance entry's `healFoldAt` rolls the fold forward
+    * instead of losing it. */
   private def moveFoldFiles(f: org.apache.hadoop.fs.FileSystem,
       tmpRoot: org.apache.hadoop.fs.Path,
       assignDir: org.apache.hadoop.fs.Path): Unit = {
@@ -513,8 +538,12 @@ object EmbedOps {
         f.mkdirs(live)
         f.listStatus(st.getPath)
           .filter(c => c.isFile && c.getPath.getName.endsWith(".parquet"))
-          .foreach(c => f.rename(c.getPath,
-            new org.apache.hadoop.fs.Path(live, c.getPath.getName)))
+          .foreach { c =>
+            val dst = new org.apache.hadoop.fs.Path(live, c.getPath.getName)
+            if (!f.rename(c.getPath, dst))
+              sys.error(s"fold file move failed: ${c.getPath} -> $dst " +
+                "(tmp and consumed marker left in place for roll-forward)")
+          }
       }
   }
 
@@ -555,8 +584,8 @@ object EmbedOps {
     * commits, and the tmp files MOVE into the live list dirs — per-file
     * renames, existing list files byte-untouched. Any crash point is
     * healed by `healFold` (run at every maintenance-op entry via
-    * `reconcileSwaps`, and at search entry). Idempotent and safe to call
-    * with no delta present. */
+    * `reconcileSwaps`; searches are heal-free — ADVICE r14). Idempotent
+    * and safe to call with no delta present. */
   private def foldDeltaAt(s: SparkSession, indexDir: String, delta: String,
       tmpName: String, consumedName: String, live: String): Unit = {
     val (f, deltaP) = hfs(s, s"$indexDir/$delta")
@@ -615,13 +644,19 @@ object EmbedOps {
     parts.reduce(_ union _)
   }
 
-  /** Public live-content view of a persisted index (both tiers) —
-    * heals any interrupted swap/fold first so the read is of the true
-    * layout. What an operator audits, what the specs assert against. */
-  def ivfRows(s: SparkSession, indexDir: String): DataFrame = {
-    reconcileSwaps(s, indexDir)
+  /** Public live-content view of a persisted index (both tiers). READ
+    * ONLY — no healing (ADVICE r14): destructive reconciliation from a
+    * read path can race a live fold in another process (delete its
+    * completed tmp image in the pre-commit window, then lose the delta
+    * when the fold's commit rename finds nothing to move). Healing is a
+    * MAINTENANCE-op responsibility (append/delete/compact/fold entry,
+    * `IndexStream.start`, or an explicit `reconcileSwaps` call), under
+    * the index's single-maintainer contract. After a crash mid-fold,
+    * rows parked in the consumed/tmp stage surface at the next
+    * maintenance entry; a read-only deployment recovering from a crash
+    * calls `reconcileSwaps` once, explicitly. */
+  def ivfRows(s: SparkSession, indexDir: String): DataFrame =
     ivfLiveRows(s, indexDir, None)
-  }
 
   /** Search a persisted index — no rebuild. Results identical to `ivfKnn`
     * with the same parameters (doubles round-trip parquet bit-exactly).
@@ -629,10 +664,12 @@ object EmbedOps {
     * driver-side materialization) and pushed as a partition filter so the
     * assignment scan reads ONLY the probed directories — plus the bounded
     * delta tier filtered on the same lists, so vectors appended since the
-    * last fold are searchable immediately. */
+    * last fold are searchable immediately. Heal-free by design (ADVICE
+    * r14 — see `ivfRows`): searches never run destructive
+    * reconciliation, so N concurrent readers are safe alongside the one
+    * maintainer. */
   def ivfKnnIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
     import s.implicits._
-    reconcileSwaps(s, indexDir)
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val queries = emb(s, d)
@@ -923,22 +960,69 @@ object EmbedOps {
           .foreach { st =>
             val live = new org.apache.hadoop.fs.Path(
               s"$indexDir/$table/${st.getPath.getName}")
-            if (!f.exists(live)) f.rename(st.getPath, live)
+            if (!f.exists(live) && !f.rename(st.getPath, live))
+              sys.error(s"swap heal failed: ${st.getPath} -> $live")
           }
         f.delete(tmpRoot, true)
       }
     }
-    // pqDelete's flat codes-table swap: same rule, single dir
-    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes.parquet")
-    val ctmp = new org.apache.hadoop.fs.Path(s"$indexDir/codes.parquet.tmp")
-    val f = codes.getFileSystem(conf)
-    if (f.exists(ctmp)) {
-      if (!f.exists(codes)) f.rename(ctmp, codes)
-      else f.delete(ctmp, true)
+    // the flat-table swaps (pqDelete/sq8Delete/bqDelete): same rule —
+    // tmp alone → finish the swap; both present → swap never started,
+    // discard tmp
+    val f = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    Seq("codes.parquet", "sq8.parquet", "bq.parquet").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      val ltmp = new org.apache.hadoop.fs.Path(s"$indexDir/$t.tmp")
+      if (f.exists(ltmp)) {
+        if (!f.exists(live)) {
+          if (!f.rename(ltmp, live))
+            sys.error(s"swap heal failed: $ltmp -> $live")
+        } else f.delete(ltmp, true)
+      }
     }
     // an interrupted delta fold (own commit protocol: see healFold)
     healFold(f, indexDir)
   }
+
+  // ---- codes-encoding marker (ADVICE r14): raw and residual IVFPQ
+  //      indexes share an identical on-disk layout
+  //      (centroids/codebook/codes.parquet); without a format tag,
+  //      pointing the raw append/search at a residual index (or vice
+  //      versa) silently encodes/decodes against the wrong codebooks —
+  //      plausible-looking, wrong neighbors. Builds stamp `_encoding`;
+  //      append and both indexed searches validate it. Delete/compact
+  //      stay encoding-agnostic by construction (they filter by vec_id,
+  //      never decode). An ABSENT marker is accepted (pre-r15 indexes),
+  //      a PRESENT mismatch is a hard error.
+
+  private def writeEncoding(s: SparkSession, indexDir: String,
+      enc: String): Unit = {
+    val (f, p) = hfs(s, s"$indexDir/_encoding")
+    val out = f.create(p, true)
+    try out.write(enc.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEncoding(s: SparkSession, indexDir: String): Option[String] = {
+    val (f, p) = hfs(s, s"$indexDir/_encoding")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def requireEncoding(s: SparkSession, indexDir: String,
+      expected: String): Unit =
+    readEncoding(s, indexDir).foreach { enc =>
+      require(enc == expected,
+        s"index at $indexDir is '$enc'-encoded but this operation expects " +
+        s"'$expected' — raw and residual IVFPQ codes are not interchangeable " +
+        "(same layout, different codebook spaces)")
+    }
 
   /** Targeted deletion from the persisted IVF index — corpus deletions
     * (takedowns, retention) must propagate without a rebuild. Affected
@@ -1007,10 +1091,13 @@ object EmbedOps {
       val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/list_id=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
-      if (f.exists(live)) f.rename(live, oldP)
+      if (f.exists(live) && !f.rename(live, oldP))
+        sys.error(s"delete swap failed: $live -> $oldP")
       // a list whose every vector was deleted has no tmp dir: the rename
       // above already emptied it out of the live layout
-      if (f.exists(tmp)) f.rename(tmp, live)
+      if (f.exists(tmp) && !f.rename(tmp, live))
+        sys.error(s"delete swap failed: $tmp -> $live " +
+          "(heal via reconcileSwaps: tmp present, live missing)")
     }
     f.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
     (nDel, affected)
@@ -1098,8 +1185,11 @@ object EmbedOps {
       val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/list_id=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
-      f.rename(live, oldP)
-      f.rename(tmp, live)
+      if (!f.rename(live, oldP))
+        sys.error(s"compact swap failed: $live -> $oldP")
+      if (!f.rename(tmp, live))
+        sys.error(s"compact swap failed: $tmp -> $live " +
+          "(heal via reconcileSwaps: tmp present, live missing)")
       (lid, n, stats(live)._1)
     }
     f.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
@@ -1114,21 +1204,53 @@ object EmbedOps {
     * rows deleted (per-subspace code rows / PQ_M = vectors). */
   def pqDelete(s: SparkSession, indexDir: String, ids: DataFrame): Long = {
     reconcileSwaps(s, indexDir)
-    val codesDir = s"$indexDir/codes.parquet"
+    deleteFlat(s, s"$indexDir/codes.parquet", ids) / PQ_M
+  }
+
+  /** Targeted deletion from a persisted SQ8 index (VERDICT r14 #5 —
+    * every persisted rung of the compression ladder honors takedown):
+    * filtered tmp+swap rewrite of the flat 8×-compressed codes table.
+    * Returns vectors deleted. */
+  def sq8Delete(s: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    reconcileSwaps(s, indexDir)
+    deleteFlat(s, s"$indexDir/sq8.parquet", ids)
+  }
+
+  /** Targeted deletion from a persisted BQ index — same flat tmp+swap
+    * rewrite over the 64×-compressed packed codes. Returns vectors
+    * deleted. */
+  def bqDelete(s: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    reconcileSwaps(s, indexDir)
+    deleteFlat(s, s"$indexDir/bq.parquet", ids)
+  }
+
+  /** The shared flat-table takedown: anti-join survivors into a tmp dir,
+    * two-rename swap with the previous generation parked under `.old`
+    * for lazy readers, crash window healed by `reconcileSwaps` (tmp
+    * present + live missing → finish; both present → roll back). Swap
+    * renames are CHECKED (ADVICE r14 discipline): a silent rename
+    * failure would leave the table half-swapped. Returns ROWS deleted
+    * (one row per vector for SQ8/BQ; PQ_M per vector for PQ codes —
+    * callers normalize). */
+  private def deleteFlat(s: SparkSession, tableDir: String,
+      ids: DataFrame): Long = {
     val del = ids.select(col("vec_id")).distinct()
-    val codes = s.read.parquet(codesDir)
+    val codes = s.read.parquet(tableDir)
     val survivors = codes.join(broadcast(del), Seq("vec_id"), "left_anti")
     val nDel = codes.count() - survivors.count()
     if (nDel == 0L) return 0L
-    val root = new org.apache.hadoop.fs.Path(codesDir)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(codesDir + ".tmp")
-    val old = new org.apache.hadoop.fs.Path(codesDir + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(tableDir + ".old")
     survivors.write.mode("overwrite").parquet(tmp.toString)
     if (f.exists(old)) f.delete(old, true)
-    f.rename(root, old)
-    f.rename(tmp, root)
-    nDel / PQ_M
+    if (!f.rename(root, old))
+      sys.error(s"delete swap failed: $root -> $old (live left intact)")
+    if (!f.rename(tmp, root))
+      sys.error(s"delete swap failed: $tmp -> $root " +
+        "(heal via reconcileSwaps: tmp present, live missing)")
+    nDel
   }
 
   /** ADC search over a persisted index — no retrain, no re-encode. The
@@ -1304,9 +1426,16 @@ object EmbedOps {
   /** Persist the residual composition: centroids, residual codebook, and
     * the residual codes `partitionBy(list_id)` — probes prune the
     * compressed scan exactly as the raw composition's layout does. */
-  def ivfPqResidualBuild(s: SparkSession, d: String, indexDir: String): Unit = {
-    val v = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  def ivfPqResidualBuild(s: SparkSession, d: String, indexDir: String): Unit =
+    ivfPqResidualBuildV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      indexDir)
+
+  /** Build the residual index from an explicit vector frame — the
+    * train-on-subset entry the append gate uses (`ivfPqBuild` ↔
+    * `ivfPartsV` precedent). */
+  def ivfPqResidualBuildV(v: DataFrame, indexDir: String): Unit = {
+    val s = v.sparkSession
     val (_, cents) = ivfPartsV(v, None)
     val (resid, books) = residParts(v, cents)
     import s.implicits._
@@ -1319,26 +1448,26 @@ object EmbedOps {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/codes.parquet")
+    writeEncoding(s, indexDir, "pq-residual")
   }
 
   /** Search the persisted residual index — byte-identical to
     * `ivfPqResidualAdc`; probed lists land as PartitionFilters on the
-    * residual-codes scan. */
+    * residual-codes scan. Reads partitioned ∪ codes-delta (ADVICE r14:
+    * the residual tier's appended-but-unfolded codes must be searchable
+    * immediately, exactly as the raw composition's are) and is heal-free
+    * like every search. */
   def ivfPqResidualIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
     import s.implicits._
-    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
-      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
-      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
-      .collect().toSeq.sortBy(t => (t._1, t._2))
+    requireEncoding(s, indexDir, "pq-residual")
+    val (cents, books) = loadQuantizers(s, indexDir)
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val probed = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("cid").cast("string").as("list_id"))
       .distinct().as[String].collect()
-    val codes = s.read.parquet(s"$indexDir/codes.parquet")
-      .where(col("list_id").isin(probed.toSeq: _*)) // → PartitionFilters
-    ivfPqResidualSearch(codes, cents, pqBooks(cb), v)
+    ivfPqResidualSearch(codesLiveRows(s, indexDir, Some(probed.toSeq)),
+      cents, books, v)
   }
 
   /** Persist the composed index: the k-row centroid table, the M×K
@@ -1346,9 +1475,15 @@ object EmbedOps {
     * 32×-compressed rows under the coarse layout, so a probe's ADC scan
     * prunes to its NPROBE list directories of CODES (the raw corpus is
     * touched only by the shortlist rerank). */
-  def ivfPqBuild(s: SparkSession, d: String, indexDir: String): Unit = {
-    val v = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  def ivfPqBuild(s: SparkSession, d: String, indexDir: String): Unit =
+    ivfPqBuildV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      indexDir)
+
+  /** Build the composed index from an explicit vector frame — the
+    * train-on-subset entry the append gate uses. */
+  def ivfPqBuildV(v: DataFrame, indexDir: String): Unit = {
+    val s = v.sparkSession
     val (_, cents) = ivfPartsV(v, None)
     val (_, cb) = pqTrainV(v)
     import s.implicits._
@@ -1360,6 +1495,7 @@ object EmbedOps {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/codes.parquet")
+    writeEncoding(s, indexDir, "pq-raw")
   }
 
   /** The composed index's LIVE codes — partitioned tier ∪ (bounded)
@@ -1393,26 +1529,90 @@ object EmbedOps {
     * stays the IVF index's job (the two indexes ingest the same batches
     * in a deployment — IndexStream precedent). */
   def ivfPqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
-    import s.implicits._
+    requireEncoding(s, indexDir, "pq-raw")
     reconcileSwaps(s, indexDir)
+    val (cents, books) = loadQuantizers(s, indexDir)
+    codesAppend(s, indexDir,
+      ivfPqEncode(newVecs.select(col("vec_id"), col("emb")), cents, books))
+  }
+
+  /** Incremental maintenance of the RESIDUAL composition (VERDICT r14
+    * #2 — lifecycle parity for the recommended-quality rung): assign the
+    * new batch to the FROZEN coarse centroids, encode `emb −
+    * centroid[list]` against the FROZEN residual books — one map-only
+    * pass, both quantizers riding along as literals — and land the codes
+    * in the same delta namespace `ivfPqAppend` uses (the fold, delete,
+    * and compact machinery is shared; only the encoding differs, which
+    * is why the `_encoding` marker gates entry). Returns vectors
+    * encoded. */
+  def ivfPqResidualAppend(s: SparkSession, newVecs: DataFrame,
+      indexDir: String): Long = {
+    requireEncoding(s, indexDir, "pq-residual")
+    reconcileSwaps(s, indexDir)
+    val (cents, books) = loadQuantizers(s, indexDir)
+    codesAppend(s, indexDir,
+      residEncodeFrozen(newVecs.select(col("vec_id"), col("emb")), cents, books))
+  }
+
+  /** The persisted quantizer pair every codes maintenance op loads: the
+    * k-row centroid table and the M×K codebook — bounded driver-side
+    * artifacts (MAXLISTS / PQ_M·PQ_K rows) that ride into map-only
+    * encode passes as literals. */
+  private def loadQuantizers(s: SparkSession, indexDir: String)
+      : (Seq[(Long, Seq[Double])], PqBooks) = {
+    import s.implicits._
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
     val cb = s.read.parquet(s"$indexDir/codebook.parquet")
       .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
       .collect().toSeq.sortBy(t => (t._1, t._2))
-    val batch = ivfPqEncode(
-      newVecs.select(col("vec_id"), col("emb")), cents, pqBooks(cb)).persist()
+    (cents, pqBooks(cb))
+  }
+
+  /** Land an encoded codes batch (vec_id, list_id, m, cid): micro-batches
+    * take the single-file L0 delta landing (one commit per batch, fold
+    * amortized); batches at or above `graft.ivf.bulkAppendRows` VECTORS
+    * append distributed partitioned files straight into the live codes
+    * tier (VERDICT r14 #4 — same gate as `ivfAppend`). */
+  private def codesAppend(s: SparkSession, indexDir: String,
+      enc: DataFrame): Long = {
+    val batch = enc.persist()
     try {
       val n = batch.select("vec_id").distinct().count()
       if (n > 0) {
-        batch.coalesce(1).write.mode("append")
-          .parquet(s"$indexDir/codes.delta.parquet")
-        val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
-        val (f, deltaP) = hfs(s, s"$indexDir/codes.delta.parquet")
-        if (parquetFileCount(f, deltaP) >= maxFiles) codesFoldDelta(s, indexDir)
+        val bulkRows = s.conf.get("graft.ivf.bulkAppendRows", "262144").toLong
+        if (n >= bulkRows) {
+          batch.repartition(col("list_id"))
+            .write.mode("append").partitionBy("list_id")
+            .parquet(s"$indexDir/codes.parquet")
+        } else {
+          batch.coalesce(1).write.mode("append")
+            .parquet(s"$indexDir/codes.delta.parquet")
+          val maxFiles = s.conf.get("graft.ivf.deltaMaxFiles", "64").toInt
+          val (f, deltaP) = hfs(s, s"$indexDir/codes.delta.parquet")
+          if (parquetFileCount(f, deltaP) >= maxFiles) codesFoldDelta(s, indexDir)
+        }
       }
       n
     } finally batch.unpersist()
+  }
+
+  /** Residual-encode a batch against FROZEN quantizers: coarse argmin →
+    * `emb − centroid[list]` → `pq_encode` with the residual books — the
+    * map-only shape `ivfPqEncode` has for raw codes, applied to the
+    * residual space. */
+  private def residEncodeFrozen(v: DataFrame, cents: Seq[(Long, Seq[Double])],
+      books: PqBooks): DataFrame = {
+    val cvecs = typedLit(cents.map(_._2))
+    val cids = typedLit(cents.map(_._1))
+    residEncode(
+      v.select(col("vec_id"),
+          call_function("cb_argmin", col("emb"), cvecs).as("__i"), col("emb"))
+        .select(col("vec_id"),
+          element_at(cids, col("__i") + 1).as("list_id"),
+          zip_with(col("emb"), element_at(cvecs, col("__i") + 1),
+            (a, b) => a - b).as("remb")),
+      books)
   }
 
   /** Search the persisted composed index — byte-identical to `ivfPqAdc`
@@ -1421,15 +1621,12 @@ object EmbedOps {
     * read is ≈ NPROBE/k of the codes table plus the bounded delta tier
     * filtered on the same lists, so codes appended since the last fold
     * are searchable immediately. Raw vectors stream only into the
-    * shortlist rerank. */
+    * shortlist rerank. Heal-free by design (ADVICE r14 — see `ivfRows`):
+    * reconciliation belongs to maintenance entries only. */
   def ivfPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
     import s.implicits._
-    reconcileSwaps(s, indexDir)
-    val cents = s.read.parquet(s"$indexDir/centroids.parquet")
-      .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
-      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
-      .collect().toSeq.sortBy(t => (t._1, t._2))
+    requireEncoding(s, indexDir, "pq-raw")
+    val (cents, books) = loadQuantizers(s, indexDir)
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val queries = v.where(col("vec_id") < NQUERIES)
@@ -1440,7 +1637,7 @@ object EmbedOps {
       .select(col("vec_id").as("qid"), col("cid").cast("string").as("list_id"))
     val probed = q.select("list_id").distinct().as[String].collect()
     ivfPqSearch(codesLiveRows(s, indexDir, Some(probed.toSeq)), q,
-      pqLut(pqSubRows(queries), pqBooks(cb)), v)
+      pqLut(pqSubRows(queries), books), v)
   }
 
   /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
@@ -1949,7 +2146,14 @@ object EmbedOps {
     * produce per-vector lists, a residual corpus (emb − list centroid)
     * feeds the PQ training/encoding CTEs, and the ADC joins codes to a
     * per-(query, probed-list) residual LUT. */
-  def ivfPqResidualOracleSql: String = {
+  def ivfPqResidualOracleSql: String = ivfPqResidualOracleSql("")
+
+  /** `trainWhere` restricts BOTH quantizers' training populations (the
+    * coarse seeds/Lloyd and the residual books) — assignment, encoding,
+    * and search always cover ALL of e2: the residual append gate's
+    * "train at 90%, append the held-out 10%" shape, mirroring
+    * `ivfPqOracleSql(trainWhere)`. */
+  def ivfPqResidualOracleSql(trainWhere: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1987,9 +2191,10 @@ object EmbedOps {
     s"""WITH e2 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
+       |e2t AS (SELECT * FROM e2 $trainWhere),
        |iprm AS (SELECT n, k, GREATEST(1, n // k) AS step FROM
-       |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2) _n) _p),
-       |rk AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2),
+       |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2t) _n) _p),
+       |rk AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM e2t),
        |isd AS (SELECT rank // p.step AS cid, emb AS cvec
        |        FROM rk CROSS JOIN iprm p
        |        WHERE rank % p.step = 0 AND rank // p.step < p.k),
@@ -2016,9 +2221,10 @@ object EmbedOps {
        |            i -> e.emb[i] - cv.cvec[i]) AS remb
        |        FROM asg a JOIN e2 e USING (vec_id)
        |                   JOIN icv cv ON cv.cid = a.list_id),
-       |rkr AS (SELECT vec_id, remb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM res),
+       |rest AS (SELECT * FROM res $trainWhere),
+       |rkr AS (SELECT vec_id, remb, row_number() OVER (ORDER BY vec_id) - 1 AS rank FROM rest),
        |pprm AS (SELECT GREATEST(1, n // $PQ_K) AS step
-       |         FROM (SELECT count(*) AS n FROM res) _n),
+       |         FROM (SELECT count(*) AS n FROM rest) _n),
        |$perSub,
        |cb AS ($cbUnion),
        |vs AS ($vsUnion),
@@ -2450,13 +2656,6 @@ object EmbedOps {
       ivfPqIndexed(s, d, idx)
     },
 
-    // incremental maintenance of the composition: both quantizers train
-    // on 90% of the corpus, the held-out 10% encodes against the FROZEN
-    // centroids + codebooks in one map-only pass and lands in the codes
-    // DELTA tier (one file per batch, own fold namespace); the search
-    // reads partitioned ∪ delta. Oracle trains on the same 90% and
-    // encodes all — a hash match proves appended codes search exactly
-    // like a one-shot build, including the unfolded-delta read path.
     // the residual refinement (the published IVFPQ shape): PQ quantizes
     // emb − centroid[list], spending the M×K budget on within-list
     // geometry; the LUT becomes per-(query, probed list) — still tiny,
@@ -2468,10 +2667,6 @@ object EmbedOps {
       ivfPqResidualIndexed(s, d, idx)
     },
 
-    // scalar (int8) quantization: training-free 8× compression — per-
-    // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,
-    // exact rerank. The persisted twin searches the at-rest codes table
-    // byte-identically (shared oracle).
     // MMR diversified top-k: greedy diverse selection over per-query
     // shortlists — integer micro-score trace replays exactly in the
     // oracle's unrolled greedy SQL.
@@ -2488,6 +2683,10 @@ object EmbedOps {
       bqIndexed(s, d, idx)
     },
 
+    // scalar (int8) quantization: training-free 8× compression — per-
+    // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,
+    // exact rerank. The persisted twin searches the at-rest codes table
+    // byte-identically (shared oracle).
     Q("em_sq8", sq8OracleSql)(sq8Adc),
     Q("em_sq8_persisted", sq8OracleSql) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
@@ -2495,25 +2694,36 @@ object EmbedOps {
       sq8Indexed(s, d, idx)
     },
 
+    // incremental maintenance of the composition: both quantizers train
+    // on 90% of the corpus, the held-out 10% encodes against the FROZEN
+    // centroids + codebooks in one map-only pass and lands in the codes
+    // DELTA tier (one file per batch, own fold namespace); the search
+    // reads partitioned ∪ delta. Oracle trains on the same 90% and
+    // encodes all — a hash match proves appended codes search exactly
+    // like a one-shot build, including the unfolded-delta read path.
     Q("em_ivfpq_append", ivfPqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      // build from the training subset only (centroids, codebook, codes)
-      val sub = v.where(col("vec_id") % 10 =!= 0)
-      val (_, cents) = ivfPartsV(sub, None)
-      val (_, cb) = pqTrainV(sub)
-      import s.implicits._
-      cents.toDF("cid", "cvec")
-        .write.mode("overwrite").parquet(s"$idx/centroids.parquet")
-      cb.toDF("m", "cid", "cvec")
-        .write.mode("overwrite").parquet(s"$idx/codebook.parquet")
-      ivfPqEncode(sub, cents, pqBooks(cb))
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id")
-        .parquet(s"$idx/codes.parquet")
+      ivfPqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
       ivfPqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
       ivfPqIndexed(s, d, idx)
+    },
+
+    // the same train-90%/append-10% lifecycle on the RESIDUAL tier
+    // (VERDICT r14 #2 — lifecycle parity for the recommended-quality
+    // rung): the held-out batch residual-encodes against BOTH frozen
+    // quantizers and lands in the codes delta; the search reads
+    // partitioned ∪ delta, so the hash match also pins the residual
+    // tier's unfolded-delta read path (ADVICE r14).
+    Q("em_ivfpq_residual_append",
+        ivfPqResidualOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      ivfPqResidualBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
+      ivfPqResidualAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+      ivfPqResidualIndexed(s, d, idx)
     },
 
     // ---- embedding-cosine near-dup pairs: the vector-space member of the

@@ -28,4 +28,22 @@ class BqSpec extends SparkSpec {
       .select("qid", "vec_id", "d2_micro").collect().toSet
     assert(fromIndex == live && live.nonEmpty)
   }
+
+  test("bqDelete: victims purged from codes and search, survivors intact " +
+      "(VERDICT r14 #5)") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bq_del_spec").toString
+    EmbedOps.bqBuild(s, sfDir, idx)
+    val beforeIds = s.read.parquet(s"$idx/bq.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    val victims = beforeIds.filter(_ >= 10).toSeq.sorted.take(5)
+    assert(EmbedOps.bqDelete(s, idx, victims.toDF("vec_id")) == victims.size)
+    assert(s.read.parquet(s"$idx/bq.parquet")
+      .select("vec_id").as[Long].collect().toSet == beforeIds -- victims)
+    val hits = EmbedOps.bqIndexed(s, sfDir, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(!hits.contains(_)))
+    assert(EmbedOps.bqDelete(s, idx, victims.toDF("vec_id")) == 0L)
+  }
 }

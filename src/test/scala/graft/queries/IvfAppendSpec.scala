@@ -243,23 +243,30 @@ class IvfAppendSpec extends SparkSpec {
     val f = fs(idx)
 
     // window A — crash DURING the tmp write (pre-commit): fold.tmp is a
-    // partial image, delta still live. Heal must roll BACK (discard tmp);
-    // nothing lost, nothing duplicated, the next fold re-runs cleanly.
+    // partial image, delta still live. A read-only search is HEAL-FREE
+    // (ADVICE r14: destructive reconcile from a read path races a live
+    // fold) and already correct over live ∪ delta; the next MAINTENANCE
+    // entry rolls BACK (discards tmp) — nothing lost, nothing
+    // duplicated, the next fold re-runs cleanly.
     s.read.parquet(s"$idx/delta.parquet").limit(3)
       .withColumn("list_id", col("list_id"))
       .write.partitionBy("list_id").parquet(s"$idx/fold.tmp")
     assert(search(idx) == expected, "pre-commit crash changed search results")
+    assert(f.exists(new Path(s"$idx/fold.tmp")),
+      "a read-only search must not heal")
+    EmbedOps.reconcileSwaps(s, idx)
     assert(!f.exists(new Path(s"$idx/fold.tmp")), "stale pre-commit tmp not discarded")
     assert(f.exists(new Path(s"$idx/delta.parquet")), "rollback consumed the delta")
 
     // window B — crash AFTER the commit rename (delta → fold.consumed)
-    // but before the file moves: tmp is the complete image. Heal must
-    // roll FORWARD (finish the moves); same rows, now all in the
-    // partitioned tier.
+    // but before the file moves: tmp is the complete image. The
+    // maintenance heal must roll FORWARD (finish the moves); same rows,
+    // now all in the partitioned tier.
     s.read.parquet(s"$idx/delta.parquet").repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/fold.tmp")
     assert(f.rename(new Path(s"$idx/delta.parquet"),
       new Path(s"$idx/fold.consumed")))
+    EmbedOps.reconcileSwaps(s, idx)
     assert(search(idx) == expected, "post-commit crash lost or duplicated rows")
     assert(!f.exists(new Path(s"$idx/fold.tmp")))
     assert(!f.exists(new Path(s"$idx/fold.consumed")))
@@ -279,5 +286,34 @@ class IvfAppendSpec extends SparkSpec {
     assert(listFiles(idx) == before)
     assert(!fs(idx).exists(new Path(s"$idx/delta.parquet")),
       "empty batch created a delta tier")
+  }
+
+  test("bulk batch bypasses the delta tier: distributed partitioned commit, " +
+      "existing files untouched, search-identical to the micro-batch path") {
+    val s = spark
+    val v = vecs
+    val build = v.where(col("vec_id") % 10 =!= 0)
+    val fresh = v.where(col("vec_id") % 10 === 0)
+    val idxDelta = java.nio.file.Files.createTempDirectory("ivf_bulk_a").toString
+    val idxBulk = java.nio.file.Files.createTempDirectory("ivf_bulk_b").toString
+    EmbedOps.ivfBuildV(build, idxDelta, None)
+    EmbedOps.ivfBuildV(build, idxBulk, None)
+    EmbedOps.ivfAppend(s, fresh, idxDelta) // micro-batch path: delta landing
+    val before = listFiles(idxBulk)
+    s.conf.set("graft.ivf.bulkAppendRows", "1") // every batch is "bulk"
+    try EmbedOps.ivfAppend(s, fresh, idxBulk)
+    finally s.conf.unset("graft.ivf.bulkAppendRows")
+    // bulk path: no L0 landing at all, files appended straight into the
+    // partitioned tier, existing list files byte-untouched
+    assert(!fs(idxBulk).exists(new Path(s"$idxBulk/delta.parquet")),
+      "bulk append still funneled through the delta tier")
+    val after = listFiles(idxBulk)
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"bulk append rewrote existing file: $p")
+    }
+    assert(after.size > before.size, "bulk append committed no partitioned files")
+    // both landing paths search identically (delta read ∪ vs partitioned)
+    assert(search(idxBulk) == search(idxDelta))
+    assert(EmbedOps.ivfRows(s, idxBulk).count() == v.count())
   }
 }

@@ -160,21 +160,27 @@ class IvfPqSpec extends SparkSpec {
     val f = fs(idx)
 
     // window A — crash DURING the tmp write: codes.fold.tmp partial,
-    // delta live. Heal rolls BACK; search unchanged.
+    // delta live. Searches are HEAL-FREE (ADVICE r14) — the read of
+    // live ∪ delta is already correct with the stale tmp parked — and
+    // the next MAINTENANCE entry rolls the fold BACK (discards tmp).
     s.read.parquet(s"$idx/codes.delta.parquet").limit(3)
       .write.partitionBy("list_id").parquet(s"$idx/codes.fold.tmp")
     assert(EmbedOps.ivfPqIndexed(spark, sfDir, idx)
       .select("qid", "vec_id", "d2_micro").collect().toSet == expected)
+    assert(f.exists(new Path(s"$idx/codes.fold.tmp")),
+      "a read-only search must not heal (destructive reconcile races a live fold)")
+    EmbedOps.reconcileSwaps(s, idx)
     assert(!f.exists(new Path(s"$idx/codes.fold.tmp")))
     assert(f.exists(new Path(s"$idx/codes.delta.parquet")))
 
-    // window B — crash AFTER the commit rename: tmp complete. Heal rolls
-    // FORWARD into codes.parquet; the assignment namespace (absent for a
-    // composed index) must stay untouched.
+    // window B — crash AFTER the commit rename: tmp complete. The next
+    // maintenance entry rolls FORWARD into codes.parquet; the assignment
+    // namespace (absent for a composed index) must stay untouched.
     s.read.parquet(s"$idx/codes.delta.parquet").repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$idx/codes.fold.tmp")
     assert(f.rename(new Path(s"$idx/codes.delta.parquet"),
       new Path(s"$idx/codes.fold.consumed")))
+    EmbedOps.reconcileSwaps(s, idx)
     assert(EmbedOps.ivfPqIndexed(spark, sfDir, idx)
       .select("qid", "vec_id", "d2_micro").collect().toSet == expected)
     assert(!f.exists(new Path(s"$idx/codes.fold.tmp")))
@@ -186,6 +192,76 @@ class IvfPqSpec extends SparkSpec {
     val dupes = spark.read.parquet(s"$idx/codes.parquet")
       .groupBy("vec_id", "m").count().where(col("count") > 1).count()
     assert(dupes == 0L)
+  }
+
+  test("residual lifecycle parity: append lands in the codes delta and is " +
+      "searchable unfolded; the fold is search-invariant; takedown purges " +
+      "residual delta codes") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqr_life").toString
+    EmbedOps.ivfPqResidualBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
+    val fresh = v.where(col("vec_id") % 10 === 0)
+    val n = EmbedOps.ivfPqResidualAppend(s, fresh, idx)
+    assert(n == fresh.count())
+    assert(fs(idx).exists(new Path(s"$idx/codes.delta.parquet")),
+      "residual append skipped the delta tier")
+    // unfolded residual codes are live: the search result with the delta
+    // present must equal the post-fold result (which reads only the
+    // partitioned tier) — proving the delta read path is real
+    val withDelta = EmbedOps.ivfPqResidualIndexed(s, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(withDelta.nonEmpty)
+    EmbedOps.codesFoldDelta(s, idx)
+    assert(!fs(idx).exists(new Path(s"$idx/codes.delta.parquet")))
+    assert(EmbedOps.ivfPqResidualIndexed(s, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == withDelta,
+      "residual fold changed search results")
+    // every vector carries exactly M residual code rows across both tiers
+    val live = s.read.parquet(s"$idx/codes.parquet")
+    assert(live.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect().toSeq == Seq(8L))
+
+    // delta-resident takedown: append a shifted batch, delete part of it
+    EmbedOps.ivfPqResidualAppend(s, v.limit(40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")), idx)
+    assert(fs(idx).exists(new Path(s"$idx/codes.delta.parquet")))
+    val victims = v.limit(40).select((col("vec_id") + 1000000L).as("vec_id"))
+      .as[Long].collect().toSeq.sorted.take(7)
+    val (nDel, affected) = EmbedOps.ivfPqDelete(s, idx, victims.toDF("vec_id"))
+    assert(nDel == victims.size && affected.nonEmpty,
+      s"residual delta codes not deleted: $nDel of ${victims.size}")
+    assert(!fs(idx).exists(new Path(s"$idx/codes.delta.parquet")),
+      "takedown left an unfolded residual delta behind")
+    assert(s.read.parquet(s"$idx/codes.parquet")
+      .where(col("vec_id").isin(victims: _*)).count() == 0L)
+  }
+
+  test("the _encoding marker stops cross-tier misuse: raw ops refuse a " +
+      "residual index and vice versa") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val raw = java.nio.file.Files.createTempDirectory("ivfpq_enc_raw").toString
+    val res = java.nio.file.Files.createTempDirectory("ivfpq_enc_res").toString
+    EmbedOps.ivfPqBuild(s, sfDir, raw)
+    EmbedOps.ivfPqResidualBuild(s, sfDir, res)
+    val batch = v.limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+    intercept[IllegalArgumentException](EmbedOps.ivfPqAppend(s, batch, res))
+    intercept[IllegalArgumentException](EmbedOps.ivfPqResidualAppend(s, batch, raw))
+    intercept[IllegalArgumentException](EmbedOps.ivfPqIndexed(s, sfDir, res))
+    intercept[IllegalArgumentException](EmbedOps.ivfPqResidualIndexed(s, sfDir, raw))
+    // the marker gates entry BEFORE any state changes: both indexes
+    // still search correctly on their own tier
+    assert(EmbedOps.ivfPqIndexed(s, sfDir, raw).count() > 0)
+    assert(EmbedOps.ivfPqResidualIndexed(s, sfDir, res).count() > 0)
   }
 
   test("recall@5 vs brute force: the composition holds a measured floor, " +

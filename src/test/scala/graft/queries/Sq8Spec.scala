@@ -30,4 +30,35 @@ class Sq8Spec extends SparkSpec {
       .select("qid", "vec_id", "d2_micro").collect().toSet
     assert(fromIndex == live && live.nonEmpty)
   }
+
+  test("sq8Delete: victims purged from codes and search, survivors intact, " +
+      "interrupted swap heals (VERDICT r14 #5)") {
+    import org.apache.hadoop.fs.Path
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("sq8_del_spec").toString
+    EmbedOps.sq8Build(s, sfDir, idx)
+    val beforeIds = s.read.parquet(s"$idx/sq8.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    // victims outside the query id range so every query still searches
+    val victims = beforeIds.filter(_ >= 10).toSeq.sorted.take(5)
+    assert(EmbedOps.sq8Delete(s, idx, victims.toDF("vec_id")) == victims.size)
+    val afterIds = s.read.parquet(s"$idx/sq8.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterIds == beforeIds -- victims)
+    val hits = EmbedOps.sq8Indexed(s, sfDir, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(victims.forall(!hits.contains(_)))
+    // re-deleting the same ids is a no-op
+    assert(EmbedOps.sq8Delete(s, idx, victims.toDF("vec_id")) == 0L)
+    // crash window: live renamed away, survivors parked under tmp —
+    // reconcileSwaps (the pqDelete swap rule, sq8 namespace) finishes it
+    val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(f.rename(new Path(s"$idx/sq8.parquet"), new Path(s"$idx/sq8.parquet.tmp")))
+    EmbedOps.reconcileSwaps(s, idx)
+    assert(f.exists(new Path(s"$idx/sq8.parquet")))
+    assert(!f.exists(new Path(s"$idx/sq8.parquet.tmp")))
+    assert(s.read.parquet(s"$idx/sq8.parquet")
+      .select("vec_id").as[Long].collect().toSet == afterIds)
+  }
 }
