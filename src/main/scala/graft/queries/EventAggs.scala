@@ -323,20 +323,56 @@ object EventAggs {
       ev(s, d).groupBy("event_type").agg(countDistinct("user_id").as("users"))
     },
 
-    // approx_count_distinct is engine-specific by construction → rows-only
-    Q.noOracle("e_approx_count_distinct") { (s, d) =>
+    // approx_count_distinct's sketch is engine-specific by construction —
+    // no DuckDB replay can hash its estimate. The driver-visible contract
+    // is therefore ALTERNATE-EXACT (VERDICT r14 #3, the alt_sf1.py
+    // pattern brought into the oracle row itself): the gate emits the
+    // EXACT answer (hash-matched value-for-value against DuckDB) plus a
+    // Spark-side assertion that the HLL estimate lands inside its
+    // documented error envelope (3·rsd relative + 1 absolute for tiny
+    // groups — the bound ApproxBoundsSpec pins), surfaced as a column the
+    // oracle expects to be uniformly TRUE. A sketch drifting out of its
+    // envelope now FAILS the driver hash instead of hiding in a rows-only
+    // row. (At 100 TB a user runs only the sketch; computing both here is
+    // the verification harness, not the production plan.)
+    Q("e_approx_count_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS users_exact,
+        |  TRUE AS within_bound FROM events GROUP BY 1""".stripMargin) { (s, d) =>
       ev(s, d).groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .agg(countDistinct("user_id").as("users_exact"),
+          approx_count_distinct("user_id", 0.05).as("a"))
+        .select(col("event_type"), col("users_exact"),
+          (abs(col("a") - col("users_exact")).cast("double") <=
+            col("users_exact") * 0.15 + 1.0).as("within_bound"))
     },
 
-    // approx percentile (t-digest-style sketch — the mergeable-sketch scale
-    // path for quantiles; sketch internals are engine-specific → rows-only)
-    Q.noOracle("e_approx_percentile") { (s, d) =>
-      ev(s, d).groupBy("event_type")
+    // approx percentile (mergeable-sketch scale path for quantiles) —
+    // same alternate-exact contract: the Greenwald-Khanna guarantee is on
+    // RANK, so the gate checks that each returned value's rank interval
+    // [count(<v), count(<=v)]/n intersects [q−eps, q+eps] (eps = 2/
+    // accuracy, ApproxBoundsSpec's exact formulation) and emits the
+    // oracle-matched row (event_type, n, q, TRUE). The group count n is
+    // the exact anchor DuckDB recomputes.
+    Q("e_approx_percentile",
+      """SELECT event_type, count(*) AS n, q, TRUE AS within_bound
+        |FROM events CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(q)
+        |GROUP BY 1, 3""".stripMargin) { (s, d) =>
+      val qs = Seq(0.5, 0.9, 0.99)
+      val approx = ev(s, d).groupBy("event_type")
         .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("p"))
-        .select(col("event_type"),
-          col("p").getItem(0).as("p50"), col("p").getItem(1).as("p90"),
-          col("p").getItem(2).as("p99"))
+        .select(col("event_type"), posexplode(col("p")))
+        .withColumnRenamed("col", "v")
+        .withColumn("q", element_at(typedLit(qs), col("pos").cast("int") + 1))
+      ev(s, d).select("event_type", "value")
+        .join(broadcast(approx), Seq("event_type"))
+        .groupBy("event_type", "q", "v")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"))
+        .select(col("event_type"), col("n"), col("q"),
+          (col("lt").cast("double") / col("n") <= col("q") + 0.002 &&
+           col("le").cast("double") / col("n") >= col("q") - 0.002)
+            .as("within_bound"))
     },
 
     // sample(value, n): non-deterministic by spec (calls.go:136-151), so

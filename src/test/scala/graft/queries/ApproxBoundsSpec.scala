@@ -3,12 +3,13 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** The two approx gates are `no_oracle` forever — sketch internals are
-  * engine-specific, so no DuckDB hash can check them. Their ERROR is
-  * boundable, though (VERDICT r7 item 6): this spec pins the documented
-  * accuracy guarantees against the exact answers on the sf0.01 fixture,
-  * so the gates stay rows-only for the driver but are no longer unaudited.
-  */
+/** Sketch internals are engine-specific — no DuckDB hash can check the
+  * raw HLL/GK estimates. Their ERROR is boundable, though (VERDICT r7
+  * item 6): this spec pins the documented accuracy guarantees against
+  * the exact answers on the sf0.01 fixture. Since r15 the registry gates
+  * carry the SAME bounds as oracle-matched `within_bound` columns
+  * (alternate-exact, VERDICT r14 #3), so the driver sees them too; this
+  * spec remains the direct, collect-level statement of the envelope. */
 class ApproxBoundsSpec extends SparkSpec {
 
   // the round's primary fixture: big enough that the sketches actually
