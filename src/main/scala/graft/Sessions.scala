@@ -45,6 +45,15 @@ object Sessions {
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
+    spark
+  }
+
+  /** The engine's native codegen expressions, registered as temp
+    * functions. Temp functions are per-session state: a derived
+    * `spark.newSession()` (used where a spec needs isolated SQLConf)
+    * must re-apply this before planning any gate. */
+  def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.Fnv1a32Expr.register(spark) // native codegen hash for the write path
     graft.functions.SeqDotExpr.register(spark)  // native codegen dot-fold for the vector path
     graft.functions.SeqL2Expr.register(spark)   // native codegen squared-L2 fold (IVF quantizer)
@@ -53,6 +62,5 @@ object Sessions {
     graft.functions.MinHashSigExpr.register(spark) // one-pass seeded MinHash signatures
     graft.functions.WordGramExprs.register(spark)  // n-gram build/stats loops
     graft.functions.CosPruneExprs.register(spark)  // Cauchy–Schwarz-pruned cosine verify
-    spark
   }
 }

@@ -1290,14 +1290,7 @@ object EmbedOps {
     * NQUERIES·NPROBE rows); only the shortlist touches raw vectors. */
   private def ivfPqSearch(codes: DataFrame, q: DataFrame, lut: DataFrame,
       v: DataFrame): DataFrame = {
-    val shortlist = codes.join(broadcast(q), Seq("list_id"))
-      .where(col("vec_id") =!= col("qid"))
-      .join(broadcast(lut), Seq("qid", "m", "cid"))
-      .groupBy("qid", "vec_id")
-      .agg(sum("qd2").as("d2_adc"))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
-      .where(col("arn") <= PQ_SHORTLIST)
+    val shortlist = ivfPqShortlist(codes, q, lut)
     val qv = v.where(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     shortlist
@@ -1309,6 +1302,20 @@ object EmbedOps {
       .where(col("rn") <= TOPK)
       .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
   }
+
+  /** The ADC shortlist stage alone (qid, vec_id, d2_adc, arn ≤
+    * PQ_SHORTLIST) — `ivfPqSearch` reranks it exactly; `mmrIvfPq`
+    * diversifies over it instead. */
+  private def ivfPqShortlist(codes: DataFrame, q: DataFrame,
+      lut: DataFrame): DataFrame =
+    codes.join(broadcast(q), Seq("list_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("qd2").as("d2_adc"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2_adc").asc, col("vec_id").asc)))
+      .where(col("arn") <= PQ_SHORTLIST)
 
   /** One map-only pass producing the at-rest IVFPQ rows: each vector's
     * coarse list (codegen argmin over the centroid literal) AND its M PQ
@@ -1721,6 +1728,25 @@ object EmbedOps {
     * and the rerank always cover all of e2 — the append gate's
     * "train at N, append N/10" shape. */
   def ivfPqOracleSql(trainWhere: String): String = {
+    def fullL2(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $DIMS),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH ${ivfPqOracleCtes(trainWhere)},
+       |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
+       |r AS (SELECT qid, vec_id, d2_micro,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
+       |      FROM rr)
+       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+  }
+
+  /** The composition's CTE chain, `e2` through the ADC shortlist `sl` —
+    * the shared prelude of `ivfPqOracleSql` (which reranks `sl`) and
+    * `mmrIvfPqOracleSql` (which diversifies over it). */
+  private def ivfPqOracleCtes(trainWhere: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1728,7 +1754,6 @@ object EmbedOps {
          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
     def l2 = l2n(DIMS) _
     def l2s = l2n(PQ_SUB) _
-    def fullL2 = l2n(DIMS) _
     def sub(m: Int) = s"emb[${m * PQ_SUB + 1}:${(m + 1) * PQ_SUB}]"
     val kExpr =
       s"GREATEST(2, LEAST($MAXLISTS, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))"
@@ -1752,7 +1777,7 @@ object EmbedOps {
     val cbUnion = (0 until PQ_M).map(m => s"SELECT * FROM cb$m").mkString(" UNION ALL ")
     val vsUnion = (0 until PQ_M).map(m =>
       s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM e2").mkString(" UNION ALL ")
-    s"""WITH e2 AS (SELECT vec_id,
+    s"""e2 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
        |e2t AS (SELECT * FROM e2 $trainWhere),
@@ -1801,14 +1826,7 @@ object EmbedOps {
        |sl AS (SELECT qid, vec_id FROM
        |        (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
-       |         FROM adc) WHERE arn <= $PQ_SHORTLIST),
-       |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
-       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
-       |                 JOIN e2 q ON q.vec_id = s.qid),
-       |r AS (SELECT qid, vec_id, d2_micro,
-       |        row_number() OVER (PARTITION BY qid ORDER BY d2_micro ASC, vec_id ASC) AS rn
-       |      FROM rr)
-       |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
+       |         FROM adc) WHERE arn <= $PQ_SHORTLIST)""".stripMargin
   }
 
   // ---- scalar (int8) quantization: the third compression family beside
@@ -1951,21 +1969,57 @@ object EmbedOps {
   }
 
   def mmrSelect(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val qv = v.where(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    val cand = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
+    mmrGreedy(v.join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         micro(dot(col("qe"), col("emb"))
           / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"), col("emb"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
       .where(col("crn") <= MMR_CAND)
-      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb"))
-      .as[MmrCand]
-    cand.groupByKey(_.qid).flatMapGroups { (qid, it) =>
+      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb")))
+  }
+
+  /** MMR composed over the COMPRESSED index (VERDICT r14 #6): the
+    * candidate pool is the IVFPQ ADC shortlist — per-query cost
+    * O(NPROBE·N/k·M) code lookups, never a raw corpus scan — with exact
+    * cosine computed only for the 150-wide shortlist, the top MMR_CAND
+    * of those diversified by the same greedy. At corpus scale this is
+    * the end-to-end shape: probe → compressed ADC → exact-rerank a
+    * bounded pool → diversify. */
+  def mmrIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (v, cents) = ivfParts(s, d, None)
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    mmrGreedy(sl.select("qid", "vec_id")
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        micro(dot(col("qe"), col("emb"))
+          / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"), col("emb"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
+      .where(col("crn") <= MMR_CAND)
+      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb")))
+  }
+
+  /** The per-query greedy over an arbitrary candidate frame
+    * (qid, vec_id, sim_micro, emb): queries are the parallel unit
+    * (flatMapGroups), per-group state is MMR_CAND vectors — bounded
+    * regardless of corpus size. */
+  private def mmrGreedy(cand: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand.as[MmrCand].groupByKey(_.qid).flatMapGroups { (qid, it) =>
       val cs = it.toArray.sortBy(c => (-c.sim_micro, c.vec_id))
       val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
       val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
@@ -1991,24 +2045,7 @@ object EmbedOps {
   /** Unrolled greedy replay: one CTE pair per selection step — the
     * argmax by (score desc, vec_id asc) over candidates not yet picked,
     * with maxsel folded from the pairwise-sim CTE. */
-  def mmrOracleSql: String = {
-    val steps = (2 to TOPK).map { k =>
-      val prev = (1 until k).map(j => s"SELECT qid, vec_id FROM s$j").mkString(" UNION ALL ")
-      s"""prev$k AS ($prev),
-         |m$k AS (SELECT c.qid, c.vec_id, c.sim_micro,
-         |          max(p.sim) AS maxsel
-         |        FROM cand c
-         |          JOIN prev$k s ON s.qid = c.qid
-         |          JOIN psim p ON p.qid = c.qid AND p.a = c.vec_id AND p.b = s.vec_id
-         |        WHERE c.vec_id NOT IN (SELECT vec_id FROM prev$k WHERE qid = c.qid)
-         |        GROUP BY 1, 2, 3),
-         |s$k AS (SELECT qid, vec_id, $k AS pick, score_micro FROM
-         |         (SELECT qid, vec_id, 7 * sim_micro - 3 * maxsel AS score_micro,
-         |            row_number() OVER (PARTITION BY qid
-         |              ORDER BY 7 * sim_micro - 3 * maxsel DESC, vec_id ASC) AS rn
-         |          FROM m$k) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    val union = (1 to TOPK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+  def mmrOracleSql: String =
     s"""WITH e2 AS (SELECT vec_id,
        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |            FROM embeddings),
@@ -2023,18 +2060,44 @@ object EmbedOps {
        |                        * 1000000.0 + 0.5) AS BIGINT) DESC, v.vec_id ASC) AS crn
        |           FROM e2 q JOIN e2 v ON v.vec_id <> q.vec_id
        |           WHERE q.vec_id < $NQUERIES) WHERE crn <= $MMR_CAND),
-       |psim AS (SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+       |${mmrGreedySqlCtes("cand")}""".stripMargin
+
+  /** The greedy's replay CTEs over a candidate CTE `$cand`
+    * (qid, vec_id, sim_micro) with embeddings in `e2`: pairwise sims,
+    * one CTE pair per selection step, final UNION select. Shared by the
+    * brute-pool gate (em_mmr) and the compressed-index composition
+    * (em_mmr_ivfpq) — the selection arithmetic is identical, only the
+    * candidate source differs. */
+  private def mmrGreedySqlCtes(cand: String): String = {
+    val steps = (2 to TOPK).map { k =>
+      val prev = (1 until k).map(j => s"SELECT qid, vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""prev$k AS ($prev),
+         |m$k AS (SELECT c.qid, c.vec_id, c.sim_micro,
+         |          max(p.sim) AS maxsel
+         |        FROM $cand c
+         |          JOIN prev$k s ON s.qid = c.qid
+         |          JOIN psim p ON p.qid = c.qid AND p.a = c.vec_id AND p.b = s.vec_id
+         |        WHERE c.vec_id NOT IN (SELECT vec_id FROM prev$k WHERE qid = c.qid)
+         |        GROUP BY 1, 2, 3),
+         |s$k AS (SELECT qid, vec_id, $k AS pick, score_micro FROM
+         |         (SELECT qid, vec_id, 7 * sim_micro - 3 * maxsel AS score_micro,
+         |            row_number() OVER (PARTITION BY qid
+         |              ORDER BY 7 * sim_micro - 3 * maxsel DESC, vec_id ASC) AS rn
+         |          FROM m$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to TOPK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"""psim AS MATERIALIZED (SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
        |           CAST(floor(${duckDot("x.emb", "y.emb")}
        |                      / (${duckNorm("x.emb")} * ${duckNorm("y.emb")})
        |                      * 1000000.0 + 0.5) AS BIGINT) AS sim
-       |         FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |         FROM $cand a JOIN $cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
        |              JOIN e2 x ON x.vec_id = a.vec_id
        |              JOIN e2 y ON y.vec_id = b.vec_id),
        |s1 AS (SELECT qid, vec_id, 1 AS pick, 7 * sim_micro AS score_micro FROM
        |        (SELECT qid, vec_id, sim_micro,
        |           row_number() OVER (PARTITION BY qid
        |             ORDER BY sim_micro DESC, vec_id ASC) AS rn
-       |         FROM cand) WHERE rn = 1),
+       |         FROM $cand) WHERE rn = 1),
        |$steps
        |SELECT qid, vec_id, CAST(pick AS INT) AS pick, score_micro FROM ($union)""".stripMargin
   }
@@ -2257,6 +2320,29 @@ object EmbedOps {
        |      FROM rr)
        |SELECT qid, vec_id, d2_micro, rn FROM r WHERE rn <= $TOPK""".stripMargin
   }
+
+  /** MMR over the compressed index's shortlist: the composition's CTEs
+    * through `sl`, exact cosine for the shortlist only, top MMR_CAND of
+    * those as the greedy's candidate pool — the same unrolled-greedy
+    * replay as `mmrOracleSql`, over IVFPQ-sourced candidates. */
+  def mmrIvfPqOracleSql: String =
+    // MATERIALIZED: the greedy's per-step CTEs reference mcand/psim
+    // once per selection step; without the hint DuckDB re-inlines the
+    // whole composition chain (k-means + codebook training) per step
+    // and OOMs at sf0.01
+    s"""WITH ${ivfPqOracleCtes("")},
+       |mcand AS MATERIALIZED (SELECT qid, vec_id, sim_micro FROM
+       |           (SELECT s.qid, s.vec_id,
+       |              CAST(floor(${duckDot("q.emb", "v.emb")}
+       |                         / (${duckNorm("q.emb")} * ${duckNorm("v.emb")})
+       |                         * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+       |              row_number() OVER (PARTITION BY s.qid
+       |                ORDER BY CAST(floor(${duckDot("q.emb", "v.emb")}
+       |                         / (${duckNorm("q.emb")} * ${duckNorm("v.emb")})
+       |                         * 1000000.0 + 0.5) AS BIGINT) DESC, s.vec_id ASC) AS crn
+       |            FROM sl s JOIN e2 v ON v.vec_id = s.vec_id
+       |                      JOIN e2 q ON q.vec_id = s.qid) WHERE crn <= $MMR_CAND),
+       |${mmrGreedySqlCtes("mcand")}""".stripMargin
 
   /** 2-iteration seeded Lloyd clustering shared by em_kmeans and
     * em_semdedup. `in` must carry `vec_id` and `q` (exact-integer
@@ -2671,6 +2757,14 @@ object EmbedOps {
     // shortlists — integer micro-score trace replays exactly in the
     // oracle's unrolled greedy SQL.
     Q("em_mmr", mmrOracleSql)(mmrSelect),
+
+    // MMR composed over the COMPRESSED index (VERDICT r14 #6): the
+    // candidate pool is the IVFPQ ADC shortlist (probe → compressed ADC
+    // → exact cosine on the bounded pool → greedy diversify) — at corpus
+    // scale diversified retrieval never scans raw vectors outside the
+    // shortlist. Oracle = the composition's CTEs + the same unrolled
+    // greedy over the identical shortlist.
+    Q("em_mmr_ivfpq", mmrIvfPqOracleSql)(mmrIvfPq),
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

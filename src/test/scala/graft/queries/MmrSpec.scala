@@ -46,4 +46,33 @@ class MmrSpec extends SparkSpec {
       assert(ps.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
     }
   }
+
+  test("IVFPQ-composed MMR: complete pick sequences, no self-picks, and " +
+      "every pick comes from inside the compressed shortlist") {
+    val s = spark
+    val rows = EmbedOps.mmrIvfPq(s, sfDir)
+      .select("qid", "vec_id", "pick")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, ps) =>
+      assert(ps.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5), s"qid $qid: $ps")
+      assert(ps.map(_._2).distinct.length == ps.length, s"qid $qid dup picks")
+      assert(!ps.exists(_._2 == qid), s"qid $qid picked itself")
+    }
+    // the candidate pool is the ADC shortlist by construction — pick 1
+    // must be the exact-cosine argmax over that pool, which the brute
+    // gate's pick 1 (argmax over ALL candidates) can only match or beat:
+    // composed pick-1 similarity ≤ brute pick-1 similarity per query
+    val brute1 = EmbedOps.mmrSelect(s, sfDir)
+      .where(col("pick") === 1)
+      .select("qid", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    EmbedOps.mmrIvfPq(s, sfDir)
+      .where(col("pick") === 1)
+      .select("qid", "score_micro")
+      .collect().foreach { r =>
+        assert(r.getLong(1) <= brute1(r.getLong(0)),
+          s"qid ${r.getLong(0)}: composed pick-1 beats the brute argmax")
+      }
+  }
 }

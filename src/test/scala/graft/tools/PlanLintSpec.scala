@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.{Registry, SparkSpec}
+
+/** Registry-wide plan lint (VERDICT r14 #1): every registered gate's
+  * physical plan, one assertion pass — no cartesian product, no
+  * unpartitioned window, partition-pruned scans on every gate that
+  * searches a `list_id=`-partitioned at-rest index. The per-suite
+  * `*PlanSpec`s pin finer shapes (map-only stages, TakeOrdered, index
+  * reuse); this spec is the backstop that catches a plan regression in
+  * ANY of the ~200 gates, including ones no targeted spec watches.
+  *
+  * Whitelist rationale (every exemption documented here, per gate):
+  *   - unpartitioned `WindowExec` is only legal when its input is
+  *     bounded by construction:
+  *       e_slimit / iql_slimit — series rank over the DISTINCT series
+  *         key set, which GROUP BY has already reduced (series count ≪
+  *         rows; SLIMIT semantics are a total order over series);
+  *       iql_top_tag — final global ordering of an already-aggregated
+  *         per-tag top-k (≤ k·|tags| rows, post-agg);
+  *       iql_cumsum_of_sum — running sum over GROUP BY time buckets
+  *         (≤ one row per bucket, weeks of data → bounded);
+  *       d_global_shuffle — `Ranks.globalRank`'s size gate: at spec
+  *         scale the single-partition path is chosen deliberately;
+  *         above the gate it re-plans to sampled range partitioning
+  *         (RanksSpec pins that path).
+  *   - no cartesian exemptions are currently needed: the brute-force
+  *     oracle baselines all plan as BroadcastNestedLoopJoin with the
+  *     bounded side broadcast, which is the intended shape.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val unpartitionedWindowOk = Set(
+    "e_slimit", "iql_slimit", "iql_top_tag", "iql_cumsum_of_sum",
+    "d_global_shuffle")
+
+  private val cartesianOk = Set.empty[String]
+
+  /** Gates that search a partitioned at-rest index: their plans must
+    * show partition filters (probe lists pruning the compressed scan).
+    * The in-memory variants (em_ivf_knn, em_ivfpq_adc, …) keep the index
+    * in DataFrames, so file-level pruning doesn't apply to them. */
+  private val mustPrunePersistedScan = Set(
+    "em_ivf_persisted", "em_ivf_append",
+    "em_ivfpq_persisted", "em_ivfpq_append",
+    "em_ivfpq_residual_persisted", "em_ivfpq_residual_append")
+
+  test("every registered gate plans clean: no cartesian, no unpartitioned " +
+      "window, pruned persisted-index scans") {
+    // isolated session: suites run in parallel and this one pins AQE off
+    // so executedPlan is the static physical plan
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.Sessions.registerFunctions(s) // temp functions are per-session
+    val bad = Registry.validated.flatMap { q =>
+      val vs = PlanLint.violations(
+        q.fn(s, sfDir).queryExecution.executedPlan,
+        expectPruned = mustPrunePersistedScan(q.name))
+        .filterNot(v => v == "cartesian" && cartesianOk(q.name))
+        .filterNot(v =>
+          v.startsWith("unpartitioned-window") && unpartitionedWindowOk(q.name))
+      if (vs.isEmpty) Nil else Seq(s"${q.name}: ${vs.mkString(", ")}")
+    }
+    assert(bad.isEmpty, s"plan-lint violations:\n${bad.mkString("\n")}")
+  }
+
+  test("the whitelists only name gates that still exist (and still need " +
+      "the exemption)") {
+    val names = Registry.validated.map(_.name).toSet
+    val stale = (unpartitionedWindowOk ++ cartesianOk ++
+      mustPrunePersistedScan).filterNot(names)
+    assert(stale.isEmpty, s"whitelisted gates no longer registered: $stale")
+  }
+}

@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Per-query scale-ratio table between two graft.Bench JSON lines.
 
-Usage: python3 tools/ratio.py <base.json> <scaled.json> [factor]
+Usage: python3 tools/ratio.py <base.json> <scaled.json> [factor] [checks]
 
 Prints a markdown table of per-query seconds and scaled/base ratios,
 sorted by ratio descending, plus the median ratio. `factor` (default 10)
 annotates which ratios exceed linear scaling.
+
+`checks` (optional, "gate=bound,gate=bound") adds/overrides asserted
+bounds for THIS run — the decade sweeps (sf1 → ×10-beyond-sf1) pass
+their own per-family bounds here, while the built-in CHECKED dict stays
+scoped to the canonical sf0.1 → sf1 pair it was calibrated on.
 """
 import json, sys, statistics
 
@@ -26,6 +31,11 @@ CHECKED = {
 base = json.load(open(sys.argv[1]))
 scaled = json.load(open(sys.argv[2]))
 factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+if len(sys.argv) > 4:
+    CHECKED = dict(CHECKED)
+    for kv in sys.argv[4].split(","):
+        k, v = kv.split("=")
+        CHECKED[k.strip()] = float(v)
 
 b, s = base["queries"], scaled["queries"]
 common = [k for k in s if k in b and b[k] > 0 and s[k] > 0]
