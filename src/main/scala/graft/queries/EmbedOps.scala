@@ -668,7 +668,24 @@ object EmbedOps {
     * r14 — see `ivfRows`): searches never run destructive
     * reconciliation, so N concurrent readers are safe alongside the one
     * maintainer. */
-  def ivfKnnIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+  def ivfKnnIndexed(s: SparkSession, d: String, indexDir: String): DataFrame =
+    ivfKnnIndexedWhere(s, d, indexDir, None)
+
+  /** Metadata-FILTERED search over the persisted index — the other half
+    * of every production vector-search API ("top-k among vectors
+    * matching a predicate"). Pre-filter shape: the probe scan is still
+    * partition-pruned to the NPROBE list directories, then candidates
+    * semi-join the keep-set (the metadata table with the predicate
+    * pushed into its own column-pruned scan — at corpus scale the keep
+    * side reads one filtered id column, never the vectors). Exact
+    * cosine + top-k runs on the filtered candidates only, so a query
+    * pays O(NPROBE·N/k · selectivity) distance evaluations. */
+  def ivfKnnIndexedFiltered(s: SparkSession, d: String, indexDir: String,
+      keep: DataFrame): DataFrame =
+    ivfKnnIndexedWhere(s, d, indexDir, Some(keep))
+
+  private def ivfKnnIndexedWhere(s: SparkSession, d: String,
+      indexDir: String, keep: Option[DataFrame]): DataFrame = {
     import s.implicits._
     val cents = s.read.parquet(s"$indexDir/centroids.parquet")
       .select("cid", "cvec").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
@@ -678,12 +695,15 @@ object EmbedOps {
     val q = ivfAssign(queries, cents, NPROBE)
       .select(col("vec_id").as("qid"), col("emb").as("qe"), col("cid").as("list_id"))
     val probed = q.select("list_id").distinct().collect().map(_.getLong(0))
-    ivfSearch(ivfLiveRows(s, indexDir, Some(probed.toSeq)), q)
+    val cand0 = ivfLiveRows(s, indexDir, Some(probed.toSeq))
+    val cand = keep.fold(cand0)(k => cand0.join(k, Seq("vec_id"), "left_semi"))
+    ivfSearch(cand, q)
   }
 
   /** The DuckDB mirror, self-sizing via a params CTE (k and step derive
     * from count(*) exactly as the Spark side computes them). */
-  def ivfOracleSql(nLists: Option[Int], trainWhere: String = ""): String = {
+  def ivfOracleSql(nLists: Option[Int], trainWhere: String = "",
+      candAnd: String = ""): String = {
     val kExpr = nLists.map(_.toString)
       .getOrElse(s"GREATEST(2, LEAST($MAXLISTS, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)))")
     def l2(e: String, c: String) =
@@ -724,7 +744,7 @@ object EmbedOps {
        |           CAST(floor(${duckDot("q.qe", "v.emb")}
        |                      / (${duckNorm("q.qe")} * ${duckNorm("v.emb")})
        |                      * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
-       |         FROM q JOIN asg v ON q.list_id = v.list_id AND v.vec_id <> q.qid),
+       |         FROM q JOIN asg v ON q.list_id = v.list_id AND v.vec_id <> q.qid $candAnd),
        |r AS (SELECT qid, vec_id, sim_micro,
        |        row_number() OVER (PARTITION BY qid ORDER BY sim_micro DESC, vec_id ASC) AS rn
        |      FROM cand)
@@ -2102,6 +2122,136 @@ object EmbedOps {
        |SELECT qid, vec_id, CAST(pick AS INT) AS pick, score_micro FROM ($union)""".stripMargin
   }
 
+  // ---- hybrid retrieval: BM25 keyword search fused with vector search
+  //      by reciprocal-rank fusion — the canonical RAG / retrieval-
+  //      pipeline operation (keyword recall + semantic recall, neither
+  //      alone suffices). The documents and embeddings fixtures share an
+  //      id space (doc_id == vec_id), so each query id contributes a
+  //      token set (its document) and a query vector (its embedding).
+  //
+  //      Cross-engine exactness without transcendentals: classic BM25
+  //      idf is a log — and Spark evaluates log via StrictMath (fdlibm)
+  //      while DuckDB uses platform libm, off by 1 ulp on unlucky inputs
+  //      (the iql_scalar_binary lesson). This gate scores with the
+  //      RATIONAL idf (n − df + ½)/(df + ½) (the odds ratio inside the
+  //      classic log) so every operation is +,−,×,÷ on doubles —
+  //      correctly rounded, bit-identical on both engines — and each
+  //      per-term contribution is micro-quantized BEFORE the per-doc
+  //      sum, which then runs in BIGINT (order-free at any parallelism).
+  //
+  //      Scale shape (100 TB): df/avgdl are vocabulary/constant-sized
+  //      aggregates; the scoring join touches only postings of QUERY
+  //      terms (broadcast — queries are bounded), so the text side is
+  //      posting-bounded, never corpus × queries. The vector side here
+  //      is the exact brute rank (the oracle-exact baseline; compose
+  //      with the IVFPQ shortlist per em_mmr_ivfpq for the compressed
+  //      path). RRF fuses the two top-CAND lists per query: score =
+  //      Σ 1/(60 + rank), each side floor-quantized to nano-units
+  //      separately so the fusion sum is integer.
+  private val RRF_K = 60
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val (nDocs, lTot) = {
+      val r = tk.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head
+      (r.getLong(0), r.getLong(1)) // 2 scalars: the BM25 corpus constants
+    }
+    val avgdl = lTot.toDouble / nDocs.toDouble
+    val tf = tk
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // query terms ⋈ their df: bounded by Σ |distinct terms of a query doc|
+    val qd = tf.where(col("doc_id") < NQUERIES)
+      .select(col("doc_id").as("qid"), col("term"))
+      .join(dfr, Seq("term"))
+    val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val denom = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+    val contrib = floor(idf * (col("tf").cast("double") * lit(2.2)) / denom
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val tRank = tf.join(broadcast(qd), Seq("term"))
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"), contrib.as("cm"))
+      .groupBy("qid", "doc_id").agg(sum("cm").as("bm25_micro"))
+      .withColumn("rt", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      .where(col("rt") <= MMR_CAND)
+      .select(col("qid"), col("doc_id").as("id"), col("rt"))
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val vRank = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        micro(dot(col("qe"), col("emb"))
+          / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"))
+      .withColumn("rv", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim_micro").desc, col("vec_id").asc)))
+      .where(col("rv") <= MMR_CAND)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+    def half(r: Column): Column =
+      coalesce(floor(lit(1.0e9) / (lit(RRF_K.toDouble) + r.cast("double"))
+        + lit(0.5)).cast("long"), lit(0L))
+    tRank.join(vRank, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id").as("doc_id"),
+        (half(col("rt")) + half(col("rv"))).as("rrf_micro"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)))
+      .where(col("rn") <= TOPK)
+  }
+
+  def hybridRrfOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS l FROM tk),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+       |        (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
+       |       GROUP BY 1, 2, 3),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qd AS (SELECT t.doc_id AS qid, t.term, d.df
+       |       FROM tf t JOIN dfr d USING (term) WHERE t.doc_id < $NQUERIES),
+       |c AS (SELECT q.qid, t.doc_id,
+       |        CAST(floor(
+       |          ((CAST(s.n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+       |             / (CAST(q.df AS DOUBLE) + 0.5))
+       |          * (CAST(t.tf AS DOUBLE) * 2.2)
+       |          / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |               * (CAST(t.dl AS DOUBLE)
+       |                  / (CAST(s.l AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+       |          * 1000000.0 + 0.5) AS BIGINT) AS cm
+       |      FROM tf t JOIN qd q ON q.term = t.term AND t.doc_id <> q.qid
+       |      CROSS JOIN st s),
+       |tb AS (SELECT qid, doc_id, CAST(sum(cm) AS BIGINT) AS bm25 FROM c GROUP BY 1, 2),
+       |tr AS (SELECT qid, doc_id AS id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY bm25 DESC, doc_id ASC) AS rt
+       |       FROM tb QUALIFY rt <= $MMR_CAND),
+       |e2 AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings),
+       |vb AS (SELECT q.vec_id AS qid, v.vec_id,
+       |         CAST(floor(${duckDot("q.emb", "v.emb")}
+       |                    / (${duckNorm("q.emb")} * ${duckNorm("v.emb")})
+       |                    * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+       |       FROM e2 q JOIN e2 v ON v.vec_id <> q.vec_id
+       |       WHERE q.vec_id < $NQUERIES),
+       |vr AS (SELECT qid, vec_id AS id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY sim_micro DESC, vec_id ASC) AS rv
+       |       FROM vb QUALIFY rv <= $MMR_CAND),
+       |f AS (SELECT coalesce(t.qid, v.qid) AS qid, coalesce(t.id, v.id) AS id,
+       |        coalesce(CAST(floor(1000000000.0
+       |          / ($RRF_K.0 + CAST(t.rt AS DOUBLE)) + 0.5) AS BIGINT), 0)
+       |        + coalesce(CAST(floor(1000000000.0
+       |          / ($RRF_K.0 + CAST(v.rv AS DOUBLE)) + 0.5) AS BIGINT), 0) AS rrf_micro
+       |      FROM tr t FULL OUTER JOIN vr v ON v.qid = t.qid AND v.id = t.id)
+       |SELECT qid, id AS doc_id, rrf_micro,
+       |       row_number() OVER (PARTITION BY qid
+       |         ORDER BY rrf_micro DESC, id ASC) AS rn
+       |FROM f QUALIFY rn <= $TOPK""".stripMargin
+
   // ---- binary (sign) quantization: the extreme rung of the compression
   //      ladder — DIMS dims pack into ONE 64-bit code (bit i = dim i
   //      above the vector's own mean), 64× compression of float64. The
@@ -2683,6 +2833,19 @@ object EmbedOps {
       ivfKnnIndexed(s, d, idx)
     },
 
+    // metadata-filtered ANN over the persisted index (pre-filter shape):
+    // top-k among vectors whose label satisfies the predicate. Probe scan
+    // stays partition-pruned; the predicate enters as a semi-join against
+    // the keep-set (column-pruned, filter-pushed metadata scan). Oracle =
+    // the same quantizer replay with the predicate on the candidate side.
+    Q("em_ivf_filtered", ivfOracleSql(None, candAnd =
+      "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_flt").toString
+      ivfBuild(s, d, idx, None)
+      ivfKnnIndexedFiltered(s, d, idx,
+        emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
+    },
+
     // incremental maintenance: build the index on 90% of the corpus
     // (vec_id % 10 <> 0), APPEND the held-out 10% against the frozen
     // centroids — a map-only pass over only the new rows, no retrain, no
@@ -2765,6 +2928,11 @@ object EmbedOps {
     // shortlist. Oracle = the composition's CTEs + the same unrolled
     // greedy over the identical shortlist.
     Q("em_mmr_ivfpq", mmrIvfPqOracleSql)(mmrIvfPq),
+
+    // hybrid retrieval: BM25 (rational log-free idf, posting-bounded
+    // scoring join) ⊕ exact vector rank, fused by reciprocal-rank fusion
+    // over the two per-query top-CAND lists — the canonical RAG shape.
+    Q("em_hybrid_rrf", hybridRrfOracleSql)(hybridRrf),
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

@@ -41,7 +41,7 @@ class PlanLintSpec extends SparkSpec {
     * The in-memory variants (em_ivf_knn, em_ivfpq_adc, …) keep the index
     * in DataFrames, so file-level pruning doesn't apply to them. */
   private val mustPrunePersistedScan = Set(
-    "em_ivf_persisted", "em_ivf_append",
+    "em_ivf_persisted", "em_ivf_append", "em_ivf_filtered",
     "em_ivfpq_persisted", "em_ivfpq_append",
     "em_ivfpq_residual_persisted", "em_ivfpq_residual_append")
 

@@ -122,7 +122,8 @@ if has_out("em_semdedup_approx"):
 # pair, ranks must be the dense (d2_micro asc, vec_id asc) order within
 # qid, exactly TOPK rows per qid, no self-matches. (The probe/shortlist
 # structure is replayed in full at sf0.01/sf0.1 where the oracle fits.)
-for name in ("em_ivfpq_residual", "em_ivfpq_residual_persisted"):
+for name in ("em_ivfpq_residual", "em_ivfpq_residual_persisted",
+              "em_ivfpq_residual_append"):
   if has_out(name):
     got = spark_out(name)
     con1 = duckdb.connect()
