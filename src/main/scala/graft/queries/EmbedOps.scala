@@ -1364,6 +1364,25 @@ object EmbedOps {
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v)
   }
 
+  /** Metadata-filtered search over the COMPRESSED composition — the
+    * filtered-ANN shape for corpora where raw vectors can't be scanned
+    * at all: the probe still bounds candidates to NPROBE lists, the
+    * predicate semi-joins the CODES rows (32×-compressed, column-pruned
+    * keep-set — the raw vectors stay untouched until the rerank), ADC
+    * ranks only the filtered candidates, and the exact rerank reads raw
+    * embeddings for the ≤PQ_SHORTLIST survivors alone. */
+  def ivfPqFiltered(s: SparkSession, d: String): DataFrame = {
+    val (v, cents) = ivfParts(s, d, None)
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    val keep = emb(s, d).where(col("label") % 3 === 0).select("vec_id")
+    ivfPqSearch(
+      ivfPqEncode(v, cents, books).join(keep, Seq("vec_id"), "left_semi"), q,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v)
+  }
+
   /** Residual-encoded IVFPQ — the published refinement: PQ quantizes
     * `emb − centroid[assigned list]` instead of the raw vector, so the
     * codebooks spend their resolution on the WITHIN-list geometry (the
@@ -1747,13 +1766,13 @@ object EmbedOps {
     * seeds/Lloyd and the PQ codebooks); assignment, encoding, probing,
     * and the rerank always cover all of e2 — the append gate's
     * "train at N, append N/10" shape. */
-  def ivfPqOracleSql(trainWhere: String): String = {
+  def ivfPqOracleSql(trainWhere: String, candAnd: String = ""): String = {
     def fullL2(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $DIMS),
          |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
-    s"""WITH ${ivfPqOracleCtes(trainWhere)},
+    s"""WITH ${ivfPqOracleCtes(trainWhere, candAnd)},
        |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2_micro
        |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
        |                 JOIN e2 q ON q.vec_id = s.qid),
@@ -1766,7 +1785,8 @@ object EmbedOps {
   /** The composition's CTE chain, `e2` through the ADC shortlist `sl` —
     * the shared prelude of `ivfPqOracleSql` (which reranks `sl`) and
     * `mmrIvfPqOracleSql` (which diversifies over it). */
-  private def ivfPqOracleCtes(trainWhere: String): String = {
+  private def ivfPqOracleCtes(trainWhere: String,
+      candAnd: String = ""): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1838,7 +1858,7 @@ object EmbedOps {
        |lut AS (SELECT v.vec_id AS qid, v.m, c.cid, ${l2s("v.sub", "c.cvec")} AS qd2
        |        FROM vs v JOIN cb c ON v.m = c.m WHERE v.vec_id < $NQUERIES),
        |cand AS (SELECT q.qid, v.vec_id
-       |         FROM qp q JOIN asg v ON q.list_id = v.list_id AND v.vec_id <> q.qid),
+       |         FROM qp q JOIN asg v ON q.list_id = v.list_id AND v.vec_id <> q.qid $candAnd),
        |adc AS (SELECT x.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_adc
        |        FROM cand x JOIN codes c ON c.vec_id = x.vec_id
        |                    JOIN lut l ON l.qid = x.qid AND l.m = c.m AND l.cid = c.cid
@@ -2894,6 +2914,14 @@ object EmbedOps {
     //      rerank). The at-scale ANN shape: per-query cost is
     //      O(NPROBE·N/k·M) code lookups instead of O(N·DIMS) floats.
     Q("em_ivfpq_adc", ivfPqOracleSql)(ivfPqAdc),
+
+    // metadata-filtered search THROUGH the compression: predicate
+    // semi-joins the codes (never the raw vectors), ADC ranks filtered
+    // candidates only, rerank touches the surviving shortlist — filter ×
+    // compression, the remaining cell of the retrieval matrix.
+    Q("em_ivfpq_filtered", ivfPqOracleSql("", candAnd =
+      "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"))(
+      ivfPqFiltered),
 
     // build-once / query-many for the composition: centroids + codebook +
     // codes partitioned BY COARSE LIST, so the probe lists push as

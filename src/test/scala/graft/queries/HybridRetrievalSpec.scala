@@ -51,6 +51,25 @@ class HybridRetrievalSpec extends SparkSpec {
       }
   }
 
+  test("filtered search through the compression honors the predicate: " +
+      "only keep-set vectors, no self-matches, contiguous ranks") {
+    val s = spark
+    val keepIds = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("label") % 3 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = EmbedOps.ivfPqFiltered(s, sfDir)
+      .select("qid", "vec_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, vid, _) =>
+      assert(keepIds(vid), s"qid $qid returned $vid outside the keep-set")
+      assert(vid != qid, s"qid $qid returned itself")
+    }
+    rows.groupBy(_._1).values.foreach { ps =>
+      assert(ps.map(_._3).sorted.toSeq == (1 to ps.length))
+    }
+  }
+
   test("hybrid RRF: complete rank sequences, fused scores within the " +
       "two-sided bound, and both-ranked docs beat text-only/vector-only " +
       "score arithmetic") {
