@@ -1686,6 +1686,28 @@ object EmbedOps {
       pqLut(pqSubRows(queries), books), v)
   }
 
+  /** Metadata-filtered search over a PERSISTED composed index — the
+    * deployment shape of `ivfPqFiltered`: the at-rest codes scan keeps
+    * its probe PartitionFilters, the predicate semi-joins the pruned
+    * COMPRESSED rows (both tiers), rerank reads raw vectors only for
+    * the surviving shortlist. */
+  def ivfPqIndexedFiltered(s: SparkSession, d: String, indexDir: String,
+      keep: DataFrame): DataFrame = {
+    import s.implicits._
+    requireEncoding(s, indexDir, "pq-raw")
+    val (cents, books) = loadQuantizers(s, indexDir)
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = v.where(col("vec_id") < NQUERIES)
+    val q = ivfAssign(queries, cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").cast("string").as("list_id"))
+    val probed = q.select("list_id").distinct().as[String].collect()
+    ivfPqSearch(
+      codesLiveRows(s, indexDir, Some(probed.toSeq))
+        .join(keep, Seq("vec_id"), "left_semi"),
+      q, pqLut(pqSubRows(queries), books), v)
+  }
+
   /** DuckDB mirror of pqAdc: the same seeds, integer-mean codebooks,
     * argmin codes, and integer ADC sums, generated per subspace. */
   def pqOracleSql: String = pqOracleSql("")
@@ -2922,6 +2944,18 @@ object EmbedOps {
     Q("em_ivfpq_filtered", ivfPqOracleSql("", candAnd =
       "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"))(
       ivfPqFiltered),
+
+    // the deployment shape: same filtered search against the AT-REST
+    // composed index — probe PartitionFilters on the codes scan survive
+    // the predicate semi-join. Shares the in-memory gate's oracle: the
+    // persisted filtered search must be byte-identical.
+    Q("em_ivfpq_filtered_persisted", ivfPqOracleSql("", candAnd =
+      "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_flt").toString
+      ivfPqBuild(s, d, idx)
+      ivfPqIndexedFiltered(s, d, idx,
+        emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
+    },
 
     // build-once / query-many for the composition: centroids + codebook +
     // codes partitioned BY COARSE LIST, so the probe lists push as

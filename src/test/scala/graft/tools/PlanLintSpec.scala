@@ -42,7 +42,7 @@ class PlanLintSpec extends SparkSpec {
     * in DataFrames, so file-level pruning doesn't apply to them. */
   private val mustPrunePersistedScan = Set(
     "em_ivf_persisted", "em_ivf_append", "em_ivf_filtered",
-    "em_ivfpq_persisted", "em_ivfpq_append",
+    "em_ivfpq_persisted", "em_ivfpq_append", "em_ivfpq_filtered_persisted",
     "em_ivfpq_residual_persisted", "em_ivfpq_residual_append")
 
   test("every registered gate plans clean: no cartesian, no unpartitioned " +
