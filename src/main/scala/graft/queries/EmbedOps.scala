@@ -2193,6 +2193,52 @@ object EmbedOps {
   private val RRF_K = 60
 
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val vRank = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        micro(dot(col("qe"), col("emb"))
+          / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"))
+      .withColumn("rv", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim_micro").desc, col("vec_id").asc)))
+      .where(col("rv") <= MMR_CAND)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+    rrfFuse(bm25Rank(s, d), vRank)
+  }
+
+  /** Hybrid retrieval THROUGH the compressed index: the vector side's
+    * per-query rank comes from the IVFPQ ADC shortlist (probe →
+    * compressed scan → exact-L2 rerank of ≤PQ_SHORTLIST survivors, top
+    * MMR_CAND ranked), fused with the same posting-bounded BM25 side —
+    * the end-to-end hybrid shape for corpora where the brute vector
+    * rank can't be scanned at all. */
+  def hybridRrfIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (v, cents) = ivfParts(s, d, None)
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val vRank = sl.select("qid", "vec_id")
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rv", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rv") <= MMR_CAND)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+    rrfFuse(bm25Rank(s, d), vRank)
+  }
+
+  /** The BM25 half: per-query top-MMR_CAND documents as (qid, id, rt).
+    * See the block comment above for the rational-idf determinism
+    * rationale and the posting-bounded scale shape. */
+  private def bm25Rank(s: SparkSession, d: String): DataFrame = {
     val tk = Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val (nDocs, lTot) = {
@@ -2216,7 +2262,7 @@ object EmbedOps {
       (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
     val contrib = floor(idf * (col("tf").cast("double") * lit(2.2)) / denom
       * lit(1000000.0) + lit(0.5)).cast("long")
-    val tRank = tf.join(broadcast(qd), Seq("term"))
+    tf.join(broadcast(qd), Seq("term"))
       .where(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"), contrib.as("cm"))
       .groupBy("qid", "doc_id").agg(sum("cm").as("bm25_micro"))
@@ -2224,18 +2270,11 @@ object EmbedOps {
         .orderBy(col("bm25_micro").desc, col("doc_id").asc)))
       .where(col("rt") <= MMR_CAND)
       .select(col("qid"), col("doc_id").as("id"), col("rt"))
-    val v = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val qv = v.where(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    val vRank = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        micro(dot(col("qe"), col("emb"))
-          / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"))
-      .withColumn("rv", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("sim_micro").desc, col("vec_id").asc)))
-      .where(col("rv") <= MMR_CAND)
-      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+  }
+
+  /** RRF fusion of two (qid, id, rank) lists: each side's share is
+    * nano-quantized separately so the fused score is an integer sum. */
+  private def rrfFuse(tRank: DataFrame, vRank: DataFrame): DataFrame = {
     def half(r: Column): Column =
       coalesce(floor(lit(1.0e9) / (lit(RRF_K.toDouble) + r.cast("double"))
         + lit(0.5)).cast("long"), lit(0L))
@@ -2248,29 +2287,7 @@ object EmbedOps {
   }
 
   def hybridRrfOracleSql: String =
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS l FROM tk),
-       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
-       |        (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
-       |       GROUP BY 1, 2, 3),
-       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |qd AS (SELECT t.doc_id AS qid, t.term, d.df
-       |       FROM tf t JOIN dfr d USING (term) WHERE t.doc_id < $NQUERIES),
-       |c AS (SELECT q.qid, t.doc_id,
-       |        CAST(floor(
-       |          ((CAST(s.n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
-       |             / (CAST(q.df AS DOUBLE) + 0.5))
-       |          * (CAST(t.tf AS DOUBLE) * 2.2)
-       |          / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-       |               * (CAST(t.dl AS DOUBLE)
-       |                  / (CAST(s.l AS DOUBLE) / CAST(s.n AS DOUBLE)))))
-       |          * 1000000.0 + 0.5) AS BIGINT) AS cm
-       |      FROM tf t JOIN qd q ON q.term = t.term AND t.doc_id <> q.qid
-       |      CROSS JOIN st s),
-       |tb AS (SELECT qid, doc_id, CAST(sum(cm) AS BIGINT) AS bm25 FROM c GROUP BY 1, 2),
-       |tr AS (SELECT qid, doc_id AS id, row_number() OVER (PARTITION BY qid
-       |         ORDER BY bm25 DESC, doc_id ASC) AS rt
-       |       FROM tb QUALIFY rt <= $MMR_CAND),
+    s"""WITH $bm25Ctes,
        |e2 AS (SELECT vec_id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |       FROM embeddings),
@@ -2283,7 +2300,58 @@ object EmbedOps {
        |vr AS (SELECT qid, vec_id AS id, row_number() OVER (PARTITION BY qid
        |         ORDER BY sim_micro DESC, vec_id ASC) AS rv
        |       FROM vb QUALIFY rv <= $MMR_CAND),
-       |f AS (SELECT coalesce(t.qid, v.qid) AS qid, coalesce(t.id, v.id) AS id,
+       |$rrfFuseSql""".stripMargin
+
+  /** The composed hybrid's oracle: the IVFPQ composition CTEs supply the
+    * shortlist, exact L2 reranks it into the vector rank, the same BM25
+    * block and fusion tail complete the replay. */
+  def hybridRrfIvfPqOracleSql: String = {
+    def fullL2(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $DIMS),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH ${ivfPqOracleCtes("")},
+       |$bm25Ctes,
+       |vrr AS (SELECT s.qid, s.vec_id AS id, ${fullL2("x.emb", "q.emb")} AS d2
+       |        FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                  JOIN e2 q ON q.vec_id = s.qid),
+       |vr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY d2 ASC, id ASC) AS rv
+       |       FROM vrr QUALIFY rv <= $MMR_CAND),
+       |$rrfFuseSql""".stripMargin
+  }
+
+  /** BM25 CTE block → `tr` (qid, id, rt ≤ MMR_CAND). Names are disjoint
+    * from the IVFPQ composition CTEs so both preludes compose. */
+  private def bm25Ctes: String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS l FROM tk),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+       |        (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
+       |       GROUP BY 1, 2, 3),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qd AS (SELECT t.doc_id AS qid, t.term, d.df
+       |       FROM tf t JOIN dfr d USING (term) WHERE t.doc_id < $NQUERIES),
+       |bc AS (SELECT q.qid, t.doc_id,
+       |        CAST(floor(
+       |          ((CAST(s.n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+       |             / (CAST(q.df AS DOUBLE) + 0.5))
+       |          * (CAST(t.tf AS DOUBLE) * 2.2)
+       |          / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |               * (CAST(t.dl AS DOUBLE)
+       |                  / (CAST(s.l AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+       |          * 1000000.0 + 0.5) AS BIGINT) AS cm
+       |      FROM tf t JOIN qd q ON q.term = t.term AND t.doc_id <> q.qid
+       |      CROSS JOIN st s),
+       |tb AS (SELECT qid, doc_id, CAST(sum(cm) AS BIGINT) AS bm25 FROM bc GROUP BY 1, 2),
+       |tr AS (SELECT qid, doc_id AS id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY bm25 DESC, doc_id ASC) AS rt
+       |       FROM tb QUALIFY rt <= $MMR_CAND)""".stripMargin
+
+  /** Fusion tail over `tr` and `vr` (both (qid, id, rank)). */
+  private def rrfFuseSql: String =
+    s"""f AS (SELECT coalesce(t.qid, v.qid) AS qid, coalesce(t.id, v.id) AS id,
        |        coalesce(CAST(floor(1000000000.0
        |          / ($RRF_K.0 + CAST(t.rt AS DOUBLE)) + 0.5) AS BIGINT), 0)
        |        + coalesce(CAST(floor(1000000000.0
@@ -2995,6 +3063,11 @@ object EmbedOps {
     // scoring join) ⊕ exact vector rank, fused by reciprocal-rank fusion
     // over the two per-query top-CAND lists — the canonical RAG shape.
     Q("em_hybrid_rrf", hybridRrfOracleSql)(hybridRrf),
+
+    // hybrid retrieval THROUGH the compression: the vector rank comes
+    // from the IVFPQ ADC shortlist's exact rerank instead of the brute
+    // scan — BM25 postings ⊕ compressed ANN, the corpus-scale hybrid.
+    Q("em_hybrid_rrf_ivfpq", hybridRrfIvfPqOracleSql)(hybridRrfIvfPq),
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

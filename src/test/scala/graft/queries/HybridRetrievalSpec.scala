@@ -86,6 +86,22 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid through the compression: complete rank sequences, no " +
+      "self-picks, scores within the two-sided bound") {
+    val rows = EmbedOps.hybridRrfIvfPq(spark, sfDir)
+      .select("qid", "doc_id", "rrf_micro", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val maxOne = math.floor(1.0e9 / 61.0 + 0.5).toLong
+    rows.groupBy(_._1).foreach { case (qid, ps) =>
+      assert(ps.map(_._4).sorted.toSeq == (1 to ps.length))
+      assert(!ps.exists(_._2 == qid), s"qid $qid picked itself")
+      ps.foreach { case (_, _, sc, _) =>
+        assert(sc > 0L && sc <= 2 * maxOne, s"score out of bounds: $sc")
+      }
+    }
+  }
+
   test("a planted doc that is both token-identical and vector-identical " +
       "to the query is retrieved by the fusion") {
     val s = spark
