@@ -14,8 +14,9 @@ class EntrySpec extends SparkSpec {
     val names = SparkEntry.queries.keySet
     assert(names.size == Registry.validated.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
-    // the two approx sketches are the only gates without an oracle
-    assert((names -- SparkEntry.oracleSql.keySet) ==
-      Set("e_approx_count_distinct", "e_approx_percentile"))
+    // every gate carries an oracle since r15: the two approx sketches
+    // gained alternate-exact bound oracles (checked against the exact
+    // sibling gates' values) instead of rows-only status
+    assert((names -- SparkEntry.oracleSql.keySet) == Set.empty[String])
   }
 }

@@ -138,7 +138,12 @@ class ScaleUpSpec extends SparkSpec {
       val rows = spark.read.parquet(s"${dirs._2}/$t.parquet").count()
       val parts = new java.io.File(s"${dirs._2}/$t.parquet")
         .listFiles().count(_.getName.startsWith("part-"))
-      assert(parts >= math.min(rows, par.toLong),
+      // round-robin repartition distributes per INPUT split with a
+      // random start, so a few-row fixture can leave some of the `par`
+      // targets empty (empty tasks write no file) — the bound is
+      // half-parallelism, which still fails loudly on the r11 bug this
+      // test pins (the whole scaled corpus landing as ONE file)
+      assert(parts >= math.max(2L, math.min(rows, par.toLong) / 2),
         s"$t: $parts part files for $rows rows (parallelism $par) — split-bound")
     }
   }
