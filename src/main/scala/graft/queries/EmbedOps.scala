@@ -1960,6 +1960,21 @@ object EmbedOps {
     sq8Search(s.read.parquet(s"$indexDir/sq8.parquet"), v)
   }
 
+  /** Incremental append for the training-free rung: SQ8 encoding is
+    * per-vector self-contained (each code carries its own (mn,mx)
+    * range), so an append is ONE map-only pass over the new batch
+    * landing as new files in the flat codes table — no quantizer to
+    * freeze, no drift to track, and the appended table is byte-
+    * equivalent to a from-scratch encode-all build. Returns vectors
+    * appended. */
+  def sq8Append(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
+    reconcileSwaps(s, indexDir)
+    val batch = newVecs.select(col("vec_id"), col("emb"))
+    val n = batch.count()
+    sq8Encode(batch).write.mode("append").parquet(s"$indexDir/sq8.parquet")
+    n
+  }
+
   /** DuckDB mirror: identical encode/dequant arithmetic (same operation
     * order, same nonnegative round), asymmetric scan, exact rerank. */
   def sq8OracleSql: String = {
@@ -2423,6 +2438,18 @@ object EmbedOps {
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     bqSearch(s.read.parquet(s"$indexDir/bq.parquet"), v)
+  }
+
+  /** Incremental append for the 64× rung — same training-free property
+    * as `sq8Append` (each packed code thresholds on its own vector's
+    * mean): one map-only encode of the batch appended to the flat codes
+    * table, byte-equivalent to encode-all. Returns vectors appended. */
+  def bqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
+    reconcileSwaps(s, indexDir)
+    val batch = newVecs.select(col("vec_id"), col("emb"))
+    val n = batch.count()
+    bqEncode(batch).write.mode("append").parquet(s"$indexDir/bq.parquet")
+    n
   }
 
   /** DuckDB mirror: the same sign bits as an UNPACKED boolean list (no
@@ -3080,6 +3107,18 @@ object EmbedOps {
       bqIndexed(s, d, idx)
     },
 
+    // append lifecycle for the 64× rung — same training-free byte-
+    // equivalence as em_sq8_append, same shared full oracle.
+    Q("em_bq_append", bqOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_bq_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      bqEncode(v.where(col("vec_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(s"$idx/bq.parquet")
+      bqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+      bqIndexed(s, d, idx)
+    },
+
     // scalar (int8) quantization: training-free 8× compression — per-
     // vector (mn, mx) range + uint8 codes, asymmetric dequantized scan,
     // exact rerank. The persisted twin searches the at-rest codes table
@@ -3088,6 +3127,20 @@ object EmbedOps {
     Q("em_sq8_persisted", sq8OracleSql) { (s, d) =>
       val idx = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
       sq8Build(s, d, idx)
+      sq8Indexed(s, d, idx)
+    },
+
+    // append lifecycle for the training-free rung: build on 90%, append
+    // the held-out 10% (per-vector self-contained encoding → the result
+    // is byte-equivalent to encode-all, so the gate shares the full
+    // oracle EXACTLY, not just train-on-subset semantics).
+    Q("em_sq8_append", sq8OracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_sq8_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      sq8Encode(v.where(col("vec_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(s"$idx/sq8.parquet")
+      sq8Append(s, v.where(col("vec_id") % 10 === 0), idx)
       sq8Indexed(s, d, idx)
     },
 

@@ -29,6 +29,14 @@ class BqSpec extends SparkSpec {
     assert(fromIndex == live && live.nonEmpty)
   }
 
+  test("append is byte-equivalent to encode-all (training-free encoding)") {
+    val app = EmbedOps.all.find(_.name == "em_bq_append").get.fn(spark, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val full = EmbedOps.bqAdc(spark, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(app == full && full.nonEmpty)
+  }
+
   test("bqDelete: victims purged from codes and search, survivors intact " +
       "(VERDICT r14 #5)") {
     val s = spark

@@ -31,6 +31,33 @@ class Sq8Spec extends SparkSpec {
     assert(fromIndex == live && live.nonEmpty)
   }
 
+  test("append is byte-equivalent to encode-all (training-free encoding), " +
+      "and delete purges appended rows") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, lit}
+    // gate-level equivalence: build-90% + append-10% == the full build
+    val app = EmbedOps.all.find(_.name == "em_sq8_append").get.fn(s, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val full = EmbedOps.sq8Adc(s, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(app == full && full.nonEmpty)
+    // delete-after-append: clones appended under shifted ids, then taken
+    // down — search returns exactly the pre-append results
+    val idx = java.nio.file.Files.createTempDirectory("sq8_app_spec").toString
+    EmbedOps.sq8Build(s, sfDir, idx)
+    val before = EmbedOps.sq8Indexed(s, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val clones = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    assert(EmbedOps.sq8Append(s, clones, idx) > 0)
+    val cloneIds = clones.select("vec_id")
+    assert(EmbedOps.sq8Delete(s, idx, cloneIds) > 0)
+    val after = EmbedOps.sq8Indexed(s, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(after == before)
+  }
+
   test("sq8Delete: victims purged from codes and search, survivors intact, " +
       "interrupted swap heals (VERDICT r14 #5)") {
     import org.apache.hadoop.fs.Path
