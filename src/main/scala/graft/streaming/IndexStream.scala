@@ -116,6 +116,24 @@ object IndexStream {
       EmbedOps.ivfPqAppend(batch.sparkSession, batch, ivfPqDir)
     }
 
+  /** Idempotent per-batch append for the training-free rungs (SQ8 /
+    * BQ) — same discipline, own marker namespaces. Their encodes are
+    * per-vector self-contained, so the appended table is byte-
+    * equivalent to encode-all; the scrub is the flat tmp+swap delete. */
+  def appendBatchSq8(batch: DataFrame, batchId: Long, sq8Dir: String): Option[Long] =
+    guarded(batch.sparkSession, sq8Dir, batchId) {
+      EmbedOps.sq8Delete(batch.sparkSession, sq8Dir, batch.select("vec_id"))
+    } {
+      EmbedOps.sq8Append(batch.sparkSession, batch, sq8Dir)
+    }
+
+  def appendBatchBq(batch: DataFrame, batchId: Long, bqDir: String): Option[Long] =
+    guarded(batch.sparkSession, bqDir, batchId) {
+      EmbedOps.bqDelete(batch.sparkSession, bqDir, batch.select("vec_id"))
+    } {
+      EmbedOps.bqAppend(batch.sparkSession, batch, bqDir)
+    }
+
   /** Start appending `input` to the index at `indexDir` (must already be
     * built — the stream maintains, never trains). The commit-marker
     * namespace ties the index to ONE maintaining stream lineage (the
@@ -127,7 +145,8 @@ object IndexStream {
     * already-committed batches are skipped and do NOT re-fire it; use it
     * to alert on `retrainAdvised`. */
   def start(input: Dataset[Vec], indexDir: String, driftRatio: Double = 2.0,
-      pqDir: Option[String] = None, ivfPqDir: Option[String] = None)
+      pqDir: Option[String] = None, ivfPqDir: Option[String] = None,
+      sq8Dir: Option[String] = None, bqDir: Option[String] = None)
       (onBatch: (Long, IvfAppendStats) => Unit = (_, _) => ()): StreamingQuery =
     input.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
@@ -141,6 +160,10 @@ object IndexStream {
         // the composed index rides the same way — each maintained index
         // is an independent replayable half with its own markers
         ivfPqDir.foreach(appendBatchIvfPq(df, batchId, _))
+        // the training-free rungs ride too: one stream can keep the
+        // entire compression ladder current
+        sq8Dir.foreach(appendBatchSq8(df, batchId, _))
+        bqDir.foreach(appendBatchBq(df, batchId, _))
       }
       .start()
 }

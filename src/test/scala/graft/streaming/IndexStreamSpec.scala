@@ -145,6 +145,57 @@ class IndexStreamSpec extends SparkSpec {
       == v.count())
   }
 
+  test("the training-free rungs (SQ8/BQ) ride the same stream: maintained " +
+      "tables equal encode-all, replays skipped, crash windows scrubbed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val v = vecs
+    val idx = java.nio.file.Files.createTempDirectory("ivf_l").toString
+    val sq8 = java.nio.file.Files.createTempDirectory("sq8_l").toString
+    val bq = java.nio.file.Files.createTempDirectory("bq_l").toString
+    EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
+    // training-free: the "index" is just the encoded 90%
+    EmbedOps.sq8Append(s, v.where(col("vec_id") % 10 =!= 0), sq8)
+    EmbedOps.bqAppend(s, v.where(col("vec_id") % 10 =!= 0), bq)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IndexStream.start(
+      input.toDS().map { case (id, e) => IndexStream.Vec(id, e) },
+      idx, sq8Dir = Some(sq8), bqDir = Some(bq))()
+    try {
+      val fresh = v.where(col("vec_id") % 10 === 0)
+        .as[(Long, Seq[Double])].collect().toSeq
+      input.addData(fresh: _*); q.processAllAvailable()
+    } finally q.stop()
+    // byte-equivalence: the stream-maintained tables search exactly like
+    // a from-scratch encode-all build
+    val live8 = EmbedOps.sq8Adc(s, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(EmbedOps.sq8Indexed(s, sfDir, sq8)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == live8)
+    val liveB = EmbedOps.bqAdc(s, sfDir)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(EmbedOps.bqIndexed(s, sfDir, bq)
+      .select("qid", "vec_id", "d2_micro").collect().toSet == liveB)
+    val fresh = v.where(col("vec_id") % 10 === 0)
+    // committed replay: skipped outright on both rungs
+    assert(IndexStream.appendBatchSq8(fresh.toDF(), 0L, sq8).isEmpty)
+    assert(IndexStream.appendBatchBq(fresh.toDF(), 0L, bq).isEmpty)
+    // crash window on the SQ8 rung: pending without commit + a partial
+    // landing must scrub before the re-append, ending with each vector
+    // encoded exactly once
+    val f = new org.apache.hadoop.fs.Path(sq8)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$sq8/_commits/0"), false)
+    val pending = new org.apache.hadoop.fs.Path(s"$sq8/_pending/0")
+    f.mkdirs(pending.getParent); f.create(pending, true).close()
+    EmbedOps.sq8Append(s, fresh.limit(10).toDF(), sq8) // the crashed run's rows
+    assert(IndexStream.appendBatchSq8(fresh.toDF(), 0L, sq8).isDefined)
+    val per = s.read.parquet(s"$sq8/sq8.parquet").groupBy("vec_id").count()
+      .select("count").distinct().as[Long].collect().toSeq
+    assert(per == Seq(1L), s"duplicate SQ8 codes after replay: $per")
+  }
+
   test("the composed (IVFPQ) half rides the stream and replays idempotently") {
     val s = spark
     import s.implicits._
