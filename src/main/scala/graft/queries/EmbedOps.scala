@@ -466,9 +466,16 @@ object EmbedOps {
           // serialize it into one write task. Above the row gate, skip
           // L0 and land the batch as a DISTRIBUTED partitioned append
           // straight into the live tier — new files only (job-UUID
-          // names), existing list files byte-untouched, partial job
-          // output invisible to readers (Spark stages under _temporary,
-          // which FileIndex hides until task commit).
+          // names), existing list files byte-untouched. Crash honesty
+          // (ADVICE r15): with FileOutputCommitter v1 partial job output
+          // stays under _temporary until job commit (and even that commit
+          // is a rename sequence, not atomic); with committer v2 task
+          // commits surface files immediately — so a crash mid bulk
+          // append can leave a PARTIAL batch visible. Bulk callers need
+          // v1 plus an external idempotency/scrub discipline (rerun the
+          // batch keyed by vec_id, or IndexStream's marker+scrub, which
+          // covers the streamed path); the micro-batch delta landing
+          // below is the crash-safe default.
           batch.repartition(col("list_id"))
             .write.mode("append").partitionBy("list_id")
             .parquet(s"$indexDir/assign.parquet")
@@ -612,15 +619,60 @@ object EmbedOps {
     foldDeltaAt(s, indexDir, "codes.delta.parquet", "codes.fold.tmp",
       "codes.fold.consumed", "codes.parquet")
 
+  /** Non-destructive read-path guard (ADVICE r15 medium): after a
+    * maintainer crash mid delete/compact swap (live list dir parked to
+    * `.old`, tmp not yet renamed in) or mid fold (delta renamed to the
+    * consumed marker, tmp image not yet moved into the live dirs), a
+    * plain read of the live layout silently omits the affected rows —
+    * a plausible-looking but incomplete top-k with no error. Searches
+    * stay heal-free (they never mutate — N concurrent readers beside
+    * the one maintainer), but they now REFUSE to read through the loss
+    * window: any `<ns>.tmp` list dir with no live counterpart, or a
+    * fold-consumed marker, fails loudly with the reconcile instruction
+    * instead of returning pruned results. Destructive reconciliation
+    * stays maintenance-only (`reconcileSwaps`). A tmp whose live dirs
+    * are all present is the pre-swap stage of a healthy or rolled-back
+    * op — the live layout is intact, reads proceed. Cost when healthy:
+    * one exists() probe per namespace. (The flat SQ8/BQ tables need no
+    * guard: their mid-swap window has NO live dir, so a read already
+    * fails loudly on the missing path.) */
+  private def requireNoSwapDebris(s: SparkSession, indexDir: String,
+      table: String, namespaces: Seq[String], foldTmp: String,
+      foldConsumed: String): Unit = {
+    val (f, _) = hfs(s, indexDir)
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$foldConsumed")))
+      sys.error(s"index at $indexDir has a committed-but-unfinished delta " +
+        s"fold ($foldConsumed present): its rows are parked in $foldTmp and " +
+        "a read now would silently omit them — run reconcileSwaps " +
+        "(maintenance-only) to roll the fold forward, then retry")
+    namespaces.foreach { ns =>
+      val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.tmp")
+      if (f.exists(tmpRoot)) {
+        val orphaned = f.listStatus(tmpRoot)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+          .map(_.getPath.getName)
+          .filter(nm => !f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$table/$nm")))
+        if (orphaned.nonEmpty)
+          sys.error(s"index at $indexDir has an unfinished $ns swap " +
+            s"(${orphaned.mkString(", ")} under $ns.tmp with no live " +
+            "counterpart): a read now would silently omit those lists' " +
+            "rows — run reconcileSwaps (maintenance-only) to heal, then retry")
+      }
+    }
+  }
+
   /** The index's LIVE logical content — partitioned tier ∪ (bounded)
     * delta tier — as (vec_id, emb, list_id[string]). `filterLists`
     * restricts the scan: on the partitioned tier it lands as
     * PartitionFilters (pruned read of only the probed dirs), on the
     * flat delta as an ordinary pushed predicate over its few files.
     * Every reader goes through this, so appended-but-unfolded vectors
-    * are always visible. */
+    * are always visible — and a crashed maintainer's loss window fails
+    * loudly instead of silently pruning (`requireNoSwapDebris`). */
   private def ivfLiveRows(s: SparkSession, indexDir: String,
       filterLists: Option[Seq[Long]]): DataFrame = {
+    requireNoSwapDebris(s, indexDir, "assign.parquet",
+      Seq("del", "compact"), "fold.tmp", "fold.consumed")
     val (f, assignP) = hfs(s, s"$indexDir/assign.parquet")
     val deltaP = new org.apache.hadoop.fs.Path(s"$indexDir/delta.parquet")
     def prune(df: DataFrame): DataFrame =
@@ -651,10 +703,11 @@ object EmbedOps {
     * when the fold's commit rename finds nothing to move). Healing is a
     * MAINTENANCE-op responsibility (append/delete/compact/fold entry,
     * `IndexStream.start`, or an explicit `reconcileSwaps` call), under
-    * the index's single-maintainer contract. After a crash mid-fold,
-    * rows parked in the consumed/tmp stage surface at the next
-    * maintenance entry; a read-only deployment recovering from a crash
-    * calls `reconcileSwaps` once, explicitly. */
+    * the index's single-maintainer contract. Crash states that would
+    * make this view INCOMPLETE (mid-swap orphans, a committed fold's
+    * parked rows) fail loudly instead of silently pruning (ADVICE r15
+    * — `requireNoSwapDebris`); a read-only deployment recovering from
+    * a crash calls `reconcileSwaps` once, explicitly. */
   def ivfRows(s: SparkSession, indexDir: String): DataFrame =
     ivfLiveRows(s, indexDir, None)
 
@@ -1028,9 +1081,19 @@ object EmbedOps {
     else {
       val in = f.open(p)
       try {
+        // read to EOF in a loop (ADVICE r15): Hadoop streams may return
+        // fewer bytes than available per read() (HDFS/object stores) — a
+        // single call could truncate the marker and raise a spurious
+        // encoding mismatch on a valid index
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off += n
+        Some(new String(buf, 0, off, "UTF-8").trim)
       } finally in.close()
     }
   }
@@ -1425,7 +1488,8 @@ object EmbedOps {
     * join sides so in-memory (long) and persisted (partition-column
     * string) codes behave identically. */
   private def ivfPqResidualSearch(codes: DataFrame,
-      cents: Seq[(Long, Seq[Double])], books: PqBooks, v: DataFrame): DataFrame = {
+      cents: Seq[(Long, Seq[Double])], books: PqBooks, v: DataFrame,
+      keep: Option[DataFrame] = None): DataFrame = {
     val cmap = typedLit(cents.toMap)
     val qr = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"),
@@ -1442,8 +1506,12 @@ object EmbedOps {
             l2micro(col("sub"), c.getField("_1")).as("qd2")))).as("e"))
       .select(col("qid"), col("list_id"), col("m"),
         col("e.cid").as("cid"), col("e.qd2").as("qd2"))
-    val codesS = codes.select(col("vec_id"),
+    val codesS0 = codes.select(col("vec_id"),
       col("list_id").cast("string").as("list_id"), col("m"), col("cid"))
+    // metadata filter × residual compression (VERDICT r15 #2): the
+    // keep-set semi-joins the CODES rows — same pre-filter shape as
+    // ivfPqFiltered; raw vectors stay untouched until the rerank
+    val codesS = keep.fold(codesS0)(k => codesS0.join(k, Seq("vec_id"), "left_semi"))
     val shortlist = codesS.join(broadcast(lut), Seq("list_id", "m", "cid"))
       .where(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
@@ -1503,7 +1571,21 @@ object EmbedOps {
     * the residual tier's appended-but-unfolded codes must be searchable
     * immediately, exactly as the raw composition's are) and is heal-free
     * like every search. */
-  def ivfPqResidualIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+  def ivfPqResidualIndexed(s: SparkSession, d: String, indexDir: String): DataFrame =
+    ivfPqResidualIndexedWhere(s, d, indexDir, None)
+
+  /** Metadata-filtered search over the PERSISTED residual composition —
+    * the last filter × compression cell of the quality rung (VERDICT r15
+    * #2): probes stay PartitionFilters on the residual-codes scan, the
+    * predicate semi-joins the pruned COMPRESSED rows (both tiers), the
+    * per-(query, probe) residual LUT is unchanged, and the exact rerank
+    * reads raw vectors only for the filtered shortlist survivors. */
+  def ivfPqResidualIndexedFiltered(s: SparkSession, d: String,
+      indexDir: String, keep: DataFrame): DataFrame =
+    ivfPqResidualIndexedWhere(s, d, indexDir, Some(keep))
+
+  private def ivfPqResidualIndexedWhere(s: SparkSession, d: String,
+      indexDir: String, keep: Option[DataFrame]): DataFrame = {
     import s.implicits._
     requireEncoding(s, indexDir, "pq-residual")
     val (cents, books) = loadQuantizers(s, indexDir)
@@ -1513,7 +1595,7 @@ object EmbedOps {
       .select(col("cid").cast("string").as("list_id"))
       .distinct().as[String].collect()
     ivfPqResidualSearch(codesLiveRows(s, indexDir, Some(probed.toSeq)),
-      cents, books, v)
+      cents, books, v, keep)
   }
 
   /** Persist the composed index: the k-row centroid table, the M×K
@@ -1551,6 +1633,8 @@ object EmbedOps {
     * through this, so appended-but-unfolded codes are always visible. */
   private def codesLiveRows(s: SparkSession, indexDir: String,
       filterLists: Option[Seq[String]]): DataFrame = {
+    requireNoSwapDebris(s, indexDir, "codes.parquet",
+      Seq("codes.del", "codes.compact"), "codes.fold.tmp", "codes.fold.consumed")
     val (f, liveP) = hfs(s, s"$indexDir/codes.parquet")
     val deltaP = new org.apache.hadoop.fs.Path(s"$indexDir/codes.delta.parquet")
     def shape(df: DataFrame): DataFrame = {
@@ -1619,7 +1703,9 @@ object EmbedOps {
     * take the single-file L0 delta landing (one commit per batch, fold
     * amortized); batches at or above `graft.ivf.bulkAppendRows` VECTORS
     * append distributed partitioned files straight into the live codes
-    * tier (VERDICT r14 #4 — same gate as `ivfAppend`). */
+    * tier (VERDICT r14 #4 — same gate as `ivfAppend`, same crash-honesty
+    * caveat: the bulk path needs committer v1 + an idempotency/scrub
+    * discipline, see `ivfAppend`'s bulk note). */
   private def codesAppend(s: SparkSession, indexDir: String,
       enc: DataFrame): Long = {
     val batch = enc.persist()
@@ -1917,8 +2003,13 @@ object EmbedOps {
                 THEN (x - mn) / (mx - mn) * 255.0 ELSE 0.0 END) AS INT))""")
           .as("q"))
 
-  /** Approximate scan + exact rerank over an encoded codes frame. */
-  private def sq8Search(enc: DataFrame, v: DataFrame): DataFrame = {
+  /** Approximate scan + exact rerank over an encoded codes frame. `keep`
+    * (VERDICT r15 #2) pre-filters the CODES rows with a semi-join before
+    * any dequant/distance work — the filter × compression shape on the
+    * training-free rung; raw vectors stay shortlist-only. */
+  private def sq8Search(enc0: DataFrame, v: DataFrame,
+      keep: Option[DataFrame] = None): DataFrame = {
+    val enc = keep.fold(enc0)(k => enc0.join(k, Seq("vec_id"), "left_semi"))
     val dq = enc.select(col("vec_id"),
       expr("transform(q, c -> mn + CAST(c AS DOUBLE) * (mx - mn) / 255.0)")
         .as("dq"))
@@ -1960,6 +2051,16 @@ object EmbedOps {
     sq8Search(s.read.parquet(s"$indexDir/sq8.parquet"), v)
   }
 
+  /** Metadata-filtered search over the persisted SQ8 codes (VERDICT r15
+    * #2): the keep-set semi-joins the flat 8×-compressed table before
+    * the dequantized scan. */
+  def sq8IndexedFiltered(s: SparkSession, d: String, indexDir: String,
+      keep: DataFrame): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    sq8Search(s.read.parquet(s"$indexDir/sq8.parquet"), v, Some(keep))
+  }
+
   /** Incremental append for the training-free rung: SQ8 encoding is
     * per-vector self-contained (each code carries its own (mn,mx)
     * range), so an append is ONE map-only pass over the new batch
@@ -1976,8 +2077,12 @@ object EmbedOps {
   }
 
   /** DuckDB mirror: identical encode/dequant arithmetic (same operation
-    * order, same nonnegative round), asymmetric scan, exact rerank. */
-  def sq8OracleSql: String = {
+    * order, same nonnegative round), asymmetric scan, exact rerank.
+    * `candAnd` (alias `v`) restricts the candidate side — the filtered
+    * gate's predicate replay. */
+  def sq8OracleSql: String = sq8OracleSql("")
+
+  def sq8OracleSql(candAnd: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1999,7 +2104,7 @@ object EmbedOps {
        |cand AS (SELECT e.vec_id AS qid, v.vec_id,
        |           ${l2n(DIMS)("e.emb", "v.dq")} AS d2_adc
        |         FROM e2 e JOIN dq v ON v.vec_id <> e.vec_id
-       |         WHERE e.vec_id < $NQUERIES),
+       |         WHERE e.vec_id < $NQUERIES $candAnd),
        |sl AS (SELECT qid, vec_id FROM
        |        (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
@@ -2399,8 +2504,12 @@ object EmbedOps {
                                       shiftleft(CAST(1 AS BIGINT), i),
                                       CAST(0 AS BIGINT)))""").as("code"))
 
-  /** Hamming shortlist + exact rerank over packed codes. */
-  private def bqSearch(codes: DataFrame, v: DataFrame): DataFrame = {
+  /** Hamming shortlist + exact rerank over packed codes. `keep` (VERDICT
+    * r15 #2) pre-filters the packed codes with a semi-join before the
+    * xor+popcount scan — filter × 64× compression. */
+  private def bqSearch(codes0: DataFrame, v: DataFrame,
+      keep: Option[DataFrame] = None): DataFrame = {
+    val codes = keep.fold(codes0)(k => codes0.join(k, Seq("vec_id"), "left_semi"))
     val qv = v.where(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val qc = bqEncode(v.where(col("vec_id") < NQUERIES))
@@ -2440,6 +2549,15 @@ object EmbedOps {
     bqSearch(s.read.parquet(s"$indexDir/bq.parquet"), v)
   }
 
+  /** Metadata-filtered search over the persisted packed codes (VERDICT
+    * r15 #2): semi-join before the Hamming scan. */
+  def bqIndexedFiltered(s: SparkSession, d: String, indexDir: String,
+      keep: DataFrame): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    bqSearch(s.read.parquet(s"$indexDir/bq.parquet"), v, Some(keep))
+  }
+
   /** Incremental append for the 64× rung — same training-free property
     * as `sq8Append` (each packed code thresholds on its own vector's
     * mean): one map-only encode of the batch appended to the flat codes
@@ -2455,8 +2573,11 @@ object EmbedOps {
   /** DuckDB mirror: the same sign bits as an UNPACKED boolean list (no
     * 64-bit packing oracle-side — BIGINT overflow semantics differ), a
     * mismatch-count Hamming fold producing identical sort keys, and the
-    * same shortlist/rerank. */
-  def bqOracleSql: String = {
+    * same shortlist/rerank. `candAnd` (alias `v`) restricts the
+    * candidate side — the filtered gate's predicate replay. */
+  def bqOracleSql: String = bqOracleSql("")
+
+  def bqOracleSql(candAnd: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -2478,7 +2599,7 @@ object EmbedOps {
        |               i -> CASE WHEN q.b[i] <> v.b[i] THEN 1 ELSE 0 END)),
        |             (a, x) -> a + x) AS ham
        |         FROM bits q JOIN bits v ON v.vec_id <> q.vec_id
-       |         WHERE q.vec_id < $NQUERIES),
+       |         WHERE q.vec_id < $NQUERIES $candAnd),
        |sl AS (SELECT qid, vec_id FROM
        |        (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS arn
@@ -2503,7 +2624,8 @@ object EmbedOps {
     * and search always cover ALL of e2: the residual append gate's
     * "train at 90%, append the held-out 10%" shape, mirroring
     * `ivfPqOracleSql(trainWhere)`. */
-  def ivfPqResidualOracleSql(trainWhere: String): String = {
+  def ivfPqResidualOracleSql(trainWhere: String,
+      candAnd: String = ""): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -2594,7 +2716,7 @@ object EmbedOps {
        |adc AS (SELECT l.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS d2_adc
        |        FROM codes c JOIN lutr l ON l.list_id = c.list_id
        |                                AND l.m = c.m AND l.cid = c.cid
-       |        WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |        WHERE c.vec_id <> l.qid $candAnd GROUP BY 1, 2),
        |sl AS (SELECT qid, vec_id FROM
        |        (SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2_adc ASC, vec_id ASC) AS arn
@@ -3073,6 +3195,20 @@ object EmbedOps {
       ivfPqResidualIndexed(s, d, idx)
     },
 
+    // metadata-filtered search THROUGH the residual composition (VERDICT
+    // r15 #2 — the quality rung's filter cell): the at-rest residual
+    // codes scan keeps its probe PartitionFilters, the predicate
+    // semi-joins the compressed rows, the per-(query, probe) residual
+    // LUT and shortlist rerank are unchanged. Oracle = the residual
+    // replay with the predicate on the candidate (codes) side.
+    Q("em_ivfpq_residual_filtered", ivfPqResidualOracleSql("", candAnd =
+      "AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_flt").toString
+      ivfPqResidualBuild(s, d, idx)
+      ivfPqResidualIndexedFiltered(s, d, idx,
+        emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
+    },
+
     // MMR diversified top-k: greedy diverse selection over per-query
     // shortlists — integer micro-score trace replays exactly in the
     // oracle's unrolled greedy SQL.
@@ -3107,6 +3243,18 @@ object EmbedOps {
       bqIndexed(s, d, idx)
     },
 
+    // metadata-filtered search over the persisted packed codes (VERDICT
+    // r15 #2): keep-set semi-join before the xor+popcount Hamming scan —
+    // the filter cell of the 64× rung, closing the filter × compression
+    // matrix (raw IVF, IVFPQ, residual, SQ8, BQ all covered).
+    Q("em_bq_filtered", bqOracleSql(
+      "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_bq_flt").toString
+      bqBuild(s, d, idx)
+      bqIndexedFiltered(s, d, idx,
+        emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
+    },
+
     // append lifecycle for the 64× rung — same training-free byte-
     // equivalence as em_sq8_append, same shared full oracle.
     Q("em_bq_append", bqOracleSql) { (s, d) =>
@@ -3128,6 +3276,17 @@ object EmbedOps {
       val idx = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
       sq8Build(s, d, idx)
       sq8Indexed(s, d, idx)
+    },
+
+    // metadata-filtered search over the persisted SQ8 codes (VERDICT r15
+    // #2): keep-set semi-join before the dequantized scan — the filter
+    // cell of the training-free rung.
+    Q("em_sq8_filtered", sq8OracleSql(
+      "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_sq8_flt").toString
+      sq8Build(s, d, idx)
+      sq8IndexedFiltered(s, d, idx,
+        emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
     },
 
     // append lifecycle for the training-free rung: build on 90%, append

@@ -328,13 +328,19 @@ object EventAggs {
     // is therefore ALTERNATE-EXACT (VERDICT r14 #3, the alt_sf1.py
     // pattern brought into the oracle row itself): the gate emits the
     // EXACT answer (hash-matched value-for-value against DuckDB) plus a
-    // Spark-side assertion that the HLL estimate lands inside its
-    // documented error envelope (3·rsd relative + 1 absolute for tiny
-    // groups — the bound ApproxBoundsSpec pins), surfaced as a column the
-    // oracle expects to be uniformly TRUE. A sketch drifting out of its
-    // envelope now FAILS the driver hash instead of hiding in a rows-only
-    // row. (At 100 TB a user runs only the sketch; computing both here is
-    // the verification harness, not the production plan.)
+    // Spark-side assertion that the HLL estimate lands inside an error
+    // envelope, surfaced as a column the oracle expects to be uniformly
+    // TRUE. A sketch drifting out of its envelope now FAILS the driver
+    // hash instead of hiding in a rows-only row. Envelope width (ADVICE
+    // r15): HLL error is not strictly bounded at 3 sigma, so the HARD
+    // oracle gate uses 5·rsd + 2 absolute — wide enough that a
+    // statistically-expected tail draw on a regenerated fixture can't
+    // fail the whole suite, tight enough that a broken sketch still
+    // trips it; the 3·rsd expectation stays pinned (with the measured
+    // error surfaced) in ApproxBoundsSpec, where one outlier is an
+    // investigable diff, not a suite-wide hash failure. (At 100 TB a
+    // user runs only the sketch; computing both here is the
+    // verification harness, not the production plan.)
     Q("e_approx_count_distinct",
       """SELECT event_type, count(DISTINCT user_id) AS users_exact,
         |  TRUE AS within_bound FROM events GROUP BY 1""".stripMargin) { (s, d) =>
@@ -343,7 +349,7 @@ object EventAggs {
           approx_count_distinct("user_id", 0.05).as("a"))
         .select(col("event_type"), col("users_exact"),
           (abs(col("a") - col("users_exact")).cast("double") <=
-            col("users_exact") * 0.15 + 1.0).as("within_bound"))
+            col("users_exact") * 0.25 + 2.0).as("within_bound"))
     },
 
     // approx percentile (mergeable-sketch scale path for quantiles) —

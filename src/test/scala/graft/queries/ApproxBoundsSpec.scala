@@ -18,8 +18,12 @@ class ApproxBoundsSpec extends SparkSpec {
   private def events = spark.read.parquet(s"$dir/events.parquet")
 
   test("approx_count_distinct stays within the configured rsd envelope") {
-    // Spark's HLL++ default rsd = 0.05; assert a 3-sigma envelope per
-    // group plus every group present
+    // Spark's HLL++ default rsd = 0.05. The 3-sigma envelope is the
+    // EXPECTATION this spec pins (surfacing the measured error so an
+    // outlier is an investigable diff here, not a suite-wide hash
+    // failure); the registry gate's hard oracle bound is the wider
+    // 5·rsd + 2 (ADVICE r15 — HLL error is not strictly bounded at
+    // 3 sigma, so the hard gate must tolerate tail draws).
     val joined = events.groupBy("event_type")
       .agg(countDistinct("user_id").as("exact"),
         approx_count_distinct("user_id").as("approx"))
@@ -29,6 +33,7 @@ class ApproxBoundsSpec extends SparkSpec {
       val exact = r.getLong(1).toDouble
       val approx = r.getLong(2).toDouble
       val rel = math.abs(approx - exact) / exact
+      info(f"${r.getString(0)}: exact $exact%.0f approx $approx%.0f rel err $rel%.4f")
       assert(rel <= 0.15,
         s"${r.getString(0)}: approx NDV $approx vs exact $exact (rel err $rel > 3*rsd)")
     }

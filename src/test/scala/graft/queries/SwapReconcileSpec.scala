@@ -56,6 +56,52 @@ class SwapReconcileSpec extends SparkSpec {
     assert(after.groupBy("vec_id").count().where(col("count") > 1).count() == 0L)
   }
 
+  test("a read through the mid-swap loss window fails loudly instead of " +
+      "silently omitting the list (ADVICE r15)") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("ivf_crash_read").toString
+    EmbedOps.ivfBuildV(vecs, idx, None)
+    val assign = s"$idx/assign.parquet"
+    val lid = biggestList(assign)
+    val live = s.read.parquet(s"$assign/list_id=$lid")
+    val victim = live.agg(min("vec_id")).head.getLong(0)
+    // crash window c again: survivors parked under del.tmp, live renamed
+    // away — a plain read here would return plausible-but-pruned top-k
+    live.where(col("vec_id") =!= victim)
+      .write.parquet(s"$idx/del.tmp/list_id=$lid")
+    val f = fs(idx)
+    f.mkdirs(new Path(s"$idx/del.old"))
+    assert(f.rename(new Path(s"$assign/list_id=$lid"),
+      new Path(s"$idx/del.old/list_id=$lid")))
+    val ex = intercept[RuntimeException] { EmbedOps.ivfRows(s, idx).count() }
+    assert(ex.getMessage.contains("reconcileSwaps"),
+      s"guard message should name the heal entrypoint: ${ex.getMessage}")
+    // the guard is NON-destructive: the debris is still there for the
+    // maintenance-side heal, which restores the survivors
+    assert(f.exists(new Path(s"$idx/del.tmp/list_id=$lid")))
+    EmbedOps.reconcileSwaps(s, idx)
+    assert(EmbedOps.ivfRows(s, idx).count() == vecs.count() - 1)
+    // pre-swap tmp (live intact) does NOT trip the guard — the live
+    // layout is complete, reads proceed
+    s.read.parquet(s"$assign/list_id=$lid").limit(1)
+      .write.parquet(s"$idx/del.tmp/list_id=$lid")
+    assert(EmbedOps.ivfRows(s, idx).count() == vecs.count() - 1)
+  }
+
+  test("a read behind a committed-but-unfinished fold fails loudly (ADVICE r15)") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("ivf_fold_read").toString
+    EmbedOps.ivfBuildV(vecs, idx, None)
+    // simulate the fold's post-commit window: the delta was renamed to the
+    // consumed marker but its tmp image never moved in — those rows are
+    // invisible to a plain two-tier read
+    fs(idx).mkdirs(new Path(s"$idx/fold.consumed"))
+    val ex = intercept[RuntimeException] { EmbedOps.ivfRows(s, idx).count() }
+    assert(ex.getMessage.contains("fold"), ex.getMessage)
+    fs(idx).delete(new Path(s"$idx/fold.consumed"), true)
+    assert(EmbedOps.ivfRows(s, idx).count() == vecs.count())
+  }
+
   test("IVF delete crash before the swap started: staged tmp is discarded, live intact") {
     val s = spark
     val idx = java.nio.file.Files.createTempDirectory("ivf_crash_a").toString

@@ -43,7 +43,8 @@ class PlanLintSpec extends SparkSpec {
   private val mustPrunePersistedScan = Set(
     "em_ivf_persisted", "em_ivf_append", "em_ivf_filtered",
     "em_ivfpq_persisted", "em_ivfpq_append", "em_ivfpq_filtered_persisted",
-    "em_ivfpq_residual_persisted", "em_ivfpq_residual_append")
+    "em_ivfpq_residual_persisted", "em_ivfpq_residual_append",
+    "em_ivfpq_residual_filtered")
 
   test("every registered gate plans clean: no cartesian, no unpartitioned " +
       "window, pruned persisted-index scans") {
