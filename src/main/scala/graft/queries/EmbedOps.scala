@@ -508,8 +508,9 @@ object EmbedOps {
   }
 
   /** (Hadoop FileSystem, Path) for an index artifact — the maintenance
-    * ops' driver-side FS handle. */
-  private def hfs(s: SparkSession, dir: String)
+    * ops' driver-side FS handle. (Package-private: TextIndex shares the
+    * whole swap/fold machinery below for the BM25 postings layout.) */
+  private[queries] def hfs(s: SparkSession, dir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
@@ -517,7 +518,7 @@ object EmbedOps {
 
   /** Top-level parquet part-file count of a flat table dir (the delta
     * tier is always flat) — the fold trigger's metric. 0 if absent. */
-  private def parquetFileCount(f: org.apache.hadoop.fs.FileSystem,
+  private[queries] def parquetFileCount(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Int =
     if (!f.exists(p)) 0
     else f.listStatus(p).count(st =>
@@ -535,11 +536,12 @@ object EmbedOps {
     * instead of losing it. */
   private def moveFoldFiles(f: org.apache.hadoop.fs.FileSystem,
       tmpRoot: org.apache.hadoop.fs.Path,
-      assignDir: org.apache.hadoop.fs.Path): Unit = {
+      assignDir: org.apache.hadoop.fs.Path,
+      pcol: String = "list_id"): Unit = {
     if (!f.exists(tmpRoot)) return
     f.mkdirs(assignDir)
     f.listStatus(tmpRoot)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pcol="))
       .foreach { st =>
         val live = new org.apache.hadoop.fs.Path(assignDir, st.getPath.getName)
         f.mkdirs(live)
@@ -562,12 +564,13 @@ object EmbedOps {
     * delta — roll FORWARD by finishing the per-file moves and clearing
     * both. Driver-side FS metadata only; two exists() probes when
     * healthy. */
-  private def healFoldAt(f: org.apache.hadoop.fs.FileSystem, indexDir: String,
-      live: String, tmpName: String, consumedName: String): Unit = {
+  private[queries] def healFoldAt(f: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, live: String, tmpName: String, consumedName: String,
+      pcol: String = "list_id"): Unit = {
     val consumed = new org.apache.hadoop.fs.Path(s"$indexDir/$consumedName")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$tmpName")
     if (f.exists(consumed)) {
-      moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/$live"))
+      moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/$live"), pcol)
       f.delete(tmp, true)
       f.delete(consumed, true)
     } else if (f.exists(tmp)) f.delete(tmp, true)
@@ -593,18 +596,19 @@ object EmbedOps {
     * healed by `healFold` (run at every maintenance-op entry via
     * `reconcileSwaps`; searches are heal-free — ADVICE r14). Idempotent
     * and safe to call with no delta present. */
-  private def foldDeltaAt(s: SparkSession, indexDir: String, delta: String,
-      tmpName: String, consumedName: String, live: String): Unit = {
+  private[queries] def foldDeltaAt(s: SparkSession, indexDir: String,
+      delta: String, tmpName: String, consumedName: String, live: String,
+      pcol: String = "list_id"): Unit = {
     val (f, deltaP) = hfs(s, s"$indexDir/$delta")
-    healFold(f, indexDir)
+    healFoldAt(f, indexDir, live, tmpName, consumedName, pcol)
     if (!f.exists(deltaP)) return
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$tmpName")
     s.read.parquet(deltaP.toString)
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+      .repartition(col(pcol))
+      .write.mode("overwrite").partitionBy(pcol).parquet(tmp.toString)
     if (!f.rename(deltaP, new org.apache.hadoop.fs.Path(s"$indexDir/$consumedName")))
       sys.error(s"fold commit rename failed for $indexDir/$delta")
-    moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/$live"))
+    moveFoldFiles(f, tmp, new org.apache.hadoop.fs.Path(s"$indexDir/$live"), pcol)
     f.delete(tmp, true)
     f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$consumedName"), true)
   }
@@ -636,9 +640,9 @@ object EmbedOps {
     * one exists() probe per namespace. (The flat SQ8/BQ tables need no
     * guard: their mid-swap window has NO live dir, so a read already
     * fails loudly on the missing path.) */
-  private def requireNoSwapDebris(s: SparkSession, indexDir: String,
+  private[queries] def requireNoSwapDebris(s: SparkSession, indexDir: String,
       table: String, namespaces: Seq[String], foldTmp: String,
-      foldConsumed: String): Unit = {
+      foldConsumed: String, pcol: String = "list_id"): Unit = {
     val (f, _) = hfs(s, indexDir)
     if (f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$foldConsumed")))
       sys.error(s"index at $indexDir has a committed-but-unfinished delta " +
@@ -649,7 +653,7 @@ object EmbedOps {
       val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.tmp")
       if (f.exists(tmpRoot)) {
         val orphaned = f.listStatus(tmpRoot)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pcol="))
           .map(_.getPath.getName)
           .filter(nm => !f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$table/$nm")))
         if (orphaned.nonEmpty)
@@ -1148,30 +1152,31 @@ object EmbedOps {
     * those list dirs are rewritten (partition-pruned read, anti-join,
     * per-list rename swap, previous generation parked under `<ns>.old`).
     * Returns (rows deleted, affected list ids). */
-  private def deleteFromPartitioned(s: SparkSession, indexDir: String,
-      table: String, ns: String, ids: DataFrame): (Long, Seq[Long]) = {
+  private[queries] def deleteFromPartitioned(s: SparkSession, indexDir: String,
+      table: String, ns: String, ids: DataFrame, pcol: String = "list_id",
+      idCol: String = "vec_id"): (Long, Seq[Long]) = {
     val liveDir = s"$indexDir/$table"
-    val del = ids.select(col("vec_id")).distinct()
-    val affected = s.read.parquet(liveDir).select("vec_id", "list_id")
-      .join(broadcast(del), Seq("vec_id"))
-      // partition-column inference is off session-wide: list_id reads
-      // back as string — cast for the collected id list
-      .select(col("list_id").cast("long")).distinct()
+    val del = ids.select(col(idCol)).distinct()
+    val affected = s.read.parquet(liveDir).select(idCol, pcol)
+      .join(broadcast(del), Seq(idCol))
+      // partition-column inference is off session-wide: the partition col
+      // reads back as string — cast for the collected id list
+      .select(col(pcol).cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (affected.isEmpty) return (0L, Nil)
     val hit = s.read.parquet(liveDir)
-      .where(col("list_id").isin(affected: _*)) // PartitionFilters: pruned
-    val survivors = hit.join(broadcast(del), Seq("vec_id"), "left_anti")
+      .where(col(pcol).isin(affected: _*)) // PartitionFilters: pruned
+    val survivors = hit.join(broadcast(del), Seq(idCol), "left_anti")
     val nDel = hit.count() - survivors.count()
     val root = new org.apache.hadoop.fs.Path(liveDir)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmpRoot = s"$indexDir/$ns.tmp"
-    survivors.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
+    survivors.repartition(col(pcol))
+      .write.mode("overwrite").partitionBy(pcol).parquet(tmpRoot)
     affected.foreach { lid =>
-      val live = new org.apache.hadoop.fs.Path(s"$liveDir/list_id=$lid")
-      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
-      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/list_id=$lid")
+      val live = new org.apache.hadoop.fs.Path(s"$liveDir/$pcol=$lid")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/$pcol=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/$pcol=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
       if (f.exists(live) && !f.rename(live, oldP))
@@ -1221,16 +1226,17 @@ object EmbedOps {
 
   /** The shared hot-list compaction for any `partitionBy(list_id)` table,
     * under its own `<ns>.tmp`/`<ns>.old` swap namespace. */
-  private def compactPartitioned(s: SparkSession, indexDir: String,
+  private[queries] def compactPartitioned(s: SparkSession, indexDir: String,
       table: String, ns: String, ifMoreThan: Int,
-      targetBytes: Long): Seq[(Long, Int, Int)] = {
+      targetBytes: Long, pcol: String = "list_id",
+      idCol: String = "vec_id"): Seq[(Long, Int, Int)] = {
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) return Nil
     val lists = f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pcol="))
       .flatMap(st => scala.util.Try(
-        st.getPath.getName.stripPrefix("list_id=").toLong)
+        st.getPath.getName.stripPrefix(s"$pcol=").toLong)
         .toOption.map(_ -> st.getPath))
     def stats(p: org.apache.hadoop.fs.Path): (Int, Long) = {
       val it = f.listFiles(p, true)
@@ -1258,14 +1264,14 @@ object EmbedOps {
     s.read.parquet(root.toString)
       // string compare on the raw partition value (inference is off
       // session-wide) keeps this a PartitionFilter
-      .where(col("list_id").isin(hot.map(_._1.toString): _*))
-      .withColumn("_salt", pmod(xxhash64(col("vec_id")),
-        element_at(nf, col("list_id").cast("long"))))
-      .repartition(col("list_id"), col("_salt")).drop("_salt")
-      .write.mode("overwrite").partitionBy("list_id").parquet(tmpRoot)
+      .where(col(pcol).isin(hot.map(_._1.toString): _*))
+      .withColumn("_salt", pmod(xxhash64(col(idCol)),
+        element_at(nf, col(pcol).cast("long"))))
+      .repartition(col(pcol), col("_salt")).drop("_salt")
+      .write.mode("overwrite").partitionBy(pcol).parquet(tmpRoot)
     val done = hot.map { case (lid, live, n, _) =>
-      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/list_id=$lid")
-      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/list_id=$lid")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/$pcol=$lid")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.old/$pcol=$lid")
       if (f.exists(oldP)) f.delete(oldP, true)
       f.mkdirs(oldP.getParent)
       if (!f.rename(live, oldP))
@@ -1315,11 +1321,11 @@ object EmbedOps {
     * failure would leave the table half-swapped. Returns ROWS deleted
     * (one row per vector for SQ8/BQ; PQ_M per vector for PQ codes —
     * callers normalize). */
-  private def deleteFlat(s: SparkSession, tableDir: String,
-      ids: DataFrame): Long = {
-    val del = ids.select(col("vec_id")).distinct()
+  private[queries] def deleteFlat(s: SparkSession, tableDir: String,
+      ids: DataFrame, idCol: String = "vec_id"): Long = {
+    val del = ids.select(col(idCol)).distinct()
     val codes = s.read.parquet(tableDir)
-    val survivors = codes.join(broadcast(del), Seq("vec_id"), "left_anti")
+    val survivors = codes.join(broadcast(del), Seq(idCol), "left_anti")
     val nDel = codes.count() - survivors.count()
     if (nDel == 0L) return 0L
     val root = new org.apache.hadoop.fs.Path(tableDir)
@@ -2312,12 +2318,14 @@ object EmbedOps {
   //      separately so the fusion sum is integer.
   private val RRF_K = 60
 
-  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+  /** The exact brute vector rank (qid, id, rv ≤ MMR_CAND) — the hybrid
+    * gates' oracle-exact vector side. */
+  private def bruteVecRank(s: SparkSession, d: String): DataFrame = {
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val qv = v.where(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    val vRank = v.join(broadcast(qv), col("vec_id") =!= col("qid"))
+    v.join(broadcast(qv), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         micro(dot(col("qe"), col("emb"))
           / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"))
@@ -2325,8 +2333,22 @@ object EmbedOps {
         .orderBy(col("sim_micro").desc, col("vec_id").asc)))
       .where(col("rv") <= MMR_CAND)
       .select(col("qid"), col("vec_id").as("id"), col("rv"))
-    rrfFuse(bm25Rank(s, d), vRank)
   }
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame =
+    rrfFuse(bm25Rank(s, d), bruteVecRank(s, d))
+
+  /** Hybrid retrieval with the text side served from the AT-REST BM25
+    * postings index (VERDICT r15 #1): the scoring scan is pruned to the
+    * query terms' buckets via PartitionFilters instead of re-tokenizing
+    * the corpus per query batch — the text analog of `em_ivf_persisted`'s
+    * build-once/query-many shape. Byte-identical to `hybridRrf` (the
+    * indexed rank replays `bm25Rank`'s arithmetic over the same postings
+    * content), so the gate shares `hybridRrfOracleSql`. */
+  def hybridRrfPersisted(s: SparkSession, d: String,
+      indexDir: String): DataFrame =
+    rrfFuse(TextIndex.bm25RankIndexed(s, d, indexDir, NQUERIES, MMR_CAND),
+      bruteVecRank(s, d))
 
   /** Hybrid retrieval THROUGH the compressed index: the vector side's
     * per-query rank comes from the IVFPQ ADC shortlist (probe →
@@ -3231,6 +3253,18 @@ object EmbedOps {
     // from the IVFPQ ADC shortlist's exact rerank instead of the brute
     // scan — BM25 postings ⊕ compressed ANN, the corpus-scale hybrid.
     Q("em_hybrid_rrf_ivfpq", hybridRrfIvfPqOracleSql)(hybridRrfIvfPq),
+
+    // the text side at rest (VERDICT r15 #1): BM25 served from the
+    // persisted term-bucketed postings index — query-term buckets push
+    // as PartitionFilters, so hybrid retrieval stops re-scanning corpus
+    // text. Shares em_hybrid_rrf's oracle byte-identically: the indexed
+    // rank replays bm25Rank's arithmetic over the same postings content.
+    Q("em_hybrid_rrf_persisted", hybridRrfOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      TextIndex.bm25Build(
+        Tables(s, d, "documents").select("doc_id", "text"), idx)
+      hybridRrfPersisted(s, d, idx)
+    },
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the persisted BM25 postings index (VERDICT r15 #1):
+  * build/search parity with the in-gate scorer, append equivalence to a
+  * one-shot build, idempotent takedown with exact corpus-stats
+  * propagation, fold/compact content preservation, and the replay-safe
+  * streaming append. The driver-facing hash gate is
+  * `em_hybrid_rrf_persisted` (shares `hybridRrfOracleSql`); this spec
+  * pins the maintenance semantics no single-shot oracle row can see. */
+class TextIndexSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+
+  private def ranks(df: DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def fused(df: DataFrame): Set[(Long, Long, Long, Int)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+  test("indexed BM25 hybrid is byte-identical to the in-gate scorer") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25_parity").toString
+    TextIndex.bm25Build(docs, idx)
+    assert(fused(EmbedOps.hybridRrfPersisted(spark, sfDir, idx)) ==
+      fused(EmbedOps.hybridRrf(spark, sfDir)))
+  }
+
+  test("append lands in the delta tier and searches like a one-shot build") {
+    val s = spark
+    val idxApp = java.nio.file.Files.createTempDirectory("bm25_app").toString
+    val idxFull = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idxApp)
+    val n = TextIndex.bm25Append(s, docs.where(col("doc_id") % 10 === 0), idxApp)
+    assert(n == docs.where(col("doc_id") % 10 === 0).count())
+    // the batch sits UNFOLDED in the delta tier — reads must still see it
+    assert(new Path(s"$idxApp/postings.delta.parquet")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new Path(s"$idxApp/postings.delta.parquet")))
+    TextIndex.bm25Build(docs, idxFull)
+    assert(fused(EmbedOps.hybridRrfPersisted(s, sfDir, idxApp)) ==
+      fused(EmbedOps.hybridRrfPersisted(s, sfDir, idxFull)),
+      "appended index diverges from the one-shot build")
+    // folding changes the layout, never the content
+    TextIndex.bm25FoldDelta(s, idxApp)
+    assert(fused(EmbedOps.hybridRrfPersisted(s, sfDir, idxApp)) ==
+      fused(EmbedOps.hybridRrfPersisted(s, sfDir, idxFull)))
+  }
+
+  test("takedown rewrites only affected buckets and matches a fresh build " +
+      "on the filtered corpus") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    val idxRef = java.nio.file.Files.createTempDirectory("bm25_delref").toString
+    TextIndex.bm25Build(docs, idx)
+    val victims = docs.select("doc_id").where(col("doc_id") % 7 === 3)
+    val expected = victims.count()
+    val removed = TextIndex.bm25Delete(s, idx, victims)
+    assert(removed == expected, s"removed $removed of $expected")
+    // no trace in either artifact
+    assert(s.read.parquet(s"$idx/postings.parquet")
+      .join(victims, Seq("doc_id"), "left_semi").count() == 0L)
+    assert(s.read.parquet(s"$idx/doclen.parquet")
+      .join(victims, Seq("doc_id"), "left_semi").count() == 0L)
+    assert(s.read.parquet(s"$idx/doclen.parquet").count() ==
+      docs.count() - expected)
+    // full lifecycle parity: the post-delete index must rank exactly like
+    // an index built from scratch on the surviving corpus (avgdl/df/N all
+    // propagated exactly)
+    TextIndex.bm25Build(docs.where(col("doc_id") % 7 =!= 3), idxRef)
+    assert(ranks(TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20)) ==
+      ranks(TextIndex.bm25RankIndexed(s, sfDir, idxRef, 10, 20)))
+    // idempotent: the IndexStream scrub can re-run a takedown blindly
+    assert(TextIndex.bm25Delete(s, idx, victims) == 0L)
+    assert(ranks(TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20)) ==
+      ranks(TextIndex.bm25RankIndexed(s, sfDir, idxRef, 10, 20)))
+  }
+
+  test("sustained appends fold at the file gate and compact collapses debris") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_compact").toString
+    val idxFull = java.nio.file.Files.createTempDirectory("bm25_cfull").toString
+    val slices = (0 until 4).map(i => docs.where(pmod(col("doc_id"), lit(4)) === i))
+    TextIndex.bm25Build(slices.head, idx)
+    s.conf.set("graft.ivf.deltaMaxFiles", "1")
+    try slices.tail.foreach(b => TextIndex.bm25Append(s, b, idx))
+    finally s.conf.unset("graft.ivf.deltaMaxFiles")
+    val done = TextIndex.bm25Compact(s, idx, ifMoreThan = 2)
+    assert(done.nonEmpty, "fixture did not trigger compaction")
+    assert(done.forall { case (_, before, after) => after < before })
+    TextIndex.bm25Build(docs, idxFull)
+    assert(fused(EmbedOps.hybridRrfPersisted(s, sfDir, idx)) ==
+      fused(EmbedOps.hybridRrfPersisted(s, sfDir, idxFull)),
+      "fold+compact changed the index content")
+  }
+
+  test("streamed text batches are replay-idempotent (marker + scrub)") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
+    val fresh = docs.where(col("doc_id") % 10 === 0)
+    val b0 = fresh.where(col("doc_id") % 20 === 0)
+    val b1 = fresh.where(col("doc_id") % 20 =!= 0)
+
+    // committed replay: skipped outright
+    assert(graft.streaming.IndexStream.appendBatchText(b0, 0L, idx).isDefined)
+    assert(graft.streaming.IndexStream.appendBatchText(b0, 0L, idx).isEmpty)
+
+    // crash between the append and the commit marker: pending marker
+    // exists, the batch landed — the replay must scrub before re-running
+    val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pending = new Path(s"$idx/_pending/1")
+    f.mkdirs(pending.getParent)
+    f.create(pending, true).close()
+    TextIndex.bm25Append(s, b1, idx) // the crashed run's landed rows
+    assert(graft.streaming.IndexStream.appendBatchText(b1, 1L, idx).isDefined)
+
+    // no duplicate (doc_id, term) posting and no duplicate doclen row
+    TextIndex.bm25FoldDelta(s, idx)
+    val dupPost = s.read.parquet(s"$idx/postings.parquet")
+      .groupBy("doc_id", "term").count().where(col("count") > 1).count()
+    assert(dupPost == 0L, s"$dupPost duplicate postings after replay")
+    val dupLen = s.read.parquet(s"$idx/doclen.parquet")
+      .groupBy("doc_id").count().where(col("count") > 1).count()
+    assert(dupLen == 0L, s"$dupLen duplicate doclen rows after replay")
+    assert(s.read.parquet(s"$idx/doclen.parquet").count() == docs.count())
+  }
+}

@@ -44,7 +44,9 @@ class PlanLintSpec extends SparkSpec {
     "em_ivf_persisted", "em_ivf_append", "em_ivf_filtered",
     "em_ivfpq_persisted", "em_ivfpq_append", "em_ivfpq_filtered_persisted",
     "em_ivfpq_residual_persisted", "em_ivfpq_residual_append",
-    "em_ivfpq_residual_filtered")
+    "em_ivfpq_residual_filtered",
+    // the text index: query-term buckets must prune the postings scan
+    "em_hybrid_rrf_persisted")
 
   test("every registered gate plans clean: no cartesian, no unpartitioned " +
       "window, pruned persisted-index scans") {
