@@ -649,6 +649,10 @@ object EmbedOps {
         s"fold ($foldConsumed present): its rows are parked in $foldTmp and " +
         "a read now would silently omit them — run reconcileSwaps " +
         "(maintenance-only) to roll the fold forward, then retry")
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.ready")))
+      sys.error(s"index at $indexDir is mid generation-cutover " +
+        "(rebuild.ready present): artifacts may mix generations — run " +
+        "reconcileSwaps (maintenance-only) to finish the cutover, then retry")
     namespaces.foreach { ns =>
       val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/$ns.tmp")
       if (f.exists(tmpRoot)) {
@@ -1059,6 +1063,14 @@ object EmbedOps {
     }
     // an interrupted delta fold (own commit protocol: see healFold)
     healFold(f, indexDir)
+    // an interrupted generation cutover (ivfRebuild): marker present →
+    // the new generation committed, roll the cutover forward; tmp
+    // without marker → the dead rebuild never committed, discard it
+    // (the live generation was never touched)
+    val ready = new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.ready")
+    val rtmp = new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.tmp")
+    if (f.exists(ready)) finishRebuild(s, indexDir)
+    else if (f.exists(rtmp)) f.delete(rtmp, true)
   }
 
   // ---- codes-encoding marker (ADVICE r14): raw and residual IVFPQ
@@ -1285,6 +1297,83 @@ object EmbedOps {
     done
   }
 
+  /** Zero-downtime retrain of a persisted IVF index (VERDICT r15 #3 —
+    * acting on `ivfAppend`'s `retrainAdvised` instead of just reporting
+    * it). A frozen quantizer goes stale under distribution shift; the
+    * fix is the expensive O(corpus) retrain, run BESIDE the live index:
+    *
+    *   1. fold the delta (the new generation must cover every live row),
+    *   2. train + build a complete new generation from the index's OWN
+    *      live rows (`assign.parquet` carries the raw vectors) under
+    *      `rebuild.tmp/` — centroids, partitioned assignment, drift
+    *      baseline — while readers keep searching the live generation,
+    *   3. commit: create the `rebuild.ready` marker (one atomic create),
+    *   4. cut over: park each live artifact under `rebuild.old/`, rename
+    *      the tmp artifacts in, drop marker + tmp.
+    *
+    * Crash at any point is healed by `reconcileSwaps` from disk state
+    * alone: marker present → the new generation is complete, roll the
+    * cutover FORWARD; tmp without marker → the dead rebuild never
+    * committed, roll back by discarding tmp (the live generation was
+    * never touched). Readers never see a silent mix: during the cutover
+    * window the read guard refuses loudly (`rebuild.ready` present), and
+    * a plan that captured pre-cutover file paths fails loudly at
+    * execution (the old generation is renamed AWAY to `rebuild.old`, so
+    * its captured paths vanish rather than silently serving stale rows —
+    * parked, not deleted, for explicit rollback). Single-maintainer
+    * contract as everywhere: one rebuild at a time.
+    *
+    * Returns the retrained generation's (lists, mean assignment
+    * distance) — the refreshed drift baseline. */
+  def ivfRebuild(s: SparkSession, indexDir: String,
+      nLists: Option[Int] = None): (Long, Double) = {
+    reconcileSwaps(s, indexDir)
+    ivfFoldDelta(s, indexDir)
+    val (f, _) = hfs(s, indexDir)
+    val tmpDir = s"$indexDir/rebuild.tmp"
+    f.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    // the corpus IS the index: one column-pruned read of the live
+    // assignment tier (delta just folded, so it is complete)
+    val v = s.read.parquet(s"$indexDir/assign.parquet").select("vec_id", "emb")
+    ivfBuildV(v, tmpDir, nLists)
+    // commit point: after this single atomic create the new generation
+    // is the index, whoever finishes the renames
+    f.create(new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.ready"), true)
+      .close()
+    finishRebuild(s, indexDir)
+    val st = s.read.parquet(s"$indexDir/stats.parquet")
+      .select("n", "mean_d2").head()
+    (st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
+  }
+
+  /** The cutover's rename sequence (idempotent — every step checks
+    * current disk state, so a crash mid-cutover re-runs from wherever
+    * the dead process stopped). */
+  private def finishRebuild(s: SparkSession, indexDir: String): Unit = {
+    val (f, _) = hfs(s, indexDir)
+    Seq("centroids.parquet", "assign.parquet", "stats.parquet").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.tmp/$t")
+      val oldP = new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.old/$t")
+      f.mkdirs(oldP.getParent)
+      // live present + tmp present → this artifact not yet cut over:
+      // park live, move tmp in. live missing + tmp present → the park
+      // succeeded but the move didn't: finish it. tmp missing → done.
+      if (f.exists(tmp)) {
+        if (f.exists(live)) {
+          if (f.exists(oldP)) f.delete(oldP, true)
+          if (!f.rename(live, oldP))
+            sys.error(s"rebuild cutover failed: $live -> $oldP")
+        }
+        if (!f.rename(tmp, live))
+          sys.error(s"rebuild cutover failed: $tmp -> $live " +
+            "(heal via reconcileSwaps: rebuild.ready present)")
+      }
+    }
+    f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.tmp"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.ready"), false)
+  }
+
   /** Targeted deletion from the persisted PQ index. The codes table is
     * the 32×-compressed representation — tiny relative to the corpus —
     * so deletion is a filtered rewrite of the codes table via tmp+swap
@@ -1358,6 +1447,98 @@ object EmbedOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val lut = pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), pqBooks(cb))
     pqSearch(codes, lut, v, shortlistN)
+  }
+
+  // ---- OPQ rung (VERDICT r15 #4; Ge et al., CVPR '13): a learned
+  //      orthogonal transform applied BEFORE PQ cuts quantization error
+  //      at the same M×K budget by balancing information across the
+  //      subspaces. The transform here is OPQ's EIGENVALUE-ALLOCATION
+  //      step restricted to coordinate permutations (a permutation IS an
+  //      orthogonal matrix): rank dimensions by variance, deal them to
+  //      subspaces in snake order so each subspace receives an equal
+  //      share of high- and low-variance coordinates — the published
+  //      balanced-allocation heuristic, learned from the DATA (per-dim
+  //      variance), with none of the PCA/SVD machinery that would make
+  //      the oracle unreplayable. The variance key is exact-integer
+  //      (n·Σq² − (Σq)² over q = round(x·2^20), DECIMAL/HUGEINT — the
+  //      em_centroids discipline), so the learned permutation is
+  //      bit-identical on both engines and rides into the plan as a
+  //      64-entry literal — the same collected-artifact shape as the
+  //      centroids. Everything downstream IS the PQ pipeline on the
+  //      permuted corpus; the rerank runs in permuted space (same L2
+  //      metric — permutations preserve distances exactly up to
+  //      summation order, which the oracle replays identically).
+
+  /** The learned allocation: `perm(newpos) = old dim` (0-based). One
+    * (dim)-keyed aggregation over the corpus, 64 rows collected. */
+  private def opqPerm(v: DataFrame): Seq[Int] = {
+    val keys = v.select(posexplode(col("emb")))
+      .select(col("pos").as("dim"),
+        round(col("col") * 1048576).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum((col("q").cast("decimal(38,0)") * col("q"))).as("sq2"))
+      .select(col("dim"),
+        (col("n") * col("sq2") - col("sq") * col("sq")).as("key"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1)))
+    val ranked = keys.sortBy { case (dim, k) => (k.negate, dim) }(
+      Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal], Ordering.Int))
+    ranked.zipWithIndex.map { case ((dim, _), r) =>
+      val block = r / PQ_M
+      val pos = r % PQ_M
+      val sub = if (block % 2 == 0) pos else PQ_M - 1 - pos
+      (sub, r, dim)
+    }.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+  }
+
+  /** OPQ-ADC: learn the allocation, permute (one map-only projection —
+    * the "rotation" applied as 64 literal element_at picks), then the
+    * standard PQ train/encode/ADC/rerank on the permuted corpus. */
+  def opqAdc(s: SparkSession, d: String): DataFrame =
+    opqAdc(s, d, PQ_SHORTLIST)
+
+  /** Shortlist-parameterized variant for PqRecallSpec's OPQ-vs-PQ curve. */
+  def opqAdc(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
+    val v0 = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val perm = opqPerm(v0)
+    val v = v0.select(col("vec_id"),
+      array(perm.map(p => element_at(col("emb"), p + 1)): _*).as("emb"))
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    pqSearch(pqEncode(v, books),
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v, shortlistN)
+  }
+
+  /** DuckDB replay: derive the SAME permutation from the same integer
+    * variance keys (HUGEINT — exact like the Spark side's DECIMAL),
+    * permute via a 64-row ordering join, then the shared PQ replay with
+    * the permuted corpus as its `e2Body`. */
+  def opqOracleSql: String = {
+    val pre =
+      s"""eo AS (SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |       FROM embeddings),
+         |ovq AS (SELECT i - 1 AS dim, CAST(round(emb[i] * 1048576) AS BIGINT) AS q
+         |        FROM eo CROSS JOIN unnest(generate_series(1, $DIMS)) AS t(i)),
+         |ovk AS (SELECT dim,
+         |          CAST(count(*) AS HUGEINT) * sum(CAST(q AS HUGEINT) * q)
+         |            - sum(CAST(q AS HUGEINT)) * sum(CAST(q AS HUGEINT)) AS vkey
+         |        FROM ovq GROUP BY 1),
+         |ork AS (SELECT dim, row_number() OVER (ORDER BY vkey DESC, dim ASC) - 1 AS r
+         |        FROM ovk),
+         |opm AS (SELECT dim, r,
+         |          CASE WHEN (r // $PQ_M) % 2 = 0 THEN r % $PQ_M
+         |               ELSE $PQ_M - 1 - (r % $PQ_M) END AS sub
+         |        FROM ork),
+         |oord AS (SELECT dim, row_number() OVER (ORDER BY sub ASC, r ASC) - 1 AS np
+         |         FROM opm)""".stripMargin
+    val e2Body =
+      """SELECT e.vec_id, list(e.emb[o.dim + 1] ORDER BY o.np) AS emb
+        |FROM eo e CROSS JOIN oord o GROUP BY e.vec_id""".stripMargin
+    pqOracleSql("", pre, e2Body)
   }
 
   // ---- IVFPQ: the coarse quantizer composed over the compressed codes —
@@ -1806,8 +1987,17 @@ object EmbedOps {
 
   /** `trainWhere` restricts the codebook-TRAINING corpus (seed ranks +
     * integer means); encoding, LUTs, and the rerank always cover all of
-    * e2 — the append gate's "train at N, append N/10" shape. */
-  def pqOracleSql(trainWhere: String): String = {
+    * e2 — the append gate's "train at N, append N/10" shape. `pre` /
+    * `e2Body` parameterize the vector source (the OPQ gate feeds a
+    * learned-permutation corpus; the default is the raw embeddings) —
+    * the PQ train/encode/ADC/rerank replay is corpus-agnostic. */
+  def pqOracleSql(trainWhere: String): String =
+    pqOracleSql(trainWhere, "",
+      s"""SELECT vec_id,
+         |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |            FROM embeddings""".stripMargin)
+
+  def pqOracleSql(trainWhere: String, pre: String, e2Body: String): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1837,9 +2027,8 @@ object EmbedOps {
     // encode/search side covers ALL of e2 (ranked = the training subset)
     val vsUnion = (0 until PQ_M).map(m =>
       s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM e2").mkString(" UNION ALL ")
-    s"""WITH e2 AS (SELECT vec_id,
-       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |            FROM embeddings),
+    val preCtes = if (pre.isEmpty) "" else pre + ",\n"
+    s"""WITH $preCtes e2 AS ($e2Body),
        |e2t AS (SELECT * FROM e2 $trainWhere),
        |params AS (SELECT GREATEST(1, n // $PQ_K) AS step
        |           FROM (SELECT count(*) AS n FROM e2t) _n),
@@ -1897,10 +2086,17 @@ object EmbedOps {
   }
 
   /** The composition's CTE chain, `e2` through the ADC shortlist `sl` —
-    * the shared prelude of `ivfPqOracleSql` (which reranks `sl`) and
-    * `mmrIvfPqOracleSql` (which diversifies over it). */
+    * the shared prelude of `ivfPqOracleSql` (which reranks `sl`),
+    * `mmrIvfPqOracleSql` (which diversifies over it), and the RAG
+    * composition (which feeds it a CHUNK corpus via `e2Body` — the
+    * vector source is a parameter, the whole train/encode/probe/ADC
+    * replay is corpus-agnostic). */
   private def ivfPqOracleCtes(trainWhere: String,
-      candAnd: String = ""): String = {
+      candAnd: String = "",
+      e2Body: String =
+        s"""SELECT vec_id,
+           |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |            FROM embeddings""".stripMargin): String = {
     def l2n(n: Int)(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $n),
@@ -1931,9 +2127,7 @@ object EmbedOps {
     val cbUnion = (0 until PQ_M).map(m => s"SELECT * FROM cb$m").mkString(" UNION ALL ")
     val vsUnion = (0 until PQ_M).map(m =>
       s"SELECT vec_id, $m AS m, ${sub(m)} AS sub FROM e2").mkString(" UNION ALL ")
-    s"""e2 AS (SELECT vec_id,
-       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |            FROM embeddings),
+    s"""e2 AS ($e2Body),
        |e2t AS (SELECT * FROM e2 $trainWhere),
        |iprm AS (SELECT n, k, GREATEST(1, n // k) AS step FROM
        |          (SELECT n, $kExpr AS k FROM (SELECT count(*) AS n FROM e2t) _n) _p),
@@ -2503,6 +2697,114 @@ object EmbedOps {
        |       row_number() OVER (PARTITION BY qid
        |         ORDER BY rrf_micro DESC, id ASC) AS rn
        |FROM f QUALIFY rn <= $TOPK""".stripMargin
+
+  // ---- end-to-end RAG retrieval (VERDICT r15 #6): chunk the corpus →
+  //      embed chunks → retrieve top-k chunks per query THROUGH the
+  //      compressed index → return doc-deduplicated passages. This is
+  //      the composed shape every production RAG pipeline runs; the
+  //      pieces existed as separate gates (d_chunk_windows,
+  //      em_hybrid_rrf_ivfpq) — this gate pins the composition.
+  //
+  //      Chunking is d_chunk_windows' exact geometry (64-token windows,
+  //      stride 48). The chunk EMBEDDING is the parent document's
+  //      fixture embedding (doc_id == vec_id id space): the
+  //      decode/embed model call of a real pipeline is stubbed
+  //      deterministically — the multimodal-stub discipline — while
+  //      every Spark-side stage (chunk-id space, index training over
+  //      the chunk corpus, probe→ADC→rerank, per-doc dedup) is real.
+  //      Chunks of one doc therefore tie exactly; (d2, chunk_idx)
+  //      tie-breaks make the greedy deterministic, and the doc-dedup
+  //      stage is doing real work (the shortlist legitimately fills
+  //      with sibling chunks — the reason RAG pipelines dedup).
+  //
+  //      Scale shape: chunking is map-only ×(n_tokens/stride) row
+  //      growth; the chunk index is the standard IVFPQ composition
+  //      (probe-pruned compressed scan, shortlist-only raw reads); the
+  //      dedup is one (qid, doc) partial+final agg over ≤ PQ_SHORTLIST
+  //      rows per query.
+
+  /** Chunk-id packing: chunk_idx · 10⁶ + doc_id. chunk-0 ids coincide
+    * with doc ids, so the query set (vec_id < NQUERIES) is exactly the
+    * query documents' own embeddings. Caps doc_id < 10⁶ — the gate
+    * fixtures; a deployment widens the base. */
+  private val RAG_DOCBASE = 1000000L
+
+  /** The chunk corpus as (vec_id, emb): chunk starts from the token
+    * windows, embedding inherited from the parent doc's fixture row. */
+  private def chunkVecs(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    tk.select(col("doc_id"),
+        explode(expr("sequence(0, ((size(toks)-1) div 48)*48, 48)")).as("st"))
+      .select(col("doc_id"), expr("st div 48").cast("long").as("chunk_idx"))
+      .join(emb(s, d).select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("emb")), Seq("doc_id"))
+      .select((col("chunk_idx") * RAG_DOCBASE + col("doc_id")).as("vec_id"),
+        col("emb"))
+  }
+
+  /** chunk → compressed retrieve → doc-dedup: IVFPQ trains on the CHUNK
+    * corpus, the shortlist reranks exactly, then one per-(query, doc)
+    * min((d2, chunk_idx)) picks each doc's best passage and the final
+    * rank returns TOPK distinct docs per query. */
+  def ragRetrieve(s: SparkSession, d: String): DataFrame = {
+    val v = chunkVecs(s, d)
+    val (_, cents) = ivfPartsV(v, None)
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    sl.select("qid", "vec_id")
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .select(col("qid"), (col("vec_id") % RAG_DOCBASE).as("doc_id"),
+        expr(s"vec_id div $RAG_DOCBASE").as("chunk_idx"), col("d2_micro"))
+      .groupBy("qid", "doc_id")
+      .agg(min(struct(col("d2_micro"), col("chunk_idx"))).as("best"))
+      .select(col("qid"), col("doc_id"),
+        col("best.chunk_idx").as("chunk_idx"),
+        col("best.d2_micro").as("d2_micro"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2_micro").asc, col("doc_id").asc)))
+      .where(col("rn") <= TOPK)
+  }
+
+  /** DuckDB replay: the chunk CTEs feed the parameterized IVFPQ
+    * composition as its corpus (`e2Body`), then the exact rerank,
+    * per-doc best-chunk pick, and doc-level TOPK. */
+  def ragOracleSql: String = {
+    def fullL2(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $DIMS),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    val e2Body =
+      s"""SELECT (cst.s // 48) * $RAG_DOCBASE + cst.doc_id AS vec_id,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |FROM cst JOIN embeddings e ON e.vec_id = cst.doc_id""".stripMargin
+    s"""WITH ctk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |cst AS (SELECT doc_id,
+       |          unnest(generate_series(0, ((len(toks)-1)//48)*48, 48)) AS s
+       |        FROM ctk),
+       |${ivfPqOracleCtes("", "", e2Body)},
+       |rr AS (SELECT s.qid, s.vec_id, ${fullL2("x.emb", "q.emb")} AS d2
+       |       FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                 JOIN e2 q ON q.vec_id = s.qid),
+       |dd AS (SELECT qid, vec_id % $RAG_DOCBASE AS doc_id,
+       |              vec_id // $RAG_DOCBASE AS chunk_idx, d2 FROM rr),
+       |bb AS (SELECT qid, doc_id, chunk_idx, d2 FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+       |           ORDER BY d2 ASC, chunk_idx ASC) AS rb FROM dd) WHERE rb = 1)
+       |SELECT qid, CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(chunk_idx AS BIGINT) AS chunk_idx, d2 AS d2_micro, rn FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY qid
+       |     ORDER BY d2 ASC, doc_id ASC) AS rn FROM bb) WHERE rn <= $TOPK""".stripMargin
+  }
 
   // ---- binary (sign) quantization: the extreme rung of the compression
   //      ladder — DIMS dims pack into ONE 64-bit code (bit i = dim i
@@ -3144,6 +3446,12 @@ object EmbedOps {
     },
     Q("em_pq_adc", pqOracleSql)(pqAdc),
 
+    // the OPQ rung (VERDICT r15 #4): learned balanced-variance
+    // allocation (a permutation — orthogonal, data-derived, exactly
+    // replayable) before the same PQ budget. PqRecallSpec pins its
+    // recall against raw PQ at the same shortlist.
+    Q("em_opq_adc", opqOracleSql)(opqAdc),
+
     // build-once / query-many for PQ: train + encode persisted (codebook +
     // the 16×-compressed codes table), then ADC-search from DISK. Shares
     // em_pq_adc's oracle — the stored-index search must return
@@ -3265,6 +3573,11 @@ object EmbedOps {
         Tables(s, d, "documents").select("doc_id", "text"), idx)
       hybridRrfPersisted(s, d, idx)
     },
+
+    // end-to-end RAG composition (VERDICT r15 #6): chunk → embed →
+    // compressed retrieve → doc-deduplicated passages. Oracle = chunk
+    // CTEs feeding the parameterized IVFPQ replay + the dedup tail.
+    Q("em_rag_retrieve", ragOracleSql)(ragRetrieve),
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

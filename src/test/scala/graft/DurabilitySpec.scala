@@ -468,6 +468,19 @@ class DurabilitySpec extends SparkSpec {
     def live() = e.execute("SELECT v FROM dm").collect().map(_.getAs[Double]("v")).toSet
     assert(live() == Set(3.0)) // cutoff masks buckets 8 and 9's expired rows
 
+    // byte-untouched evidence for the surviving buckets (VERDICT r15 #7):
+    // capture every live file's (path, length, mtime) before the pass
+    def fileState(tb: Int) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/dm/data/_tb=$tb"))
+        .map(f => (f.getPath, f.length, f.lastModified)).toSet
+    }
+    val live9 = fileState(9)
+    val live10 = fileState(10)
+    val rpsBefore = e.execute("SHOW RETENTION POLICIES ON default")
+      .collect().map(_.toString).toSet
+
     e.enforceRetention()
     // file-level: ONLY the fully-expired bucket directory was dropped — the
     // boundary bucket straddling the cutoff keeps its file (rows stay
@@ -478,6 +491,18 @@ class DurabilitySpec extends SparkSpec {
     assert(live() == Set(3.0))
     // the dropped bucket sits in the expiry grace dir until the next pass
     assert(new java.io.File(s"$dir/dm/expired.old/_tb=8").exists())
+    // the survivors are BYTE-untouched (same files, lengths, mtimes): the
+    // pass is a partition drop, never a rewrite of live data
+    assert(fileState(9) == live9, "boundary bucket was rewritten")
+    assert(fileState(10) == live10, "live bucket was rewritten")
+    // and the RP metadata is not consumed by enforcement: SHOW RETENTION
+    // POLICIES answers identically after the pass
+    assert(e.execute("SHOW RETENTION POLICIES ON default")
+      .collect().map(_.toString).toSet == rpsBefore)
+    // idempotent: a second pass finds nothing to drop and changes nothing
+    e.enforceRetention()
+    assert(fileState(9) == live9 && fileState(10) == live10)
+    assert(live() == Set(3.0))
 
     // restart under the same pinned clock: layout + enforcement survive
     val e2 = new Engine(spark, sfDir, Some(dir))
