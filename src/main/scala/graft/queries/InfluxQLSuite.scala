@@ -495,14 +495,18 @@ object InfluxQLSuite {
          |FROM l WHERE pt IS NOT NULL AND time > pt""".stripMargin)(
       "SELECT derivative(mean(value), 1d) FROM events GROUP BY time(1d), event_type"),
 
+    // cumsum in exact integer CENTS, one divide at the end (r16: the
+    // chunked distributed prefix sum is bit-identical only over
+    // order-free integer addition, so the oracle states the integer
+    // form — also the numerically better semantics, matching iql_cumsum)
     iql("iql_cumsum_of_sum",
       s"""WITH $EV,
          |b AS (SELECT ts_us - ts_us % $DAY_US AS time,
-         |             CAST(sum(cents) AS DOUBLE) / 100.0 AS v
+         |             CAST(sum(cents) AS BIGINT) AS vc
          |      FROM ev GROUP BY 1)
          |SELECT time,
-         |  sum(v) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS cumulative_sum
+         |  CAST(sum(vc) OVER (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       AS DOUBLE) / 100.0 AS cumulative_sum
          |FROM b""".stripMargin)(
       "SELECT cumulative_sum(sum(value)) FROM events GROUP BY time(1d)"),
 

@@ -11,28 +11,23 @@ import graft.{Registry, SparkSpec}
   * ANY of the ~200 gates, including ones no targeted spec watches.
   *
   * Whitelist rationale (every exemption documented here, per gate):
-  *   - unpartitioned `WindowExec` is only legal when its input is
-  *     bounded by construction:
-  *       e_slimit / iql_slimit — series rank over the DISTINCT series
-  *         key set, which GROUP BY has already reduced (series count ≪
-  *         rows; SLIMIT semantics are a total order over series);
-  *       iql_top_tag — final global ordering of an already-aggregated
-  *         per-tag top-k (≤ k·|tags| rows, post-agg);
-  *       iql_cumsum_of_sum — running sum over GROUP BY time buckets
-  *         (≤ one row per bucket, weeks of data → bounded);
-  *       d_global_shuffle — `Ranks.globalRank`'s size gate: at spec
-  *         scale the single-partition path is chosen deliberately;
-  *         above the gate it re-plans to sampled range partitioning
-  *         (RanksSpec pins that path).
+  *   - unpartitioned `WindowExec`: NONE since r16 (VERDICT r15 #8). The
+  *     formerly-exempt windows now state their bound in the plan:
+  *     iql_cumsum_of_sum runs the chunked exact-integer prefix sum
+  *     (partitioned per-(series, chunk) windows + broadcast offsets),
+  *     and the bounded-by-construction ranks (SLIMIT's post-TakeOrdered
+  *     series rank, tag-qualified top/bottom's post-reduction global
+  *     rank, Ranks.globalRank's below-gate path) carry a derived-
+  *     constant partition key — always one group, but column-derived so
+  *     it survives constant folding, making "bounded single group" an
+  *     in-plan statement rather than a lint exemption.
   *   - no cartesian exemptions are currently needed: the brute-force
   *     oracle baselines all plan as BroadcastNestedLoopJoin with the
   *     bounded side broadcast, which is the intended shape.
   */
 class PlanLintSpec extends SparkSpec {
 
-  private val unpartitionedWindowOk = Set(
-    "e_slimit", "iql_slimit", "iql_top_tag", "iql_cumsum_of_sum",
-    "d_global_shuffle")
+  private val unpartitionedWindowOk = Set.empty[String]
 
   private val cartesianOk = Set.empty[String]
 
