@@ -974,7 +974,9 @@ object EmbedOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
       indexDir)
 
-  /** Build from an explicit `(vec_id, emb)` corpus. */
+  /** Build from an explicit `(vec_id, emb)` corpus. The `pq-flat` marker
+    * fences this dir against OPQ readers (and vice versa): the layouts
+    * are identical, the coordinate spaces are not. */
   def pqBuildV(v: DataFrame, indexDir: String): Unit = {
     val (_, cb) = pqTrainV(v)
     val sp = v.sparkSession
@@ -983,6 +985,7 @@ object EmbedOps {
       .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
     pqEncode(v, pqBooks(cb)).write.mode("overwrite")
       .parquet(s"$indexDir/codes.parquet")
+    writeEncoding(sp, indexDir, "pq-flat")
   }
 
   /** Incremental PQ maintenance, the codes-table sibling of `ivfAppend`:
@@ -993,8 +996,16 @@ object EmbedOps {
     * scans old + appended codes identically. Distribution-drift
     * monitoring is the IVF index's job (`ivfAppend` stats) — the two
     * indexes ingest the same batches in a deployment. */
-  def pqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long = {
+  def pqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long =
+    pqAppendEnc(s, newVecs, indexDir, "pq-flat")
+
+  /** `enc`-parameterized append body: the OPQ rung shares the flat codes
+    * layout but must not be appended to with raw-space vectors (or vice
+    * versa) — each public entry point passes its own expected marker. */
+  private def pqAppendEnc(s: SparkSession, newVecs: DataFrame,
+      indexDir: String, expectedEnc: String): Long = {
     import s.implicits._
+    requireEncoding(s, indexDir, expectedEnc)
     reconcileSwaps(s, indexDir)
     val cb = s.read.parquet(s"$indexDir/codebook.parquet")
       .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
@@ -1439,6 +1450,7 @@ object EmbedOps {
   def pqAdcIndexed(s: SparkSession, d: String, indexDir: String,
       shortlistN: Int = PQ_SHORTLIST): DataFrame = {
     import s.implicits._
+    requireEncoding(s, indexDir, "pq-flat")
     val cb = s.read.parquet(s"$indexDir/codebook.parquet")
       .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
       .collect().toSeq.sortBy(t => (t._1, t._2))
@@ -1503,9 +1515,7 @@ object EmbedOps {
   def opqAdc(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
     val v0 = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val perm = opqPerm(v0)
-    val v = v0.select(col("vec_id"),
-      array(perm.map(p => element_at(col("emb"), p + 1)): _*).as("emb"))
+    val v = opqApply(v0, opqPerm(v0))
     val (_, cb) = pqTrainV(v)
     val books = pqBooks(cb)
     pqSearch(pqEncode(v, books),
@@ -1516,13 +1526,20 @@ object EmbedOps {
     * variance keys (HUGEINT — exact like the Spark side's DECIMAL),
     * permute via a 64-row ordering join, then the shared PQ replay with
     * the permuted corpus as its `e2Body`. */
-  def opqOracleSql: String = {
+  def opqOracleSql: String = opqOracleSql("")
+
+  /** `trainWhere` restricts BOTH learned artifacts' training corpus —
+    * the variance-ranked allocation AND the PQ codebooks (the append
+    * gate's "learn at N, append N/10" shape); permutation application,
+    * encoding, and the rerank always cover all of e2. */
+  def opqOracleSql(trainWhere: String): String = {
     val pre =
       s"""eo AS (SELECT vec_id,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |       FROM embeddings),
          |ovq AS (SELECT i - 1 AS dim, CAST(round(emb[i] * 1048576) AS BIGINT) AS q
-         |        FROM eo CROSS JOIN unnest(generate_series(1, $DIMS)) AS t(i)),
+         |        FROM eo CROSS JOIN unnest(generate_series(1, $DIMS)) AS t(i)
+         |        $trainWhere),
          |ovk AS (SELECT dim,
          |          CAST(count(*) AS HUGEINT) * sum(CAST(q AS HUGEINT) * q)
          |            - sum(CAST(q AS HUGEINT)) * sum(CAST(q AS HUGEINT)) AS vkey
@@ -1538,7 +1555,76 @@ object EmbedOps {
     val e2Body =
       """SELECT e.vec_id, list(e.emb[o.dim + 1] ORDER BY o.np) AS emb
         |FROM eo e CROSS JOIN oord o GROUP BY e.vec_id""".stripMargin
-    pqOracleSql("", pre, e2Body)
+    pqOracleSql(trainWhere, pre, e2Body)
+  }
+
+  /** Permute a raw `(vec_id, emb)` corpus with a learned allocation —
+    * the "rotation" applied as DIMS literal element_at picks (map-only,
+    * codegen'd; never a shuffle). */
+  private def opqApply(v0: DataFrame, perm: Seq[Int]): DataFrame =
+    v0.select(col("vec_id"),
+      array(perm.map(p => element_at(col("emb"), p + 1)): _*).as("emb"))
+
+  /** Persist the OPQ index — the learned allocation at rest beside the
+    * codebook + compressed codes, so search loads three small artifacts
+    * and never re-derives the transform. The codes layout IS the flat PQ
+    * layout (the permutation acts before encoding), so `pqDelete`'s
+    * tmp+swap takedown applies verbatim; the `pq-opq` encoding marker
+    * keeps raw-PQ and OPQ dirs from being read interchangeably (same
+    * layout, different coordinate spaces). */
+  def opqBuild(s: SparkSession, d: String, indexDir: String): Unit =
+    opqBuildV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      indexDir)
+
+  /** Build from an explicit raw `(vec_id, emb)` corpus: learn the
+    * allocation on it, persist `perm.parquet` (np → dim, DIMS rows), then
+    * the standard PQ build over the permuted corpus. */
+  def opqBuildV(v0: DataFrame, indexDir: String): Unit = {
+    val sp = v0.sparkSession
+    import sp.implicits._
+    val perm = opqPerm(v0)
+    perm.zipWithIndex.map { case (dim, np) => (np, dim) }
+      .toDF("np", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/perm.parquet")
+    pqBuildV(opqApply(v0, perm), indexDir)
+    writeEncoding(sp, indexDir, "pq-opq")
+  }
+
+  private def opqPermRead(s: SparkSession, indexDir: String): Seq[Int] = {
+    import s.implicits._
+    s.read.parquet(s"$indexDir/perm.parquet").select("np", "dim")
+      .as[(Int, Int)].collect().sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Incremental OPQ maintenance: permute the NEW batch with the FROZEN
+    * allocation, encode against the FROZEN books, append to the codes
+    * table — O(batch), and byte-equivalent to encoding the batch in the
+    * original build (the learned artifacts are functions of the training
+    * corpus alone). */
+  def opqAppend(s: SparkSession, newVecs: DataFrame, indexDir: String): Long =
+    pqAppendEnc(s, opqApply(newVecs, opqPermRead(s, indexDir)), indexDir,
+      "pq-opq")
+
+  /** ADC search from the at-rest OPQ index: perm + codebook load (DIMS /
+    * M×K rows — broadcast material), queries and the rerank corpus
+    * permute on the fly (map-only; permutations preserve L2 exactly up to
+    * the summation order the oracle replays), the compressed codes stream
+    * from disk — byte-identical to `opqAdc`. */
+  def opqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    import s.implicits._
+    requireEncoding(s, indexDir, "pq-opq")
+    val perm = opqPermRead(s, indexDir)
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    val v = opqApply(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      perm)
+    pqSearch(codes,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), pqBooks(cb)),
+      v, PQ_SHORTLIST)
   }
 
   // ---- IVFPQ: the coarse quantizer composed over the compressed codes —
@@ -2550,13 +2636,25 @@ object EmbedOps {
     * MMR_CAND ranked), fused with the same posting-bounded BM25 side —
     * the end-to-end hybrid shape for corpora where the brute vector
     * rank can't be scanned at all. */
-  def hybridRrfIvfPq(s: SparkSession, d: String): DataFrame = {
+  def hybridRrfIvfPq(s: SparkSession, d: String): DataFrame =
+    hybridRrfIvfPq(s, d, None)
+
+  /** `keep` (vec_id/doc_id rows — the shared id space) restricts BOTH
+    * retrieval sides to the predicate's survivors: the codes rows
+    * semi-join it before ADC (the em_ivfpq_filtered discipline — raw
+    * vectors stay untouched until the rerank) and the BM25 candidate
+    * docs semi-join it before scoring. Filter × hybrid × compression:
+    * the last composed cell of the retrieval matrix. */
+  def hybridRrfIvfPq(s: SparkSession, d: String,
+      keep: Option[DataFrame]): DataFrame = {
     val (v, cents) = ivfParts(s, d, None)
     val (_, cb) = pqTrainV(v)
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
-    val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
+    val codes = keep.fold(ivfPqEncode(v, cents, books))(k =>
+      ivfPqEncode(v, cents, books).join(k, Seq("vec_id"), "left_semi"))
+    val sl = ivfPqShortlist(codes, q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
     val qv = v.where(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
@@ -2568,15 +2666,26 @@ object EmbedOps {
         .orderBy(col("d2_micro").asc, col("vec_id").asc)))
       .where(col("rv") <= MMR_CAND)
       .select(col("qid"), col("vec_id").as("id"), col("rv"))
-    rrfFuse(bm25Rank(s, d), vRank)
+    rrfFuse(bm25Rank(s, d, keep), vRank)
   }
 
   /** The BM25 half: per-query top-MMR_CAND documents as (qid, id, rt).
     * See the block comment above for the rational-idf determinism
-    * rationale and the posting-bounded scale shape. */
-  private def bm25Rank(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    * rationale and the posting-bounded scale shape. `keep` (doc_id rows)
+    * restricts the CANDIDATE documents — pre-filter semantics: corpus
+    * stats (df, avgdl) stay corpus-wide, queries stay unrestricted, only
+    * the scored doc side semi-joins the keep-set (mirrors the vector
+    * rungs' candAnd discipline). */
+  private def bm25Rank(s: SparkSession, d: String,
+      keep: Option[DataFrame] = None): DataFrame =
+    bm25RankT(Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks")), keep)
+
+  /** BM25 over an explicit tokenized corpus `(doc_id, toks)` — the RAG
+    * composition scores CHUNKS through the same arithmetic (chunk ids in
+    * the packed chunk-id space), so the corpus is a parameter. */
+  private def bm25RankT(tk: DataFrame,
+      keep: Option[DataFrame]): DataFrame = {
     val (nDocs, lTot) = {
       val r = tk.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head
       (r.getLong(0), r.getLong(1)) // 2 scalars: the BM25 corpus constants
@@ -2598,7 +2707,10 @@ object EmbedOps {
       (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
     val contrib = floor(idf * (col("tf").cast("double") * lit(2.2)) / denom
       * lit(1000000.0) + lit(0.5)).cast("long")
-    tf.join(broadcast(qd), Seq("term"))
+    val cand = keep.fold(tf)(k =>
+      tf.join(broadcast(k.select(col(k.columns.head).as("doc_id"))),
+        Seq("doc_id"), "left_semi"))
+    cand.join(broadcast(qd), Seq("term"))
       .where(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"), contrib.as("cm"))
       .groupBy("qid", "doc_id").agg(sum("cm").as("bm25_micro"))
@@ -2608,22 +2720,24 @@ object EmbedOps {
       .select(col("qid"), col("doc_id").as("id"), col("rt"))
   }
 
+  /** One side's RRF share, nano-quantized so the fused score is an
+    * integer sum (absent rank → 0). */
+  private def rrfHalf(r: Column): Column =
+    coalesce(floor(lit(1.0e9) / (lit(RRF_K.toDouble) + r.cast("double"))
+      + lit(0.5)).cast("long"), lit(0L))
+
   /** RRF fusion of two (qid, id, rank) lists: each side's share is
     * nano-quantized separately so the fused score is an integer sum. */
-  private def rrfFuse(tRank: DataFrame, vRank: DataFrame): DataFrame = {
-    def half(r: Column): Column =
-      coalesce(floor(lit(1.0e9) / (lit(RRF_K.toDouble) + r.cast("double"))
-        + lit(0.5)).cast("long"), lit(0L))
+  private def rrfFuse(tRank: DataFrame, vRank: DataFrame): DataFrame =
     tRank.join(vRank, Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id").as("doc_id"),
-        (half(col("rt")) + half(col("rv"))).as("rrf_micro"))
+        (rrfHalf(col("rt")) + rrfHalf(col("rv"))).as("rrf_micro"))
       .withColumn("rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("rrf_micro").desc, col("doc_id").asc)))
       .where(col("rn") <= TOPK)
-  }
 
   def hybridRrfOracleSql: String =
-    s"""WITH $bm25Ctes,
+    s"""WITH ${bm25Ctes()},
        |e2 AS (SELECT vec_id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |       FROM embeddings),
@@ -2641,14 +2755,19 @@ object EmbedOps {
   /** The composed hybrid's oracle: the IVFPQ composition CTEs supply the
     * shortlist, exact L2 reranks it into the vector rank, the same BM25
     * block and fusion tail complete the replay. */
-  def hybridRrfIvfPqOracleSql: String = {
+  def hybridRrfIvfPqOracleSql: String = hybridRrfIvfPqOracleSql("", "")
+
+  /** `candAnd` (vector codes side, alias `v`) and `textAnd` (BM25 doc
+    * side, alias `t`) carry the same keep-set predicate into both
+    * retrieval replays — the filtered-hybrid gate's oracle. */
+  def hybridRrfIvfPqOracleSql(candAnd: String, textAnd: String): String = {
     def fullL2(e: String, c: String) =
       s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(generate_series(1, $DIMS),
          |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
-    s"""WITH ${ivfPqOracleCtes("")},
-       |$bm25Ctes,
+    s"""WITH ${ivfPqOracleCtes("", candAnd)},
+       |${bm25Ctes(textAnd)},
        |vrr AS (SELECT s.qid, s.vec_id AS id, ${fullL2("x.emb", "q.emb")} AS d2
        |        FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
        |                  JOIN e2 q ON q.vec_id = s.qid),
@@ -2659,9 +2778,13 @@ object EmbedOps {
   }
 
   /** BM25 CTE block → `tr` (qid, id, rt ≤ MMR_CAND). Names are disjoint
-    * from the IVFPQ composition CTEs so both preludes compose. */
-  private def bm25Ctes: String =
-    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    * from the IVFPQ composition CTEs so both preludes compose. `textAnd`
+    * (alias `t`, the scored doc side) restricts candidates — the text
+    * analog of the vector rungs' `candAnd`. `tkBody` swaps the tokenized
+    * corpus (the RAG composition feeds chunk windows). */
+  private def bm25Ctes(textAnd: String = "", tkBody: String =
+      "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"): String =
+    s"""tk AS ($tkBody),
        |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS l FROM tk),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
        |        (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk)
@@ -2678,7 +2801,7 @@ object EmbedOps {
        |               * (CAST(t.dl AS DOUBLE)
        |                  / (CAST(s.l AS DOUBLE) / CAST(s.n AS DOUBLE)))))
        |          * 1000000.0 + 0.5) AS BIGINT) AS cm
-       |      FROM tf t JOIN qd q ON q.term = t.term AND t.doc_id <> q.qid
+       |      FROM tf t JOIN qd q ON q.term = t.term AND t.doc_id <> q.qid $textAnd
        |      CROSS JOIN st s),
        |tb AS (SELECT qid, doc_id, CAST(sum(cm) AS BIGINT) AS bm25 FROM bc GROUP BY 1, 2),
        |tr AS (SELECT qid, doc_id AS id, row_number() OVER (PARTITION BY qid
@@ -2804,6 +2927,118 @@ object EmbedOps {
        |       CAST(chunk_idx AS BIGINT) AS chunk_idx, d2 AS d2_micro, rn FROM
        |  (SELECT *, row_number() OVER (PARTITION BY qid
        |     ORDER BY d2 ASC, doc_id ASC) AS rn FROM bb) WHERE rn <= $TOPK""".stripMargin
+  }
+
+  /** Chunk token windows in the packed chunk-id space — the text twin of
+    * `chunkVecs` (same geometry: 64-token windows, stride 48; the short
+    * final window is whatever tokens remain, as `d_chunk_windows`). */
+  private def chunkToks(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, ((size(toks)-1) div 48)*48, 48)")).as("st"))
+      .select(
+        (expr("st div 48").cast("long") * RAG_DOCBASE + col("doc_id"))
+          .as("doc_id"),
+        expr("slice(toks, st + 1, 64)").as("toks"))
+
+  /** Hybrid RAG (round 16): the `em_rag_retrieve` composition with the
+    * `em_hybrid_rrf` retriever — chunks score on BOTH sides (BM25 over
+    * the chunk token windows; IVFPQ ADC + exact rerank over the chunk
+    * embeddings), the two per-query CHUNK ranks RRF-fuse, and the fused
+    * list doc-dedups (best fused chunk per doc) before the final doc
+    * rank. Queries are the chunk-0 rows (< NQUERIES): the query doc's
+    * own leading window on the text side, its fixture embedding on the
+    * vector side.
+    *
+    * Scale shape: both sides stay bounded exactly as their standalone
+    * gates — posting-bounded BM25 (query-term postings only, over the
+    * ×(n_tokens/stride) chunk corpus), probe-pruned compressed ADC,
+    * shortlist-only raw reads; fusion and dedup are per-query top-CAND
+    * aggregates. */
+  def ragHybrid(s: SparkSession, d: String): DataFrame = {
+    val v = chunkVecs(s, d)
+    val (_, cents) = ivfPartsV(v, None)
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("list_id"))
+    val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val vRank = sl.select("qid", "vec_id")
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        l2micro(col("emb"), col("qe")).as("d2_micro"))
+      .withColumn("rv", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rv") <= MMR_CAND)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+    val tRank = bm25RankT(chunkToks(s, d), None)
+    tRank.join(vRank, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (rrfHalf(col("rt")) + rrfHalf(col("rv"))).as("rrf_micro"))
+      .select(col("qid"), (col("id") % RAG_DOCBASE).as("doc_id"),
+        expr(s"id div $RAG_DOCBASE").as("chunk_idx"), col("rrf_micro"))
+      .withColumn("rb", row_number().over(Window.partitionBy("qid", "doc_id")
+        .orderBy(col("rrf_micro").desc, col("chunk_idx").asc)))
+      .where(col("rb") === 1)
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"),
+        col("rrf_micro"), col("rn"))
+  }
+
+  /** DuckDB replay: the chunk CTEs feed BOTH retrieval replays — the
+    * parameterized IVFPQ composition takes the chunk embeddings as its
+    * corpus, the BM25 block takes the sliced token windows as its `tk` —
+    * then the fusion and the doc-dedup tail. */
+  def ragHybridOracleSql: String = {
+    def fullL2(e: String, c: String) =
+      s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $DIMS),
+         |    i -> ($e[i] - $c[i]) * ($e[i] - $c[i]))), (a, x) -> a + x)
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    val e2Body =
+      s"""SELECT (cst.s // 48) * $RAG_DOCBASE + cst.doc_id AS vec_id,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |FROM cst JOIN embeddings e ON e.vec_id = cst.doc_id""".stripMargin
+    val tkBody =
+      s"""SELECT (cst.s // 48) * $RAG_DOCBASE + cst.doc_id AS doc_id,
+         |  list_slice(c.toks, cst.s + 1, cst.s + 64) AS toks
+         |FROM cst JOIN ctk c USING (doc_id)""".stripMargin
+    s"""WITH ctk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |cst AS (SELECT doc_id,
+       |          unnest(generate_series(0, ((len(toks)-1)//48)*48, 48)) AS s
+       |        FROM ctk),
+       |${ivfPqOracleCtes("", "", e2Body)},
+       |vrr AS (SELECT s.qid, s.vec_id AS id, ${fullL2("x.emb", "q.emb")} AS d2
+       |        FROM sl s JOIN e2 x ON x.vec_id = s.vec_id
+       |                  JOIN e2 q ON q.vec_id = s.qid),
+       |vr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |         ORDER BY d2 ASC, id ASC) AS rv
+       |       FROM vrr QUALIFY rv <= $MMR_CAND),
+       |${bm25Ctes("", tkBody)},
+       |f AS (SELECT coalesce(t.qid, v.qid) AS qid, coalesce(t.id, v.id) AS id,
+       |        coalesce(CAST(floor(1000000000.0
+       |          / ($RRF_K.0 + CAST(t.rt AS DOUBLE)) + 0.5) AS BIGINT), 0)
+       |        + coalesce(CAST(floor(1000000000.0
+       |          / ($RRF_K.0 + CAST(v.rv AS DOUBLE)) + 0.5) AS BIGINT), 0) AS rrf_micro
+       |      FROM tr t FULL OUTER JOIN vr v ON v.qid = t.qid AND v.id = t.id),
+       |fd AS (SELECT qid, id % $RAG_DOCBASE AS doc_id,
+       |              id // $RAG_DOCBASE AS chunk_idx, rrf_micro FROM f),
+       |fb AS (SELECT qid, doc_id, chunk_idx, rrf_micro FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+       |           ORDER BY rrf_micro DESC, chunk_idx ASC) AS rb FROM fd)
+       |       WHERE rb = 1)
+       |SELECT qid, CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(chunk_idx AS BIGINT) AS chunk_idx, rrf_micro,
+       |       row_number() OVER (PARTITION BY qid
+       |         ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+       |FROM fb QUALIFY rn <= $TOPK""".stripMargin
   }
 
   // ---- binary (sign) quantization: the extreme rung of the compression
@@ -3452,6 +3687,30 @@ object EmbedOps {
     // recall against raw PQ at the same shortlist.
     Q("em_opq_adc", opqOracleSql)(opqAdc),
 
+    // the OPQ rung at rest: perm + codebook + codes persisted, search
+    // loads the learned artifacts and never re-derives the transform.
+    // Shares em_opq_adc's oracle — the stored-index search must be
+    // byte-identical. Delete is pqDelete verbatim (same flat codes
+    // layout); the pq-opq encoding marker fences raw-PQ readers.
+    Q("em_opq_persisted", opqOracleSql) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString
+      opqBuild(s, d, idx)
+      opqIndexed(s, d, idx)
+    },
+
+    // incremental OPQ maintenance: allocation + books learn on 90%, the
+    // held-out 10% permutes with the FROZEN perm and encodes against the
+    // FROZEN books — O(batch) append, no retrain. Oracle learns both
+    // artifacts on the same 90% and applies them to all.
+    Q("em_opq_append", opqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_opq_app").toString
+      val v = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      opqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
+      opqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+      opqIndexed(s, d, idx)
+    },
+
     // build-once / query-many for PQ: train + encode persisted (codebook +
     // the 16×-compressed codes table), then ADC-search from DISK. Shares
     // em_pq_adc's oracle — the stored-index search must return
@@ -3560,7 +3819,22 @@ object EmbedOps {
     // hybrid retrieval THROUGH the compression: the vector rank comes
     // from the IVFPQ ADC shortlist's exact rerank instead of the brute
     // scan — BM25 postings ⊕ compressed ANN, the corpus-scale hybrid.
-    Q("em_hybrid_rrf_ivfpq", hybridRrfIvfPqOracleSql)(hybridRrfIvfPq),
+    Q("em_hybrid_rrf_ivfpq", hybridRrfIvfPqOracleSql) { (s, d) =>
+      hybridRrfIvfPq(s, d) },
+
+    // metadata-filtered HYBRID retrieval (filter × hybrid × compression —
+    // the last composed cell of the retrieval matrix): one keep-set
+    // semi-joins the compressed codes before ADC AND the BM25 candidate
+    // docs before scoring; fusion ranks only predicate survivors. Corpus
+    // stats stay corpus-wide (pre-filter semantics, the candAnd
+    // discipline on both sides).
+    Q("em_hybrid_rrf_filtered", hybridRrfIvfPqOracleSql(
+      "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)",
+      "AND t.doc_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) {
+      (s, d) =>
+        hybridRrfIvfPq(s, d,
+          Some(emb(s, d).where(col("label") % 3 === 0).select("vec_id")))
+    },
 
     // the text side at rest (VERDICT r15 #1): BM25 served from the
     // persisted term-bucketed postings index — query-term buckets push
@@ -3578,6 +3852,12 @@ object EmbedOps {
     // compressed retrieve → doc-deduplicated passages. Oracle = chunk
     // CTEs feeding the parameterized IVFPQ replay + the dedup tail.
     Q("em_rag_retrieve", ragOracleSql)(ragRetrieve),
+
+    // hybrid RAG (round 16): the same chunk→retrieve→dedup composition
+    // with the HYBRID retriever — BM25 over the chunk token windows ⊕
+    // compressed ANN over the chunk embeddings, RRF-fused at chunk level,
+    // doc-deduplicated. The full production RAG shape in one gate.
+    Q("em_rag_hybrid", ragHybridOracleSql)(ragHybrid),
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

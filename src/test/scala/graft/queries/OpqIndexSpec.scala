@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** OPQ index lifecycle: the learned allocation persists beside the
+  * codebook + codes, searches byte-identically from disk, appends with
+  * the frozen artifacts, deletes via the shared flat-table takedown, and
+  * the `pq-opq` / `pq-flat` markers fence the two coordinate spaces from
+  * each other's readers. */
+class OpqIndexSpec extends SparkSpec {
+
+  private def vecs = {
+    val s = spark
+    s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  }
+
+  test("persisted OPQ search is byte-identical to the in-memory rung") {
+    val idx = java.nio.file.Files.createTempDirectory("opq_idx").toString
+    EmbedOps.opqBuild(spark, sfDir, idx)
+    val mem = EmbedOps.opqAdc(spark, sfDir)
+      .select("qid", "vec_id", "d2_micro", "rn").collect().toSet
+    val disk = EmbedOps.opqIndexed(spark, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro", "rn").collect().toSet
+    assert(mem == disk && mem.nonEmpty)
+  }
+
+  test("append with frozen perm+books searches identically to encoding the " +
+      "batch in the original build; existing code files untouched") {
+    val v = vecs
+    val build = v.where(col("vec_id") % 10 =!= 0)
+    val fresh = v.where(col("vec_id") % 10 === 0)
+
+    // A: build on 90%, append 10% with the frozen artifacts
+    val idxA = java.nio.file.Files.createTempDirectory("opq_app_a").toString
+    EmbedOps.opqBuildV(build, idxA)
+    def files(i: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(i, "codes.parquet"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val before = files(idxA)
+    val appended = EmbedOps.opqAppend(spark, fresh, idxA)
+    assert(appended == fresh.count())
+    before.foreach { case (p, sz) =>
+      assert(files(idxA).get(p).contains(sz), s"existing code file rewritten: $p") }
+
+    // B: same artifacts (copied), the FULL corpus encoded in one append
+    val idxB = java.nio.file.Files.createTempDirectory("opq_app_b").toString
+    Seq("perm.parquet", "codebook.parquet").foreach(t =>
+      spark.read.parquet(s"$idxA/$t").write.parquet(s"$idxB/$t"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(idxB, "_encoding"),
+      "pq-opq".getBytes("UTF-8"))
+    EmbedOps.opqAppend(spark, v, idxB)
+    val a = EmbedOps.opqIndexed(spark, sfDir, idxA)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val b = EmbedOps.opqIndexed(spark, sfDir, idxB)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("deletion drops the vectors from searches (shared flat takedown)") {
+    val s = spark
+    import s.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("opq_del").toString
+    EmbedOps.opqBuildV(vecs, idx)
+    val pre = EmbedOps.opqIndexed(spark, sfDir, idx)
+      .select("vec_id").as[Long].collect().toSet
+    val victim = pre.max
+    assert(EmbedOps.pqDelete(spark, idx, Seq(victim).toDF("vec_id")) == 1L)
+    val post = EmbedOps.opqIndexed(spark, sfDir, idx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!post.contains(victim))
+    assert(post.nonEmpty)
+  }
+
+  test("encoding markers fence raw-PQ and OPQ dirs from each other") {
+    val idxOpq = java.nio.file.Files.createTempDirectory("opq_fence_a").toString
+    EmbedOps.opqBuildV(vecs, idxOpq)
+    val e1 = intercept[IllegalArgumentException] {
+      EmbedOps.pqAdcIndexed(spark, sfDir, idxOpq) }
+    assert(e1.getMessage.contains("pq-flat"))
+
+    val idxPq = java.nio.file.Files.createTempDirectory("opq_fence_b").toString
+    EmbedOps.pqBuildV(vecs, idxPq)
+    val e2 = intercept[IllegalArgumentException] {
+      EmbedOps.opqIndexed(spark, sfDir, idxPq) }
+    assert(e2.getMessage.contains("pq-opq"))
+  }
+}
