@@ -40,6 +40,12 @@ object Sessions {
       // tags are strings by the data model — a tag value like "123" must
       // not come back as an int after a restart
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // the text index pushes the query vocabulary into the postings
+      // scan as one IN predicate (hundreds-to-thousands of terms); above
+      // this threshold Spark stops handing IN to parquet and the
+      // term-clustered row-group pruning is lost — raise it to cover the
+      // bounded vocabularies the search path allows (termPushdownMax)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
       // keep managed-table data out of the repo cwd (bucketed-table specs)
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")

@@ -1365,16 +1365,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
     val distinctSeries = d.select(tags.map(col): _*).distinct()
     val ser = sel.slimit match {
       case Some(_) =>
-        // the rank window's input is ≤ hi rows (post-TakeOrdered), so it
-        // is bounded by construction; the derived-constant partition key
-        // (always 0, but column-derived so it survives constant folding)
-        // states that bound IN THE PLAN instead of a lint whitelist
-        // (Ranks.globalRank's offs discipline; VERDICT r15 #8)
+        // the rank window's input is ≤ hi rows: orderBy.limit plans as a
+        // TakeOrderedAndProject, which IS the in-plan bound PlanLint
+        // verifies under the single-task rank window (VERDICT r16 #4)
         distinctSeries.orderBy(tags.map(col(_).asc): _*).limit(hi)
           .withColumn("__srank",
-            row_number().over(Window
-              .partitionBy(pmod(xxhash64(col(tags.head)), lit(1L)))
-              .orderBy(tags.map(col): _*)))
+            row_number().over(Window.orderBy(tags.map(col): _*)))
           .where(col("__srank") > lo)
           .drop("__srank")
       case None =>

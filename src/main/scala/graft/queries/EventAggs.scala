@@ -619,15 +619,13 @@ object EventAggs {
       // the top-3 need ranking: orderBy.limit plans as TakeOrdered (per-
       // partition top + one tiny merge — distributed even over millions
       // of series) and the window then ranks ≤ 3 rows. Same shape as the
-      // translator's SLIMIT path; dense_rank ≡ row_number on a distinct set
-      // derived-constant partition key: the rank input is ≤ 3 rows (post
-      // TakeOrdered), and the key states that bound in the plan instead
-      // of a PlanLint whitelist entry (Translator.slimit discipline)
+      // translator's SLIMIT path; dense_rank ≡ row_number on a distinct
+      // set. The TakeOrdered node IS the window's bound, verified in-plan
+      // by PlanLint (VERDICT r16 #4)
       val ser = e.select("event_type").distinct()
         .orderBy(col("event_type").asc).limit(3)
-        .withColumn("srank", row_number().over(Window
-          .partitionBy(pmod(xxhash64(col("event_type")), lit(1L)))
-          .orderBy(col("event_type"))))
+        .withColumn("srank", row_number().over(
+          Window.orderBy(col("event_type"))))
         .where(col("srank").between(2, 3))
         .drop("srank")
       e.join(broadcast(ser), "event_type").select("event_id", "event_type", "value")

@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec,
+  GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -16,8 +17,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *   - `cartesian`: a `CartesianProductExec` anywhere in the plan. The
   *     only legitimate ones are bounded-by-construction oracle baselines.
   *   - `unpartitioned-window(n)`: a `WindowExec` with an empty partition
-  *     spec — single-task at any scale. Legitimate only post-LIMIT
-  *     (≤ SLIMIT rows) or behind `Ranks.globalRank`'s size gate.
+  *     spec — single-task at any scale — UNLESS its child subtree carries
+  *     an actual in-plan row bound: a `TakeOrderedAndProject` or a
+  *     limit node with limit ≤ `WINDOW_BOUND` (VERDICT r16 #4). The bound
+  *     must be IN THE PLAN — a derived-constant partition key (the old
+  *     `pmod(xxhash64, 1)` idiom) satisfies the emptiness check without
+  *     bounding anything, so it is no longer used anywhere.
   *   - `unpruned-index-scan`: a gate that searches a `list_id=`-
   *     partitioned at-rest index (IVF / IVFPQ family) whose plan shows
   *     NO file scan with partition filters — i.e. the probe list stopped
@@ -39,6 +44,28 @@ object PlanLint {
     p +: (kids ++ p.subqueries).flatMap(nodes)
   }
 
+  /** The largest in-plan limit accepted as a bound for a single-task
+    * window: generous enough for the exact-count small path of
+    * `Ranks.globalRank` (its byte gate admits ≲ 1M ranked keys), far
+    * below anything corpus-shaped. */
+  val WINDOW_BOUND: Int = 4 << 20
+
+  /** An unpartitioned window is single-task; it is legitimate ONLY when
+    * the plan itself bounds its input — a `TakeOrderedAndProject` or a
+    * limit node (≤ WINDOW_BOUND) somewhere below the window. This is the
+    * honest form of the bound (VERDICT r16 #4): "someone slapped a
+    * constant partition key on an unbounded window" can no longer pass,
+    * because the acceptance condition is the bound itself, not the
+    * partition-spec shape. */
+  private def boundedBelow(w: WindowExec): Boolean =
+    nodes(w.child).exists {
+      case t: TakeOrderedAndProjectExec => t.limit <= WINDOW_BOUND
+      case g: GlobalLimitExec           => g.limit <= WINDOW_BOUND
+      case l: LocalLimitExec            => l.limit <= WINDOW_BOUND
+      case c: CollectLimitExec          => c.limit <= WINDOW_BOUND
+      case _                            => false
+    }
+
   /** Violation tags for one gate's physical plan. `expectPruned` = the
     * gate reads a partitioned at-rest index, so at least one scan must
     * carry partition filters. */
@@ -46,7 +73,7 @@ object PlanLint {
     val ns = nodes(plan)
     val cart = ns.collect { case _: CartesianProductExec => "cartesian" }.distinct
     val win = ns.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
+      case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w) => w
     } match {
       case Seq() => Nil
       case ws    => Seq(s"unpartitioned-window(${ws.size})")

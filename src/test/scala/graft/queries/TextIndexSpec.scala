@@ -100,6 +100,81 @@ class TextIndexSpec extends SparkSpec {
       "fold+compact changed the index content")
   }
 
+  /** The at-rest corpus-stats scalars vs a fresh aggregate of doclen —
+    * the recompute ≡ increment invariant (VERDICT r16 #2a). */
+  private def statsPair(idx: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$idx/stats.parquet")
+      .select("n_docs", "dl_sum").head
+    (r.getLong(0), r.getLong(1))
+  }
+  private def recomputePair(idx: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$idx/doclen.parquet")
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum("dl"), lit(0L)).cast("long")).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("corpus stats: increment ≡ recompute across build, append and delete") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_stats").toString
+    TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
+    assert(statsPair(idx) == recomputePair(idx), "after build")
+    // append INCREMENTS (O(batch)); the artifact must equal a recompute
+    TextIndex.bm25Append(s, docs.where(col("doc_id") % 10 === 0), idx)
+    assert(statsPair(idx) == recomputePair(idx), "after append")
+    // delete RECOMPUTES from the survivors it just rewrote
+    TextIndex.bm25Delete(s, idx, docs.select("doc_id").where(col("doc_id") % 7 === 3))
+    assert(statsPair(idx) == recomputePair(idx), "after delete")
+    // and a replayed delete converges (no double-decrement — the reason
+    // stats are per-doc-derived, not increment rows)
+    TextIndex.bm25Delete(s, idx, docs.select("doc_id").where(col("doc_id") % 7 === 3))
+    assert(statsPair(idx) == recomputePair(idx), "after replayed delete")
+  }
+
+  test("a crashed stats window refuses reads loudly and heals on reconcile") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_dirty").toString
+    TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
+    // simulate a maintainer dying between its doclen append and its
+    // stats write: the batch's doclen rows land, the marker stays
+    val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.create(new Path(s"$idx/stats.dirty"), true).close()
+    docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .coalesce(1).write.mode("append").parquet(s"$idx/doclen.parquet")
+    val e = intercept[RuntimeException] {
+      TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20).collect()
+    }
+    assert(e.getMessage.contains("stats.dirty"), e.getMessage)
+    // the next maintenance entry recomputes from the (self-consistent)
+    // doclen table and clears the marker
+    TextIndex.reconcile(s, idx)
+    assert(!f.exists(new Path(s"$idx/stats.dirty")))
+    assert(statsPair(idx) == recomputePair(idx), "after heal")
+    TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20).collect() // reads again
+  }
+
+  test("postings are term-clustered within every bucket file (build, fold " +
+      "and compact preserve the clustering)") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_sorted").toString
+    TextIndex.bm25Build(docs.where(col("doc_id") % 4 === 0), idx)
+    s.conf.set("graft.ivf.deltaMaxFiles", "1") // force a fold per append
+    try (1 to 3).foreach(i =>
+      TextIndex.bm25Append(s, docs.where(col("doc_id") % 4 === i), idx))
+    finally s.conf.unset("graft.ivf.deltaMaxFiles")
+    TextIndex.bm25Compact(s, idx, ifMoreThan = 2)
+    // every file individually sorted by term = each term's postings are
+    // contiguous → parquet row-group min/max prune to the query vocabulary
+    val unsorted = spark.read.parquet(s"$idx/postings.parquet")
+      .select(input_file_name().as("f"), col("term"))
+      .withColumn("prev", lag("term", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .where(col("prev") > col("term"))
+    assert(unsorted.isEmpty, "found a bucket file with out-of-order terms")
+  }
+
   test("streamed text batches are replay-idempotent (marker + scrub)") {
     val s = spark
     val idx = java.nio.file.Files.createTempDirectory("bm25_replay").toString

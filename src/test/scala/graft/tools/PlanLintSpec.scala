@@ -11,16 +11,16 @@ import graft.{Registry, SparkSpec}
   * ANY of the ~200 gates, including ones no targeted spec watches.
   *
   * Whitelist rationale (every exemption documented here, per gate):
-  *   - unpartitioned `WindowExec`: NONE since r16 (VERDICT r15 #8). The
-  *     formerly-exempt windows now state their bound in the plan:
-  *     iql_cumsum_of_sum runs the chunked exact-integer prefix sum
-  *     (partitioned per-(series, chunk) windows + broadcast offsets),
-  *     and the bounded-by-construction ranks (SLIMIT's post-TakeOrdered
-  *     series rank, tag-qualified top/bottom's post-reduction global
-  *     rank, Ranks.globalRank's below-gate path) carry a derived-
-  *     constant partition key — always one group, but column-derived so
-  *     it survives constant folding, making "bounded single group" an
-  *     in-plan statement rather than a lint exemption.
+  *   - unpartitioned `WindowExec`: NONE since r16 (VERDICT r15 #8). Since
+  *     r17 the bounded single-task ranks state their bound as an ACTUAL
+  *     in-plan limit (VERDICT r16 #4): `PlanLint.boundedBelow` accepts a
+  *     window only when a TakeOrderedAndProject or a ≤ WINDOW_BOUND limit
+  *     node sits below it — SLIMIT's post-TakeOrdered series rank,
+  *     e_slimit's post-limit(3) rank, Ranks.globalRank's exact-count
+  *     `limit(n)` small path and `limit(p)` offset window all carry one.
+  *     The former derived-constant partition key (`pmod(xxhash64, 1)`)
+  *     satisfied the lint's emptiness check without bounding anything
+  *     and is gone.
   *   - no cartesian exemptions are currently needed: the brute-force
   *     oracle baselines all plan as BroadcastNestedLoopJoin with the
   *     bounded side broadcast, which is the intended shape.
