@@ -1708,6 +1708,31 @@ object EmbedOps {
       .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
   }
 
+  /** Exact-L2 rerank distances for a shortlist against the raw corpus:
+    * (qid, vec_id, d2_micro). The one block every composed retriever
+    * repeats (ADVICE r16) — shortlist ids join the raw vectors (the ONLY
+    * raw reads of a composed search), queries broadcast. */
+  private def ivfPqExactD2(v: DataFrame, sl: DataFrame): DataFrame = {
+    val qv = v.where(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    sl.select("qid", "vec_id")
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        l2micro(col("emb"), col("qe")).as("d2_micro"))
+  }
+
+  /** The shortlist → exact-rerank VECTOR RANK the hybrid and RAG gates
+    * fuse: (qid, id, rv ≤ MMR_CAND). One definition, three gates
+    * (em_hybrid_rrf_ivfpq / em_rag_hybrid / em_rag_persisted) — the
+    * copy-pasted rerank blocks this replaces could drift apart. */
+  private def ivfPqVRank(v: DataFrame, sl: DataFrame): DataFrame =
+    ivfPqExactD2(v, sl)
+      .withColumn("rv", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rv") <= MMR_CAND)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+
   /** The ADC shortlist stage alone (qid, vec_id, d2_adc, arn ≤
     * PQ_SHORTLIST) — `ivfPqSearch` reranks it exactly; `mmrIvfPq`
     * diversifies over it instead. */
@@ -2078,11 +2103,29 @@ object EmbedOps {
     * shortlist rerank. Heal-free by design (ADVICE r14 — see `ivfRows`):
     * reconciliation belongs to maintenance entries only. */
   def ivfPqIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    ivfPqSearch(s, v, indexDir)
+  }
+
+  /** `ivfPqIndexed` over an explicit corpus frame — probe, pruned
+    * compressed scan, ADC, exact rerank to TOPK. */
+  private def ivfPqSearch(s: SparkSession, v: DataFrame,
+      indexDir: String): DataFrame = {
+    val (codes, q, lut) = codesForQueries(s, v, indexDir)
+    ivfPqSearch(codes, q, lut, v)
+  }
+
+  /** Probe the at-rest composed index for an explicit corpus `v`: the
+    * frozen quantizers load ONCE, the queries assign to their NPROBE
+    * lists, and the LIVE codes scan prunes to the probed list dirs
+    * (PartitionFilters — the raw string compare keeps it one). Returns
+    * (pruned codes, probe rows, per-query LUT). */
+  private def codesForQueries(s: SparkSession, v: DataFrame,
+      indexDir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     requireEncoding(s, indexDir, "pq-raw")
     val (cents, books) = loadQuantizers(s, indexDir)
-    val v = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val queries = v.where(col("vec_id") < NQUERIES)
     // string-typed probe rows: the partition column reads back as string
     // (inference off session-wide), and the raw-value compare is what
@@ -2090,8 +2133,17 @@ object EmbedOps {
     val q = ivfAssign(queries, cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").cast("string").as("list_id"))
     val probed = q.select("list_id").distinct().as[String].collect()
-    ivfPqSearch(codesLiveRows(s, indexDir, Some(probed.toSeq)), q,
-      pqLut(pqSubRows(queries), books), v)
+    (codesLiveRows(s, indexDir, Some(probed.toSeq)), q,
+      pqLut(pqSubRows(queries), books))
+  }
+
+  /** The ADC SHORTLIST from the at-rest composed index for an explicit
+    * corpus `v` (the RAG chunk space) — the persisted twin of the
+    * in-memory `ivfPqShortlist` composition the hybrid gates rerank. */
+  private def ivfPqShortlistIndexedV(s: SparkSession, v: DataFrame,
+      indexDir: String): DataFrame = {
+    val (codes, q, lut) = codesForQueries(s, v, indexDir)
+    ivfPqShortlist(codes, q, lut)
   }
 
   /** Metadata-filtered search over a PERSISTED composed index — the
@@ -2705,17 +2757,7 @@ object EmbedOps {
       ivfPqEncode(v, cents, books).join(k, Seq("vec_id"), "left_semi"))
     val sl = ivfPqShortlist(codes, q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    val qv = v.where(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    val vRank = sl.select("qid", "vec_id")
-      .join(v, Seq("vec_id"))
-      .join(broadcast(qv), Seq("qid"))
-      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
-      .withColumn("rv", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
-      .where(col("rv") <= MMR_CAND)
-      .select(col("qid"), col("vec_id").as("id"), col("rv"))
-    rrfFuse(bm25Rank(s, d, keep), vRank)
+    rrfFuse(bm25Rank(s, d, keep), ivfPqVRank(v, sl))
   }
 
   /** The BM25 half: per-query top-MMR_CAND documents as (qid, id, rt).
@@ -2775,12 +2817,19 @@ object EmbedOps {
     coalesce(floor(lit(1.0e9) / (lit(RRF_K.toDouble) + r.cast("double"))
       + lit(0.5)).cast("long"), lit(0L))
 
+  /** RRF fusion WITHOUT the final rank: (qid, id, rrf_micro) — the RAG
+    * compositions dedup per document before ranking, so they need the
+    * fused scores raw (ADVICE r16: one fusion expression, not three). */
+  private def rrfFuseRaw(tRank: DataFrame, vRank: DataFrame): DataFrame =
+    tRank.join(vRank, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (rrfHalf(col("rt")) + rrfHalf(col("rv"))).as("rrf_micro"))
+
   /** RRF fusion of two (qid, id, rank) lists: each side's share is
     * nano-quantized separately so the fused score is an integer sum. */
   private def rrfFuse(tRank: DataFrame, vRank: DataFrame): DataFrame =
-    tRank.join(vRank, Seq("qid", "id"), "full_outer")
-      .select(col("qid"), col("id").as("doc_id"),
-        (rrfHalf(col("rt")) + rrfHalf(col("rv"))).as("rrf_micro"))
+    rrfFuseRaw(tRank, vRank)
+      .select(col("qid"), col("id").as("doc_id"), col("rrf_micro"))
       .withColumn("rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("rrf_micro").desc, col("doc_id").asc)))
       .where(col("rn") <= TOPK)
@@ -2928,12 +2977,7 @@ object EmbedOps {
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    val qv = v.where(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    sl.select("qid", "vec_id")
-      .join(v, Seq("vec_id"))
-      .join(broadcast(qv), Seq("qid"))
-      .select(col("qid"), col("vec_id"), l2micro(col("emb"), col("qe")).as("d2_micro"))
+    ivfPqExactD2(v, sl)
       .select(col("qid"), (col("vec_id") % RAG_DOCBASE).as("doc_id"),
         expr(s"vec_id div $RAG_DOCBASE").as("chunk_idx"), col("d2_micro"))
       .groupBy("qid", "doc_id")
@@ -3014,21 +3058,15 @@ object EmbedOps {
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    val qv = v.where(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    val vRank = sl.select("qid", "vec_id")
-      .join(v, Seq("vec_id"))
-      .join(broadcast(qv), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
-        l2micro(col("emb"), col("qe")).as("d2_micro"))
-      .withColumn("rv", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
-      .where(col("rv") <= MMR_CAND)
-      .select(col("qid"), col("vec_id").as("id"), col("rv"))
-    val tRank = bm25RankT(chunkToks(s, d), None)
-    tRank.join(vRank, Seq("qid", "id"), "full_outer")
-      .select(col("qid"), col("id"),
-        (rrfHalf(col("rt")) + rrfHalf(col("rv"))).as("rrf_micro"))
+    ragDedupTail(rrfFuseRaw(bm25RankT(chunkToks(s, d), None),
+      ivfPqVRank(v, sl)))
+  }
+
+  /** The fused-chunk → doc-deduplicated passage tail both hybrid RAG
+    * gates share: best fused chunk per (query, doc), then the doc-level
+    * TOPK. Input is `rrfFuseRaw` output in the packed chunk-id space. */
+  private def ragDedupTail(fused: DataFrame): DataFrame =
+    fused
       .select(col("qid"), (col("id") % RAG_DOCBASE).as("doc_id"),
         expr(s"id div $RAG_DOCBASE").as("chunk_idx"), col("rrf_micro"))
       .withColumn("rb", row_number().over(Window.partitionBy("qid", "doc_id")
@@ -3039,6 +3077,35 @@ object EmbedOps {
       .where(col("rn") <= TOPK)
       .select(col("qid"), col("doc_id"), col("chunk_idx"),
         col("rrf_micro"), col("rn"))
+
+  /** Build both AT-REST halves of the RAG deployment over the CHUNK
+    * corpus (VERDICT r16 #3): the composed IVFPQ index on the chunk
+    * embeddings and the BM25 postings index on the chunk token windows —
+    * the two artifacts a production pipeline trains once and then
+    * retrieves through for every query batch. */
+  def ragBuildPersisted(s: SparkSession, d: String, vecDir: String,
+      textDir: String): Unit = {
+    ivfPqBuildV(chunkVecs(s, d), vecDir)
+    TextIndex.bm25BuildT(chunkToks(s, d), textDir)
+  }
+
+  /** End-to-end RAG retrieval THROUGH the at-rest artifacts — the
+    * deployment shape of `em_rag_hybrid` (which trains in-gate): probe →
+    * partition-pruned compressed codes scan → exact rerank on one side,
+    * bucket- and term-pruned BM25 postings scan on the other, RRF-fused
+    * at chunk level and doc-deduplicated. Byte-identical to `ragHybrid`
+    * over the same chunk corpus (both quantizers and the postings
+    * round-trip parquet exactly), so the gate shares
+    * `ragHybridOracleSql`. */
+  def ragPersisted(s: SparkSession, d: String, vecDir: String,
+      textDir: String): DataFrame = {
+    val v = chunkVecs(s, d)
+    val vRank = ivfPqVRank(v, ivfPqShortlistIndexedV(s, v, vecDir))
+    val qt = chunkToks(s, d).where(col("doc_id") < NQUERIES)
+      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
+      .distinct()
+    val tRank = TextIndex.bm25RankIndexedQ(s, qt, textDir, MMR_CAND)
+    ragDedupTail(rrfFuseRaw(tRank, vRank))
   }
 
   /** DuckDB replay: the chunk CTEs feed BOTH retrieval replays — the
@@ -3907,6 +3974,20 @@ object EmbedOps {
     // compressed ANN over the chunk embeddings, RRF-fused at chunk level,
     // doc-deduplicated. The full production RAG shape in one gate.
     Q("em_rag_hybrid", ragHybridOracleSql)(ragHybrid),
+
+    // the PERSISTED end-to-end RAG deployment (VERDICT r16 #3):
+    // em_rag_hybrid trains in-gate; this gate retrieves through the two
+    // AT-REST artifacts a production pipeline builds once — the IVFPQ
+    // chunk index (probe PartitionFilters on the compressed scan) and
+    // the BM25 chunk postings index (bucket PartitionFilters + the
+    // query-vocabulary row-group predicate). Shares ragHybridOracleSql:
+    // the from-disk retrieve must be byte-identical to the in-gate one.
+    Q("em_rag_persisted", ragHybridOracleSql) { (s, d) =>
+      val vecIdx = java.nio.file.Files.createTempDirectory("graft_ragp_vec").toString
+      val txtIdx = java.nio.file.Files.createTempDirectory("graft_ragp_txt").toString
+      ragBuildPersisted(s, d, vecIdx, txtIdx)
+      ragPersisted(s, d, vecIdx, txtIdx)
+    },
 
     // binary (sign) quantization: 64× compression — one packed 64-bit
     // code per vector, Hamming (xor+popcount) shortlist, exact rerank.

@@ -82,17 +82,22 @@ object TextIndex {
     * rows (term, doc_id, tf, dl) plus their term bucket. Whitespace
     * tokenization — the shared convention of every text gate. */
   private def tfRows(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+    tfRowsT(corpus.select(col("doc_id"), split(col("text"), " ").as("toks")))
+
+  /** The tf pass over an already-tokenized (doc_id, toks) corpus — the
+    * RAG composition indexes chunk token windows directly. */
+  private def tfRowsT(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(TB.toLong)))
 
   private def doclenRows(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+    doclenRowsT(corpus.select(col("doc_id"), split(col("text"), " ").as("toks")))
+
+  private def doclenRowsT(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
 
   // ---- the corpus-stats artifact (VERDICT r16 #2a) ----
 
@@ -165,12 +170,19 @@ object TextIndex {
     * term's rows contiguous → row-group pruning to the query
     * vocabulary), plus the per-doc length table and the two-scalar
     * stats artifact. */
-  def bm25Build(corpus: DataFrame, indexDir: String): Unit = {
-    val s = corpus.sparkSession
+  def bm25Build(corpus: DataFrame, indexDir: String): Unit =
+    bm25BuildT(corpus.select(col("doc_id"), split(col("text"), " ").as("toks")),
+      indexDir)
+
+  /** Build from an already-tokenized (doc_id, toks) corpus — the RAG
+    * composition's chunk token windows index without a string
+    * round-trip. */
+  def bm25BuildT(tk: DataFrame, indexDir: String): Unit = {
+    val s = tk.sparkSession
     // a REBUILD over an existing dir must not leave the old stats beside
     // a new doclen if it crashes mid-way — same marker window as append
     markStatsDirty(s, indexDir)
-    tfRows(corpus)
+    tfRowsT(tk)
       .repartition(col("tb"))
       // the write requires (tb) ordering for partitionBy; sorting
       // (tb, term) satisfies it AND clusters terms, so no second sort
@@ -178,7 +190,7 @@ object TextIndex {
       .sortWithinPartitions(col("tb"), col("term"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$indexDir/postings.parquet")
-    doclenRows(corpus)
+    doclenRowsT(tk)
       .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet")
     val (n, dl) = recomputeStats(s, indexDir)
     writeStats(s, indexDir, n, dl)

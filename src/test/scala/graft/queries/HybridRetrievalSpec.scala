@@ -33,6 +33,20 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("persisted RAG retrieval is byte-identical to the in-gate hybrid " +
+      "RAG composition") {
+    val s = spark
+    val vecIdx = java.nio.file.Files.createTempDirectory("ragp_vec").toString
+    val txtIdx = java.nio.file.Files.createTempDirectory("ragp_txt").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(rows(EmbedOps.ragPersisted(s, sfDir, vecIdx, txtIdx)) ==
+      rows(EmbedOps.ragHybrid(s, sfDir)),
+      "from-disk RAG retrieve diverges from the in-gate composition")
+  }
+
   test("filtered top-1 similarity never beats the unfiltered top-1 " +
       "(the keep-set only removes candidates)") {
     val s = spark

@@ -41,7 +41,10 @@ class PlanLintSpec extends SparkSpec {
     "em_ivfpq_residual_persisted", "em_ivfpq_residual_append",
     "em_ivfpq_residual_filtered",
     // the text index: query-term buckets must prune the postings scan
-    "em_hybrid_rrf_persisted")
+    "em_hybrid_rrf_persisted",
+    // the persisted RAG deployment: BOTH at-rest scans (chunk codes +
+    // chunk postings) must carry partition filters
+    "em_rag_persisted")
 
   test("every registered gate plans clean: no cartesian, no unpartitioned " +
       "window, pruned persisted-index scans") {
