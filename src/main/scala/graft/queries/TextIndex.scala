@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   *     a retried takedown anti-joins the same ids to the same result,
   *     where a (−ddocs, −dtokens) increment row would double-decrement
   *     on replay (the IndexStream scrub re-runs the whole delete).
+  *   - `df.parquet/tb=N/` — the derived per-term (term, df) tier for
+  *     the PARTITIONED postings (VERDICT r16 #7): search-time df is one
+  *     pruned read of these tiny rows plus a count over the bounded
+  *     delta, so the probed postings are scanned once per query, not
+  *     twice. Folds and deletes re-derive exactly the buckets they
+  *     rewrote; the `df.dirty` marker (content = touched buckets) makes
+  *     every crash window read-refusing and heal-pruned.
   *   - `stats.parquet` — ONE row (n_docs, dl_sum), the BM25 corpus
   *     constants as exact integers AT REST (VERDICT r16 #2a): searches
   *     read two scalars instead of aggregating the doclen table per
@@ -138,6 +145,96 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(statsP(indexDir))
   }
 
+  // ---- the per-term df tier (VERDICT r16 #7) ----
+  //
+  // `df.parquet/tb=N/` holds (term, df) for the PARTITIONED postings
+  // tier — the last derived artifact of a fully materialized inverted
+  // index. Search-time df becomes: tier row (pruned to the query
+  // vocabulary — a few hundred tiny rows) + a count over the BOUNDED
+  // delta tier, so the probed postings are read ONCE (the scoring join)
+  // instead of twice (scoring + a df aggregation over the same rows).
+  //
+  // Maintenance is the LSM discipline: the tier tracks the FOLDED layout
+  // only, so append stays O(batch) (the delta's counts are added at
+  // search, not materialized); fold and delete refresh exactly the
+  // buckets they rewrote (same cost class as the rewrite itself); crash
+  // windows are covered by the `df.dirty` marker, whose content names
+  // the touched buckets — reads refuse while it exists, reconcile
+  // re-derives those buckets from the postings (recompute ≡ the
+  // refresh, provable because df IS a per-bucket aggregate of the
+  // postings).
+
+  private def dfDirtyP(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/df.dirty")
+
+  private def clearDfDirty(s: SparkSession, indexDir: String): Unit = {
+    val (f, _) = EmbedOps.hfs(s, indexDir)
+    f.delete(dfDirtyP(indexDir), false)
+    ()
+  }
+
+  /** Mark the df tier stale for `buckets` (None = all): one atomic
+    * create whose CONTENT is the touched-bucket list, so the heal is as
+    * pruned as the op that died. */
+  private def markDfDirty(s: SparkSession, indexDir: String,
+      buckets: Option[Seq[String]]): Unit = {
+    val (f, _) = EmbedOps.hfs(s, indexDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(indexDir))
+    val out = f.create(dfDirtyP(indexDir), true)
+    try out.write(buckets.fold("*")(_.mkString(",")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readDfDirty(s: SparkSession, indexDir: String)
+      : Option[Option[Seq[String]]] = {
+    val (f, _) = EmbedOps.hfs(s, indexDir)
+    if (!f.exists(dfDirtyP(indexDir))) None
+    else {
+      val in = f.open(dfDirtyP(indexDir))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(if (txt.trim == "*" || txt.trim.isEmpty) None
+           else Some(txt.trim.split(",").toSeq))
+    }
+  }
+
+  /** Re-derive the df tier for `buckets` (None = all) from the
+    * PARTITIONED postings tier — the pruned recompute every refresh and
+    * every heal runs. Each bucket dir swaps whole (delete + rename; the
+    * surrounding df.dirty marker covers any torn point). */
+  private def refreshDf(s: SparkSession, indexDir: String,
+      buckets: Option[Seq[String]]): Unit = {
+    val (f, liveP) = EmbedOps.hfs(s, s"$indexDir/postings.parquet")
+    if (!f.exists(liveP) || f.listStatus(liveP).isEmpty) return
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.refresh.tmp")
+    f.delete(tmpRoot, true)
+    val pruned = buckets.fold(s.read.parquet(liveP.toString))(bs =>
+      s.read.parquet(liveP.toString).where(col("tb").isin(bs: _*)))
+    pruned.groupBy("tb", "term").agg(count(lit(1)).as("df"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("tb"), col("term"))
+      .write.mode("overwrite").partitionBy("tb").parquet(tmpRoot.toString)
+    val dfRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.parquet")
+    f.mkdirs(dfRoot)
+    // swap in the refreshed buckets; a refreshed bucket that lost every
+    // posting has no tmp dir — drop its stale df dir outright
+    val refreshed = f.listStatus(tmpRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+      .map(_.getPath.getName).toSet
+    val toClear = buckets.fold(
+      f.listStatus(dfRoot).filter(_.isDirectory).map(_.getPath.getName).toSet
+        ++ refreshed)(bs => bs.map(b => s"tb=$b").toSet)
+    toClear.foreach { nm =>
+      f.delete(new org.apache.hadoop.fs.Path(dfRoot, nm), true)
+      val tmp = new org.apache.hadoop.fs.Path(tmpRoot, nm)
+      if (f.exists(tmp) &&
+          !f.rename(tmp, new org.apache.hadoop.fs.Path(dfRoot, nm)))
+        sys.error(s"df refresh swap failed for $nm (df.dirty marker " +
+          "remains — reconcile re-derives)")
+    }
+    f.delete(tmpRoot, true)
+  }
+
   /** Maintenance-path read of the stats scalars. Only called after
     * `reconcile`, which guarantees a live, clean stats artifact whenever
     * a doclen table exists (including legacy dirs built before the
@@ -195,6 +292,11 @@ object TextIndex {
     val (n, dl) = recomputeStats(s, indexDir)
     writeStats(s, indexDir, n, dl)
     clearStatsDirty(s, indexDir)
+    // the derived df tier — full derive at build (O(index), like the
+    // build itself); folds and deletes keep it fresh per touched bucket
+    markDfDirty(s, indexDir, None)
+    refreshDf(s, indexDir, None)
+    clearDfDirty(s, indexDir)
   }
 
   /** Incremental maintenance: tokenize ONLY the new docs (map-only +
@@ -242,10 +344,24 @@ object TextIndex {
     * `sortWithin` column), so the row-group pruning the build
     * establishes survives sustained ingest. Stats are untouched — the
     * fold moves postings between tiers, never changes the corpus. */
-  def bm25FoldDelta(s: SparkSession, indexDir: String): Unit =
+  def bm25FoldDelta(s: SparkSession, indexDir: String): Unit = {
+    // heal any previous crash FIRST so this fold's df marker never
+    // overwrites an unhealed one's bucket list
+    reconcile(s, indexDir)
+    val (f, deltaP) = EmbedOps.hfs(s, s"$indexDir/postings.delta.parquet")
+    if (!f.exists(deltaP)) return
+    // the delta's distinct buckets (bounded — the delta is a few batch
+    // files): exactly the df-tier entries this fold will stale
+    val touched = s.read.parquet(deltaP.toString)
+      .select(col("tb").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    markDfDirty(s, indexDir, Some(touched))
     EmbedOps.foldDeltaAt(s, indexDir, "postings.delta.parquet",
       "postings.fold.tmp", "postings.fold.consumed", "postings.parquet", "tb",
       sortWithin = Seq("term"))
+    refreshDf(s, indexDir, Some(touched))
+    clearDfDirty(s, indexDir)
+  }
 
   /** Targeted takedown: fold first (a delete around an unfolded delta
     * would resurface the doc's postings at the next fold), then rewrite
@@ -262,8 +378,15 @@ object TextIndex {
     reconcile(s, indexDir)
     bm25FoldDelta(s, indexDir)
     markStatsDirty(s, indexDir)
-    EmbedOps.deleteFromPartitioned(s, indexDir, "postings.parquet",
-      "postings.del", ids, pcol = "tb", idCol = "doc_id")
+    val (_, affected) = EmbedOps.deleteFromPartitioned(s, indexDir,
+      "postings.parquet", "postings.del", ids, pcol = "tb", idCol = "doc_id")
+    // the rewritten buckets' df rows are stale — re-derive exactly those
+    // (same cost class as the rewrite the delete just paid for)
+    if (affected.nonEmpty) {
+      markDfDirty(s, indexDir, Some(affected.map(_.toString)))
+      refreshDf(s, indexDir, Some(affected.map(_.toString)))
+      clearDfDirty(s, indexDir)
+    }
     val nDel = EmbedOps.deleteFlat(s, s"$indexDir/doclen.parquet", ids,
       idCol = "doc_id")
     val (n, dl) = recomputeStats(s, indexDir)
@@ -316,6 +439,22 @@ object TextIndex {
     }
     EmbedOps.healFoldAt(f, indexDir, "postings.parquet",
       "postings.fold.tmp", "postings.fold.consumed", "tb")
+    // the df tier — after the postings heals above, so the re-derive
+    // reads the healed layout. A dirty marker names the buckets the dead
+    // op touched (pruned heal); a missing tier beside live postings is a
+    // legacy (pre-df) dir — full derive on first maintenance entry.
+    val dfRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.parquet")
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/postings.parquet")
+    readDfDirty(s, indexDir) match {
+      case Some(buckets) =>
+        refreshDf(s, indexDir, buckets)
+        clearDfDirty(s, indexDir)
+      case None if !f.exists(dfRoot) && f.exists(postingsRoot) =>
+        markDfDirty(s, indexDir, None)
+        refreshDf(s, indexDir, None)
+        clearDfDirty(s, indexDir)
+      case None => ()
+    }
     // the stats artifact — LAST, after every doclen heal above, so the
     // recompute reads the healed table. A dirty marker means a
     // maintainer died inside its stats window; a missing artifact
@@ -409,10 +548,43 @@ object TextIndex {
     val filterTerms =
       if (vocab.length <= pushMax) Some(vocab.map(_._1).toSeq) else None
     val live = postingsLiveRows(s, indexDir, Some(probed), filterTerms)
-    // df for query terms only, from the pruned scan (every posting of a
-    // query term lives in its probed bucket, so the count is the full df)
-    val dfr = live.join(broadcast(qt.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df for the query terms: the at-rest per-term tier (a few tiny
+    // rows, bucket- and term-pruned) + a count over the BOUNDED delta —
+    // the probed postings are read ONCE (the scoring join below), not
+    // twice (VERDICT r16 #7). Legacy dirs without the tier aggregate
+    // the pruned live scan as before.
+    val qTerms = qt.select("term").distinct()
+    val (f, dfRootP) = EmbedOps.hfs(s, s"$indexDir/df.parquet")
+    if (f.exists(dfDirtyP(indexDir)))
+      sys.error(s"text index at $indexDir has an unreconciled df window " +
+        "(df.dirty present): the per-term tier may not match the " +
+        "postings — run reconcile (maintenance-only), then retry")
+    val dfr =
+      if (!f.exists(dfRootP))
+        live.join(broadcast(qTerms), Seq("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+      else {
+        val base0 = s.read.parquet(dfRootP.toString)
+          .where(col("tb").isin(probed: _*))
+        val base = filterTerms.fold(base0)(ts =>
+            base0.where(col("term").isin(ts: _*)))
+          .join(broadcast(qTerms), Seq("term"))
+          .select(col("term"), col("df").as("df_base"))
+        val deltaP = new org.apache.hadoop.fs.Path(
+          s"$indexDir/postings.delta.parquet")
+        if (!f.exists(deltaP)) base.select(col("term"), col("df_base").as("df"))
+        else {
+          val dRows0 = s.read.parquet(deltaP.toString)
+          val dCnt = filterTerms.fold(dRows0)(ts =>
+              dRows0.where(col("term").isin(ts: _*)))
+            .join(broadcast(qTerms), Seq("term"))
+            .groupBy("term").agg(count(lit(1)).as("df_delta"))
+          base.join(dCnt, Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("df_base"), lit(0L))
+                + coalesce(col("df_delta"), lit(0L))).as("df"))
+        }
+      }
     val qd = qt.join(dfr, Seq("term"))
     val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))

@@ -157,7 +157,38 @@ object StreamDecade {
       (n, 0L, nBatches.get)
     }
 
-    println(s"""{"dir":"$sfDir","horizon_ms":$horizonMs,$neardedup,$indexstream,$ivfpqstream}""")
+    // ---- IndexStream, TEXT half (VERDICT r16 #8): head 90% of the
+    //      documents builds the at-rest BM25 postings index, tail 10%
+    //      streams in as maintenance appends (delta landing + stats
+    //      increments + amortized folds) — the full-ladder stream claim's
+    //      text rung, measured like the vector rungs.
+    val textstream = if (!has("documents")) "\"textstream\":null" else bench("textstream") {
+      val work = java.nio.file.Files.createTempDirectory("sdec_txt").toString
+      val tdx = s"$work/bm25"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.queries.TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), tdx)
+      val fresh = docs.where(col("doc_id") % 10 === 0)
+      val (dir, n) = replayDir(fresh, "doc_id", math.max(4, chunks / 4), work)
+      val appended = new java.util.concurrent.atomic.AtomicLong
+      val nBatches = new java.util.concurrent.atomic.AtomicLong
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, __rn INT")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("doc_id"), col("text")).as[IndexStream.Doc]
+      val q = IndexStream.startText(stream, tdx)
+      try q.processAllAvailable() finally q.stop()
+      // the committed batches' docs are all visible (delta ∪ folded) and
+      // the stats artifact matched every increment along the way (a
+      // mismatch errors the read path loudly)
+      appended.set(spark.read.parquet(s"$tdx/doclen.parquet").count() -
+        docs.where(col("doc_id") % 10 =!= 0).count())
+      require(appended.get == n, s"appended ${appended.get} of $n")
+      nBatches.set(q.recentProgress.length.toLong)
+      (n, 0L, nBatches.get)
+    }
+
+    println(s"""{"dir":"$sfDir","horizon_ms":$horizonMs,$neardedup,$indexstream,$ivfpqstream,$textstream}""")
     spark.stop()
   }
 }

@@ -154,6 +154,39 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20).collect() // reads again
   }
 
+  test("df tier: per-term rows equal a recompute from the partitioned " +
+      "postings across fold and delete; crash window refuses and heals") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_df").toString
+    def tierEqualsRecompute(): Unit = {
+      val tier = s.read.parquet(s"$idx/df.parquet")
+        .select(col("term"), col("df").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val rec = s.read.parquet(s"$idx/postings.parquet")
+        .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(tier == rec, "df tier diverged from postings recompute")
+    }
+    TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
+    tierEqualsRecompute()
+    TextIndex.bm25Append(s, docs.where(col("doc_id") % 10 === 0), idx)
+    TextIndex.bm25FoldDelta(s, idx) // fold re-derives the touched buckets
+    tierEqualsRecompute()
+    TextIndex.bm25Delete(s, idx, docs.select("doc_id").where(col("doc_id") % 7 === 3))
+    tierEqualsRecompute()
+    // crash window: marker present → reads refuse; reconcile re-derives
+    val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.create(new Path(s"$idx/df.dirty"), true).close()
+    val e = intercept[RuntimeException] {
+      TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20).collect()
+    }
+    assert(e.getMessage.contains("df.dirty"), e.getMessage)
+    TextIndex.reconcile(s, idx)
+    assert(!f.exists(new Path(s"$idx/df.dirty")))
+    tierEqualsRecompute()
+    TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20).collect()
+  }
+
   test("postings are term-clustered within every bucket file (build, fold " +
       "and compact preserve the clustering)") {
     val s = spark
