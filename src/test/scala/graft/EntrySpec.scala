@@ -19,4 +19,20 @@ class EntrySpec extends SparkSpec {
     // sibling gates' values) instead of rows-only status
     assert((names -- SparkEntry.oracleSql.keySet) == Set.empty[String])
   }
+
+  test("SURVEY §8's stated gate count matches the registry") {
+    // VERDICT r16 #5: the coverage-map header drifted twice (claimed 215
+    // while the registry held 219); pin the documented count to
+    // Registry.validated.size so any new gate forces the doc edit.
+    val header = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val stated = try {
+      val sect = header.getLines().dropWhile(!_.startsWith("## 8. "))
+        .take(5).mkString(" ")
+      "(\\d+) registered gates".r.findFirstMatchIn(sect)
+        .getOrElse(fail("SURVEY §8 header lacks an 'N registered gates' count"))
+        .group(1).toInt
+    } finally header.close()
+    assert(stated == Registry.validated.size,
+      s"SURVEY §8 says $stated gates but the registry has ${Registry.validated.size}")
+  }
 }

@@ -122,8 +122,11 @@ if has_out("em_semdedup_approx"):
 # pair, ranks must be the dense (d2_micro asc, vec_id asc) order within
 # qid, exactly TOPK rows per qid, no self-matches. (The probe/shortlist
 # structure is replayed in full at sf0.01/sf0.1 where the oracle fits.)
+# em_ivfpq_residual_filtered (r17: same spill ceiling as its siblings)
+# additionally asserts the metadata predicate: every returned candidate
+# carries label % 3 = 0.
 for name in ("em_ivfpq_residual", "em_ivfpq_residual_persisted",
-              "em_ivfpq_residual_append"):
+              "em_ivfpq_residual_append", "em_ivfpq_residual_filtered"):
   if has_out(name):
     got = spark_out(name)
     con1 = duckdb.connect()
@@ -145,12 +148,18 @@ for name in ("em_ivfpq_residual", "em_ivfpq_residual_persisted",
                   i -> (q.emb[i] - x.emb[i]) * (q.emb[i] - x.emb[i]))),
               (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT)
          OR g.qid = g.vec_id""").fetchone()[0]
+    bad_pred = 0
+    if name == "em_ivfpq_residual_filtered":
+        bad_pred = con1.execute("""
+          SELECT count(*) FROM got g JOIN embeddings e ON e.vec_id = g.vec_id
+          WHERE e.label % 3 <> 0""").fetchone()[0]
     g = got.sort_values(["qid", "d2_micro", "vec_id"]).reset_index(drop=True)
     rank_ok = (g.groupby("qid").cumcount() + 1 == g["rn"]).all()
     per_q = got.groupby("qid").size()
-    if bad_d2 or not rank_ok or not (per_q == 5).all():
+    if bad_d2 or bad_pred or not rank_ok or not (per_q == 5).all():
         ok = False
-        print(f"FAIL {name}: {bad_d2} wrong distances, rank_ok={rank_ok}, "
+        print(f"FAIL {name}: {bad_d2} wrong distances, {bad_pred} predicate "
+              f"violations, rank_ok={rank_ok}, "
               f"per-qid sizes {sorted(per_q.unique())}")
     else:
         print(f"PASS {name}: all {len(got)} output distances exact, "

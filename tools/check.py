@@ -17,6 +17,12 @@ import numpy as np
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# cap DuckDB's buffer at a fraction of RAM so an unexpectedly heavy oracle
+# spills to .tmp instead of OOM-killing the whole compare (r17: the
+# em_ivfpq_residual_filtered sf1 replay ballooned past the default 80%-of-RAM
+# limit and took the process down mid-sweep; the documented-ceiling gates are
+# CHECK_SKIPped, this guard is for the next surprise)
+con.execute("SET memory_limit='48GB'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
