@@ -1599,9 +1599,17 @@ object EmbedOps {
          |        FROM ork),
          |oord AS (SELECT dim, row_number() OVER (ORDER BY sub ASC, r ASC) - 1 AS np
          |         FROM opm)""".stripMargin
+    // permute via ONE list_transform against the collected DIMS-row
+    // permutation (a 1-row cross join), not a per-(vector, dim) cross
+    // join + list() re-aggregation — the latter materializes the full
+    // 64-double list on every one of N×DIMS joined rows and OOMs the
+    // replay at sf1 (r17)
     val e2Body =
-      """SELECT e.vec_id, list(e.emb[o.dim + 1] ORDER BY o.np) AS emb
-        |FROM eo e CROSS JOIN oord o GROUP BY e.vec_id""".stripMargin
+      s"""SELECT e.vec_id,
+         |  list_transform(generate_series(1, $DIMS),
+         |    i -> e.emb[p.pm[i] + 1]) AS emb
+         |FROM eo e CROSS JOIN
+         |  (SELECT list(dim ORDER BY np) AS pm FROM oord) p""".stripMargin
     pqOracleSql(trainWhere, pre, e2Body)
   }
 

@@ -22,7 +22,7 @@ con = duckdb.connect()
 # em_ivfpq_residual_filtered sf1 replay ballooned past the default 80%-of-RAM
 # limit and took the process down mid-sweep; the documented-ceiling gates are
 # CHECK_SKIPped, this guard is for the next surprise)
-con.execute("SET memory_limit='48GB'")
+con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM', '24GB')}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
