@@ -38,19 +38,26 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t =
+      val runs =
         try {
           once() // warm-up, discarded
-          median(Seq.fill(Runs)(once()))
+          Seq.fill(Runs)(once())
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
+            Seq.empty[Double]
         }
-      name -> t
+      (name, if (runs.isEmpty) -1.0 else median(runs), runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // all raw runs per gate, recorded alongside the median (VERDICT r17
+    // #1): a co-tenant-noise run shows up as spread inside the artifact
+    // itself, so round-over-round comparison never needs a side re-run
+    // to adjudicate whether a movement is code or box contention
+    val qruns = results.map { case (k, _, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // explicit run/fail counts + partial flag: a 56-of-166 crash round must
     // not read as a full-surface total (ADVICE r8 on BENCH_SELF.json)
@@ -87,10 +94,13 @@ object Bench {
       s""""write_pps":$wps,"write_pps_durable":$wpsDurable,"sf":"$sfDir"}"""
     println(line)
     // self-recorded artifact: the driver's captured stdout tail can truncate
-    // the per-query map (it did in round 4) — the full line survives on disk
+    // the per-query map (it did in round 4) — the full line survives on disk.
+    // The on-disk copy additionally carries the raw per-gate runs (the
+    // stdout line stays schema-stable for the driver's parser).
+    val selfLine = line.dropRight(1) + s""","query_runs":$qruns}"""
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (selfLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

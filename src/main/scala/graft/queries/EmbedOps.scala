@@ -1604,12 +1604,18 @@ object EmbedOps {
     // join + list() re-aggregation — the latter materializes the full
     // 64-double list on every one of N×DIMS joined rows and OOMs the
     // replay at sf1 (r17)
+    // HAVING count(*) = DIMS (ADVICE r17): if trainWhere ever filtered
+    // the training corpus to zero rows, the scalar subquery would yield
+    // a NULL permutation and this replay would emit all-NULL emb lists —
+    // a confusing oracle diff; the guard turns it into an empty result
+    // that fails the row-count compare loudly instead
     val e2Body =
       s"""SELECT e.vec_id,
          |  list_transform(generate_series(1, $DIMS),
          |    i -> e.emb[p.pm[i] + 1]) AS emb
          |FROM eo e CROSS JOIN
-         |  (SELECT list(dim ORDER BY np) AS pm FROM oord) p""".stripMargin
+         |  (SELECT list(dim ORDER BY np) AS pm FROM oord
+         |   HAVING count(*) = $DIMS) p""".stripMargin
     pqOracleSql(trainWhere, pre, e2Body)
   }
 
@@ -2956,11 +2962,11 @@ object EmbedOps {
     * with doc ids, so the query set (vec_id < NQUERIES) is exactly the
     * query documents' own embeddings. Caps doc_id < 10⁶ — the gate
     * fixtures; a deployment widens the base. */
-  private val RAG_DOCBASE = 1000000L
+  private[graft] val RAG_DOCBASE = 1000000L
 
   /** The chunk corpus as (vec_id, emb): chunk starts from the token
     * windows, embedding inherited from the parent doc's fixture row. */
-  private def chunkVecs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def chunkVecs(s: SparkSession, d: String): DataFrame = {
     val tk = Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     tk.select(col("doc_id"),
@@ -3033,7 +3039,7 @@ object EmbedOps {
   /** Chunk token windows in the packed chunk-id space — the text twin of
     * `chunkVecs` (same geometry: 64-token windows, stride 48; the short
     * final window is whatever tokens remain, as `d_chunk_windows`). */
-  private def chunkToks(s: SparkSession, d: String): DataFrame =
+  private[graft] def chunkToks(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),

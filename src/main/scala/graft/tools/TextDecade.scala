@@ -49,11 +49,19 @@ object TextDecade {
       }
     })
     // the listener bus is async and private — drain by polling the
-    // counter to a fixpoint (tool-scale synchronization, not engine code)
+    // counter to a fixpoint (tool-scale synchronization, not engine code).
+    // One quiet 200ms interval proved too short a window when the bus
+    // stalls under load (ADVICE r17): require 5 consecutive stable reads
+    // (1s of stability) before declaring the queue empty, so a previous
+    // run's late events can't leak past bytes.set(0) into the next run.
     def drained(): Long = {
-      var prev = -1L; var cur = bytes.get()
-      while (prev != cur) { prev = cur; Thread.sleep(200); cur = bytes.get() }
-      cur
+      var stable = 0; var prev = bytes.get()
+      while (stable < 5) {
+        Thread.sleep(200)
+        val cur = bytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
     }
     def once(): (Double, Long) = {
       spark.catalog.clearCache()
@@ -65,10 +73,14 @@ object TextDecade {
       (secs, drained())
     }
     once() // warm-up, discarded
-    val runs = Seq.fill(3)(once()).sortBy(_._1)
-    val (medS, medB) = runs(1)
+    val runs = Seq.fill(3)(once())
+    // medians taken independently per dimension (ADVICE r17): the
+    // median-by-time run can carry an outlier byte count and vice versa
+    val medS = runs.map(_._1).sorted.apply(1)
+    val medB = runs.map(_._2).sorted.apply(1)
+    val allRuns = runs.map { case (s, b) => s"""[$s,$b]""" }.mkString("[", ",", "]")
     println(s"""{"n_docs":$nDocs,"index_bytes":$idxBytes,""" +
-      s""""search_s":$medS,"search_bytes_read":$medB}""")
+      s""""search_s":$medS,"search_bytes_read":$medB,"runs":$allRuns}""")
     spark.stop()
   }
 }

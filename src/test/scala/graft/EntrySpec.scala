@@ -24,7 +24,14 @@ class EntrySpec extends SparkSpec {
     // VERDICT r16 #5: the coverage-map header drifted twice (claimed 215
     // while the registry held 219); pin the documented count to
     // Registry.validated.size so any new gate forces the doc edit.
-    val header = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    // anchor on user.dir rather than a bare relative path (ADVICE r17):
+    // sbt forks test JVMs at the repo root, but the anchored form keeps
+    // working (and fails with a path, not a bare FileNotFound) if a
+    // runner ever sets a different cwd
+    val surveyPath = java.nio.file.Paths.get(sys.props("user.dir"), "SURVEY.md")
+    assert(java.nio.file.Files.exists(surveyPath),
+      s"SURVEY.md not found at $surveyPath — is the test JVM's working dir the repo root?")
+    val header = scala.io.Source.fromFile(surveyPath.toFile, "UTF-8")
     val stated = try {
       val sect = header.getLines().dropWhile(!_.startsWith("## 8. "))
         .take(5).mkString(" ")

@@ -208,6 +208,77 @@ class TextIndexSpec extends SparkSpec {
     assert(unsorted.isEmpty, "found a bucket file with out-of-order terms")
   }
 
+  test("doclen file count stays bounded across sustained appends with " +
+      "content identical and stats recompute ≡ increment (VERDICT r17 #2)") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_doclen").toString
+    val slices = (0 until 8).map(i => docs.where(pmod(col("doc_id"), lit(8)) === i))
+    TextIndex.bm25Build(slices.head, idx)
+    // the fold gate: doclen folds when its debris crosses deltaMaxFiles,
+    // exactly like the postings delta tier
+    s.conf.set("graft.ivf.deltaMaxFiles", "3")
+    try slices.tail.foreach(b => TextIndex.bm25Append(s, b, idx))
+    finally s.conf.unset("graft.ivf.deltaMaxFiles")
+    val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = EmbedOps.parquetFileCount(f, new Path(s"$idx/doclen.parquet"))
+    assert(files <= 3, s"doclen debris unbounded: $files files after 7 appends " +
+      "at deltaMaxFiles=3")
+    // content identical to one row per document, stats invariant intact
+    val lens = s.read.parquet(s"$idx/doclen.parquet")
+    assert(lens.count() == docs.count())
+    assert(lens.groupBy("doc_id").count().where(col("count") > 1).isEmpty)
+    assert(statsPair(idx) == recomputePair(idx), "after folded appends")
+    // an explicit compact folds leftover debris below its own threshold
+    TextIndex.bm25Compact(s, idx, ifMoreThan = 0)
+    assert(EmbedOps.parquetFileCount(f, new Path(s"$idx/doclen.parquet")) == 1)
+    assert(s.read.parquet(s"$idx/doclen.parquet").count() == docs.count())
+    assert(statsPair(idx) == recomputePair(idx), "after compact")
+  }
+
+  test("a crashed doclen fold heals on reconcile from either side of the swap") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_dlfold").toString
+    TextIndex.bm25Build(docs, idx)
+    val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$idx/doclen.parquet")
+    val tmp = new Path(s"$idx/doclen.parquet.tmp")
+    val n = docs.count()
+    // crash BEFORE the live→old rename: tmp beside live → discard tmp
+    s.read.parquet(live.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    TextIndex.reconcile(s, idx)
+    assert(!f.exists(tmp) && f.exists(live))
+    assert(s.read.parquet(live.toString).count() == n)
+    // crash AFTER live moved away: tmp alone → finish the rename
+    s.read.parquet(live.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    f.delete(live, true)
+    TextIndex.reconcile(s, idx)
+    assert(!f.exists(tmp) && f.exists(live))
+    assert(s.read.parquet(live.toString).count() == n)
+    assert(statsPair(idx) == recomputePair(idx), "after heals")
+  }
+
+  test("oversized query vocabularies fall back observably and return " +
+      "identical results (VERDICT r17 wrong #3)") {
+    val s = spark
+    val idx = java.nio.file.Files.createTempDirectory("bm25_fallback").toString
+    TextIndex.bm25Build(docs, idx)
+    val withPush = ranks(TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20))
+    val before = TextIndex.termPushdownFallbacks.get()
+    s.conf.set("graft.text.termPushdownMax", "1") // force the fallback
+    val withoutPush =
+      try ranks(TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20))
+      finally s.conf.unset("graft.text.termPushdownMax")
+    assert(TextIndex.termPushdownFallbacks.get() == before + 1,
+      "fallback did not increment the observable counter")
+    assert(withoutPush == withPush,
+      "dropping the term predicate changed results (it must only cost reads)")
+    // and the counter does NOT move on the pushed-down path
+    ranks(TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20))
+    assert(TextIndex.termPushdownFallbacks.get() == before + 1)
+  }
+
   test("streamed text batches are replay-idempotent (marker + scrub)") {
     val s = spark
     val idx = java.nio.file.Files.createTempDirectory("bm25_replay").toString

@@ -275,4 +275,66 @@ class IndexStreamSpec extends SparkSpec {
     assert(perVec == Seq(8L), s"uneven code rows per vec after replay: $perVec")
     assert(codes.select("vec_id").distinct().count() == v.count())
   }
+
+  test("RAG freshness: a streamed crawl batch reaches BOTH at-rest halves, " +
+      "retrieval sees it, replay is idempotent and takedown stops it " +
+      "(VERDICT r17 #4)") {
+    val s = spark
+    // augmented corpus: clones of query docs 0..2 at doc_id 1000+q — a
+    // byte-identical twin is the strongest possible retrieval target
+    // (embedding distance 0, every query term present), so "the new doc
+    // is reachable" is deterministic, not recall-dependent
+    val work = java.nio.file.Files.createTempDirectory("rag_fresh").toString
+    val cloneBase = 1000L
+    val docsT = s.read.parquet(s"$sfDir/documents.parquet")
+    val embT = s.read.parquet(s"$sfDir/embeddings.parquet")
+    docsT.unionByName(docsT.where(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + cloneBase))
+      .write.parquet(s"$work/documents.parquet")
+    embT.unionByName(embT.where(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + cloneBase))
+      .write.parquet(s"$work/embeddings.parquet")
+
+    // both at-rest halves built WITHOUT the clones (the pre-crawl state)
+    val vecDir = java.nio.file.Files.createTempDirectory("rag_fresh_vec").toString
+    val textDir = java.nio.file.Files.createTempDirectory("rag_fresh_txt").toString
+    val isClone = pmod(col("vec_id"), lit(EmbedOps.RAG_DOCBASE)) >= cloneBase
+    val isCloneDoc = pmod(col("doc_id"), lit(EmbedOps.RAG_DOCBASE)) >= cloneBase
+    EmbedOps.ivfPqBuildV(EmbedOps.chunkVecs(s, work).where(!isClone), vecDir)
+    graft.queries.TextIndex.bm25BuildT(
+      EmbedOps.chunkToks(s, work).where(!isCloneDoc), textDir)
+
+    def retrieve(): Set[(Long, Long, Long, Long, Int)] =
+      EmbedOps.ragPersisted(s, work, vecDir, textDir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+    val before = retrieve()
+    assert(!before.exists(_._2 >= cloneBase),
+      "unindexed docs leaked into retrieval")
+
+    // the crawl batch arrives through the stream path into BOTH halves
+    val fv = EmbedOps.chunkVecs(s, work).where(isClone)
+    val ft = EmbedOps.chunkToks(s, work).where(isCloneDoc)
+      .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+    assert(IndexStream.appendBatchIvfPq(fv, 0L, vecDir).isDefined)
+    assert(IndexStream.appendBatchText(ft, 0L, textDir).isDefined)
+    // replay of the committed batch: skipped outright on both halves
+    assert(IndexStream.appendBatchIvfPq(fv, 0L, vecDir).isEmpty)
+    assert(IndexStream.appendBatchText(ft, 0L, textDir).isEmpty)
+
+    // freshness: each clone is now its twin query's top passage
+    val after = retrieve()
+    (0L until 3L).foreach { q =>
+      assert(after.exists(t => t._1 == q && t._2 == cloneBase + q),
+        s"freshly streamed doc ${cloneBase + q} unreachable for query $q")
+    }
+
+    // takedown stops retrieval and restores the pre-crawl results EXACTLY
+    // (appends never retrain, so the quantizer artifacts are unchanged)
+    EmbedOps.ivfPqDelete(s, vecDir, fv.select("vec_id"))
+    graft.queries.TextIndex.bm25Delete(s, textDir, ft.select("doc_id"))
+    val gone = retrieve()
+    assert(!gone.exists(_._2 >= cloneBase), "takedown left the doc reachable")
+    assert(gone == before, "takedown did not restore the pre-crawl results")
+  }
 }
