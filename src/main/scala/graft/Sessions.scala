@@ -19,6 +19,24 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** AQE's pre-coalesce shuffle width (`SPARK_GRAFT_INIT_PARTS`;
+    * default = the core count, i.e. the historical behavior).
+    *
+    * The "start wide, let AQE coalesce" unpin was TRIED and MEASURED at
+    * r18 (VERDICT r17 #3) and rejected as a single-box default: three
+    * recorded A/B arms at local[32] (full sf10 at 512, the true >10×
+    * tail at 128, full sf0.1 at 512 — see BENCH_NOTES r18) show only
+    * the few genuinely spill-bound sort gates improving (sample/BQ
+    * family, up to 1.7×) while the rest pay wider-shuffle overhead —
+    * median ~1.07× at sf10 and 1.33× at sf0.1, where even 10ms catalog
+    * queries pay the fixed per-shuffle cost. The sf10 >10× tail is
+    * O(n log n) growth at fixed parallelism, not spill. On a REAL
+    * cluster this knob is the right lever (executors×cores×2-3 initial,
+    * AQE coalescing down); the env override exists for exactly that
+    * deployment, with the measured caveat above. */
+  def initialPartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus)
+
   def build(appName: String, master: String = s"local[$cpus]"): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
@@ -34,6 +52,8 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // durable measurements lay tag values out as partition directories;

@@ -706,6 +706,32 @@ object EmbedOps {
     * Every reader goes through this, so appended-but-unfolded vectors
     * are always visible — and a crashed maintainer's loss window fails
     * loudly instead of silently pruning (`requireNoSwapDebris`). */
+  // Pinned delta-tier schemas: a concurrent appender creates the delta
+  // dir (committer `_temporary` only) before its first file commits, and
+  // a schema-INFERRED read of that moment throws UNABLE_TO_INFER_SCHEMA
+  // where the correct answer is "no committed rows yet" (r18 storm spec,
+  // same fix as TextIndex.deltaSchema). Explicit schemas make that
+  // moment an empty scan; committed files always match (they are written
+  // by this file's own append paths).
+  private val ivfDeltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("emb",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("list_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private val codesDeltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("list_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType)))
+
   private def ivfLiveRows(s: SparkSession, indexDir: String,
       filterLists: Option[Seq[Long]]): DataFrame = {
     requireNoSwapDebris(s, indexDir, "assign.parquet",
@@ -725,7 +751,7 @@ object EmbedOps {
             col("list_id").cast("string").as("list_id")))
       else None,
       if (f.exists(deltaP))
-        Some(prune(s.read.parquet(deltaP.toString))
+        Some(prune(s.read.schema(ivfDeltaSchema).parquet(deltaP.toString))
           .select(col("vec_id"), col("emb"),
             col("list_id").cast("string").as("list_id")))
       else None).flatten
@@ -2007,7 +2033,8 @@ object EmbedOps {
       if (f.exists(liveP) && f.listStatus(liveP).nonEmpty)
         Some(shape(s.read.parquet(liveP.toString))) else None,
       if (f.exists(deltaP))
-        Some(shape(s.read.parquet(deltaP.toString))) else None).flatten
+        Some(shape(s.read.schema(codesDeltaSchema).parquet(deltaP.toString)))
+      else None).flatten
     require(parts.nonEmpty, s"no codes content at $indexDir")
     parts.reduce(_ union _)
   }
@@ -2136,11 +2163,13 @@ object EmbedOps {
     * (PartitionFilters — the raw string compare keeps it one). Returns
     * (pruned codes, probe rows, per-query LUT). */
   private def codesForQueries(s: SparkSession, v: DataFrame,
-      indexDir: String): (DataFrame, DataFrame, DataFrame) = {
+      indexDir: String,
+      qWhere: org.apache.spark.sql.Column = col("vec_id") < NQUERIES)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     requireEncoding(s, indexDir, "pq-raw")
+    val queries = v.where(qWhere)
     val (cents, books) = loadQuantizers(s, indexDir)
-    val queries = v.where(col("vec_id") < NQUERIES)
     // string-typed probe rows: the partition column reads back as string
     // (inference off session-wide), and the raw-value compare is what
     // keeps the isin a PartitionFilter (ivfCompact precedent)
@@ -2155,8 +2184,10 @@ object EmbedOps {
     * corpus `v` (the RAG chunk space) — the persisted twin of the
     * in-memory `ivfPqShortlist` composition the hybrid gates rerank. */
   private def ivfPqShortlistIndexedV(s: SparkSession, v: DataFrame,
-      indexDir: String): DataFrame = {
-    val (codes, q, lut) = codesForQueries(s, v, indexDir)
+      indexDir: String,
+      qWhere: org.apache.spark.sql.Column = col("vec_id") < NQUERIES)
+      : DataFrame = {
+    val (codes, q, lut) = codesForQueries(s, v, indexDir, qWhere)
     ivfPqShortlist(codes, q, lut)
   }
 
@@ -3116,6 +3147,25 @@ object EmbedOps {
     val v = chunkVecs(s, d)
     val vRank = ivfPqVRank(v, ivfPqShortlistIndexedV(s, v, vecDir))
     val qt = chunkToks(s, d).where(col("doc_id") < NQUERIES)
+      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
+      .distinct()
+    val tRank = TextIndex.bm25RankIndexedQ(s, qt, textDir, MMR_CAND)
+    ragDedupTail(rrfFuseRaw(tRank, vRank))
+  }
+
+  /** ONE query through the at-rest RAG stack — the serving shape
+    * (VERDICT r17 #6): every gate batches NQUERIES together, which
+    * amortizes plan/scan costs a deployment's per-request latency
+    * doesn't get to amortize. Identical retrieval semantics to
+    * `ragPersisted` restricted to `qid` (same probes, same posting
+    * pruning, same fusion); `tools.ServeLatency` drives it for the
+    * p50/p95 record. */
+  def ragPersistedQ(s: SparkSession, d: String, vecDir: String,
+      textDir: String, qid: Long): DataFrame = {
+    val v = chunkVecs(s, d)
+    val vRank = ivfPqVRank(v,
+      ivfPqShortlistIndexedV(s, v, vecDir, col("vec_id") === qid))
+    val qt = chunkToks(s, d).where(col("doc_id") === qid)
       .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
       .distinct()
     val tRank = TextIndex.bm25RankIndexedQ(s, qt, textDir, MMR_CAND)
