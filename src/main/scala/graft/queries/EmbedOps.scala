@@ -155,7 +155,11 @@ object EmbedOps {
     * the Spark side's typedLit constant fold, which the narrow md5-form
     * queries (em_bucket_stats, em_ann_lsh) still cross-check. */
   private def duckWeightsLit(p: Int): String =
-    planeWeights(p).map(w => f"$w%.3f").mkString("[", ", ", "]")
+    // Locale.ROOT: this string IS oracle SQL — a decimal-comma default
+    // locale would emit [0,123, ...] and silently change the list arity
+    planeWeights(p)
+      .map(w => String.format(java.util.Locale.ROOT, "%.3f", Double.box(w)))
+      .mkString("[", ", ", "]")
 
   private def duckPlaneDotLit(p: Int): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -3162,6 +3166,12 @@ object EmbedOps {
     * p50/p95 record. */
   def ragPersistedQ(s: SparkSession, d: String, vecDir: String,
       textDir: String, qid: Long): DataFrame = {
+    // a qid outside the query set would silently return text-only fusion
+    // (the vector shortlist joins away to empty) — fail loudly instead
+    // (ADVICE r18)
+    require(qid >= 0 && qid < NQUERIES,
+      s"qid must be in [0, $NQUERIES) (got $qid): query embeddings are the " +
+        "vec_id < NQUERIES rows")
     val v = chunkVecs(s, d)
     val vRank = ivfPqVRank(v,
       ivfPqShortlistIndexedV(s, v, vecDir, col("vec_id") === qid))
@@ -3169,6 +3179,106 @@ object EmbedOps {
       .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
       .distinct()
     val tRank = TextIndex.bm25RankIndexedQ(s, qt, textDir, MMR_CAND)
+    ragDedupTail(rrfFuseRaw(tRank, vRank))
+  }
+
+  /** Resident serving handle for the at-rest RAG stack (VERDICT r18 #1).
+    *
+    * `ragPersistedQ` pays per REQUEST what a deployment pays per index
+    * GENERATION: quantizer + codebook collect (two jobs), probe
+    * assignment collect, stats read, query-vocabulary collect, df-tier
+    * read — ServeLatency measured that fixed cost as a 3.5–10 s p50
+    * floor across sf0.1→sf10. This handle resolves all of it ONCE at
+    * open and holds it resident:
+    *
+    *   - the chunk corpus, persisted (the exact rerank's raw reads come
+    *     from executor memory instead of re-scanning documents ∪
+    *     embeddings per request)
+    *   - the frozen coarse probes and PQ LUTs for every query doc
+    *     (computed by the same `ivfAssign`/`pqLut` expressions the
+    *     per-request path runs, collected — so the VALUES are identical
+    *     by construction, not by re-derivation)
+    *   - the text side's stats scalars, per-doc vocabulary (with term
+    *     buckets) and per-term df (`TextIndex.resolveTextServe`)
+    *
+    * `query(qid)` then plans only the genuinely per-request work: the
+    * probe-pruned codes scan + ADC + exact rerank against the resident
+    * corpus, the doubly-pruned postings scoring scan, fusion, dedup.
+    * Byte-identical to `ragPersistedQ(qid)` against the same index
+    * content (`RagHandleSpec` pins all NQUERIES).
+    *
+    * Freshness contract: the handle is a FROZEN SNAPSHOT of the index
+    * generation it opened against — exactly the semantics of holding
+    * quantizers resident in a real serving tier. After maintenance
+    * (append/delete/compact), reopen; the per-request scans themselves
+    * still read live files, so a concurrent maintainer is either
+    * invisible (same generation) or fails the request loudly (the
+    * `requireNoSwapDebris` read guards — the storm-tested contract). */
+  final class RagHandle private[EmbedOps] (
+      val spark: SparkSession,
+      private[EmbedOps] val vecDir: String,
+      private[EmbedOps] val textDir: String,
+      private[EmbedOps] val corpus: DataFrame,
+      private[EmbedOps] val probes: Map[Long, Seq[String]],
+      private[EmbedOps] val luts: Map[Long, Seq[(Long, Int, Long, Long)]],
+      private[EmbedOps] val tVocab: Map[Long, Seq[(String, String)]],
+      private[EmbedOps] val tQd: Map[Long, Seq[(Long, String, Long)]],
+      private[EmbedOps] val nDocs: Long,
+      private[EmbedOps] val avgdl: Double) {
+    /** One query through the resident stack — the warm serving path. */
+    def query(qid: Long): DataFrame = ragServe(this, qid)
+    /** Release the resident corpus (the collected artifacts are plain
+      * driver objects and just get GC'd). */
+    def close(): Unit = { corpus.unpersist(); () }
+  }
+
+  /** Open a resident handle over the two at-rest RAG artifacts: one
+    * corpus materialization + a handful of bounded collects, amortized
+    * across every subsequent `query`. */
+  def ragOpen(s: SparkSession, d: String, vecDir: String,
+      textDir: String): RagHandle = {
+    import s.implicits._
+    requireEncoding(s, vecDir, "pq-raw")
+    val v = chunkVecs(s, d).persist()
+    v.count() // materialize the resident corpus once
+    val (cents, books) = loadQuantizers(s, vecDir)
+    val qv = v.where(col("vec_id") < NQUERIES)
+    val probes = ivfAssign(qv, cents, NPROBE)
+      .select(col("vec_id"), col("cid").cast("string"))
+      .as[(Long, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val luts = pqLut(pqSubRows(qv), books)
+      .select(col("qid"), col("m"), col("cid"), col("qd2"))
+      .as[(Long, Int, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    val qt = chunkToks(s, d).where(col("doc_id") < NQUERIES)
+      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
+      .distinct()
+    val (nDocs, avgdl, vocabRows, qdRows) =
+      TextIndex.resolveTextServe(s, qt, textDir)
+    new RagHandle(s, vecDir, textDir, v, probes, luts,
+      vocabRows.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3))).toMap,
+      qdRows.groupBy(_._1).view.mapValues(_.toSeq).toMap,
+      nDocs, avgdl)
+  }
+
+  /** The per-request plan behind `RagHandle.query`: identical retrieval
+    * composition to `ragPersistedQ` with every open-time artifact read
+    * replaced by its resident value. */
+  private def ragServe(h: RagHandle, qid: Long): DataFrame = {
+    val s = h.spark
+    import s.implicits._
+    require(qid >= 0 && qid < NQUERIES,
+      s"qid must be in [0, $NQUERIES) (got $qid): query embeddings are the " +
+        "vec_id < NQUERIES rows")
+    val probed = h.probes(qid)
+    val q = probed.map(l => (qid, l)).toDF("qid", "list_id")
+    val lut = h.luts(qid).toDF("qid", "m", "cid", "qd2")
+    val vRank = ivfPqVRank(h.corpus,
+      ivfPqShortlist(codesLiveRows(s, h.vecDir, Some(probed)), q, lut))
+    val tRank = TextIndex.bm25RankServe(s, h.tVocab(qid),
+      h.tQd.getOrElse(qid, Nil), h.nDocs, h.avgdl, h.textDir, MMR_CAND)
     ragDedupTail(rrfFuseRaw(tRank, vRank))
   }
 
@@ -3253,12 +3363,16 @@ object EmbedOps {
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val qc = bqEncode(v.where(col("vec_id") < NQUERIES))
       .select(col("vec_id").as("qid"), col("code").as("qcode"))
-    val shortlist = codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        expr("bit_count(code ^ qcode)").as("ham"))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
-      .where(col("arn") <= PQ_SHORTLIST)
+    // salted shortlist rank (VERDICT r18 #6): the Hamming scan expands to
+    // N×NQUERIES rows in NQUERIES window partitions — above the size gate
+    // the rank runs per (qid, scan split) first, bit-identical under the
+    // total (ham, vec_id) order
+    val shortlist = Ranks.topKPerGroup(
+      codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("bit_count(code ^ qcode)").as("ham")),
+      Seq(col("qid")), Seq(col("ham").asc, col("vec_id").asc),
+      PQ_SHORTLIST, out = "arn")
     shortlist
       .join(v, Seq("vec_id"))
       .join(broadcast(qv), Seq("qid"))
@@ -3826,7 +3940,7 @@ object EmbedOps {
     // persisted search must return byte-identical neighbors, proving the
     // parquet round trip and the pruned probe path change nothing.
     Q("em_ivf_persisted", ivfOracleSql(None)) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val idx = graft.TempDirs.scratch("graft_ivf_idx").toString
       ivfBuild(s, d, idx, None)
       ivfKnnIndexed(s, d, idx)
     },
@@ -3838,7 +3952,7 @@ object EmbedOps {
     // the same quantizer replay with the predicate on the candidate side.
     Q("em_ivf_filtered", ivfOracleSql(None, candAnd =
       "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_flt").toString
+      val idx = graft.TempDirs.scratch("graft_ivf_flt").toString
       ivfBuild(s, d, idx, None)
       ivfKnnIndexedFiltered(s, d, idx,
         emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
@@ -3852,7 +3966,7 @@ object EmbedOps {
     // vectors, so a hash match proves the appended layout searches
     // exactly like a train-on-subset/assign-everything build.
     Q("em_ivf_append", ivfOracleSql(None, "WHERE vec_id % 10 <> 0")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      val idx = graft.TempDirs.scratch("graft_ivf_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
@@ -3873,7 +3987,7 @@ object EmbedOps {
     // byte-identical. Delete is pqDelete verbatim (same flat codes
     // layout); the pq-opq encoding marker fences raw-PQ readers.
     Q("em_opq_persisted", opqOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString
+      val idx = graft.TempDirs.scratch("graft_opq_idx").toString
       opqBuild(s, d, idx)
       opqIndexed(s, d, idx)
     },
@@ -3883,7 +3997,7 @@ object EmbedOps {
     // FROZEN books — O(batch) append, no retrain. Oracle learns both
     // artifacts on the same 90% and applies them to all.
     Q("em_opq_append", opqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_opq_app").toString
+      val idx = graft.TempDirs.scratch("graft_opq_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       opqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
@@ -3896,7 +4010,7 @@ object EmbedOps {
     // em_pq_adc's oracle — the stored-index search must return
     // byte-identical neighbors.
     Q("em_pq_persisted", pqOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      val idx = graft.TempDirs.scratch("graft_pq_idx").toString
       pqBuild(s, d, idx)
       pqAdcIndexed(s, d, idx)
     },
@@ -3908,7 +4022,7 @@ object EmbedOps {
     // same 90% and encodes all — a hash match proves appended codes
     // search exactly like a one-shot encode-everything build.
     Q("em_pq_append", pqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+      val idx = graft.TempDirs.scratch("graft_pq_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       pqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
@@ -3937,7 +4051,7 @@ object EmbedOps {
     // persisted filtered search must be byte-identical.
     Q("em_ivfpq_filtered_persisted", ivfPqOracleSql("", candAnd =
       "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_flt").toString
+      val idx = graft.TempDirs.scratch("graft_ivfpq_flt").toString
       ivfPqBuild(s, d, idx)
       ivfPqIndexedFiltered(s, d, idx,
         emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
@@ -3948,7 +4062,7 @@ object EmbedOps {
     // PartitionFilters on the compressed scan itself. Shares
     // em_ivfpq_adc's oracle — the persisted search must be byte-identical.
     Q("em_ivfpq_persisted", ivfPqOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      val idx = graft.TempDirs.scratch("graft_ivfpq_idx").toString
       ivfPqBuild(s, d, idx)
       ivfPqIndexed(s, d, idx)
     },
@@ -3959,7 +4073,7 @@ object EmbedOps {
     // still broadcast, and the whole composition stays DuckDB-replayable.
     Q("em_ivfpq_residual", ivfPqResidualOracleSql)(ivfPqResidualAdc),
     Q("em_ivfpq_residual_persisted", ivfPqResidualOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_idx").toString
+      val idx = graft.TempDirs.scratch("graft_ivfpqr_idx").toString
       ivfPqResidualBuild(s, d, idx)
       ivfPqResidualIndexed(s, d, idx)
     },
@@ -3972,7 +4086,7 @@ object EmbedOps {
     // replay with the predicate on the candidate (codes) side.
     Q("em_ivfpq_residual_filtered", ivfPqResidualOracleSql("", candAnd =
       "AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_flt").toString
+      val idx = graft.TempDirs.scratch("graft_ivfpqr_flt").toString
       ivfPqResidualBuild(s, d, idx)
       ivfPqResidualIndexedFiltered(s, d, idx,
         emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
@@ -4022,7 +4136,7 @@ object EmbedOps {
     // text. Shares em_hybrid_rrf's oracle byte-identically: the indexed
     // rank replays bm25Rank's arithmetic over the same postings content.
     Q("em_hybrid_rrf_persisted", hybridRrfOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      val idx = graft.TempDirs.scratch("graft_bm25_idx").toString
       TextIndex.bm25Build(
         Tables(s, d, "documents").select("doc_id", "text"), idx)
       hybridRrfPersisted(s, d, idx)
@@ -4037,7 +4151,10 @@ object EmbedOps {
     // with the HYBRID retriever — BM25 over the chunk token windows ⊕
     // compressed ANN over the chunk embeddings, RRF-fused at chunk level,
     // doc-deduplicated. The full production RAG shape in one gate.
-    Q("em_rag_hybrid", ragHybridOracleSql)(ragHybrid),
+    // phase-split (VERDICT r18 #5): quantizer training runs its actions
+    // at plan-construction time — "train" is that share of the gate
+    Q("em_rag_hybrid", ragHybridOracleSql) { (s, d) =>
+      graft.Phases.time("train")(ragHybrid(s, d)) },
 
     // the PERSISTED end-to-end RAG deployment (VERDICT r16 #3):
     // em_rag_hybrid trains in-gate; this gate retrieves through the two
@@ -4047,9 +4164,11 @@ object EmbedOps {
     // query-vocabulary row-group predicate). Shares ragHybridOracleSql:
     // the from-disk retrieve must be byte-identical to the in-gate one.
     Q("em_rag_persisted", ragHybridOracleSql) { (s, d) =>
-      val vecIdx = java.nio.file.Files.createTempDirectory("graft_ragp_vec").toString
-      val txtIdx = java.nio.file.Files.createTempDirectory("graft_ragp_txt").toString
-      ragBuildPersisted(s, d, vecIdx, txtIdx)
+      val vecIdx = graft.TempDirs.scratch("graft_ragp_vec").toString
+      val txtIdx = graft.TempDirs.scratch("graft_ragp_txt").toString
+      // phase-split (VERDICT r18 #5): both at-rest artifacts train
+      // in-gate; the retrieve is the operational path
+      graft.Phases.time("build")(ragBuildPersisted(s, d, vecIdx, txtIdx))
       ragPersisted(s, d, vecIdx, txtIdx)
     },
 
@@ -4059,7 +4178,7 @@ object EmbedOps {
     // sort keys match exactly.
     Q("em_bq", bqOracleSql)(bqAdc),
     Q("em_bq_persisted", bqOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_bq_idx").toString
+      val idx = graft.TempDirs.scratch("graft_bq_idx").toString
       bqBuild(s, d, idx)
       bqIndexed(s, d, idx)
     },
@@ -4070,7 +4189,7 @@ object EmbedOps {
     // matrix (raw IVF, IVFPQ, residual, SQ8, BQ all covered).
     Q("em_bq_filtered", bqOracleSql(
       "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_bq_flt").toString
+      val idx = graft.TempDirs.scratch("graft_bq_flt").toString
       bqBuild(s, d, idx)
       bqIndexedFiltered(s, d, idx,
         emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
@@ -4079,7 +4198,7 @@ object EmbedOps {
     // append lifecycle for the 64× rung — same training-free byte-
     // equivalence as em_sq8_append, same shared full oracle.
     Q("em_bq_append", bqOracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_bq_app").toString
+      val idx = graft.TempDirs.scratch("graft_bq_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       bqEncode(v.where(col("vec_id") % 10 =!= 0))
@@ -4094,7 +4213,7 @@ object EmbedOps {
     // byte-identically (shared oracle).
     Q("em_sq8", sq8OracleSql)(sq8Adc),
     Q("em_sq8_persisted", sq8OracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+      val idx = graft.TempDirs.scratch("graft_sq8_idx").toString
       sq8Build(s, d, idx)
       sq8Indexed(s, d, idx)
     },
@@ -4104,7 +4223,7 @@ object EmbedOps {
     // cell of the training-free rung.
     Q("em_sq8_filtered", sq8OracleSql(
       "AND v.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_sq8_flt").toString
+      val idx = graft.TempDirs.scratch("graft_sq8_flt").toString
       sq8Build(s, d, idx)
       sq8IndexedFiltered(s, d, idx,
         emb(s, d).where(col("label") % 3 === 0).select("vec_id"))
@@ -4115,7 +4234,7 @@ object EmbedOps {
     // is byte-equivalent to encode-all, so the gate shares the full
     // oracle EXACTLY, not just train-on-subset semantics).
     Q("em_sq8_append", sq8OracleSql) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_sq8_app").toString
+      val idx = graft.TempDirs.scratch("graft_sq8_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       sq8Encode(v.where(col("vec_id") % 10 =!= 0))
@@ -4132,11 +4251,13 @@ object EmbedOps {
     // encodes all — a hash match proves appended codes search exactly
     // like a one-shot build, including the unfolded-delta read path.
     Q("em_ivfpq_append", ivfPqOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+      val idx = graft.TempDirs.scratch("graft_ivfpq_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      ivfPqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
-      ivfPqAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+      // phase-split (VERDICT r18 #5): train-at-90% dominates; the append
+      // is the O(batch) op under test
+      graft.Phases.time("build")(ivfPqBuildV(v.where(col("vec_id") % 10 =!= 0), idx))
+      graft.Phases.time("append")(ivfPqAppend(s, v.where(col("vec_id") % 10 === 0), idx))
       ivfPqIndexed(s, d, idx)
     },
 
@@ -4148,11 +4269,14 @@ object EmbedOps {
     // tier's unfolded-delta read path (ADVICE r14).
     Q("em_ivfpq_residual_append",
         ivfPqResidualOracleSql("WHERE vec_id % 10 <> 0")) { (s, d) =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_app").toString
+      val idx = graft.TempDirs.scratch("graft_ivfpqr_app").toString
       val v = emb(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      ivfPqResidualBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
-      ivfPqResidualAppend(s, v.where(col("vec_id") % 10 === 0), idx)
+      // phase-split (VERDICT r18 #5), as em_ivfpq_append
+      graft.Phases.time("build")(
+        ivfPqResidualBuildV(v.where(col("vec_id") % 10 =!= 0), idx))
+      graft.Phases.time("append")(
+        ivfPqResidualAppend(s, v.where(col("vec_id") % 10 === 0), idx))
       ivfPqResidualIndexed(s, d, idx)
     },
 

@@ -403,6 +403,11 @@ object TextIndex {
     if (!f.rename(tmp, p))
       sys.error(s"doclen fold swap failed: $tmp -> $p " +
         "(heal via reconcile: tmp present, live missing)")
+    // the swap is complete — drop the displaced generation now instead of
+    // parking a full copy of the table until the NEXT fold (ADVICE r18);
+    // a crash before this delete leaves .old for reconcile's stale-.old
+    // sweep (live healthy → .old is debris)
+    f.delete(old, true)
     nFiles
   }
 
@@ -510,6 +515,12 @@ object TextIndex {
         if (!f.rename(ltmp, live)) sys.error(s"swap heal failed: $ltmp -> $live")
       } else f.delete(ltmp, true)
     }
+    // a .old beside a healthy live table is a fold that crashed between
+    // its tmp->live rename and its .old delete (or a pre-r19 fold that
+    // never deleted) — the displaced generation is debris (ADVICE r18)
+    val lold = new org.apache.hadoop.fs.Path(s"$indexDir/doclen.parquet.old")
+    if (f.exists(lold) && f.exists(live) && !f.exists(ltmp))
+      f.delete(lold, true)
     EmbedOps.healFoldAt(f, indexDir, "postings.parquet",
       "postings.fold.tmp", "postings.fold.consumed", "tb")
     // the df tier — after the postings heals above, so the re-derive
@@ -616,16 +627,32 @@ object TextIndex {
     val vocab = qt
       .select(col("term"),
         pmod(xxhash64(col("term")), lit(TB.toLong)).cast("string").as("tb"))
-      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
-    val probed = vocab.map(_._2).distinct.toSeq
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (probed, filterTerms) = scanPruning(s, vocab)
+    val live = postingsLiveRows(s, indexDir, Some(probed), filterTerms)
+    // df for the query terms: the at-rest per-term tier (a few tiny
+    // rows, bucket- and term-pruned) + a count over the BOUNDED delta —
+    // the probed postings are read ONCE (the scoring join below), not
+    // twice (VERDICT r16 #7). Legacy dirs without the tier aggregate
+    // the pruned live scan as before.
+    val dfr = dfFrame(s, indexDir, probed, filterTerms,
+      qt.select("term").distinct(), live)
+    scoreFromPostings(live, qt.join(dfr, Seq("term")), nDocs, avgdl, topn)
+  }
+
+  /** The bucket PartitionFilters + row-group term predicate for a query
+    * vocabulary of (term, tb) pairs. Oversized vocabularies drop the
+    * term predicate (a giant IN bloats the plan past its row-group
+    * value) and keep bucket pruning only — a silent regression to
+    * reading probed buckets in full unless made observable (VERDICT r17
+    * wrong #3): one warn + a counter the spec (and a production scrape)
+    * can watch. */
+  private def scanPruning(s: SparkSession, vocab: Seq[(String, String)])
+      : (Seq[String], Option[Seq[String]]) = {
+    val probed = vocab.map(_._2).distinct
     val pushMax = s.conf.get("graft.text.termPushdownMax", "8192").toInt
-    // oversized vocabularies drop the term predicate (a giant IN bloats
-    // the plan past its row-group value) and keep bucket pruning only —
-    // a silent regression to reading probed buckets in full unless made
-    // observable (VERDICT r17 wrong #3): one warn + a counter the spec
-    // (and a production scrape) can watch
     val filterTerms =
-      if (vocab.length <= pushMax) Some(vocab.map(_._1).toSeq)
+      if (vocab.length <= pushMax) Some(vocab.map(_._1))
       else {
         termPushdownFallbacks.incrementAndGet()
         System.err.println(s"[graft.text] query vocabulary ${vocab.length} " +
@@ -634,45 +661,55 @@ object TextIndex {
           "(probed buckets read in full)")
         None
       }
-    val live = postingsLiveRows(s, indexDir, Some(probed), filterTerms)
-    // df for the query terms: the at-rest per-term tier (a few tiny
-    // rows, bucket- and term-pruned) + a count over the BOUNDED delta —
-    // the probed postings are read ONCE (the scoring join below), not
-    // twice (VERDICT r16 #7). Legacy dirs without the tier aggregate
-    // the pruned live scan as before.
-    val qTerms = qt.select("term").distinct()
+    (probed, filterTerms)
+  }
+
+  /** Per-term df for the query vocabulary: the at-rest per-term tier
+    * (bucket- and term-pruned) + a count over the BOUNDED delta; legacy
+    * dirs without the tier aggregate the pruned live scan instead.
+    * Refuses loudly inside a df-maintainer's crash window. */
+  private def dfFrame(s: SparkSession, indexDir: String,
+      probed: Seq[String], filterTerms: Option[Seq[String]],
+      qTerms: DataFrame, live: => DataFrame): DataFrame = {
     val (f, dfRootP) = EmbedOps.hfs(s, s"$indexDir/df.parquet")
     if (f.exists(dfDirtyP(indexDir)))
       sys.error(s"text index at $indexDir has an unreconciled df window " +
         "(df.dirty present): the per-term tier may not match the " +
         "postings — run reconcile (maintenance-only), then retry")
-    val dfr =
-      if (!f.exists(dfRootP))
-        live.join(broadcast(qTerms), Seq("term"))
-          .groupBy("term").agg(count(lit(1)).as("df"))
+    if (!f.exists(dfRootP))
+      live.join(broadcast(qTerms), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+    else {
+      val base0 = s.read.parquet(dfRootP.toString)
+        .where(col("tb").isin(probed: _*))
+      val base = filterTerms.fold(base0)(ts =>
+          base0.where(col("term").isin(ts: _*)))
+        .join(broadcast(qTerms), Seq("term"))
+        .select(col("term"), col("df").as("df_base"))
+      val deltaP = new org.apache.hadoop.fs.Path(
+        s"$indexDir/postings.delta.parquet")
+      if (!f.exists(deltaP)) base.select(col("term"), col("df_base").as("df"))
       else {
-        val base0 = s.read.parquet(dfRootP.toString)
-          .where(col("tb").isin(probed: _*))
-        val base = filterTerms.fold(base0)(ts =>
-            base0.where(col("term").isin(ts: _*)))
+        val dRows0 = s.read.schema(deltaSchema).parquet(deltaP.toString)
+        val dCnt = filterTerms.fold(dRows0)(ts =>
+            dRows0.where(col("term").isin(ts: _*)))
           .join(broadcast(qTerms), Seq("term"))
-          .select(col("term"), col("df").as("df_base"))
-        val deltaP = new org.apache.hadoop.fs.Path(
-          s"$indexDir/postings.delta.parquet")
-        if (!f.exists(deltaP)) base.select(col("term"), col("df_base").as("df"))
-        else {
-          val dRows0 = s.read.schema(deltaSchema).parquet(deltaP.toString)
-          val dCnt = filterTerms.fold(dRows0)(ts =>
-              dRows0.where(col("term").isin(ts: _*)))
-            .join(broadcast(qTerms), Seq("term"))
-            .groupBy("term").agg(count(lit(1)).as("df_delta"))
-          base.join(dCnt, Seq("term"), "full_outer")
-            .select(col("term"),
-              (coalesce(col("df_base"), lit(0L))
-                + coalesce(col("df_delta"), lit(0L))).as("df"))
-        }
+          .groupBy("term").agg(count(lit(1)).as("df_delta"))
+        base.join(dCnt, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_base"), lit(0L))
+              + coalesce(col("df_delta"), lit(0L))).as("df"))
       }
-    val qd = qt.join(dfr, Seq("term"))
+    }
+  }
+
+  /** The BM25 scoring tail shared by every indexed scorer: `live` is the
+    * (doubly-pruned) postings scan, `qd` the (qid, term, df) query-side
+    * rows. The arithmetic reproduces `EmbedOps.bm25Rank`
+    * operation-for-operation — one definition, so the per-request
+    * serving path and the batched gate path cannot drift apart. */
+  private def scoreFromPostings(live: DataFrame, qd: DataFrame,
+      nDocs: Long, avgdl: Double, topn: Int): DataFrame = {
     val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val denom = col("tf").cast("double") + lit(1.2) *
@@ -687,5 +724,59 @@ object TextIndex {
         .orderBy(col("bm25_micro").desc, col("doc_id").asc)))
       .where(col("rt") <= topn)
       .select(col("qid"), col("doc_id").as("id"), col("rt"))
+  }
+
+  /** Resolve the query-side artifacts a RESIDENT serving handle holds
+    * across requests (VERDICT r18 #1): the two stats scalars, every
+    * query doc's vocabulary with its term buckets, and the per-term df —
+    * all bounded driver-side rows a deployment loads once per index
+    * generation instead of once per request. Values are computed by the
+    * same reads `bm25RankIndexedQ` performs per request, so serving from
+    * them is byte-identical — against THIS index content: the handle is
+    * a frozen snapshot, reopened after maintenance. Returns (nDocs,
+    * avgdl, vocab rows (qid, term, tb), df rows (qid, term, df) — df
+    * rows only for terms with postings, exactly the inner join the
+    * per-request path performs). */
+  private[queries] def resolveTextServe(s: SparkSession, qt: DataFrame,
+      indexDir: String)
+      : (Long, Double, Seq[(Long, String, String)], Seq[(Long, String, Long)]) = {
+    val (nDocs, lTot) = readStatsSearch(s, indexDir)
+    val avgdl = lTot.toDouble / nDocs.toDouble
+    val qrows = qt.select(col("qid"), col("term"),
+        pmod(xxhash64(col("term")), lit(TB.toLong)).cast("string").as("tb"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val vocabAll = qrows.map(t => (t._2, t._3)).distinct
+    // the df READ prunes with the union vocabulary (one resolve for all
+    // query docs); the per-request pushdown decision stays per request
+    val probed = vocabAll.map(_._2).distinct
+    val pushMax = s.conf.get("graft.text.termPushdownMax", "8192").toInt
+    val filterTerms =
+      if (vocabAll.length <= pushMax) Some(vocabAll.map(_._1)) else None
+    val live = postingsLiveRows(s, indexDir, Some(probed), filterTerms)
+    val qTerms = {
+      import s.implicits._
+      vocabAll.map(_._1).distinct.toDF("term")
+    }
+    val dfMap = dfFrame(s, indexDir, probed, filterTerms, qTerms, live)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val qd = qrows.flatMap { case (q, t, _) => dfMap.get(t).map(df => (q, t, df)) }
+    (nDocs, avgdl, qrows, qd)
+  }
+
+  /** Score ONE request from RESOLVED query-side artifacts: the only
+    * per-request reads are the doubly-pruned postings scan itself — no
+    * stats read, no vocabulary collect, no df-tier read. Same pruning
+    * decisions (per-request vocabulary size gates the term pushdown,
+    * counter and warn included) and the same `scoreFromPostings`
+    * arithmetic as `bm25RankIndexedQ`, so results are byte-identical
+    * against the same index content. */
+  private[queries] def bm25RankServe(s: SparkSession,
+      vocab: Seq[(String, String)], qd: Seq[(Long, String, Long)],
+      nDocs: Long, avgdl: Double, indexDir: String, topn: Int): DataFrame = {
+    import s.implicits._
+    val (probed, filterTerms) = scanPruning(s, vocab)
+    val live = postingsLiveRows(s, indexDir, Some(probed), filterTerms)
+    scoreFromPostings(live, qd.toDF("qid", "term", "df"), nDocs, avgdl, topn)
   }
 }
