@@ -26,7 +26,25 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Host-drift canaries (VERDICT r18 #3): gates dominated by fixed
+    * per-query cost — catalog-only SHOWs, small scans, scalar math —
+    * from families that haven't changed in many rounds. Cross-window
+    * ratios on this box carry ±1.3× ambient drift that hits these gates
+    * as uniformly as the graded surface (BENCH_NOTES r18), so the
+    * cross-round median ratio OVER THE CANARIES estimates the drift and
+    * `tools/ratio.py` divides it out of same-sf comparisons — the r18
+    * window adjudication, made mechanical. */
+  private val Canaries = Seq(
+    "iql_show_tag_keys", "iql_show_measurements", "iql_show_field_keys",
+    "iql_show_tag_values", "iql_raw", "iql_regex_field",
+    "iql_scalar_chain", "iql_div_zero", "iql_minmax_spread", "em_norms")
+
+  private def fmt4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
+    // fail at startup, not as 220 silently-failed -1.0 gates (ADVICE r18)
+    require(Runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1 (got $Runs)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional subset (comma-separated names) for scale checks on oversized
     // local corpora; a filtered run skips the write bench and does NOT
@@ -34,6 +52,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.build("graft-bench")
+    // contamination flag (VERDICT r18 #4): leftover index/scratch dirs
+    // crowd /tmp's directory metadata and read as a fake 2–3× regression
+    // on the FS-heavy lifecycle gates (BENCH_NOTES r18) — record the
+    // count at sweep start so a polluted window is visible in the
+    // artifact instead of re-diagnosed from symptoms
+    val tmpDirsAtStart = {
+      val prefixes = Seq("graft_", "bm25_", "ivf", "rag", "pq_", "sq8_",
+        "bq_", "opq_", "neardup", "hyb_", "sdec_", "scaleup_", "handoff_",
+        "codes_", "mmr_", "takedown_", "spark-", "blockmgr-")
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(t.list()).map(_.count(n => prefixes.exists(n.startsWith)))
+        .getOrElse(0)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -43,25 +74,41 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val runs =
+      val (runs, phases) =
         try {
           once() // warm-up, discarded
-          Seq.fill(Runs)(once())
+          Phases.drain()
+          // per-run phase splits from instrumented gates (VERDICT r18
+          // #5): median per phase across the timed runs, like the total
+          val rp = Seq.fill(Runs) { val t = once(); (t, Phases.drain()) }
+          val keys = rp.flatMap(_._2.keys).distinct
+          (rp.map(_._1),
+            keys.map(k => k -> median(rp.map(_._2.getOrElse(k, 0.0)))).toMap)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Seq.empty[Double]
+            TempDirs.keepForForensics() // keep the failed gate's scratch dirs
+            Phases.drain()
+            (Seq.empty[Double], Map.empty[String, Double])
         }
-      (name, if (runs.isEmpty) -1.0 else median(runs), runs)
+      (name, if (runs.isEmpty) -1.0 else median(runs), runs, phases)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // all raw runs per gate, recorded alongside the median (VERDICT r17
     // #1): a co-tenant-noise run shows up as spread inside the artifact
     // itself, so round-over-round comparison never needs a side re-run
     // to adjudicate whether a movement is code or box contention
-    val qruns = results.map { case (k, _, rs) =>
-      "\"" + k + "\":" + rs.map(r => f"$r%.4f").mkString("[", ",", "]")
+    val qruns = results.map { case (k, _, rs, _) =>
+      // Locale.ROOT: a decimal-comma default locale would emit [1,2345]
+      // — still parseable JSON, silently wrong values (ADVICE r18)
+      "\"" + k + "\":" + rs.map(fmt4).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // build-vs-operate splits for the instrumented lifecycle gates
+    val qphases = results.collect { case (k, _, _, ph) if ph.nonEmpty =>
+      "\"" + k + "\":" + ph.toSeq.sortBy(_._1)
+        .map { case (p, v) => "\"" + p + "\":" + fmt4(v) }
+        .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // explicit run/fail counts + partial flag: a 56-of-166 crash round must
@@ -80,7 +127,7 @@ object Bench {
         s"wbench,host=h${i % 32} v=${i % 997},u=${i}i ${1000000000L + i.toLong * 1000}")
       def once(): Double = {
         val dir = if (durable)
-          Some(java.nio.file.Files.createTempDirectory("graft_wbench").toString)
+          Some(graft.TempDirs.scratch("graft_wbench").toString)
         else None
         val e = new Engine(spark, sfDir, dir)
         val t0 = System.nanoTime()
@@ -100,9 +147,13 @@ object Bench {
     println(line)
     // self-recorded artifact: the driver's captured stdout tail can truncate
     // the per-query map (it did in round 4) — the full line survives on disk.
-    // The on-disk copy additionally carries the raw per-gate runs (the
-    // stdout line stays schema-stable for the driver's parser).
-    val selfLine = line.dropRight(1) + s""","query_runs":$qruns}"""
+    // The on-disk copy additionally carries the raw per-gate runs, the
+    // canary gate list + tmp contamination flag, and the per-phase splits
+    // (the stdout line stays schema-stable for the driver's parser).
+    val canariesJson = Canaries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val selfLine = line.dropRight(1) +
+      s""","query_runs":$qruns,"canaries":$canariesJson""" +
+      s""","tmp_dirs_at_start":$tmpDirsAtStart,"query_phases":$qphases}"""
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
         (selfLine + "\n").getBytes("UTF-8"))

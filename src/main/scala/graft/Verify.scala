@@ -31,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        TempDirs.keepForForensics() // keep the failed gate's scratch dirs
         // durable failure marker: a dir with _error and no parquet reads
         // as a loud per-query failure in tools/check.py and for the judge
         try {

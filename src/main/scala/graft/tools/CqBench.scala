@@ -23,7 +23,7 @@ object CqBench {
     val spark = graft.Sessions.build("graft-cqbench")
     val src = a.lift(0).getOrElse("target/sf1")
     val chunks = a.lift(1).map(_.toInt).getOrElse(48)
-    val work = java.nio.file.Files.createTempDirectory("cqbench").toString
+    val work = graft.TempDirs.scratch("cqbench").toString
     val replay = s"$work/replay"
 
     // Tables normalizes ts to TimestampType µs whatever the file encoding

@@ -20,7 +20,7 @@ object RebuildDecade {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val work = args.lift(1).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_rebuild_decade").toString)
+      graft.TempDirs.scratch("graft_rebuild_decade").toString)
     val idx = s"$work/ivf"
     val spark = graft.Sessions.build("graft-rebuild-decade")
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()

@@ -64,7 +64,11 @@ object StreamDecade {
     val t0 = System.nanoTime()
     val (rows, state, batches) = run
     val wall = (System.nanoTime() - t0) / 1e9
-    f""""$name":{"rows":$rows,"wall_s":$wall%.2f,"rows_per_s":${rows / wall}%.0f,"max_state_rows":$state,"batches":$batches}"""
+    // Locale.ROOT: the line is parsed JSON — see ADVICE r18 on f"%.Nf"
+    val wallS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(wall))
+    val rps = String.format(java.util.Locale.ROOT, "%.0f",
+      Double.box(rows / wall))
+    s""""$name":{"rows":$rows,"wall_s":$wallS,"rows_per_s":$rps,"max_state_rows":$state,"batches":$batches}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,7 +83,7 @@ object StreamDecade {
 
     // ---- NearDedupStream: the whole documents corpus as one crawl feed
     val neardedup = if (!has("documents")) "\"neardedup\":null" else bench("neardedup") {
-      val work = java.nio.file.Files.createTempDirectory("sdec_doc").toString
+      val work = graft.TempDirs.scratch("sdec_doc").toString
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val (dir, n) = replayDir(docs, "doc_id", chunks, work)
@@ -109,7 +113,7 @@ object StreamDecade {
     // ---- IndexStream: head 90% builds the at-rest index, tail 10%
     //      streams in as maintenance appends
     val indexstream = if (!has("embeddings")) "\"indexstream\":null" else bench("indexstream") {
-      val work = java.nio.file.Files.createTempDirectory("sdec_vec").toString
+      val work = graft.TempDirs.scratch("sdec_vec").toString
       val idx = s"$work/ivf"
       val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -133,7 +137,7 @@ object StreamDecade {
     // ---- IndexStream, composed (IVFPQ) half: same head/tail replay
     //      against a persisted composed index (codes delta landing)
     val ivfpqstream = if (!has("embeddings")) "\"ivfpqstream\":null" else bench("ivfpqstream") {
-      val work = java.nio.file.Files.createTempDirectory("sdec_cpq").toString
+      val work = graft.TempDirs.scratch("sdec_cpq").toString
       val idx = s"$work/ivf"
       val cpq = s"$work/ivfpq"
       val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -163,7 +167,7 @@ object StreamDecade {
     //      increments + amortized folds) — the full-ladder stream claim's
     //      text rung, measured like the vector rungs.
     val textstream = if (!has("documents")) "\"textstream\":null" else bench("textstream") {
-      val work = java.nio.file.Files.createTempDirectory("sdec_txt").toString
+      val work = graft.TempDirs.scratch("sdec_txt").toString
       val tdx = s"$work/bm25"
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))

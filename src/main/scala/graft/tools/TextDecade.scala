@@ -23,7 +23,7 @@ object TextDecade {
     val sfDir = args.head
     val nq = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_text_decade").toString)
+      graft.TempDirs.scratch("graft_text_decade").toString)
     val idx = s"$work/bm25"
     val spark = graft.Sessions.build("graft-text-decade")
 

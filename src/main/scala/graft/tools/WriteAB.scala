@@ -40,7 +40,7 @@ object WriteAB {
     val results = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val fileCounts = scala.collection.mutable.Map.empty[String, Long]
     for (_ <- 0 until 4; arm <- arms) {
-      val dir = java.nio.file.Files.createTempDirectory("wab").toString
+      val dir = graft.TempDirs.scratch("wab").toString
       val meta = TableMeta("wb", "ts_us", tags = Seq("host"),
         fields = Seq(FieldMeta("v", None)), bucketUs = arm.bucket)
       spark.conf.set("graft.store.clusterAppend", arm.cluster.toString)

@@ -22,7 +22,7 @@ object WriteProbe {
     def time(label: String)(body: String => Unit): Unit = {
       var nf = 0L
       val ts = Seq.fill(5) {
-        val d = java.nio.file.Files.createTempDirectory("wp").toString
+        val d = graft.TempDirs.scratch("wp").toString
         val t0 = System.nanoTime(); body(d); val dt = (System.nanoTime() - t0) / 1e6
         nf = files(d); dt
       }

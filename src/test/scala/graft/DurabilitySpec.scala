@@ -10,7 +10,7 @@ import graft.ql.{FieldMeta, TableMeta}
 class DurabilitySpec extends SparkSpec {
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_durable").toString
+    graft.TempDirs.scratch("graft_durable").toString
 
   private val meta = TableMeta("dm", "ts_us",
     tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))
@@ -36,7 +36,7 @@ class DurabilitySpec extends SparkSpec {
 
   test("bulk file ingest: distributed LP text scan lands durable, dead-letters counted") {
     val dir = tmpDir()
-    val lp = java.nio.file.Files.createTempDirectory("graft_lp")
+    val lp = graft.TempDirs.scratch("graft_lp")
     java.nio.file.Files.write(lp.resolve("part-0.lp"),
       java.util.Arrays.asList(
         "bulk,type=a v=1 1000000000",

@@ -10,7 +10,7 @@ import graft.ql.{FieldMeta, TableMeta}
 class DurablePlanSpec extends SparkSpec {
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_dplan").toString
+    graft.TempDirs.scratch("graft_dplan").toString
 
   private val meta = TableMeta("dp", "ts_us",
     tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))

@@ -231,7 +231,7 @@ class EngineSpec extends SparkSpec {
 
   test("subscriptions fire: writes forward to destinations, DROP stops it, ANY round-robins") {
     val e = newEngine
-    def tmp() = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    def tmp() = graft.TempDirs.scratch("graft_sub").toString
     def lp(d: String) = new java.io.File(d).listFiles().filter(_.getName.endsWith(".lp"))
     val meta = TableMeta("sm", "ts_us",
       tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))
@@ -268,7 +268,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("typed line-protocol fields: int/bool/string land typed, survive restart, filter") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_typed").toString
+    val dir = graft.TempDirs.scratch("graft_typed").toString
     val e = new Engine(spark, sfDir, Some(dir))
     // no registerMeasurement: schema (incl. field TYPES) is inferred
     val (n, bad) = e.writeLineProtocol(Seq(
@@ -350,7 +350,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("CQ RESAMPLE: EVERY throttles on event time, FOR widens the window, survives restart") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_resample").toString
+    val dir = graft.TempDirs.scratch("graft_resample").toString
     val e = new Engine(spark, sfDir, Some(dir))
     e.registerMeasurement(TableMeta("rs", "ts_us",
       tags = Seq("t"), fields = Seq(FieldMeta("v", Some(100L)))), spark.emptyDataFrame)
@@ -397,7 +397,7 @@ class EngineSpec extends SparkSpec {
       s.start(); s
     }
     val srv = serve()
-    val dir = java.nio.file.Files.createTempDirectory("graft_subhttp").toString
+    val dir = graft.TempDirs.scratch("graft_subhttp").toString
     val e = new Engine(spark, sfDir, Some(dir))
     e.registerMeasurement(TableMeta("hm", "ts_us",
       tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L)))), spark.emptyDataFrame)
@@ -437,7 +437,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("concurrent writes and DDL do not corrupt state (TrieMap + tmp-rename catalog)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    val dir = graft.TempDirs.scratch("graft_conc").toString
     val e = new Engine(spark, sfDir, Some(dir))
     val ms = (0 until 4).map(i => s"cm$i")
     ms.foreach { m =>

@@ -8,7 +8,7 @@ import graft.ql.{FieldMeta, TableMeta}
 class MirrorSpec extends SparkSpec {
 
   private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.TempDirs.scratch(prefix).toString
 
   private def meta(m: String) = TableMeta(m, "ts_us",
     tags = Seq("type"), fields = Seq(FieldMeta("v", Some(100L))))

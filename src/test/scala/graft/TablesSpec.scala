@@ -19,7 +19,7 @@ class TablesSpec extends SparkSpec {
     0L)                          // epoch
 
   private def writeDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_tables").toString
+    graft.TempDirs.scratch("graft_tables").toString
 
   private def check(dir: String, expectRawTs: Boolean): Unit = {
     val (df, rawTs) = Tables.events(spark, dir)

@@ -11,7 +11,7 @@ class PartitionPruningSpec extends SparkSpec {
 
   test("tag-partitioned layout prunes scans on tag equality predicates") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("events_bytag").toString
+    val dir = graft.TempDirs.scratch("events_bytag").toString
     val ev = Tables(s, sfDir, "events")
       .select("event_id", "ts_us", "event_type", "value")
     Partitioner.writePartitioned(ev, Seq("event_type"), dir)

@@ -20,7 +20,7 @@ class BqSpec extends SparkSpec {
   }
 
   test("persisted packed codes search byte-identically") {
-    val idx = java.nio.file.Files.createTempDirectory("bq_idx_spec").toString
+    val idx = graft.TempDirs.scratch("bq_idx_spec").toString
     EmbedOps.bqBuild(spark, sfDir, idx)
     val live = EmbedOps.bqAdc(spark, sfDir)
       .select("qid", "vec_id", "d2_micro").collect().toSet
@@ -41,7 +41,7 @@ class BqSpec extends SparkSpec {
       "(VERDICT r14 #5)") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("bq_del_spec").toString
+    val idx = graft.TempDirs.scratch("bq_del_spec").toString
     EmbedOps.bqBuild(s, sfDir, idx)
     val beforeIds = s.read.parquet(s"$idx/bq.parquet")
       .select("vec_id").as[Long].collect().toSet

@@ -76,7 +76,7 @@ class DocPlanSpec extends SparkSpec {
   test("single-token docs don't crash the n-gram builders (sequence(1,0) is " +
       "DESCENDING in Spark — ADVICE r6)") {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("doc-short-").toString
+    val dir = graft.TempDirs.scratch("doc-short-").toString
     val s = spark
     import s.implicits._
     Seq(

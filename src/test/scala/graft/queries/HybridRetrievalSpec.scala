@@ -12,7 +12,7 @@ class HybridRetrievalSpec extends SparkSpec {
   test("filtered search returns ONLY vectors satisfying the predicate, " +
       "never the query itself, with contiguous ranks") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("hyb_ivf_flt").toString
+    val idx = graft.TempDirs.scratch("hyb_ivf_flt").toString
     EmbedOps.ivfBuild(s, sfDir, idx, None)
     val keepIds = s.read.parquet(s"$sfDir/embeddings.parquet")
       .where(col("label") % 3 === 0).select("vec_id")
@@ -36,8 +36,8 @@ class HybridRetrievalSpec extends SparkSpec {
   test("persisted RAG retrieval is byte-identical to the in-gate hybrid " +
       "RAG composition") {
     val s = spark
-    val vecIdx = java.nio.file.Files.createTempDirectory("ragp_vec").toString
-    val txtIdx = java.nio.file.Files.createTempDirectory("ragp_txt").toString
+    val vecIdx = graft.TempDirs.scratch("ragp_vec").toString
+    val txtIdx = graft.TempDirs.scratch("ragp_txt").toString
     EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -50,7 +50,7 @@ class HybridRetrievalSpec extends SparkSpec {
   test("filtered top-1 similarity never beats the unfiltered top-1 " +
       "(the keep-set only removes candidates)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("hyb_ivf_cmp").toString
+    val idx = graft.TempDirs.scratch("hyb_ivf_cmp").toString
     EmbedOps.ivfBuild(s, sfDir, idx, None)
     val unf = EmbedOps.ivfKnnIndexed(s, sfDir, idx)
       .where(col("rn") === 1).select("qid", "sim_micro")
@@ -119,7 +119,7 @@ class HybridRetrievalSpec extends SparkSpec {
   test("a planted doc that is both token-identical and vector-identical " +
       "to the query is retrieved by the fusion") {
     val s = spark
-    val dir = java.nio.file.Files.createTempDirectory("hyb_plant").toString
+    val dir = graft.TempDirs.scratch("hyb_plant").toString
     val clone = 900000L
     val docs = s.read.parquet(s"$sfDir/documents.parquet")
     docs.unionByName(docs.where(col("doc_id") === 0L)

@@ -44,7 +44,7 @@ class IvfAppendSpec extends SparkSpec {
     val build = v.where(col("vec_id") % 10 =!= 0)
     val fresh = v.where(col("vec_id") % 10 === 0)
 
-    val idxA = java.nio.file.Files.createTempDirectory("ivf_app_a").toString
+    val idxA = graft.TempDirs.scratch("ivf_app_a").toString
     EmbedOps.ivfBuildV(build, idxA, None)
     val before = listFiles(idxA)
     val stats = EmbedOps.ivfAppend(spark, fresh, idxA)
@@ -64,7 +64,7 @@ class IvfAppendSpec extends SparkSpec {
     // centroids + stats, land the whole corpus as one (all-delta) batch,
     // and compare searches — this also proves UNFOLDED delta rows are
     // searchable on both sides
-    val idxB = java.nio.file.Files.createTempDirectory("ivf_app_b").toString
+    val idxB = graft.TempDirs.scratch("ivf_app_b").toString
     for (art <- Seq("centroids.parquet", "stats.parquet"))
       spark.read.parquet(s"$idxA/$art").write.parquet(s"$idxB/$art")
     EmbedOps.ivfAppend(spark, v, idxB) // assign-all into an empty layout
@@ -85,7 +85,7 @@ class IvfAppendSpec extends SparkSpec {
 
   test("the fold auto-triggers at deltaMaxFiles and is search-invariant") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_app_trig").toString
+    val idx = graft.TempDirs.scratch("ivf_app_trig").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     s.conf.set("graft.ivf.deltaMaxFiles", "2")
@@ -110,7 +110,7 @@ class IvfAppendSpec extends SparkSpec {
   }
 
   test("the append job reads only the new rows: it works with the stored lists deleted") {
-    val idx = java.nio.file.Files.createTempDirectory("ivf_app_plan").toString
+    val idx = graft.TempDirs.scratch("ivf_app_plan").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     // behavioral proof that append never scans assign.parquet: remove it
@@ -128,7 +128,7 @@ class IvfAppendSpec extends SparkSpec {
   }
 
   test("drift detection: a shifted batch advises retrain, an in-distribution one does not") {
-    val idx = java.nio.file.Files.createTempDirectory("ivf_app_drift").toString
+    val idx = graft.TempDirs.scratch("ivf_app_drift").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     val inDist = EmbedOps.ivfAppend(spark,
@@ -146,7 +146,7 @@ class IvfAppendSpec extends SparkSpec {
 
   test("index compaction collapses per-list append debris without changing search results") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_app_compact").toString
+    val idx = graft.TempDirs.scratch("ivf_app_compact").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     // five appended micro-batches, folded per batch (deltaMaxFiles=1 —
@@ -181,7 +181,7 @@ class IvfAppendSpec extends SparkSpec {
   test("targeted deletion rewrites only affected lists and vanishes from searches") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val idx = graft.TempDirs.scratch("ivf_del").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
     val filesBefore = listFiles(idx)
     // delete a handful of ids that DO appear in search results
@@ -212,7 +212,7 @@ class IvfAppendSpec extends SparkSpec {
   test("deletion purges unfolded delta rows (takedown correctness across tiers)") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("ivf_del_delta").toString
+    val idx = graft.TempDirs.scratch("ivf_del_delta").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     EmbedOps.ivfAppend(s, v.where(col("vec_id") % 10 === 0), idx)
@@ -235,7 +235,7 @@ class IvfAppendSpec extends SparkSpec {
 
   test("a crash at either fold window heals without loss or duplication") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_fold_crash").toString
+    val idx = graft.TempDirs.scratch("ivf_fold_crash").toString
     val v = vecs
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     EmbedOps.ivfAppend(s, v.where(col("vec_id") % 10 === 0), idx)
@@ -278,7 +278,7 @@ class IvfAppendSpec extends SparkSpec {
   }
 
   test("empty append batch is a no-op with no drift advice") {
-    val idx = java.nio.file.Files.createTempDirectory("ivf_app_empty").toString
+    val idx = graft.TempDirs.scratch("ivf_app_empty").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
     val before = listFiles(idx)
     val stats = EmbedOps.ivfAppend(spark, vecs.where(lit(false)), idx)
@@ -294,8 +294,8 @@ class IvfAppendSpec extends SparkSpec {
     val v = vecs
     val build = v.where(col("vec_id") % 10 =!= 0)
     val fresh = v.where(col("vec_id") % 10 === 0)
-    val idxDelta = java.nio.file.Files.createTempDirectory("ivf_bulk_a").toString
-    val idxBulk = java.nio.file.Files.createTempDirectory("ivf_bulk_b").toString
+    val idxDelta = graft.TempDirs.scratch("ivf_bulk_a").toString
+    val idxBulk = graft.TempDirs.scratch("ivf_bulk_b").toString
     EmbedOps.ivfBuildV(build, idxDelta, None)
     EmbedOps.ivfBuildV(build, idxBulk, None)
     EmbedOps.ivfAppend(s, fresh, idxDelta) // micro-batch path: delta landing

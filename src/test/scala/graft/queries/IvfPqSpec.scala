@@ -16,7 +16,7 @@ class IvfPqSpec extends SparkSpec {
     df.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("persisted IVFPQ: identical neighbors, and the CODES scan is partition-pruned") {
-    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx_spec").toString
+    val idx = graft.TempDirs.scratch("ivfpq_idx_spec").toString
     EmbedOps.ivfPqBuild(spark, sfDir, idx)
     val fromIndex = EmbedOps.ivfPqIndexed(spark, sfDir, idx)
     val live = EmbedOps.ivfPqAdc(spark, sfDir)
@@ -31,7 +31,7 @@ class IvfPqSpec extends SparkSpec {
   }
 
   test("persisted RESIDUAL index: identical neighbors, partition-pruned codes scan") {
-    val idx = java.nio.file.Files.createTempDirectory("ivfpqr_idx_spec").toString
+    val idx = graft.TempDirs.scratch("ivfpqr_idx_spec").toString
     EmbedOps.ivfPqResidualBuild(spark, sfDir, idx)
     val fromIndex = EmbedOps.ivfPqResidualIndexed(spark, sfDir, idx)
     val live = EmbedOps.ivfPqResidualAdc(spark, sfDir)
@@ -66,7 +66,7 @@ class IvfPqSpec extends SparkSpec {
     }
     val v = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val idx = java.nio.file.Files.createTempDirectory("ivfpq_app_spec").toString
+    val idx = graft.TempDirs.scratch("ivfpq_app_spec").toString
     EmbedOps.ivfPqBuild(spark, sfDir, idx)
     val before = files(s"$idx/codes.parquet")
     // new ids (shifted) so the appended rows are distinguishable
@@ -101,7 +101,7 @@ class IvfPqSpec extends SparkSpec {
     def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
     val v = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val idx = java.nio.file.Files.createTempDirectory("ivfpq_del_spec").toString
+    val idx = graft.TempDirs.scratch("ivfpq_del_spec").toString
     EmbedOps.ivfPqBuild(spark, sfDir, idx)
     // delta-resident victims: append a batch, then take down part of it
     EmbedOps.ivfPqAppend(s, v.limit(40)
@@ -151,7 +151,7 @@ class IvfPqSpec extends SparkSpec {
     def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
     val v = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val idx = java.nio.file.Files.createTempDirectory("ivfpq_fold_crash").toString
+    val idx = graft.TempDirs.scratch("ivfpq_fold_crash").toString
     EmbedOps.ivfPqBuild(spark, sfDir, idx)
     EmbedOps.ivfPqAppend(s, v.limit(30)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")), idx)
@@ -204,7 +204,7 @@ class IvfPqSpec extends SparkSpec {
     def fs(d: String) = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
     val v = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val idx = java.nio.file.Files.createTempDirectory("ivfpqr_life").toString
+    val idx = graft.TempDirs.scratch("ivfpqr_life").toString
     EmbedOps.ivfPqResidualBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
     val fresh = v.where(col("vec_id") % 10 === 0)
     val n = EmbedOps.ivfPqResidualAppend(s, fresh, idx)
@@ -248,8 +248,8 @@ class IvfPqSpec extends SparkSpec {
     val s = spark
     val v = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val raw = java.nio.file.Files.createTempDirectory("ivfpq_enc_raw").toString
-    val res = java.nio.file.Files.createTempDirectory("ivfpq_enc_res").toString
+    val raw = graft.TempDirs.scratch("ivfpq_enc_raw").toString
+    val res = graft.TempDirs.scratch("ivfpq_enc_res").toString
     EmbedOps.ivfPqBuild(s, sfDir, raw)
     EmbedOps.ivfPqResidualBuild(s, sfDir, res)
     val batch = v.limit(5)

@@ -26,8 +26,8 @@ class IvfRebuildSpec extends SparkSpec {
   test("rebuild after drift: searches byte-match a fresh build and the " +
       "drift baseline refreshes") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_rb").toString
-    val idxRef = java.nio.file.Files.createTempDirectory("ivf_rbref").toString
+    val idx = graft.TempDirs.scratch("ivf_rb").toString
+    val idxRef = graft.TempDirs.scratch("ivf_rbref").toString
     val v = vecs
     EmbedOps.ivfBuildV(v, idx, None)
     // a shifted ingest batch drifts past the ratio → advice fires
@@ -59,7 +59,7 @@ class IvfRebuildSpec extends SparkSpec {
   test("crash before the ready marker rolls back; crash after it rolls " +
       "forward; reads inside the window refuse loudly") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_rbcrash").toString
+    val idx = graft.TempDirs.scratch("ivf_rbcrash").toString
     val v = vecs
     EmbedOps.ivfBuildV(v, idx, None)
     val before = search(idx)
@@ -93,7 +93,7 @@ class IvfRebuildSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val v = vecs
-    val idx = java.nio.file.Files.createTempDirectory("ivf_rbstream").toString
+    val idx = graft.TempDirs.scratch("ivf_rbstream").toString
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
 
     var rebuilt = 0
@@ -120,7 +120,7 @@ class IvfRebuildSpec extends SparkSpec {
     } finally q.stop()
 
     // the retrained index equals a fresh build on everything it ingested
-    val idxRef = java.nio.file.Files.createTempDirectory("ivf_rbsref").toString
+    val idxRef = graft.TempDirs.scratch("ivf_rbsref").toString
     val shiftedDf = v.where(col("vec_id") % 10 === 0 && col("vec_id") < 200)
       .select((col("vec_id") + 5000000L).as("vec_id"),
         expr("transform(emb, x -> x + 10.0D)").as("emb"))

@@ -36,7 +36,7 @@ class IvfRecallSpec extends SparkSpec {
   }
 
   test("persisted index: identical neighbors, and the probe scan is partition-pruned") {
-    val idx = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    val idx = graft.TempDirs.scratch("ivf_idx_spec").toString
     EmbedOps.ivfBuild(spark, sfDir, idx, None)
     val fromIndex = EmbedOps.ivfKnnIndexed(spark, sfDir, idx)
     // byte-identical to the rebuild-per-query path (doubles round-trip

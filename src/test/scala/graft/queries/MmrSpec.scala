@@ -20,7 +20,7 @@ class MmrSpec extends SparkSpec {
     val base = EmbedOps.mmrSelect(s, sfDir)
     val top1 = base.where(col("pick") === 1)
       .select("vec_id").distinct().as[Long].collect().toSeq
-    val dir = java.nio.file.Files.createTempDirectory("mmr_plant").toString
+    val dir = graft.TempDirs.scratch("mmr_plant").toString
     v.unionByName(
         v.where(col("vec_id").isin(top1: _*))
           .withColumn("vec_id", col("vec_id") + 1000000L))

@@ -27,7 +27,7 @@ class NearDupIndexSpec extends SparkSpec {
   test("crawl cycle: append admitted batch, next batch collapses against it, append-only files") {
     val s = spark
     import org.apache.spark.sql.functions.col
-    val idx = java.nio.file.Files.createTempDirectory("neardup_app").toString
+    val idx = graft.TempDirs.scratch("neardup_app").toString
     // cycle 1: index the first half of the corpus
     val half1 = corpus.where(col("doc_id") % 2 === 0)
     val half2 = corpus.where(col("doc_id") % 2 === 1)
@@ -57,7 +57,7 @@ class NearDupIndexSpec extends SparkSpec {
 
   test("takedown rewrites only affected buckets and re-admits deleted content") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    val idx = graft.TempDirs.scratch("neardup_idx").toString
     DocText.neardupIndexBuild(corpus, idx)
 
     val takedown = corpus.where(col("doc_id") % 10 === 3)

@@ -17,7 +17,7 @@ class OpqIndexSpec extends SparkSpec {
   }
 
   test("persisted OPQ search is byte-identical to the in-memory rung") {
-    val idx = java.nio.file.Files.createTempDirectory("opq_idx").toString
+    val idx = graft.TempDirs.scratch("opq_idx").toString
     EmbedOps.opqBuild(spark, sfDir, idx)
     val mem = EmbedOps.opqAdc(spark, sfDir)
       .select("qid", "vec_id", "d2_micro", "rn").collect().toSet
@@ -33,7 +33,7 @@ class OpqIndexSpec extends SparkSpec {
     val fresh = v.where(col("vec_id") % 10 === 0)
 
     // A: build on 90%, append 10% with the frozen artifacts
-    val idxA = java.nio.file.Files.createTempDirectory("opq_app_a").toString
+    val idxA = graft.TempDirs.scratch("opq_app_a").toString
     EmbedOps.opqBuildV(build, idxA)
     def files(i: String): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
@@ -48,7 +48,7 @@ class OpqIndexSpec extends SparkSpec {
       assert(files(idxA).get(p).contains(sz), s"existing code file rewritten: $p") }
 
     // B: same artifacts (copied), the FULL corpus encoded in one append
-    val idxB = java.nio.file.Files.createTempDirectory("opq_app_b").toString
+    val idxB = graft.TempDirs.scratch("opq_app_b").toString
     Seq("perm.parquet", "codebook.parquet").foreach(t =>
       spark.read.parquet(s"$idxA/$t").write.parquet(s"$idxB/$t"))
     java.nio.file.Files.write(java.nio.file.Paths.get(idxB, "_encoding"),
@@ -64,7 +64,7 @@ class OpqIndexSpec extends SparkSpec {
   test("deletion drops the vectors from searches (shared flat takedown)") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("opq_del").toString
+    val idx = graft.TempDirs.scratch("opq_del").toString
     EmbedOps.opqBuildV(vecs, idx)
     val pre = EmbedOps.opqIndexed(spark, sfDir, idx)
       .select("vec_id").as[Long].collect().toSet
@@ -77,13 +77,13 @@ class OpqIndexSpec extends SparkSpec {
   }
 
   test("encoding markers fence raw-PQ and OPQ dirs from each other") {
-    val idxOpq = java.nio.file.Files.createTempDirectory("opq_fence_a").toString
+    val idxOpq = graft.TempDirs.scratch("opq_fence_a").toString
     EmbedOps.opqBuildV(vecs, idxOpq)
     val e1 = intercept[IllegalArgumentException] {
       EmbedOps.pqAdcIndexed(spark, sfDir, idxOpq) }
     assert(e1.getMessage.contains("pq-flat"))
 
-    val idxPq = java.nio.file.Files.createTempDirectory("opq_fence_b").toString
+    val idxPq = graft.TempDirs.scratch("opq_fence_b").toString
     EmbedOps.pqBuildV(vecs, idxPq)
     val e2 = intercept[IllegalArgumentException] {
       EmbedOps.opqIndexed(spark, sfDir, idxPq) }

@@ -28,7 +28,7 @@ class PqAppendSpec extends SparkSpec {
     val build = v.where(col("vec_id") % 10 =!= 0)
     val fresh = v.where(col("vec_id") % 10 === 0)
 
-    val idxA = java.nio.file.Files.createTempDirectory("pq_app_a").toString
+    val idxA = graft.TempDirs.scratch("pq_app_a").toString
     EmbedOps.pqBuildV(build, idxA)
     val before = codeFiles(idxA)
     val appended = EmbedOps.pqAppend(spark, fresh, idxA)
@@ -41,7 +41,7 @@ class PqAppendSpec extends SparkSpec {
 
     // one-shot comparator: same trained codebook, encode the FULL corpus
     // into a fresh codes dir in one append
-    val idxB = java.nio.file.Files.createTempDirectory("pq_app_b").toString
+    val idxB = graft.TempDirs.scratch("pq_app_b").toString
     spark.read.parquet(s"$idxA/codebook.parquet")
       .write.parquet(s"$idxB/codebook.parquet")
     EmbedOps.pqAppend(spark, v, idxB)
@@ -55,7 +55,7 @@ class PqAppendSpec extends SparkSpec {
   test("deletion drops the vectors from the codes table and from ADC searches") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("pq_del").toString
+    val idx = graft.TempDirs.scratch("pq_del").toString
     EmbedOps.pqBuildV(vecs, idx)
     val pre = EmbedOps.pqAdcIndexed(spark, sfDir, idx)
       .select("vec_id").distinct().as[Long].collect().toSeq.sorted.take(5)
@@ -72,7 +72,7 @@ class PqAppendSpec extends SparkSpec {
   }
 
   test("append works with the stored codes deleted (reads only new rows + codebook)") {
-    val idx = java.nio.file.Files.createTempDirectory("pq_app_del").toString
+    val idx = graft.TempDirs.scratch("pq_app_del").toString
     val v = vecs
     EmbedOps.pqBuildV(v.where(col("vec_id") % 10 =!= 0), idx)
     import scala.jdk.CollectionConverters._

@@ -84,7 +84,7 @@ class PqRecallSpec extends SparkSpec {
   }
 
   test("persisted index: ADC from disk returns identical neighbors") {
-    val idx = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString
+    val idx = graft.TempDirs.scratch("pq_idx_spec").toString
     EmbedOps.pqBuild(spark, sfDir, idx)
     val fromIndex = EmbedOps.pqAdcIndexed(spark, sfDir, idx)
       .select("qid", "vec_id", "d2_micro").collect().toSet

@@ -47,4 +47,33 @@ class RanksSpec extends SparkSpec {
       first.zip(second).foreach { case (x, y) => assert(x == y) }
     } finally spark.conf.unset("graft.globalRank.minBytes")
   }
+
+  test("salted top-k per group equals the direct window exactly " +
+      "(VERDICT r18 #6), including ranks and tie order") {
+    val s = spark
+    import s.implicits._
+    // multiple groups, deliberately colliding sort keys, unique tiebreak,
+    // awkward input partitioning (the salt is the scan partition id)
+    val df = scala.util.Random.shuffle((0 until 2000).toList)
+      .map(i => (s"g${i % 3}", (i * 37 % 11).toLong, i.toLong))
+      .toDF("g", "k", "id")
+      .repartition(17)
+      .persist() // pin one evaluation: spark_partition_id must not move
+    try {
+      df.count()
+      val order = Seq(col("k").asc, col("id").asc)
+      val direct = Ranks.topKPerGroup(df, Seq(col("g")), order, 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      s.conf.set("graft.rank.saltMinBytes", "0") // force the salted path
+      val salted =
+        try Ranks.topKPerGroup(df, Seq(col("g")), order, 7)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSet
+        finally s.conf.unset("graft.rank.saltMinBytes")
+      assert(direct.nonEmpty && direct.size == 3 * 7)
+      assert(salted == direct,
+        s"salted-only: ${salted -- direct}; direct-only: ${direct -- salted}")
+    } finally df.unpersist()
+  }
 }

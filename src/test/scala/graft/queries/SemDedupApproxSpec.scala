@@ -37,7 +37,7 @@ class SemDedupApproxSpec extends SparkSpec {
     // 2600 vectors → e2 = 5200 > 512: the training sample is a strict
     // subset (sstep = 10), exercising the branch the sf fixtures never do
     val rnd = new scala.util.Random(421)
-    val dir = java.nio.file.Files.createTempDirectory("graft_semapx").toString
+    val dir = graft.TempDirs.scratch("graft_semapx").toString
     (0 until 2600).map { i =>
       (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
     }.toDF("vec_id", "embedding").write.mode("overwrite")

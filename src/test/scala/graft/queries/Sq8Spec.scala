@@ -22,7 +22,7 @@ class Sq8Spec extends SparkSpec {
   }
 
   test("persisted codes search byte-identically") {
-    val idx = java.nio.file.Files.createTempDirectory("sq8_idx_spec").toString
+    val idx = graft.TempDirs.scratch("sq8_idx_spec").toString
     EmbedOps.sq8Build(spark, sfDir, idx)
     val live = EmbedOps.sq8Adc(spark, sfDir)
       .select("qid", "vec_id", "d2_micro").collect().toSet
@@ -43,7 +43,7 @@ class Sq8Spec extends SparkSpec {
     assert(app == full && full.nonEmpty)
     // delete-after-append: clones appended under shifted ids, then taken
     // down — search returns exactly the pre-append results
-    val idx = java.nio.file.Files.createTempDirectory("sq8_app_spec").toString
+    val idx = graft.TempDirs.scratch("sq8_app_spec").toString
     EmbedOps.sq8Build(s, sfDir, idx)
     val before = EmbedOps.sq8Indexed(s, sfDir, idx)
       .select("qid", "vec_id", "d2_micro").collect().toSet
@@ -63,7 +63,7 @@ class Sq8Spec extends SparkSpec {
     import org.apache.hadoop.fs.Path
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("sq8_del_spec").toString
+    val idx = graft.TempDirs.scratch("sq8_del_spec").toString
     EmbedOps.sq8Build(s, sfDir, idx)
     val beforeIds = s.read.parquet(s"$idx/sq8.parquet")
       .select("vec_id").as[Long].collect().toSet

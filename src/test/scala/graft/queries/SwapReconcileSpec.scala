@@ -27,7 +27,7 @@ class SwapReconcileSpec extends SparkSpec {
 
   test("IVF delete crash between the renames: survivors return to the live layout") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_crash_c").toString
+    val idx = graft.TempDirs.scratch("ivf_crash_c").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
     val assign = s"$idx/assign.parquet"
     val n = vecs.count()
@@ -59,7 +59,7 @@ class SwapReconcileSpec extends SparkSpec {
   test("a read through the mid-swap loss window fails loudly instead of " +
       "silently omitting the list (ADVICE r15)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_crash_read").toString
+    val idx = graft.TempDirs.scratch("ivf_crash_read").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
     val assign = s"$idx/assign.parquet"
     val lid = biggestList(assign)
@@ -90,7 +90,7 @@ class SwapReconcileSpec extends SparkSpec {
 
   test("a read behind a committed-but-unfinished fold fails loudly (ADVICE r15)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_fold_read").toString
+    val idx = graft.TempDirs.scratch("ivf_fold_read").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
     // simulate the fold's post-commit window: the delta was renamed to the
     // consumed marker but its tmp image never moved in — those rows are
@@ -104,7 +104,7 @@ class SwapReconcileSpec extends SparkSpec {
 
   test("IVF delete crash before the swap started: staged tmp is discarded, live intact") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_crash_a").toString
+    val idx = graft.TempDirs.scratch("ivf_crash_a").toString
     EmbedOps.ivfBuildV(vecs, idx, None)
     val assign = s"$idx/assign.parquet"
     val n = vecs.count()
@@ -127,7 +127,7 @@ class SwapReconcileSpec extends SparkSpec {
   test("codes-table swap heals both ways") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("codes_crash").toString
+    val idx = graft.TempDirs.scratch("codes_crash").toString
     val rows = Seq((1L, 0, 2L), (2L, 0, 3L)).toDF("vec_id", "m", "code")
     // live missing, tmp staged → finish the swap
     rows.write.parquet(s"$idx/codes.parquet.tmp")
@@ -143,7 +143,7 @@ class SwapReconcileSpec extends SparkSpec {
 
   test("a delete never clobbers the compact.old generation a compaction parked") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("ivf_ns").toString
+    val idx = graft.TempDirs.scratch("ivf_ns").toString
     val slices = (0 until 4).map(i => vecs.where(pmod(col("vec_id"), lit(4)) === i))
     EmbedOps.ivfBuildV(slices.head, idx, Some(2))
     // fold per batch (deltaMaxFiles=1): each append lands one file per
@@ -166,7 +166,7 @@ class SwapReconcileSpec extends SparkSpec {
   test("near-dup takedown crash between the renames: the bucket's survivors return " +
       "and neardupCheck still collapses against them") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("neardup_crash").toString
+    val idx = graft.TempDirs.scratch("neardup_crash").toString
     val corpus = s.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     DocText.neardupIndexBuild(corpus, idx)
     // two docs sharing a bucket: victim (the dead takedown's target) and
@@ -201,7 +201,7 @@ class SwapReconcileSpec extends SparkSpec {
 
   test("DataFrame-keyed takedown deletes exactly the relation's ids (VERDICT r11 ask)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("neardup_dfdel").toString
+    val idx = graft.TempDirs.scratch("neardup_dfdel").toString
     val corpus = s.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     DocText.neardupIndexBuild(corpus, idx)
     // the deletion set as a relation — a retention query's output shape

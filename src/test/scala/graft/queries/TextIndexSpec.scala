@@ -25,7 +25,7 @@ class TextIndexSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
 
   test("indexed BM25 hybrid is byte-identical to the in-gate scorer") {
-    val idx = java.nio.file.Files.createTempDirectory("bm25_parity").toString
+    val idx = graft.TempDirs.scratch("bm25_parity").toString
     TextIndex.bm25Build(docs, idx)
     assert(fused(EmbedOps.hybridRrfPersisted(spark, sfDir, idx)) ==
       fused(EmbedOps.hybridRrf(spark, sfDir)))
@@ -33,8 +33,8 @@ class TextIndexSpec extends SparkSpec {
 
   test("append lands in the delta tier and searches like a one-shot build") {
     val s = spark
-    val idxApp = java.nio.file.Files.createTempDirectory("bm25_app").toString
-    val idxFull = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    val idxApp = graft.TempDirs.scratch("bm25_app").toString
+    val idxFull = graft.TempDirs.scratch("bm25_full").toString
     TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idxApp)
     val n = TextIndex.bm25Append(s, docs.where(col("doc_id") % 10 === 0), idxApp)
     assert(n == docs.where(col("doc_id") % 10 === 0).count())
@@ -56,8 +56,8 @@ class TextIndexSpec extends SparkSpec {
       "on the filtered corpus") {
     val s = spark
     import s.implicits._
-    val idx = java.nio.file.Files.createTempDirectory("bm25_del").toString
-    val idxRef = java.nio.file.Files.createTempDirectory("bm25_delref").toString
+    val idx = graft.TempDirs.scratch("bm25_del").toString
+    val idxRef = graft.TempDirs.scratch("bm25_delref").toString
     TextIndex.bm25Build(docs, idx)
     val victims = docs.select("doc_id").where(col("doc_id") % 7 === 3)
     val expected = victims.count()
@@ -84,8 +84,8 @@ class TextIndexSpec extends SparkSpec {
 
   test("sustained appends fold at the file gate and compact collapses debris") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_compact").toString
-    val idxFull = java.nio.file.Files.createTempDirectory("bm25_cfull").toString
+    val idx = graft.TempDirs.scratch("bm25_compact").toString
+    val idxFull = graft.TempDirs.scratch("bm25_cfull").toString
     val slices = (0 until 4).map(i => docs.where(pmod(col("doc_id"), lit(4)) === i))
     TextIndex.bm25Build(slices.head, idx)
     s.conf.set("graft.ivf.deltaMaxFiles", "1")
@@ -116,7 +116,7 @@ class TextIndexSpec extends SparkSpec {
 
   test("corpus stats: increment ≡ recompute across build, append and delete") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_stats").toString
+    val idx = graft.TempDirs.scratch("bm25_stats").toString
     TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
     assert(statsPair(idx) == recomputePair(idx), "after build")
     // append INCREMENTS (O(batch)); the artifact must equal a recompute
@@ -133,7 +133,7 @@ class TextIndexSpec extends SparkSpec {
 
   test("a crashed stats window refuses reads loudly and heals on reconcile") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_dirty").toString
+    val idx = graft.TempDirs.scratch("bm25_dirty").toString
     TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
     // simulate a maintainer dying between its doclen append and its
     // stats write: the batch's doclen rows land, the marker stays
@@ -157,7 +157,7 @@ class TextIndexSpec extends SparkSpec {
   test("df tier: per-term rows equal a recompute from the partitioned " +
       "postings across fold and delete; crash window refuses and heals") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_df").toString
+    val idx = graft.TempDirs.scratch("bm25_df").toString
     def tierEqualsRecompute(): Unit = {
       val tier = s.read.parquet(s"$idx/df.parquet")
         .select(col("term"), col("df").cast("long"))
@@ -190,7 +190,7 @@ class TextIndexSpec extends SparkSpec {
   test("postings are term-clustered within every bucket file (build, fold " +
       "and compact preserve the clustering)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_sorted").toString
+    val idx = graft.TempDirs.scratch("bm25_sorted").toString
     TextIndex.bm25Build(docs.where(col("doc_id") % 4 === 0), idx)
     s.conf.set("graft.ivf.deltaMaxFiles", "1") // force a fold per append
     try (1 to 3).foreach(i =>
@@ -211,7 +211,7 @@ class TextIndexSpec extends SparkSpec {
   test("doclen file count stays bounded across sustained appends with " +
       "content identical and stats recompute ≡ increment (VERDICT r17 #2)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_doclen").toString
+    val idx = graft.TempDirs.scratch("bm25_doclen").toString
     val slices = (0 until 8).map(i => docs.where(pmod(col("doc_id"), lit(8)) === i))
     TextIndex.bm25Build(slices.head, idx)
     // the fold gate: doclen folds when its debris crosses deltaMaxFiles,
@@ -233,11 +233,14 @@ class TextIndexSpec extends SparkSpec {
     assert(EmbedOps.parquetFileCount(f, new Path(s"$idx/doclen.parquet")) == 1)
     assert(s.read.parquet(s"$idx/doclen.parquet").count() == docs.count())
     assert(statsPair(idx) == recomputePair(idx), "after compact")
+    // a completed fold must not park the displaced generation (ADVICE r18)
+    assert(!f.exists(new Path(s"$idx/doclen.parquet.old")),
+      "fold left doclen.parquet.old after a successful swap")
   }
 
   test("a crashed doclen fold heals on reconcile from either side of the swap") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_dlfold").toString
+    val idx = graft.TempDirs.scratch("bm25_dlfold").toString
     TextIndex.bm25Build(docs, idx)
     val f = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = new Path(s"$idx/doclen.parquet")
@@ -257,12 +260,23 @@ class TextIndexSpec extends SparkSpec {
     assert(!f.exists(tmp) && f.exists(live))
     assert(s.read.parquet(live.toString).count() == n)
     assert(statsPair(idx) == recomputePair(idx), "after heals")
+    // crash AFTER the swap completed but BEFORE the .old delete: the
+    // displaced generation is debris beside a healthy live table —
+    // reconcile sweeps it instead of parking a full table copy
+    // (ADVICE r18)
+    val old = new Path(s"$idx/doclen.parquet.old")
+    s.read.parquet(live.toString).coalesce(1)
+      .write.mode("overwrite").parquet(old.toString)
+    TextIndex.reconcile(s, idx)
+    assert(!f.exists(old), "reconcile left a stale doclen.parquet.old " +
+      "beside a healthy live table")
+    assert(s.read.parquet(live.toString).count() == n)
   }
 
   test("oversized query vocabularies fall back observably and return " +
       "identical results (VERDICT r17 wrong #3)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_fallback").toString
+    val idx = graft.TempDirs.scratch("bm25_fallback").toString
     TextIndex.bm25Build(docs, idx)
     val withPush = ranks(TextIndex.bm25RankIndexed(s, sfDir, idx, 10, 20))
     val before = TextIndex.termPushdownFallbacks.get()
@@ -281,7 +295,7 @@ class TextIndexSpec extends SparkSpec {
 
   test("streamed text batches are replay-idempotent (marker + scrub)") {
     val s = spark
-    val idx = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    val idx = graft.TempDirs.scratch("bm25_replay").toString
     TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
     val fresh = docs.where(col("doc_id") % 10 === 0)
     val b0 = fresh.where(col("doc_id") % 20 === 0)

@@ -29,7 +29,7 @@ class MetaCatalogPropSpec extends SparkSpec {
   private val recordsGen = Gen.choose(0, 30).flatMap(Gen.listOfN(_, recordGen))
 
   test("write ∘ read = identity under hostile field content") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_catprop").toString
+    val dir = graft.TempDirs.scratch("graft_catprop").toString
     val prop = Prop.forAll(recordsGen) { recs =>
       MetaCatalog.write(spark, dir, recs.map(_.toSeq))
       MetaCatalog.read(spark, dir).contains(recs.map(_.toSeq))

@@ -9,7 +9,7 @@ class RecoverySpec extends SparkSpec {
   test("failed lines quarantine to disk and replay through the parser") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("deadletter").toString
+    val dir = graft.TempDirs.scratch("deadletter").toString
 
     // batch 1: two good lines, two bad — bad ones quarantined
     val (ok1, errs1) = LineProtocol.parse(s,
@@ -29,7 +29,7 @@ class RecoverySpec extends SparkSpec {
     assert(stillBad.count() == 3)
 
     // a "fixed upstream" line replays successfully through the same path
-    val fixedDir = java.nio.file.Files.createTempDirectory("deadletter2").toString
+    val fixedDir = graft.TempDirs.scratch("deadletter2").toString
     Recovery.quarantine(Seq("bad field: m,t=c v=3.5 3").toDS(), fixedDir)
     val (ok, bad) = Recovery.replay(s, fixedDir, "m", Seq("t"), Seq("v"))
     assert(ok.count() == 1 && bad.count() == 0)

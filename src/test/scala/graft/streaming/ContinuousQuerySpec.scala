@@ -102,8 +102,8 @@ class ContinuousQuerySpec extends SparkSpec {
   test("durable CQ resumes from checkpoint across engine restart; source and target survive") {
     val s = spark
     import s.implicits._
-    val dataDir = java.nio.file.Files.createTempDirectory("graft_cq_dur").toString
-    val streamIn = java.nio.file.Files.createTempDirectory("graft_cq_in").toString
+    val dataDir = graft.TempDirs.scratch("graft_cq_dur").toString
+    val streamIn = graft.TempDirs.scratch("graft_cq_in").toString
 
     val e1 = new graft.Engine(s, sfDir, Some(dataDir))
     val meta = graft.ql.TableMeta("cq_src", "ts_us",

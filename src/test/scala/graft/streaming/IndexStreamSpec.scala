@@ -23,7 +23,7 @@ class IndexStreamSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
 
     val v = vecs
-    val idx = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val idx = graft.TempDirs.scratch("ivf_stream").toString
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
 
     val seen = new java.util.concurrent.ConcurrentHashMap[Long, IvfAppendStats]()
@@ -64,7 +64,7 @@ class IndexStreamSpec extends SparkSpec {
   test("replayed batches are idempotent: no duplicate vec_id survives (VERDICT r10 item 2)") {
     val s = spark
     val v = vecs
-    val idx = java.nio.file.Files.createTempDirectory("ivf_replay").toString
+    val idx = graft.TempDirs.scratch("ivf_replay").toString
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
 
     val fresh = v.where(col("vec_id") % 10 === 0)
@@ -102,8 +102,8 @@ class IndexStreamSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val v = vecs
-    val idx = java.nio.file.Files.createTempDirectory("ivf_both").toString
-    val pq = java.nio.file.Files.createTempDirectory("pq_both").toString
+    val idx = graft.TempDirs.scratch("ivf_both").toString
+    val pq = graft.TempDirs.scratch("pq_both").toString
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     EmbedOps.pqBuildV(v.where(col("vec_id") % 10 =!= 0), pq)
 
@@ -151,9 +151,9 @@ class IndexStreamSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val v = vecs
-    val idx = java.nio.file.Files.createTempDirectory("ivf_l").toString
-    val sq8 = java.nio.file.Files.createTempDirectory("sq8_l").toString
-    val bq = java.nio.file.Files.createTempDirectory("bq_l").toString
+    val idx = graft.TempDirs.scratch("ivf_l").toString
+    val sq8 = graft.TempDirs.scratch("sq8_l").toString
+    val bq = graft.TempDirs.scratch("bq_l").toString
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     // training-free: the "index" is just the encoded 90%
     EmbedOps.sq8Append(s, v.where(col("vec_id") % 10 =!= 0), sq8)
@@ -203,8 +203,8 @@ class IndexStreamSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     val docs = s.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("bm25_stream").toString
-    val idxFull = java.nio.file.Files.createTempDirectory("bm25_sfull").toString
+    val idx = graft.TempDirs.scratch("bm25_stream").toString
+    val idxFull = graft.TempDirs.scratch("bm25_sfull").toString
     graft.queries.TextIndex.bm25Build(docs.where(col("doc_id") % 10 =!= 0), idx)
 
     val input = MemoryStream[(Long, String)]
@@ -231,8 +231,8 @@ class IndexStreamSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val v = vecs
-    val idx = java.nio.file.Files.createTempDirectory("ivf_c").toString
-    val cpq = java.nio.file.Files.createTempDirectory("ivfpq_c").toString
+    val idx = graft.TempDirs.scratch("ivf_c").toString
+    val cpq = graft.TempDirs.scratch("ivfpq_c").toString
     EmbedOps.ivfBuildV(v.where(col("vec_id") % 10 =!= 0), idx, None)
     // a composed index built from the same 90% (build uses the sf dir's
     // full corpus; assemble the artifacts from the subset directly)
@@ -240,7 +240,7 @@ class IndexStreamSpec extends SparkSpec {
       val sub = v.where(col("vec_id") % 10 =!= 0)
         .select(col("vec_id"), col("emb"))
       val e = sub.withColumnRenamed("emb", "embedding")
-      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_src").toString
+      val tmp = graft.TempDirs.scratch("ivfpq_src").toString
       e.write.parquet(s"$tmp/embeddings.parquet")
       EmbedOps.ivfPqBuild(s, tmp, cpq)
     }
@@ -284,7 +284,7 @@ class IndexStreamSpec extends SparkSpec {
     // byte-identical twin is the strongest possible retrieval target
     // (embedding distance 0, every query term present), so "the new doc
     // is reachable" is deterministic, not recall-dependent
-    val work = java.nio.file.Files.createTempDirectory("rag_fresh").toString
+    val work = graft.TempDirs.scratch("rag_fresh").toString
     val cloneBase = 1000L
     val docsT = s.read.parquet(s"$sfDir/documents.parquet")
     val embT = s.read.parquet(s"$sfDir/embeddings.parquet")
@@ -296,8 +296,8 @@ class IndexStreamSpec extends SparkSpec {
       .write.parquet(s"$work/embeddings.parquet")
 
     // both at-rest halves built WITHOUT the clones (the pre-crawl state)
-    val vecDir = java.nio.file.Files.createTempDirectory("rag_fresh_vec").toString
-    val textDir = java.nio.file.Files.createTempDirectory("rag_fresh_txt").toString
+    val vecDir = graft.TempDirs.scratch("rag_fresh_vec").toString
+    val textDir = graft.TempDirs.scratch("rag_fresh_txt").toString
     val isClone = pmod(col("vec_id"), lit(EmbedOps.RAG_DOCBASE)) >= cloneBase
     val isCloneDoc = pmod(col("doc_id"), lit(EmbedOps.RAG_DOCBASE)) >= cloneBase
     EmbedOps.ivfPqBuildV(EmbedOps.chunkVecs(s, work).where(!isClone), vecDir)

@@ -73,7 +73,7 @@ class StreamBatchHandoffSpec extends SparkSpec {
     val recent = streamAdmits.filter(byId(_)._2.getTime >= cutoff)
     def df(ids: Set[Long]) =
       ids.toSeq.sorted.map(byId).map(c => (c._1, c._3)).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("handoff_idx").toString
+    val idx = graft.TempDirs.scratch("handoff_idx").toString
     DocText.neardupIndexBuild(df(settled), idx)
     val swept = DocText.neardupCheck(df(recent), idx)
       .select("new_doc").collect().map(_.getLong(0)).toSet
@@ -81,7 +81,7 @@ class StreamBatchHandoffSpec extends SparkSpec {
 
     // ---- all-batch baseline: the same collapse over EVERYTHING at once —
     // a doc survives iff no earlier doc (arrival order) near-matches it
-    val idxB = java.nio.file.Files.createTempDirectory("handoff_base").toString
+    val idxB = graft.TempDirs.scratch("handoff_base").toString
     DocText.neardupIndexBuild(df(corpus.map(_._1).toSet), idxB)
     val pairs = DocText.neardupCheck(df(corpus.map(_._1).toSet), idxB)
       .select("new_doc", "old_doc").collect()
@@ -122,7 +122,7 @@ class StreamBatchHandoffSpec extends SparkSpec {
 
     // the settled corpus at rest, then the takedown of A — through the
     // DataFrame-keyed API (the retention-query shape)
-    val idx = java.nio.file.Files.createTempDirectory("takedown_seam").toString
+    val idx = graft.TempDirs.scratch("takedown_seam").toString
     DocText.neardupIndexBuild(
       Seq(byId(1L), byId(2L)).map(c => (c._1, c._3)).toDF("doc_id", "text"), idx)
     assert(DocText.neardupIndexDelete(s, idx, Seq(1L).toDF("doc_id")) == 1L)

@@ -9,7 +9,7 @@ import graft.SparkSpec
 class CorpusPipelineSpec extends SparkSpec {
 
   test("pipeline reduces monotonically, collapses planted dups, writes sharded corpus") {
-    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val out = graft.TempDirs.scratch("graft_corpus").toString
     val ledger = CorpusPipeline.run(spark, "/root/testdata/sf0.001", out)
     val m = ledger.toMap
 
@@ -33,7 +33,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(corpus.count() == m("decontaminated"))
 
     // deterministic: a re-run produces the identical ledger
-    val out2 = java.nio.file.Files.createTempDirectory("graft_corpus2").toString
+    val out2 = graft.TempDirs.scratch("graft_corpus2").toString
     assert(CorpusPipeline.run(spark, "/root/testdata/sf0.001", out2) == ledger)
   }
 }

@@ -13,8 +13,8 @@ class ScaleUpSpec extends SparkSpec {
   private lazy val dirs: (String, String) = {
     val s = spark
     import s.implicits._
-    val src = java.nio.file.Files.createTempDirectory("scaleup_src").toString
-    val dst = java.nio.file.Files.createTempDirectory("scaleup_dst").toString
+    val src = graft.TempDirs.scratch("scaleup_src").toString
+    val dst = graft.TempDirs.scratch("scaleup_dst").toString
     Seq((0L, "r0")).toDF("r_regionkey", "r_name").write.parquet(s"$src/region.parquet")
     Seq((0L, 0L, "n")).toDF("n_nationkey", "n_regionkey", "n_name")
       .write.parquet(s"$src/nation.parquet")
@@ -88,7 +88,7 @@ class ScaleUpSpec extends SparkSpec {
     // and the same-shift un-negated pair lands at cosine -1 (never a
     // positive near-dup); factor 17 exceeds the 2*dim distinct
     // transforms and must refuse loudly
-    val dst = java.nio.file.Files.createTempDirectory("scaleup_neg").toString
+    val dst = graft.TempDirs.scratch("scaleup_neg").toString
     ScaleUp.run(spark, dirs._1, dst, 16)
     def dot(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) => x.toDouble * y }.sum
@@ -103,7 +103,7 @@ class ScaleUpSpec extends SparkSpec {
     assert(math.abs(cos(em(1L), em(1L + 8 * kv)) + 1.0) < 1e-9)
     val e = intercept[IllegalArgumentException] {
       ScaleUp.run(spark, dirs._1,
-        java.nio.file.Files.createTempDirectory("scaleup_refuse").toString, 17)
+        graft.TempDirs.scratch("scaleup_refuse").toString, 17)
     }
     assert(e.getMessage.contains("exceeds 2x embedding dim"))
   }
@@ -111,8 +111,8 @@ class ScaleUpSpec extends SparkSpec {
   test("empty source table fails loudly instead of NPE") {
     val s = spark
     import s.implicits._
-    val src = java.nio.file.Files.createTempDirectory("scaleup_empty").toString
-    val dst = java.nio.file.Files.createTempDirectory("scaleup_empty_dst").toString
+    val src = graft.TempDirs.scratch("scaleup_empty").toString
+    val dst = graft.TempDirs.scratch("scaleup_empty_dst").toString
     Seq((0L, "r0")).toDF("r_regionkey", "r_name").write.parquet(s"$src/region.parquet")
     Seq((0L, 0L, "n")).toDF("n_nationkey", "n_regionkey", "n_name")
       .write.parquet(s"$src/nation.parquet")

@@ -39,17 +39,42 @@ if len(sys.argv) > 4:
 
 b, s = base["queries"], scaled["queries"]
 common = [k for k in s if k in b and b[k] > 0 and s[k] > 0]
+
+# Canary-normalized drift (VERDICT r18 #3): for SAME-SF comparisons
+# (round-over-round), the median ratio over the artifacts' canary gates
+# — fixed-cost catalog/scalar families untouched for many rounds —
+# estimates the ambient host-window drift, which on this box runs
+# ±1.3x (BENCH_NOTES r18). Corrected ratios divide it out so a code
+# regression separates from a slow window mechanically. Cross-sf scale
+# comparisons skip this (canaries scale too, mildly).
+drift = None
+if base.get("sf") == scaled.get("sf"):
+    canary = set(base.get("canaries", [])) & set(scaled.get("canaries", []))
+    cr = [s[k] / b[k] for k in canary if k in common]
+    if cr:
+        drift = statistics.median(cr)
+
 rows = sorted(((k, b[k], s[k], s[k] / b[k]) for k in common),
               key=lambda r: -r[3])
-print(f"| query | sf0.1 s | sf1 s | ratio |")
-print(f"|---|---|---|---|")
+corr = f" corrected |" if drift else ""
+print(f"| query | base s | scaled s | ratio |{corr}")
+print(f"|---|---|---|---|" + ("---|" if drift else ""))
 for k, bb, ss, r in rows:
     flag = " **> linear**" if r > factor else ""
-    print(f"| {k} | {bb:.2f} | {ss:.2f} | {r:.1f}{flag} |")
+    c = f" {r / drift:.2f} |" if drift else ""
+    print(f"| {k} | {bb:.2f} | {ss:.2f} | {r:.1f}{flag} |{c}")
 med = statistics.median(r for _, _, _, r in rows)
 over = [k for k, _, _, r in rows if r > factor]
 print(f"\nmedian ratio {med:.2f} over {len(rows)} queries; "
       f"{len(over)} above {factor:g}x: {' '.join(over) or '-'}")
+if drift:
+    print(f"canary drift {drift:.3f} over {len(cr)} canaries "
+          f"-> drift-corrected median {med / drift:.2f}")
+for art, nm in ((base, sys.argv[1]), (scaled, sys.argv[2])):
+    if art.get("tmp_dirs_at_start", 0) > 200:
+        print(f"WARNING {nm}: tmp_dirs_at_start="
+              f"{art['tmp_dirs_at_start']} — /tmp-crowded window, "
+              f"FS-heavy gates suspect (BENCH_NOTES r18)")
 
 breached = []
 for k, bound in CHECKED.items():
