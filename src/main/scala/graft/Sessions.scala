@@ -33,7 +33,14 @@ object Sessions {
     * O(n log n) growth at fixed parallelism, not spill. On a REAL
     * cluster this knob is the right lever (executors×cores×2-3 initial,
     * AQE coalescing down); the env override exists for exactly that
-    * deployment, with the measured caveat above. */
+    * deployment, with the measured caveat above.
+    *
+    * r19 addendum: the gates that DID improve under wider shuffles now
+    * widen per-query instead of session-wide — the chunked series folds
+    * scale their chunk count with input bytes
+    * (`SeriesChunks.chunkCount`) and the few-group rank family salts by
+    * scan partition above a size gate (`Ranks.topKPerGroup`) — VERDICT
+    * r18 #6. */
   def initialPartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus)
 

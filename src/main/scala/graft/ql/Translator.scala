@@ -1049,16 +1049,17 @@ final class Translator(df: DataFrame, meta: TableMeta) {
       k: Int, mk: org.apache.spark.sql.expressions.WindowSpec => Seq[(Column, String)])
       : Option[DataFrame] = {
     val sess = input.sparkSession
-    val chunks = sess.conf.get("graft.seriesFold.chunks",
-      sess.conf.get("spark.sql.shuffle.partitions", "32")).toInt
     // size gate (same spirit as the broadcast threshold): for a series
     // that fits one task comfortably, the direct window is faster than
     // chunking's extra min/max pass + shuffles — measured +0.3 s on a 10k-
     // row series. Catalyst's sizeInBytes estimate is free and errs large.
+    // The chunk count itself is size-gated too (VERDICT r18 #6 — widens
+    // with input bytes; see SeriesChunks.chunkCount).
     val minBytes = sess.conf
       .get("graft.seriesFold.minBytes", (64L * 1024 * 1024).toString).toLong
-    if (chunks <= 1 ||
-        input.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return None
+    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val chunks = graft.queries.SeriesChunks.chunkCount(sess, bytes)
+    if (chunks <= 1 || bytes < minBytes) return None
     val tc = col(timeName)
     val b = input.agg(min(tc), max(tc)).head()
     if (b.isNullAt(0) || b.getLong(1) <= b.getLong(0)) return None
@@ -1133,12 +1134,12 @@ final class Translator(df: DataFrame, meta: TableMeta) {
   private def chunkedCumSum(input: DataFrame, tags: List[String], f: String,
       name: String): Option[DataFrame] = {
     val sess = input.sparkSession
-    val chunks = sess.conf.get("graft.seriesFold.chunks",
-      sess.conf.get("spark.sql.shuffle.partitions", "32")).toInt
     val minBytes = sess.conf
       .get("graft.seriesFold.minBytes", (64L * 1024 * 1024).toString).toLong
-    if (chunks <= 1 ||
-        input.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return None
+    // size-gated chunk width (VERDICT r18 #6; see SeriesChunks.chunkCount)
+    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val chunks = graft.queries.SeriesChunks.chunkCount(sess, bytes)
+    if (chunks <= 1 || bytes < minBytes) return None
     val tc = time
     // one pass: time bounds + (tagged only) approximate series count
     val aggs = Seq(min(tc), max(tc)) ++

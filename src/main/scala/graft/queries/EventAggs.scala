@@ -398,11 +398,13 @@ object EventAggs {
         |    row_number() OVER (PARTITION BY event_type ORDER BY hk ASC, event_id ASC) AS rn
         |  FROM h) WHERE rn <= 5""".stripMargin) { (s, d) =>
       val hk = (col("event_id") % 2147483647L * 48271L + 42L) % 2147483647L
-      ev(s, d)
-        .withColumn("hk", hk)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("hk").asc, col("event_id").asc)))
-        .where(col("rn") <= 5).select("event_type", "event_id", "value")
+      // salted top-k (VERDICT r18 #6): a 5-event-type window is 5 sort
+      // tasks at any width — above the size gate the rank splits into
+      // per-scan-partition top-5s + a tiny global rank, bit-identical
+      // under the total (hk, event_id) order
+      Ranks.topKPerGroup(ev(s, d).withColumn("hk", hk),
+          Seq(col("event_type")), Seq(col("hk").asc, col("event_id").asc), 5)
+        .select("event_type", "event_id", "value")
     },
 
     // seeded deterministic variant: same per-series 5-row sample but keyed
@@ -418,11 +420,10 @@ object EventAggs {
         |    row_number() OVER (PARTITION BY event_type ORDER BY hk ASC, event_id ASC) AS rn
         |  FROM h) WHERE rn <= 5""".stripMargin) { (s, d) =>
       val hk = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10).cast("long")
-      ev(s, d)
-        .withColumn("hk", hk)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("hk").asc, col("event_id").asc)))
-        .where(col("rn") <= 5).select("event_type", "event_id", "value")
+      // salted top-k above the size gate — see e_sample
+      Ranks.topKPerGroup(ev(s, d).withColumn("hk", hk),
+          Seq(col("event_type")), Seq(col("hk").asc, col("event_id").asc), 5)
+        .select("event_type", "event_id", "value")
     },
 
     // ---- sessionization: gap-based session assembly per user (30-min

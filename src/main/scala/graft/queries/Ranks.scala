@@ -76,4 +76,44 @@ object Ranks {
       .withColumn(out, col("__lr") + col("__off") - 1L)
       .drop("__pid", "__lr", "__off")
   }
+
+  /** Exact top-`n` rows per group under a TOTAL order — `row_number ≤ n`
+    * semantics — without one giant sort task per group (VERDICT r18 #6).
+    *
+    * `row_number().over(partitionBy(groups))` parallelizes only as far
+    * as the group count: 5 event types over a 100 TB table is 5 sort
+    * tasks, each spilling, at any cluster width (the r18 A/B arms
+    * measured this family 0.60–0.85× under wider shuffles — the salted
+    * form removes the ceiling instead of renting more of it). Two
+    * phases, one shuffle each:
+    *   1. local: rank within (group, input-partition-id) — as many
+    *      small in-memory sorts as the SCAN has splits — and keep each
+    *      split's top-n. Any global top-n row is a top-n row of its own
+    *      split (the order is total), so nothing needed survives-not.
+    *   2. global: the direct window over the ≤ n·splits survivors per
+    *      group — a tiny sort.
+    * Bit-identical to the direct window BECAUSE the order is total
+    * (tie-broken — the repo's determinism discipline); a non-total
+    * order would let phase 1 keep a different "equal" row than the
+    * one-task sort.
+    *
+    * Size-gated like every scale form here: below
+    * `graft.rank.saltMinBytes` (default 256 MiB; Catalyst estimate,
+    * errs large) the direct window wins — two windows cost two
+    * exchanges, and a small group sorts in one task comfortably. */
+  def topKPerGroup(df: DataFrame, groups: Seq[Column], order: Seq[Column],
+      n: Int, out: String = "rn"): DataFrame = {
+    val sess = df.sparkSession
+    val minBytes = sess.conf
+      .get("graft.rank.saltMinBytes", (256L * 1024 * 1024).toString).toLong
+    val w = Window.partitionBy(groups: _*).orderBy(order: _*)
+    val base =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+      else df
+        .withColumn("__sp", spark_partition_id())
+        .withColumn("__lr", row_number().over(
+          Window.partitionBy(groups :+ col("__sp"): _*).orderBy(order: _*)))
+        .where(col("__lr") <= n).drop("__lr", "__sp")
+    base.withColumn(out, row_number().over(w)).where(col(out) <= n)
+  }
 }
