@@ -78,6 +78,15 @@ object Sessions {
         s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc runtime-conf injection (A/B experiments, deployment tuning):
+    // SPARK_GRAFT_CONF="graft.seriesFold.chunks=32,graft.rank.saltMinBytes=0"
+    // — applied AFTER build so graft.* knobs land in the session conf the
+    // engine reads; static SQL confs are rejected by Spark as usual
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').map(_.trim)
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     registerFunctions(spark)
     spark
   }

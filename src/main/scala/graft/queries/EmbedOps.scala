@@ -1656,6 +1656,132 @@ object EmbedOps {
     v0.select(col("vec_id"),
       array(perm.map(p => element_at(col("emb"), p + 1)): _*).as("emb"))
 
+  // ---- OPQ FULL alternating optimization (VERDICT r18 #8 stretch,
+  //      taken in r19 with the r18 framing intact): Ge et al.'s
+  //      non-parametric alternation learns a full orthogonal rotation —
+  //      iterate (train codebooks in rotated space) ↔ (update R by the
+  //      orthogonal-Procrustes SVD against the reconstructions). The SVD
+  //      step is NOT replayable as exact-integer SQL, so this rung is
+  //      deliberately NOT a correctness gate: the em_opq_* family stays
+  //      on the oracle-exact allocation rung, and this path is validated
+  //      by INVARIANTS (R orthogonal; quantization error improves over
+  //      the allocation-only init; recall ≥ the allocation rung at the
+  //      same M×K budget) in PqRecallSpec — the residual-gates
+  //      alt-validation precedent.
+  //
+  //      Scale shape: each iteration is (a) one map-only rotate pass
+  //      (DIMS codegen'd seqdot folds per row), (b) the standard
+  //      deterministic codebook train, (c) ONE corpus pass accumulating
+  //      the DIMS×DIMS cross-matrix A = Σ x·x̂ᵀ and the quantization
+  //      error via treeAggregate (the RowMatrix-Gramian idiom — the
+  //      bounded-accumulator aggregation Spark ML itself uses), and
+  //      (d) a driver-side 64×64 SVD. Nothing driver-side scales with N.
+
+  /** Apply a full rotation: emb′ = R·emb, each output coordinate one
+    * codegen'd `seqdot` against that row of R (riding as a literal).
+    * Keeps the original vector as `emb0` for the Procrustes pass. */
+  private def rotApplyKeep(v0: DataFrame, rot: Seq[Seq[Double]]): DataFrame =
+    v0.select(col("vec_id"), col("emb").as("emb0"),
+      array(rot.map(r =>
+        call_function("seqdot", col("emb"), typedLit(r))): _*).as("emb"))
+
+  /** One Procrustes pass: A[i][j] = Σ_rows emb0[i]·x̂[j] (row-major
+    * flat) and the total quantization error Σ‖emb − x̂‖², where x̂ is
+    * the in-row PQ reconstruction of the ROTATED vector under `books`
+    * (one `pq_encode` + nested literal picks — map-only). */
+  private def opqGramErr(vr: DataFrame, books: PqBooks)
+      : (Array[Double], Double) = {
+    val s = vr.sparkSession
+    import s.implicits._
+    val booksLit = typedLit(books.map(_.map(_._2)))
+    val rows = vr
+      .select(col("emb0"), col("emb"),
+        call_function("pq_encode", col("emb"), booksLit).as("codes"))
+      .select(col("emb0"), col("emb"),
+        flatten(transform(col("codes"), (c, m) =>
+          element_at(element_at(booksLit, (m + 1).cast("int")),
+            c + 1))).as("xhat"))
+      .as[(Seq[Double], Seq[Double], Seq[Double])]
+    rows.rdd.treeAggregate((new Array[Double](DIMS * DIMS), 0.0))(
+      { case ((acc, e), (x0, x, xh)) =>
+        var err = e
+        var i = 0
+        while (i < DIMS) {
+          val d = x(i) - xh(i)
+          err += d * d
+          var j = 0
+          while (j < DIMS) { acc(i * DIMS + j) += x0(i) * xh(j); j += 1 }
+          i += 1
+        }
+        (acc, err)
+      },
+      { case ((a, e1), (b, e2)) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        (a, e1 + e2)
+      })
+  }
+
+  /** Learn the full OPQ rotation: init R₀ from the oracle-exact
+    * balanced-variance allocation (a permutation IS an orthogonal
+    * matrix), then `iters` alternations of codebook-train → Procrustes
+    * rotation update (R = V·Uᵀ from svd(A), the argmax of tr(R·A) over
+    * orthogonal R). Returns (rotation rows, per-iteration quantization
+    * error measured after that iteration's codebook train). Each
+    * codebook train is the single deterministic Lloyd pass every PQ rung
+    * uses — not run to convergence — so the error sequence is expected,
+    * not guaranteed, to decrease; the spec pins final ≤ first. */
+  private[queries] def opqTrainRotation(v0: DataFrame, iters: Int)
+      : (Seq[Seq[Double]], Seq[Double]) = {
+    val perm = opqPerm(v0)
+    var rot: Seq[Seq[Double]] = Seq.tabulate(DIMS)(j =>
+      Seq.tabulate(DIMS)(i => if (perm(j) == i) 1.0 else 0.0))
+    val errs = scala.collection.mutable.ArrayBuffer[Double]()
+    var bestRot = rot
+    var bestErr = Double.MaxValue
+    for (_ <- 0 until iters) {
+      val vr = rotApplyKeep(v0, rot)
+      val (_, cb) = pqTrainV(vr.select(col("vec_id"), col("emb")))
+      val (a, err) = opqGramErr(vr, pqBooks(cb))
+      errs += err
+      if (err < bestErr) { bestErr = err; bestRot = rot }
+      val A = breeze.linalg.DenseMatrix.tabulate(DIMS, DIMS)(
+        (i, j) => a(i * DIMS + j))
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(A)
+      val rNew = vt.t * u.t
+      rot = Seq.tabulate(DIMS)(j => Seq.tabulate(DIMS)(i => rNew(j, i)))
+    }
+    // keep the best MEASURED rotation (single-pass codebook trains make
+    // the tail non-monotone in principle; the returned artifact is the
+    // one whose error was actually observed lowest)
+    (bestRot, errs.toSeq)
+  }
+
+  /** Full-OPQ ADC at a shortlist budget: rotate with the learned R,
+    * then the standard PQ train/encode/ADC/exact-rerank — the identical
+    * M×K budget as `pqAdc`/`opqAdc`, so PqRecallSpec compares the three
+    * rungs directly. Exact rerank runs in rotated space: an orthogonal
+    * R preserves L2, so the reranked neighbors are the true ones. */
+  def opqFullAdc(s: SparkSession, d: String, shortlistN: Int,
+      iters: Int = 4): DataFrame = {
+    val v0 = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val (rot, _) = opqTrainRotation(v0, iters)
+    val v = rotApplyKeep(v0, rot).select(col("vec_id"), col("emb"))
+    val (_, cb) = pqTrainV(v)
+    val books = pqBooks(cb)
+    pqSearch(pqEncode(v, books),
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v, shortlistN)
+  }
+
+  /** Spec entry: (rotation, per-iteration errors) for the invariant
+    * checks — orthogonality and error-vs-allocation-init. */
+  def opqFullTrain(s: SparkSession, d: String, iters: Int)
+      : (Seq[Seq[Double]], Seq[Double]) =
+    opqTrainRotation(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      iters)
+
   /** Persist the OPQ index — the learned allocation at rest beside the
     * codebook + compressed codes, so search loads three small artifacts
     * and never re-derives the transform. The codes layout IS the flat PQ
@@ -3366,13 +3492,18 @@ object EmbedOps {
     // salted shortlist rank (VERDICT r18 #6): the Hamming scan expands to
     // N×NQUERIES rows in NQUERIES window partitions — above the size gate
     // the rank runs per (qid, scan split) first, bit-identical under the
-    // total (ham, vec_id) order
+    // total (ham, vec_id) order. The gate sizes on the CODES side ×
+    // NQUERIES (the true expansion): the join's own Catalyst estimate is
+    // the product of the sides' bytes, which over-fires the salt on tiny
+    // corpora (measured 1.4-1.6× on the sf0.1 BQ gates).
     val shortlist = Ranks.topKPerGroup(
       codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           expr("bit_count(code ^ qcode)").as("ham")),
       Seq(col("qid")), Seq(col("ham").asc, col("vec_id").asc),
-      PQ_SHORTLIST, out = "arn")
+      PQ_SHORTLIST, out = "arn",
+      estBytes = codes.queryExecution.optimizedPlan.stats.sizeInBytes
+        * NQUERIES)
     shortlist
       .join(v, Seq("vec_id"))
       .join(broadcast(qv), Seq("qid"))

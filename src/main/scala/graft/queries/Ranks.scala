@@ -102,13 +102,34 @@ object Ranks {
     * errs large) the direct window wins — two windows cost two
     * exchanges, and a small group sorts in one task comfortably. */
   def topKPerGroup(df: DataFrame, groups: Seq[Column], order: Seq[Column],
-      n: Int, out: String = "rn"): DataFrame = {
+      n: Int, out: String = "rn"): DataFrame =
+    topKPerGroup(df, groups, order, n, out,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  /** `estBytes` override: Catalyst's JOIN size estimate is the PRODUCT
+    * of the sides' bytes, so a frame like (codes ⋈ broadcast queries)
+    * estimates astronomically even when both sides are tiny — the salt
+    * then engages where the direct window is cheaper (measured +0.3-0.6s
+    * per BQ gate at sf0.1). Callers whose input is a join pass a sane
+    * estimate (scan-side bytes × the broadcast fan-out) instead. */
+  def topKPerGroup(df: DataFrame, groups: Seq[Column], order: Seq[Column],
+      n: Int, out: String, estBytes: BigInt): DataFrame = {
     val sess = df.sparkSession
+    // default 8 MiB of estimated sort input. The estimate is
+    // scan-derived, i.e. COMPRESSED-size-scaled (the sf10 probe: 100M
+    // event rows estimate 249 MB, 2M packed codes × 10 queries estimate
+    // 16 MB), so the threshold is small in absolute terms: ~8 MiB
+    // estimated ≈ tens of MB of in-memory sort rows per group — about
+    // where one task's sort time overtakes the salt's second exchange.
+    // Measured: salt-on below the gate cost +0.2-0.6 s/gate (sf0.1,
+    // inputs estimate 0.25-2.4 MB); salt-on above it won 0.78-0.81×
+    // (sf10). Callers whose input is a join MUST pass `estBytes` (join
+    // estimates are the product of the sides' bytes — overload note).
     val minBytes = sess.conf
-      .get("graft.rank.saltMinBytes", (256L * 1024 * 1024).toString).toLong
+      .get("graft.rank.saltMinBytes", (8L * 1024 * 1024).toString).toLong
     val w = Window.partitionBy(groups: _*).orderBy(order: _*)
     val base =
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+      if (estBytes < minBytes) df
       else df
         .withColumn("__sp", spark_partition_id())
         .withColumn("__lr", row_number().over(
