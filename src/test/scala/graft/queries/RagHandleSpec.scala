@@ -51,6 +51,38 @@ class RagHandleSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("concurrent queries through one handle return the same results " +
+      "as sequential ones (the serving shape: N threads, one handle)") {
+    val s = spark
+    val vecIdx = graft.TempDirs.scratch("rag_handle_conc_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_handle_conc_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      val expected = (0L until 10L).map(q => q -> rows(h.query(q))).toMap
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(4)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      try {
+        (0 until 40).foreach { i =>
+          pool.execute(() => {
+            val qid = (i % 10).toLong
+            try {
+              if (rows(h.query(qid)) != expected(qid))
+                failures.add(s"qid $qid diverged on thread ${Thread.currentThread.getName}")
+            } catch {
+              case e: Throwable => failures.add(s"qid $qid threw: ${e.getMessage}")
+            }
+          })
+        }
+        pool.shutdown()
+        assert(pool.awaitTermination(300, TimeUnit.SECONDS), "pool timed out")
+      } finally { pool.shutdownNow(); () }
+      assert(failures.isEmpty, s"concurrent serving failures: " +
+        failures.toArray.take(3).mkString("; "))
+    } finally h.close()
+  }
+
   test("handle results are stable across repeated queries (resident " +
       "artifacts are read-only, no per-request state)") {
     val s = spark
