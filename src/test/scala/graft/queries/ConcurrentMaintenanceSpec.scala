@@ -163,6 +163,56 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     assert(pairs() == base, "post-storm content diverged from base")
   }
 
+  test("resident RagHandle: concurrent serving beside a text-index " +
+      "maintenance loop returns the frozen snapshot exactly or fails " +
+      "loudly — never a silent mix (r19 serving story)") {
+    val s = spark
+    import s.implicits._
+    val vecIdx = graft.TempDirs.scratch("rag_storm_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_storm_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      def serve(qid: Long): Set[(Long, Long, Long, Long, Int)] =
+        h.query(qid).collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+      val base = (0L until 10L).map(q => q -> serve(q)).toMap
+      assert(base.values.forall(_.nonEmpty))
+      // churn batch: NOVEL vocabulary (its terms never enter any query's
+      // pruned postings scan) and ids far outside the packed chunk-id
+      // space (so the takedown can never anti-join a real chunk away).
+      // The handle's text stats/df are FROZEN at open, so whatever
+      // subset of the batch is at rest, every completed query has
+      // exactly one legal answer: the open-time snapshot.
+      val churn = (0 until 30).map(i =>
+        (500000000000L + i, (0 until 24).map(j => s"zzrag${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val (oks, errs) = storm(3)(() => {
+        val q = scala.util.Random.nextInt(10).toLong
+        (q, serve(q))
+      }) {
+        (1 to 3).foreach { _ =>
+          TextIndex.bm25Append(s, churn, txtIdx)
+          TextIndex.bm25FoldDelta(s, txtIdx)
+          TextIndex.bm25Compact(s, txtIdx, ifMoreThan = 2)
+          TextIndex.bm25Delete(s, txtIdx, churn.select("doc_id"))
+        }
+      }
+      assert(oks.nonEmpty, "no query ever completed — the storm is vacuous")
+      val wrong = oks.filterNot { case (q, r) => r == base(q) }
+      assert(wrong.isEmpty,
+        s"${wrong.size} of ${oks.size} concurrent serves diverged from " +
+          "the handle's frozen snapshot (silent mix of generations)")
+      val unexpected = errs.filterNot(loudByDesign)
+      assert(unexpected.isEmpty,
+        s"${unexpected.size} of ${errs.size} failures were not a loud " +
+          s"by-design class: ${unexpected.take(3).map(_.toString).mkString("; ")}")
+      // quiesced end state: the loop ends on delete → snapshot holds
+      (0L until 10L).foreach(q => assert(serve(q) == base(q),
+        s"post-storm serve diverged for qid $q"))
+    } finally h.close()
+  }
+
   test("vector index: concurrent kNN beside the IVF lifecycle loop always " +
       "returns the exact base TOPK or refuses loudly") {
     val s = spark
