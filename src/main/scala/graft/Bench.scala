@@ -51,12 +51,13 @@ object Bench {
     // overwrite BENCH_SELF.json (the driver's full-sweep artifact)
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = Sessions.build("graft-bench")
     // contamination flag (VERDICT r18 #4): leftover index/scratch dirs
     // crowd /tmp's directory metadata and read as a fake 2–3× regression
     // on the FS-heavy lifecycle gates (BENCH_NOTES r18) — record the
     // count at sweep start so a polluted window is visible in the
-    // artifact instead of re-diagnosed from symptoms
+    // artifact instead of re-diagnosed from symptoms. Counted BEFORE the
+    // session builds: the session's own spark-/blockmgr- scratch dirs
+    // would otherwise inflate the flag (ADVICE r19).
     val tmpDirsAtStart = {
       val prefixes = Seq("graft_", "bm25_", "ivf", "rag", "pq_", "sq8_",
         "bq_", "opq_", "neardup", "hyb_", "sdec_", "scaleup_", "handoff_",
@@ -65,6 +66,7 @@ object Bench {
       Option(t.list()).map(_.count(n => prefixes.exists(n.startsWith)))
         .getOrElse(0)
     }
+    val spark = Sessions.build("graft-bench")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

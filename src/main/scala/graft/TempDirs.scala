@@ -63,7 +63,17 @@ object TempDirs {
   locally {
     val prev = Thread.getDefaultUncaughtExceptionHandler
     Thread.setDefaultUncaughtExceptionHandler((t, e) => {
-      keepForForensics()
+      // only a NON-daemon thread's death marks the process failed: a
+      // benign daemon-thread throwable (executor heartbeat races at
+      // shutdown, etc.) would otherwise stickily disable all cleanup
+      // for the whole process (ADVICE r19). The mark is logged so a
+      // silently-kept /tmp is attributable to its cause.
+      if (!t.isDaemon) {
+        System.err.println(
+          s"[TempDirs] keeping scratch dirs for forensics: uncaught " +
+            s"${e.getClass.getName} in thread ${t.getName}")
+        keepForForensics()
+      }
       if (prev != null) prev.uncaughtException(t, e)
       else {
         System.err.println(s"Uncaught exception in ${t.getName}:")

@@ -1162,35 +1162,41 @@ object EmbedOps {
   //      never decode). An ABSENT marker is accepted (pre-r15 indexes),
   //      a PRESENT mismatch is a hard error.
 
-  private def writeEncoding(s: SparkSession, indexDir: String,
-      enc: String): Unit = {
-    val (f, p) = hfs(s, s"$indexDir/_encoding")
+  /** Write a small text marker file (overwrite). Single-maintainer
+    * discipline: marker writes happen only inside maintenance entries. */
+  private[queries] def writeSmallFile(s: SparkSession, path: String,
+      content: String): Unit = {
+    val (f, p) = hfs(s, path)
     val out = f.create(p, true)
-    try out.write(enc.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readEncoding(s: SparkSession, indexDir: String): Option[String] = {
-    val (f, p) = hfs(s, s"$indexDir/_encoding")
+  /** Read a small text file fully. Reads to EOF in a loop (ADVICE r15):
+    * Hadoop streams may return fewer bytes than available per read()
+    * (HDFS/object stores) — a single call could truncate the content and
+    * raise a spurious mismatch on a valid marker. */
+  private[queries] def readSmallFile(s: SparkSession,
+      path: String): Option[String] = {
+    val (f, p) = hfs(s, path)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try {
-        // read to EOF in a loop (ADVICE r15): Hadoop streams may return
-        // fewer bytes than available per read() (HDFS/object stores) — a
-        // single call could truncate the marker and raise a spurious
-        // encoding mismatch on a valid index
-        val buf = new Array[Byte](64)
-        var off = 0
-        var n = in.read(buf, off, buf.length - off)
-        while (n > 0 && off + n < buf.length) {
-          off += n
-          n = in.read(buf, off, buf.length - off)
-        }
-        if (n > 0) off += n
-        Some(new String(buf, 0, off, "UTF-8").trim)
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toString("UTF-8"))
       } finally in.close()
     }
   }
+
+  private def writeEncoding(s: SparkSession, indexDir: String,
+      enc: String): Unit =
+    writeSmallFile(s, s"$indexDir/_encoding", enc)
+
+  private def readEncoding(s: SparkSession, indexDir: String): Option[String] =
+    readSmallFile(s, s"$indexDir/_encoding").map(_.trim)
 
   private def requireEncoding(s: SparkSession, indexDir: String,
       expected: String): Unit =

@@ -98,9 +98,10 @@ object Ranks {
     * one-task sort.
     *
     * Size-gated like every scale form here: below
-    * `graft.rank.saltMinBytes` (default 256 MiB; Catalyst estimate,
-    * errs large) the direct window wins — two windows cost two
-    * exchanges, and a small group sorts in one task comfortably. */
+    * `graft.rank.saltMinBytes` (default 8 MiB; Catalyst estimate,
+    * errs large — see the overload below for the measured rationale)
+    * the direct window wins — two windows cost two exchanges, and a
+    * small group sorts in one task comfortably. */
   def topKPerGroup(df: DataFrame, groups: Seq[Column], order: Seq[Column],
       n: Int, out: String = "rn"): DataFrame =
     topKPerGroup(df, groups, order, n, out,
