@@ -27,17 +27,28 @@ object Bench {
   }
 
   /** Host-drift canaries (VERDICT r18 #3): gates dominated by fixed
-    * per-query cost — catalog-only SHOWs, small scans, scalar math —
-    * from families that haven't changed in many rounds. Cross-window
-    * ratios on this box carry ±1.3× ambient drift that hits these gates
-    * as uniformly as the graded surface (BENCH_NOTES r18), so the
-    * cross-round median ratio OVER THE CANARIES estimates the drift and
-    * `tools/ratio.py` divides it out of same-sf comparisons — the r18
-    * window adjudication, made mechanical. */
-  private val Canaries = Seq(
-    "iql_show_tag_keys", "iql_show_measurements", "iql_show_field_keys",
-    "iql_show_tag_values", "iql_raw", "iql_regex_field",
-    "iql_scalar_chain", "iql_div_zero", "iql_minmax_spread", "em_norms")
+    * per-query cost from families that haven't changed in many rounds.
+    * Cross-window ratios on this box carry ±1.3× ambient drift that hits
+    * these gates as uniformly as the graded surface (BENCH_NOTES r18),
+    * so the cross-round median ratio OVER THE CANARIES estimates the
+    * drift and `tools/ratio.py` divides it out of same-sf comparisons —
+    * the r18 window adjudication, made mechanical.
+    *
+    * CLASSED since r20 (VERDICT r19 #5): the original set was all tiny
+    * scan/catalog/scalar gates, and the r19 windows showed a uniform
+    * ~1.2–1.4× corrected drift on the (untouched) join-shaped relational
+    * family the scan canaries under-spanned. The `join` class adds
+    * mid-weight shuffle/join gates untouched since their landing rounds,
+    * so a join-only environment shift separates from a scan-only one in
+    * `ratio.py`'s per-class report. */
+  private val CanaryClasses: Seq[(String, Seq[String])] = Seq(
+    "scan" -> Seq(
+      "iql_show_tag_keys", "iql_show_measurements", "iql_show_field_keys",
+      "iql_show_tag_values", "iql_raw", "iql_regex_field",
+      "iql_scalar_chain", "iql_div_zero", "iql_minmax_spread", "em_norms"),
+    "join" -> Seq(
+      "r_semi_join", "r_region_revenue", "r_topk_per_group"))
+  private val Canaries = CanaryClasses.flatMap(_._2)
 
   private def fmt4(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -153,8 +164,12 @@ object Bench {
     // canary gate list + tmp contamination flag, and the per-phase splits
     // (the stdout line stays schema-stable for the driver's parser).
     val canariesJson = Canaries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val classesJson = CanaryClasses.map { case (cls, gs) =>
+      "\"" + cls + "\":" + gs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val selfLine = line.dropRight(1) +
       s""","query_runs":$qruns,"canaries":$canariesJson""" +
+      s""","canary_classes":$classesJson""" +
       s""","tmp_dirs_at_start":$tmpDirsAtStart,"query_phases":$qphases}"""
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),

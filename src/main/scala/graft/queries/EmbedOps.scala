@@ -408,6 +408,7 @@ object EmbedOps {
       .agg(count(lit(1)).as("n"),
         avg(col("d2").cast("double")).as("mean_d2"))
       .write.mode("overwrite").parquet(s"$indexDir/stats.parquet")
+    bumpGeneration(sp, indexDir)
   }
 
   /** Corpus-scale nearest-centroid assignment WITH the assignment
@@ -493,6 +494,7 @@ object EmbedOps {
           val (f, deltaP) = hfs(s, s"$indexDir/delta.parquet")
           if (parquetFileCount(f, deltaP) >= maxFiles) ivfFoldDelta(s, indexDir)
         }
+        bumpGeneration(s, indexDir)
       }
       // an index without the drift-baseline artifact (built before the
       // stats.parquet convention, or a hand-assembled centroids+assign
@@ -1108,14 +1110,18 @@ object EmbedOps {
     * three exists() probes when there is nothing to heal. */
   def reconcileSwaps(s: SparkSession, indexDir: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    Seq("del.tmp" -> "assign.parquet", "compact.tmp" -> "assign.parquet",
-        "codes.del.tmp" -> "codes.parquet",
-        "codes.compact.tmp" -> "codes.parquet").foreach { case (ns, table) =>
+    Seq(("del.tmp", "assign.parquet", "list_id="),
+        ("compact.tmp", "assign.parquet", "list_id="),
+        ("codes.del.tmp", "codes.parquet", "list_id="),
+        ("codes.compact.tmp", "codes.parquet", "list_id="),
+        ("emb.del.tmp", "emb.parquet", "vbucket="),
+        ("emb.compact.tmp", "emb.parquet", "vbucket=")).foreach {
+      case (ns, table, prefix) =>
       val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/$ns")
       val f = tmpRoot.getFileSystem(conf)
       if (f.exists(tmpRoot)) {
         f.listStatus(tmpRoot)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_id="))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
           .foreach { st =>
             val live = new org.apache.hadoop.fs.Path(
               s"$indexDir/$table/${st.getPath.getName}")
@@ -1123,6 +1129,30 @@ object EmbedOps {
               sys.error(s"swap heal failed: ${st.getPath} -> $live")
           }
         f.delete(tmpRoot, true)
+      }
+    }
+    // two-tier takedown window (CRASH_MATRIX row 17): emb.dirty present
+    // means ivfPqDelete died between the codes delete and the sidecar
+    // delete — roll FORWARD by re-running both deletes from the marker's
+    // id list (idempotent: already-deleted ids anti-join to nothing),
+    // then clear the marker. Runs AFTER the swap heals above so the
+    // re-deletes read healed layouts.
+    locally {
+      val dirtyP = new org.apache.hadoop.fs.Path(s"$indexDir/emb.dirty")
+      val f = dirtyP.getFileSystem(conf)
+      if (f.exists(dirtyP)) {
+        import s.implicits._
+        val ids = readSmallFile(s, s"$indexDir/emb.dirty").get
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSeq
+        if (ids.nonEmpty) {
+          val idsDf = ids.toDF("vec_id")
+          deleteFromPartitioned(s, indexDir, "codes.parquet", "codes.del", idsDf)
+          if (embSidecarExists(s, indexDir))
+            deleteFromPartitioned(s, indexDir, "emb.parquet", "emb.del",
+              idsDf, pcol = "vbucket")
+        }
+        f.delete(dirtyP, false)
       }
     }
     // the flat-table swaps (pqDelete/sq8Delete/bqDelete): same rule —
@@ -1191,6 +1221,33 @@ object EmbedOps {
     }
   }
 
+  // ---- content-generation stamp (VERDICT r19 #3): a serving tier
+  //      holding artifacts resident (RagHandle) had no way to ASK
+  //      whether its snapshot is current — it found out via swap-debris
+  //      refusals or silently-pruned novel terms. `_generation` is a
+  //      monotonic counter bumped at the COMMIT of every
+  //      content-mutating maintenance entry (build / append / delete /
+  //      rebuild cutover); folds and compactions are content-neutral
+  //      by construction and deliberately do NOT bump, so a handle
+  //      stays current across them. Not a crash window: the stamp is
+  //      advisory metadata — a maintainer that dies before its bump
+  //      leaves the usual family markers, which the read guards refuse
+  //      on regardless of the stamp (CRASH_MATRIX row 18).
+
+  /** Current content generation; 0 = never stamped (pre-r20 index),
+    * -1 = unreadable (a bump is mid-write) — callers treat -1 as "not
+    * current", the conservative direction. */
+  private[queries] def readGeneration(s: SparkSession, indexDir: String): Long =
+    readSmallFile(s, s"$indexDir/_generation")
+      .map(t => scala.util.Try(t.trim.toLong).getOrElse(-1L)).getOrElse(0L)
+
+  /** Stamp a new content generation — called at the END of every
+    * content-mutating maintenance entry (single-maintainer discipline,
+    * like every marker write). */
+  private[queries] def bumpGeneration(s: SparkSession, indexDir: String): Unit =
+    writeSmallFile(s, s"$indexDir/_generation",
+      (math.max(readGeneration(s, indexDir), 0L) + 1L).toString)
+
   private def writeEncoding(s: SparkSession, indexDir: String,
       enc: String): Unit =
     writeSmallFile(s, s"$indexDir/_encoding", enc)
@@ -1207,6 +1264,119 @@ object EmbedOps {
         "interchangeable (same layout, different coordinate/codebook spaces)")
     }
 
+  // ---- at-rest rerank sidecar (VERDICT r19 #1): the exact-rerank stage
+  //      of the persisted/serving retrievals needs ≤ PQ_SHORTLIST raw
+  //      vectors per query, but fetching them by joining the shortlist
+  //      against a corpus FRAME streams the entire corpus through the
+  //      join — correct, and a 256 MB cached scan at sf10, but a
+  //      per-query full-corpus read at 100 TB (the r19 `weak-for-scale`
+  //      finding). The sidecar lays the raw vectors out AT REST inside
+  //      the composed index, keyed by a pure function of the id
+  //      (`vbucket = vec_id mod B` — the near-dup index's bucketing
+  //      discipline, DocText.scala), so a bounded shortlist becomes a
+  //      PartitionFilters-pruned read of ≤ |shortlist| bucket dirs plus
+  //      row-group pruning on the pushed vec_id set: O(shortlist/B of
+  //      the corpus), never O(corpus). B is stamped at build
+  //      (`emb.buckets`) because the bucket function must stay identical
+  //      across appends — a changed B would fetch from the wrong dirs.
+  //      Sizing: B should be ≫ the per-request shortlist for the dir
+  //      pruning to bite (prune factor ≈ shortlist/B) while keeping
+  //      per-bucket files ≥ a row group; 64 suits the test corpora, a
+  //      100 TB deployment sets `graft.rerank.buckets` to 10⁴–10⁵.
+  //
+  //      Lifecycle: `ivfPqBuildV` writes it; `ivfPqAppend` /
+  //      `ivfPqResidualAppend` land the raw batch in it BEFORE the codes
+  //      (a crash between leaves a harmless superset — extra raw rows no
+  //      shortlist can reach; the reverse order would leave codes whose
+  //      rerank fetch silently misses). `ivfPqDelete` removes from BOTH
+  //      tiers under the `emb.dirty` marker (see CRASH_MATRIX row 17):
+  //      marker written with the deletion ids first, codes deleted, then
+  //      sidecar buckets rewritten, marker cleared — a crash anywhere in
+  //      between refuses rerank fetches loudly and `reconcileSwaps`
+  //      rolls FORWARD by re-running both (idempotent) deletes from the
+  //      marker's id list. `ivfPqCompact` collapses per-bucket file
+  //      debris like the codes tier.
+
+  private[queries] def rerankBuckets(s: SparkSession): Int =
+    s.conf.get("graft.rerank.buckets", "64").toInt
+
+  /** Write the sidecar for corpus `v` (vec_id, emb): one file per
+    * bucket, rows clustered by vec_id so a pushed id-set predicate also
+    * prunes row groups inside each bucket. */
+  private def embSidecarWrite(v: DataFrame, indexDir: String): Unit = {
+    val s = v.sparkSession
+    val b = rerankBuckets(s)
+    v.select(col("vec_id"), col("emb"),
+        pmod(col("vec_id"), lit(b.toLong)).as("vbucket"))
+      .repartition(col("vbucket"))
+      .sortWithinPartitions("vbucket", "vec_id")
+      .write.mode("overwrite").partitionBy("vbucket")
+      .parquet(s"$indexDir/emb.parquet")
+    writeSmallFile(s, s"$indexDir/emb.buckets", b.toString)
+  }
+
+  private[queries] def embSidecarExists(s: SparkSession,
+      indexDir: String): Boolean = {
+    val (f, p) = hfs(s, s"$indexDir/emb.parquet")
+    f.exists(p)
+  }
+
+  /** The stamped bucket count — the sidecar's identity fence (a fence
+    * like `_encoding`, never healed): every append and fetch MUST use
+    * the build-time B or the pure bucket function silently changes. */
+  private def embSidecarB(s: SparkSession, indexDir: String): Int =
+    readSmallFile(s, s"$indexDir/emb.buckets").map(_.trim.toInt).getOrElse(
+      sys.error(s"rerank sidecar at $indexDir/emb.parquet has no " +
+        "emb.buckets stamp — the bucket function is unknown, refusing " +
+        "to guess (rebuild the index or restore the stamp)"))
+
+  /** Land a raw batch in the sidecar (append ordering: sidecar FIRST,
+    * codes second — see the lifecycle note above). A replayed batch
+    * duplicates rows with identical content; fetches dedup by vec_id. */
+  private def embSidecarAppend(s: SparkSession, indexDir: String,
+      newVecs: DataFrame): Unit = {
+    val b = embSidecarB(s, indexDir)
+    newVecs.select(col("vec_id"), col("emb"),
+        pmod(col("vec_id"), lit(b.toLong)).as("vbucket"))
+      .repartition(col("vbucket"))
+      .sortWithinPartitions("vbucket", "vec_id")
+      .write.mode("append").partitionBy("vbucket")
+      .parquet(s"$indexDir/emb.parquet")
+  }
+
+  private def requireNoRerankDirty(s: SparkSession, indexDir: String): Unit = {
+    val (f, p) = hfs(s, s"$indexDir/emb.dirty")
+    if (f.exists(p))
+      sys.error(s"index at $indexDir has an unfinished two-tier takedown " +
+        "(emb.dirty present): the codes and raw-vector tiers may disagree " +
+        "on the deleted set and a rerank fetch now could silently miss " +
+        "shortlisted vectors — run reconcileSwaps (maintenance-only) to " +
+        "roll the takedown forward, then retry")
+  }
+
+  /** Bucket-pruned fetch of an explicit bounded id set's raw vectors:
+    * the read that replaces the per-query corpus scan. The bucket list
+    * lands as PartitionFilters; the id set pushes into the row-group
+    * stats of the vec_id-clustered files. */
+  private[queries] def fetchRerankVecs(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): DataFrame = {
+    requireNoRerankDirty(s, indexDir)
+    requireNoSwapDebris(s, indexDir, "emb.parquet",
+      Seq("emb.del", "emb.compact"), "emb.fold.tmp", "emb.fold.consumed",
+      pcol = "vbucket")
+    val b = embSidecarB(s, indexDir).toLong
+    // raw string partition values: inference is off session-wide, and
+    // the string compare is what keeps the isin a PartitionFilter
+    // (ivfCompact precedent)
+    val buckets = ids.map(i => java.lang.Math.floorMod(i, b).toString).distinct
+    s.read.parquet(s"$indexDir/emb.parquet")
+      .where(col("vbucket").isin(buckets: _*) && col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("emb"))
+      // a replayed append batch lands duplicate rows (identical content:
+      // same vec_id ⇒ same emb) — dedup on the bounded fetched set
+      .dropDuplicates("vec_id")
+  }
+
   /** Targeted deletion from the persisted IVF index — corpus deletions
     * (takedowns, retention) must propagate without a rebuild. Affected
     * lists are found with a column-pruned (vec_id, list_id) scan joined
@@ -1222,7 +1392,10 @@ object EmbedOps {
     // around an unfolded delta would REPORT deletion while the deleted
     // vectors resurface at the next fold. O(delta) by the fold's bound.
     ivfFoldDelta(s, indexDir)
-    deleteFromPartitioned(s, indexDir, "assign.parquet", "del", ids)
+    val (rows, affected) =
+      deleteFromPartitioned(s, indexDir, "assign.parquet", "del", ids)
+    if (rows > 0) bumpGeneration(s, indexDir)
+    (rows, affected)
   }
 
   /** Targeted deletion from the persisted composed (IVFPQ) index — the
@@ -1233,10 +1406,32 @@ object EmbedOps {
     * 32×-compressed bytes). Returns (vectors deleted, affected lists). */
   def ivfPqDelete(s: SparkSession, indexDir: String,
       ids: DataFrame): (Long, Seq[Long]) = {
+    import s.implicits._
     reconcileSwaps(s, indexDir)
     codesFoldDelta(s, indexDir)
+    // two-tier takedown (CRASH_MATRIX row 17): when the rerank sidecar
+    // exists, the raw vectors must leave disk WITH the codes. The
+    // `emb.dirty` marker (content = the deletion ids, bounded like every
+    // deletion batch) brackets the two deletes: a crash between them
+    // refuses rerank fetches loudly instead of silently missing
+    // shortlisted vectors, and reconcileSwaps rolls FORWARD by re-running
+    // both deletes from the marker (idempotent anti-joins).
+    val sidecar = embSidecarExists(s, indexDir)
+    val delIds: Seq[Long] =
+      if (sidecar) ids.select(col("vec_id")).distinct()
+        .as[Long].collect().toSeq.sorted
+      else Nil
+    if (sidecar)
+      writeSmallFile(s, s"$indexDir/emb.dirty", delIds.mkString("\n"))
     val (rows, affected) =
       deleteFromPartitioned(s, indexDir, "codes.parquet", "codes.del", ids)
+    if (sidecar) {
+      deleteFromPartitioned(s, indexDir, "emb.parquet", "emb.del",
+        delIds.toDF("vec_id"), pcol = "vbucket")
+      val (f, p) = hfs(s, s"$indexDir/emb.dirty")
+      f.delete(p, false)
+    }
+    if (rows > 0) bumpGeneration(s, indexDir)
     (rows / PQ_M, affected)
   }
 
@@ -1316,6 +1511,13 @@ object EmbedOps {
       targetBytes: Long = 512L << 20): Seq[(Long, Int, Int)] = {
     reconcileSwaps(s, indexDir)
     codesFoldDelta(s, indexDir)
+    // the sidecar accumulates one file per touched bucket per append —
+    // collapse its hot buckets with the same discipline (vec_id
+    // clustering restored so the fetch's row-group pruning survives)
+    if (embSidecarExists(s, indexDir))
+      compactPartitioned(s, indexDir, "emb.parquet", "emb.compact",
+        ifMoreThan, targetBytes, pcol = "vbucket",
+        sortWithin = Seq("vec_id"))
     compactPartitioned(s, indexDir, "codes.parquet", "codes.compact",
       ifMoreThan, targetBytes)
   }
@@ -1462,6 +1664,7 @@ object EmbedOps {
     }
     f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.tmp"), true)
     f.delete(new org.apache.hadoop.fs.Path(s"$indexDir/rebuild.ready"), false)
+    bumpGeneration(s, indexDir) // generation cutover = new content
   }
 
   /** Targeted deletion from the persisted PQ index. The codes table is
@@ -1909,6 +2112,103 @@ object EmbedOps {
       .where(col("rv") <= MMR_CAND)
       .select(col("qid"), col("vec_id").as("id"), col("rv"))
 
+  /** `ivfPqVRank` with the rerank reads served from the AT-REST sidecar
+    * instead of a corpus-frame join (VERDICT r19 #1): the shortlist —
+    * bounded by construction at ≤ PQ_SHORTLIST rows per query — is
+    * collected, and its ids (plus the query ids, whose embeddings ARE
+    * corpus rows in the self-query gates) drive one bucket-pruned
+    * sidecar read. The per-query rerank cost is O(shortlist), never
+    * O(corpus). Values are byte-identical to `ivfPqVRank` over the
+    * corpus the sidecar was built from: doubles round-trip parquet
+    * exactly, and the candidate set is the same shortlist. */
+  private def ivfPqVRankAtRest(s: SparkSession, indexDir: String,
+      sl: DataFrame): DataFrame =
+    ivfPqExactD2AtRest(s, indexDir, sl)
+      .withColumn("rv", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rv") <= MMR_CAND)
+      .select(col("qid"), col("vec_id").as("id"), col("rv"))
+
+  /** `ivfPqExactD2` served from the sidecar: collect the bounded
+    * shortlist, one bucket-pruned fetch for candidates + query vectors,
+    * exact L2 — (qid, vec_id, d2_micro). */
+  private def ivfPqExactD2AtRest(s: SparkSession, indexDir: String,
+      sl: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = sl.select(col("qid"), col("vec_id"))
+      .as[(Long, Long)].collect().toSeq
+    if (pairs.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "vec_id", "d2_micro")
+    val qids = pairs.map(_._1).distinct
+    val vv = fetchRerankVecs(s, indexDir, (pairs.map(_._2) ++ qids).distinct)
+    val qv = vv.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    pairs.toDF("qid", "vec_id")
+      .join(vv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        l2micro(col("emb"), col("qe")).as("d2_micro"))
+  }
+
+  /** The `ivfPqSearch` exact-rerank tail served from the sidecar:
+    * (qid, vec_id, d2_micro, rn ≤ TOPK). */
+  private def ivfPqRerankTopKAtRest(s: SparkSession, indexDir: String,
+      sl: DataFrame): DataFrame =
+    ivfPqExactD2AtRest(s, indexDir, sl)
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("d2_micro").asc, col("vec_id").asc)))
+      .where(col("rn") <= TOPK)
+      .select(col("qid"), col("vec_id"), col("d2_micro"), col("rn"))
+
+  /** Metadata-filtered search THROUGH the at-rest composed index for an
+    * explicit qid set, fully at rest (VERDICT r19 #2): query embeddings
+    * and rerank reads come bucket-pruned from the sidecar, the keep-set
+    * semi-joins the probe-pruned COMPRESSED rows before any distance
+    * work — the per-request form of `ivfPqIndexedFiltered` with no
+    * corpus frame anywhere. */
+  def ivfPqFilteredAtRest(s: SparkSession, indexDir: String,
+      keep: DataFrame, qids: Seq[Long]): DataFrame = {
+    val (codes, q, lut) =
+      codesForQueryFrame(s, fetchRerankVecs(s, indexDir, qids), indexDir)
+    ivfPqRerankTopKAtRest(s, indexDir,
+      ivfPqShortlist(codes.join(keep, Seq("vec_id"), "left_semi"), q, lut))
+  }
+
+  /** MMR diversification THROUGH the at-rest composed index for an
+    * explicit qid set (VERDICT r19 #2): the candidate pool is the ADC
+    * shortlist from the pruned codes scan; exact cosines and the greedy's
+    * pairwise vectors come from ONE bucket-pruned sidecar fetch — the
+    * per-request form of the `mmrIvfPq` composition, no corpus frame. */
+  def mmrAtRest(s: SparkSession, indexDir: String,
+      qids: Seq[Long]): DataFrame =
+    mmrFromShortlistAtRest(s, indexDir, ivfPqShortlistAtRest(s, indexDir, qids))
+
+  /** The at-rest MMR tail over an explicit ADC shortlist: one sidecar
+    * fetch covers the exact cosines AND the greedy's pairwise vectors. */
+  private def mmrFromShortlistAtRest(s: SparkSession, indexDir: String,
+      sl: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = sl.select(col("qid"), col("vec_id"))
+      .as[(Long, Long)].collect().toSeq
+    if (pairs.isEmpty)
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("qid", "vec_id", "pick", "score_micro")
+    val qs = pairs.map(_._1).distinct
+    val vv = fetchRerankVecs(s, indexDir, (pairs.map(_._2) ++ qs).distinct)
+    val qv = vv.where(col("vec_id").isin(qs: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    mmrGreedy(pairs.toDF("qid", "vec_id")
+      .join(vv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        micro(dot(col("qe"), col("emb"))
+          / (norm(col("qe")) * norm(col("emb")))).as("sim_micro"), col("emb"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
+      .where(col("crn") <= MMR_CAND)
+      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb")))
+  }
+
   /** The ADC shortlist stage alone (qid, vec_id, d2_adc, arn ≤
     * PQ_SHORTLIST) — `ivfPqSearch` reranks it exactly; `mmrIvfPq`
     * diversifies over it instead. */
@@ -2146,7 +2446,12 @@ object EmbedOps {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/codes.parquet")
+    // the rerank sidecar (VERDICT r19 #1): the composed index owns the
+    // raw-vector layout its exact rerank fetches from, bucket-pruned —
+    // at 100 TB the rerank can't be a corpus-frame join
+    embSidecarWrite(v, indexDir)
     writeEncoding(s, indexDir, "pq-raw")
+    bumpGeneration(s, indexDir)
   }
 
   /** The composed index's LIVE codes — partitioned tier ∪ (bounded)
@@ -2186,8 +2491,15 @@ object EmbedOps {
     requireEncoding(s, indexDir, "pq-raw")
     reconcileSwaps(s, indexDir)
     val (cents, books) = loadQuantizers(s, indexDir)
-    codesAppend(s, indexDir,
+    // sidecar FIRST (superset-safe crash ordering — see the sidecar
+    // lifecycle note); a replayed batch duplicates rows with identical
+    // content, which fetches dedup by vec_id
+    if (embSidecarExists(s, indexDir))
+      embSidecarAppend(s, indexDir, newVecs.select(col("vec_id"), col("emb")))
+    val n = codesAppend(s, indexDir,
       ivfPqEncode(newVecs.select(col("vec_id"), col("emb")), cents, books))
+    if (n > 0) bumpGeneration(s, indexDir)
+    n
   }
 
   /** Incremental maintenance of the RESIDUAL composition (VERDICT r14
@@ -2204,8 +2516,12 @@ object EmbedOps {
     requireEncoding(s, indexDir, "pq-residual")
     reconcileSwaps(s, indexDir)
     val (cents, books) = loadQuantizers(s, indexDir)
-    codesAppend(s, indexDir,
+    if (embSidecarExists(s, indexDir))
+      embSidecarAppend(s, indexDir, newVecs.select(col("vec_id"), col("emb")))
+    val n = codesAppend(s, indexDir,
       residEncodeFrozen(newVecs.select(col("vec_id"), col("emb")), cents, books))
+    if (n > 0) bumpGeneration(s, indexDir)
+    n
   }
 
   /** The persisted quantizer pair every codes maintenance op loads: the
@@ -2301,10 +2617,17 @@ object EmbedOps {
   private def codesForQueries(s: SparkSession, v: DataFrame,
       indexDir: String,
       qWhere: org.apache.spark.sql.Column = col("vec_id") < NQUERIES)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
+    codesForQueryFrame(s, v.where(qWhere), indexDir)
+
+  /** `codesForQueries` from an explicit (vec_id, emb) query frame — the
+    * sidecar-served entry: the RAG persisted/serving paths fetch the
+    * query embeddings bucket-pruned from the index's own sidecar instead
+    * of re-deriving the chunk corpus per request. */
+  private def codesForQueryFrame(s: SparkSession, queries: DataFrame,
+      indexDir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     requireEncoding(s, indexDir, "pq-raw")
-    val queries = v.where(qWhere)
     val (cents, books) = loadQuantizers(s, indexDir)
     // string-typed probe rows: the partition column reads back as string
     // (inference off session-wide), and the raw-value compare is what
@@ -2324,6 +2647,16 @@ object EmbedOps {
       qWhere: org.apache.spark.sql.Column = col("vec_id") < NQUERIES)
       : DataFrame = {
     val (codes, q, lut) = codesForQueries(s, v, indexDir, qWhere)
+    ivfPqShortlist(codes, q, lut)
+  }
+
+  /** The ADC shortlist with the QUERY embeddings fetched bucket-pruned
+    * from the index's own sidecar — the fully at-rest entry (VERDICT r19
+    * #1): no corpus frame anywhere in the request path. */
+  private def ivfPqShortlistAtRest(s: SparkSession, indexDir: String,
+      qids: Seq[Long]): DataFrame = {
+    val (codes, q, lut) =
+      codesForQueryFrame(s, fetchRerankVecs(s, indexDir, qids), indexDir)
     ivfPqShortlist(codes, q, lut)
   }
 
@@ -3280,8 +3613,13 @@ object EmbedOps {
     * `ragHybridOracleSql`. */
   def ragPersisted(s: SparkSession, d: String, vecDir: String,
       textDir: String): DataFrame = {
-    val v = chunkVecs(s, d)
-    val vRank = ivfPqVRank(v, ivfPqShortlistIndexedV(s, v, vecDir))
+    // the vector side runs fully at rest (VERDICT r19 #1): query
+    // embeddings, probes, the pruned codes scan, AND the exact rerank
+    // all read the index's own artifacts — the chunk corpus is never
+    // re-derived or scanned per retrieval
+    val qids = 0L until NQUERIES
+    val vRank = ivfPqVRankAtRest(s, vecDir,
+      ivfPqShortlistAtRest(s, vecDir, qids))
     val qt = chunkToks(s, d).where(col("doc_id") < NQUERIES)
       .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
       .distinct()
@@ -3304,9 +3642,8 @@ object EmbedOps {
     require(qid >= 0 && qid < NQUERIES,
       s"qid must be in [0, $NQUERIES) (got $qid): query embeddings are the " +
         "vec_id < NQUERIES rows")
-    val v = chunkVecs(s, d)
-    val vRank = ivfPqVRank(v,
-      ivfPqShortlistIndexedV(s, v, vecDir, col("vec_id") === qid))
+    val vRank = ivfPqVRankAtRest(s, vecDir,
+      ivfPqShortlistAtRest(s, vecDir, Seq(qid)))
     val qt = chunkToks(s, d).where(col("doc_id") === qid)
       .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
       .distinct()
@@ -3323,9 +3660,6 @@ object EmbedOps {
     * floor across sf0.1→sf10. This handle resolves all of it ONCE at
     * open and holds it resident:
     *
-    *   - the chunk corpus, persisted (the exact rerank's raw reads come
-    *     from executor memory instead of re-scanning documents ∪
-    *     embeddings per request)
     *   - the frozen coarse probes and PQ LUTs for every query doc
     *     (computed by the same `ivfAssign`/`pqLut` expressions the
     *     per-request path runs, collected — so the VALUES are identical
@@ -3334,47 +3668,82 @@ object EmbedOps {
     *     buckets) and per-term df (`TextIndex.resolveTextServe`)
     *
     * `query(qid)` then plans only the genuinely per-request work: the
-    * probe-pruned codes scan + ADC + exact rerank against the resident
-    * corpus, the doubly-pruned postings scoring scan, fusion, dedup.
+    * probe-pruned codes scan + ADC, the bucket-pruned sidecar fetch for
+    * the exact rerank (VERDICT r19 #1 — no resident corpus and no
+    * per-query corpus scan; every read in the request path is pruned),
+    * the doubly-pruned postings scoring scan, fusion, dedup.
     * Byte-identical to `ragPersistedQ(qid)` against the same index
     * content (`RagHandleSpec` pins all NQUERIES).
     *
     * Freshness contract: the handle is a FROZEN SNAPSHOT of the index
     * generation it opened against — exactly the semantics of holding
-    * quantizers resident in a real serving tier. After maintenance
-    * (append/delete/compact), reopen; the per-request scans themselves
-    * still read live files, so a concurrent maintainer is either
-    * invisible (same generation) or fails the request loudly (the
-    * `requireNoSwapDebris` read guards — the storm-tested contract). */
+    * quantizers resident in a real serving tier. The per-request scans
+    * read live files, so completed maintenance since open can surface
+    * MIXED state: swap/fold windows and two-tier takedown windows fail
+    * the request loudly (the `requireNoSwapDebris` / `emb.dirty` read
+    * guards — storm-tested), and novel-vocabulary appends are invisible
+    * (frozen probes/vocabulary prune them away), but a COMPLETED text
+    * append/delete whose vocabulary overlaps a query's terms scores new
+    * postings against open-time stats — neither snapshot nor new state
+    * (ADVICE r19). Detection is the generation stamp: `isCurrent` says
+    * whether any content-mutating maintenance committed since open,
+    * `reopen()` re-resolves; set `graft.serve.requireCurrent=true` to
+    * refuse every stale request loudly instead (off by default — a
+    * frozen-vocabulary deployment can legitimately serve across
+    * disjoint-vocabulary churn, which is what the maintenance storm
+    * exercises). */
   final class RagHandle private[EmbedOps] (
       val spark: SparkSession,
+      private[EmbedOps] val d: String,
       private[EmbedOps] val vecDir: String,
       private[EmbedOps] val textDir: String,
-      private[EmbedOps] val corpus: DataFrame,
       private[EmbedOps] val probes: Map[Long, Seq[String]],
       private[EmbedOps] val luts: Map[Long, Seq[(Long, Int, Long, Long)]],
       private[EmbedOps] val tVocab: Map[Long, Seq[(String, String)]],
       private[EmbedOps] val tQd: Map[Long, Seq[(Long, String, Long)]],
       private[EmbedOps] val nDocs: Long,
-      private[EmbedOps] val avgdl: Double) {
+      private[EmbedOps] val avgdl: Double,
+      private[EmbedOps] val openGen: (Long, Long)) {
     /** One query through the resident stack — the warm serving path. */
     def query(qid: Long): DataFrame = ragServe(this, qid)
-    /** Release the resident corpus (the collected artifacts are plain
-      * driver objects and just get GC'd). */
-    def close(): Unit = { corpus.unpersist(); () }
+    /** Metadata-filtered ANN through the resident artifacts (VERDICT r19
+      * #2): the keep-set semi-joins the probe-pruned COMPRESSED rows,
+      * rerank reads come bucket-pruned from the sidecar — byte-identical
+      * to `ivfPqFilteredAtRest(vecDir, keep, Seq(qid))` without its
+      * per-request quantizer/probe/LUT reloads. */
+    def queryFiltered(qid: Long, keep: DataFrame): DataFrame =
+      ragServeFiltered(this, qid, keep)
+    /** MMR diversification through the resident artifacts (VERDICT r19
+      * #2) — byte-identical to `mmrAtRest(vecDir, Seq(qid))` without its
+      * per-request reloads. */
+    def queryMmr(qid: Long): DataFrame = ragServeMmr(this, qid)
+    /** Whether the handle's open-time snapshot still matches the indexes'
+      * content generation: false as soon as any content-mutating
+      * maintenance (build/append/delete/rebuild — folds and compactions
+      * are content-neutral and don't count) commits on either artifact. */
+    def isCurrent: Boolean =
+      (readGeneration(spark, vecDir), readGeneration(spark, textDir)) == openGen
+    /** Re-resolve every open-time artifact against the indexes' current
+      * content — the serving tier's answer to a stale `isCurrent`. */
+    def reopen(): RagHandle = ragOpen(spark, d, vecDir, textDir)
+    /** Release the handle (the collected artifacts are plain driver
+      * objects and just get GC'd; nothing is pinned in executors). */
+    def close(): Unit = ()
   }
 
-  /** Open a resident handle over the two at-rest RAG artifacts: one
-    * corpus materialization + a handful of bounded collects, amortized
-    * across every subsequent `query`. */
+  /** Open a resident handle over the two at-rest RAG artifacts: a
+    * handful of bounded collects (probes, LUTs, vocabulary, df, stats —
+    * the query embeddings come bucket-pruned from the index's own
+    * sidecar), amortized across every subsequent `query`. */
   def ragOpen(s: SparkSession, d: String, vecDir: String,
       textDir: String): RagHandle = {
     import s.implicits._
     requireEncoding(s, vecDir, "pq-raw")
-    val v = chunkVecs(s, d).persist()
-    v.count() // materialize the resident corpus once
+    // record BOTH stamps before reading any artifact: a maintenance op
+    // that commits mid-open flips isCurrent (conservative direction)
+    val openGen = (readGeneration(s, vecDir), readGeneration(s, textDir))
     val (cents, books) = loadQuantizers(s, vecDir)
-    val qv = v.where(col("vec_id") < NQUERIES)
+    val qv = fetchRerankVecs(s, vecDir, 0L until NQUERIES)
     val probes = ivfAssign(qv, cents, NPROBE)
       .select(col("vec_id"), col("cid").cast("string"))
       .as[(Long, String)].collect().toSeq
@@ -3388,11 +3757,11 @@ object EmbedOps {
       .distinct()
     val (nDocs, avgdl, vocabRows, qdRows) =
       TextIndex.resolveTextServe(s, qt, textDir)
-    new RagHandle(s, vecDir, textDir, v, probes, luts,
+    new RagHandle(s, d, vecDir, textDir, probes, luts,
       vocabRows.groupBy(_._1).view
         .mapValues(_.map(t => (t._2, t._3))).toMap,
       qdRows.groupBy(_._1).view.mapValues(_.toSeq).toMap,
-      nDocs, avgdl)
+      nDocs, avgdl, openGen)
   }
 
   /** The per-request plan behind `RagHandle.query`: identical retrieval
@@ -3400,19 +3769,54 @@ object EmbedOps {
     * replaced by its resident value. */
   private def ragServe(h: RagHandle, qid: Long): DataFrame = {
     val s = h.spark
-    import s.implicits._
-    require(qid >= 0 && qid < NQUERIES,
-      s"qid must be in [0, $NQUERIES) (got $qid): query embeddings are the " +
-        "vec_id < NQUERIES rows")
-    val probed = h.probes(qid)
-    val q = probed.map(l => (qid, l)).toDF("qid", "list_id")
-    val lut = h.luts(qid).toDF("qid", "m", "cid", "qd2")
-    val vRank = ivfPqVRank(h.corpus,
-      ivfPqShortlist(codesLiveRows(s, h.vecDir, Some(probed)), q, lut))
+    // qid range + staleness guards live in residentShortlist
+    val vRank = ivfPqVRankAtRest(s, h.vecDir, residentShortlist(h, qid))
     val tRank = TextIndex.bm25RankServe(s, h.tVocab(qid),
       h.tQd.getOrElse(qid, Nil), h.nDocs, h.avgdl, h.textDir, MMR_CAND)
     ragDedupTail(rrfFuseRaw(tRank, vRank))
   }
+
+  /** The per-request ADC shortlist from RESIDENT probes + LUTs: only the
+    * probe-pruned codes scan runs — no quantizer load, no assignment
+    * job. Shared by every handle serving path. `keep` (filtered serving)
+    * semi-joins the compressed rows before any distance work. */
+  private def residentShortlist(h: RagHandle, qid: Long,
+      keep: Option[DataFrame] = None): DataFrame = {
+    val s = h.spark
+    import s.implicits._
+    require(qid >= 0 && qid < NQUERIES,
+      s"qid must be in [0, $NQUERIES) (got $qid): query embeddings are the " +
+        "vec_id < NQUERIES rows")
+    requireHandleCurrent(h)
+    val probed = h.probes(qid)
+    val q = probed.map(l => (qid, l)).toDF("qid", "list_id")
+    val lut = h.luts(qid).toDF("qid", "m", "cid", "qd2")
+    val codes0 = codesLiveRows(s, h.vecDir, Some(probed))
+    val codes = keep.fold(codes0)(k => codes0.join(k, Seq("vec_id"), "left_semi"))
+    ivfPqShortlist(codes, q, lut)
+  }
+
+  /** `RagHandle.queryFiltered`'s plan: resident shortlist over the
+    * keep-filtered compressed rows, sidecar-pruned exact rerank. */
+  private def ragServeFiltered(h: RagHandle, qid: Long,
+      keep: DataFrame): DataFrame =
+    ivfPqRerankTopKAtRest(h.spark, h.vecDir,
+      residentShortlist(h, qid, Some(keep)))
+
+  /** `RagHandle.queryMmr`'s plan: resident shortlist, sidecar-fetched
+    * exact cosines + greedy diversification. */
+  private def ragServeMmr(h: RagHandle, qid: Long): DataFrame =
+    mmrFromShortlistAtRest(h.spark, h.vecDir, residentShortlist(h, qid))
+
+  /** The opt-in staleness fence (`graft.serve.requireCurrent`): refuse
+    * a stale handle's request loudly instead of serving it against the
+    * live postings + frozen stats mix (ADVICE r19). */
+  private def requireHandleCurrent(h: RagHandle): Unit =
+    if (h.spark.conf.get("graft.serve.requireCurrent", "false").toBoolean
+        && !h.isCurrent)
+      sys.error(s"serving handle is stale: content-mutating maintenance " +
+        s"committed on ${h.vecDir} or ${h.textDir} since ragOpen — reopen() " +
+        "the handle (graft.serve.requireCurrent=true refuses stale serves)")
 
   /** DuckDB replay: the chunk CTEs feed BOTH retrieval replays — the
     * parameterized IVFPQ composition takes the chunk embeddings as its

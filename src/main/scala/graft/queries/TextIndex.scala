@@ -324,6 +324,7 @@ object TextIndex {
     markDfDirty(s, indexDir, None)
     refreshDf(s, indexDir, None)
     clearDfDirty(s, indexDir)
+    EmbedOps.bumpGeneration(s, indexDir)
   }
 
   /** Incremental maintenance: tokenize ONLY the new docs (map-only +
@@ -367,6 +368,7 @@ object TextIndex {
       val (_, doclenP) = EmbedOps.hfs(s, s"$indexDir/doclen.parquet")
       if (EmbedOps.parquetFileCount(f, doclenP) >= maxFiles)
         compactDoclen(s, indexDir)
+      EmbedOps.bumpGeneration(s, indexDir)
     }
     n
   }
@@ -465,6 +467,7 @@ object TextIndex {
     val (n, dl) = recomputeStats(s, indexDir)
     writeStats(s, indexDir, n, dl)
     clearStatsDirty(s, indexDir)
+    if (nDel > 0) EmbedOps.bumpGeneration(s, indexDir)
     nDel
   }
 

@@ -20,11 +20,18 @@ package graft.tools
   *     each request plans only the pruned scans. The open cost amortizes
   *     across a deployment's request stream; `handle_p50_s` is the
   *     steady-state serving floor this repo actually ships.
+  *   - `throughput`: QPS + p50/p95 per thread width (VERDICT r19 #6) —
+  *     1/4/8/16 request threads drive ONE handle for a fixed wall
+  *     window each (round-robin qids per thread), the capacity-plan
+  *     matrix the storm's correctness pinning doesn't measure. The
+  *     saturation knee is where QPS stops scaling with width (requests
+  *     contend for the same local[N] cores — on a cluster, for the
+  *     same executor slots).
   *
-  * Usage: ServeLatency <sfDir> [rounds=3] [workDir]
+  * Usage: ServeLatency <sfDir> [rounds=3] [workDir] [tputWindowSec=20]
   * Prints ONE JSON line; all raw latencies included so tails are
   * re-derivable (the r17 bench-artifact lesson: record runs, not only
-  * the summary statistic).
+  * the summary statistic). tputWindowSec=0 skips the throughput matrix.
   */
 object ServeLatency {
 
@@ -71,19 +78,58 @@ object ServeLatency {
     val hCold = oneH(0L)
     val hWarm = (1 to rounds).flatMap(_ => (0L until 10L).map(oneH))
     val hSorted = hWarm.sorted
+
+    // throughput matrix (VERDICT r19 #6): N threads, one handle, fixed
+    // wall window per width — QPS and per-request latency percentiles.
+    // Threads round-robin disjoint qid starts so the request mix matches
+    // the latency rotation above.
+    val tputWindowSec = args.lift(3).map(_.toInt).getOrElse(20)
+    val widths = Seq(1, 4, 8, 16)
+    val tput: Seq[(Int, Int, Double, Double, Double)] =
+      if (tputWindowSec <= 0) Nil
+      else widths.map { w =>
+        val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val stopAt = System.nanoTime() + tputWindowSec * 1000000000L
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(w)
+        val done = new java.util.concurrent.CountDownLatch(w)
+        (0 until w).foreach { t =>
+          pool.execute(() => {
+            try {
+              var i = t
+              while (System.nanoTime() < stopAt) {
+                lats.add(oneH((i % 10).toLong))
+                i += w
+              }
+            } finally done.countDown()
+          })
+        }
+        done.await()
+        pool.shutdown()
+        import scala.jdk.CollectionConverters._
+        val xs = lats.asScala.toSeq.sorted
+        val qps = xs.size / tputWindowSec.toDouble
+        (w, xs.size, qps,
+          if (xs.nonEmpty) pct(xs, 0.50) else -1.0,
+          if (xs.nonEmpty) pct(xs, 0.95) else -1.0)
+      }
     handle.close()
 
     // Locale.ROOT: decimal-comma locales would corrupt the JSON values
-    def runsJson(xs: Seq[Double]) = xs.map(v =>
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
-      .mkString("[", ",", "]")
+    def fmtd(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def runsJson(xs: Seq[Double]) = xs.map(fmtd).mkString("[", ",", "]")
+    val tputJson = tput.map { case (w, n, qps, p50, p95) =>
+      s"""{"threads":$w,"n":$n,"qps":${fmtd(qps)},""" +
+        s""""p50_s":${fmtd(p50)},"p95_s":${fmtd(p95)}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"sf":"$sfDir","build_s":$buildS,"cold_s":$cold,""" +
       s""""p50_s":${pct(sorted, 0.50)},"p95_s":${pct(sorted, 0.95)},""" +
       s""""n":${warm.size},"runs":${runsJson(warm)},""" +
       s""""handle_open_s":$openS,"handle_cold_s":$hCold,""" +
       s""""handle_p50_s":${pct(hSorted, 0.50)},""" +
       s""""handle_p95_s":${pct(hSorted, 0.95)},""" +
-      s""""handle_n":${hWarm.size},"handle_runs":${runsJson(hWarm)}}""")
+      s""""handle_n":${hWarm.size},"handle_runs":${runsJson(hWarm)},""" +
+      s""""tput_window_s":$tputWindowSec,"throughput":$tputJson}""")
     spark.stop()
   }
 }

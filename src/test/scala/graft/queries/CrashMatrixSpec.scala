@@ -209,6 +209,47 @@ class CrashMatrixSpec extends SparkSpec {
       e.getMessage.contains("interchangeable"))
   }
 
+  test("rows 17+19: emb.dirty refuses rerank fetches and heals FORWARD " +
+      "by re-running both tier deletes; a missing emb.buckets stamp is a " +
+      "fence that refuses") {
+    val s = spark
+    import s.implicits._
+    val idx = graft.TempDirs.scratch("cm_embdirty").toString
+    val v = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    EmbedOps.ivfPqBuildV(v, idx)
+    val victim = 42L
+    assert(EmbedOps.fetchRerankVecs(s, idx, Seq(victim)).count() == 1,
+      "fixture: the victim vector must be fetchable before the takedown")
+
+    // row 17: the takedown died right after writing the marker — neither
+    // tier has deleted yet (the strongest crash point: the heal must do
+    // ALL the work). Reads through the fetch refuse loudly.
+    val dirty = new Path(s"$idx/emb.dirty")
+    val out = fs.create(dirty, true)
+    out.write(victim.toString.getBytes("UTF-8")); out.close()
+    val e = intercept[RuntimeException](
+      EmbedOps.fetchRerankVecs(s, idx, Seq(victim)).count())
+    assert(e.getMessage.contains("unfinished two-tier takedown"),
+      s"row 17: expected the emb.dirty refusal, got: ${e.getMessage}")
+    EmbedOps.reconcileSwaps(s, idx)
+    assert(!fs.exists(dirty), "row 17: forward heal must clear emb.dirty")
+    assert(EmbedOps.fetchRerankVecs(s, idx, Seq(victim)).count() == 0,
+      "row 17: forward heal must delete the marker's ids from the sidecar")
+    assert(s.read.parquet(s"$idx/codes.parquet")
+        .where(col("vec_id") === victim).count() == 0,
+      "row 17: forward heal must delete the marker's ids from the codes")
+
+    // row 19: the bucket-count stamp is an identity fence — without it
+    // the pure bucket function is unknown and pruned fetches refuse
+    val stamp = new Path(s"$idx/emb.buckets")
+    assert(fs.delete(stamp, false), "fixture: drop the stamp")
+    val e2 = intercept[RuntimeException](
+      EmbedOps.fetchRerankVecs(s, idx, Seq(1L)).count())
+    assert(e2.getMessage.contains("no emb.buckets stamp"),
+      s"row 19: expected the fence refusal, got: ${e2.getMessage}")
+  }
+
   test("row exhaustiveness: every greppable marker literal in main source " +
       "appears in CRASH_MATRIX.md (a new marker must add a row + a case)") {
     import scala.jdk.CollectionConverters._
@@ -222,15 +263,20 @@ class CrashMatrixSpec extends SparkSpec {
       .mkString("\n")
     // the scannable marker suffixes (.tmp/.old are too generic — their
     // rows are pinned by the family specs)
-    val pat = """_pending|_encoding|[A-Za-z0-9_.]*\.(?:dirty|ready|consumed)""".r
+    val pat = """_pending|_encoding|_generation|[A-Za-z0-9_.]*\.(?:dirty|ready|consumed|buckets)""".r
     val found = pat.findAllIn(text).toSet
       .map((m: String) => m.stripPrefix(".")) // a bare ".dirty" in prose
     val matrix = Set(
       "stats.dirty", "df.dirty", "rebuild.ready",
       "fold.consumed", "codes.fold.consumed", "postings.fold.consumed",
       "_pending", "_encoding",
-      // prose fragments from scaladocs citing the classes above
-      "dirty", "ready", "consumed")
+      // r20: the rerank sidecar's two-tier takedown marker + identity
+      // fence, the handle's content-generation stamp, and the sidecar's
+      // reserved (never-created) fold namespace the read guard probes
+      "emb.dirty", "emb.buckets", "_generation", "emb.fold.consumed",
+      // prose fragments from scaladocs citing the classes above, plus
+      // the sidecar's conf key (a session conf, not a disk marker)
+      "dirty", "ready", "consumed", "buckets", "graft.rerank.buckets")
     val unlisted = found -- matrix
     assert(unlisted.isEmpty,
       s"marker literals with no CRASH_MATRIX.md row: $unlisted — add the " +
@@ -239,7 +285,8 @@ class CrashMatrixSpec extends SparkSpec {
       "CRASH_MATRIX.md")
     val doc = new String(java.nio.file.Files.readAllBytes(matrixPath), "UTF-8")
     Seq("stats.dirty", "df.dirty", "rebuild.ready", "fold.consumed",
-      "_pending", "_encoding", "del.tmp", "doclen.parquet.old")
+      "_pending", "_encoding", "del.tmp", "doclen.parquet.old",
+      "emb.dirty", "emb.buckets", "_generation")
       .foreach(m => assert(doc.contains(m), s"CRASH_MATRIX.md lost row: $m"))
   }
 }

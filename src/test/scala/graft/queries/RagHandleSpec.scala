@@ -83,6 +83,109 @@ class RagHandleSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("generation stamp (VERDICT r19 #3 / ADVICE r19): content-mutating " +
+      "maintenance flips isCurrent (folds/compactions don't), " +
+      "requireCurrent refuses a stale serve loudly, reopen serves the " +
+      "new content, and the takedown round-trips back to the base") {
+    // isolated session: the requireCurrent conf must not leak into
+    // parallel suites sharing the singleton
+    val s = spark.newSession()
+    graft.Sessions.registerFunctions(s)
+    import s.implicits._
+    val vecIdx = graft.TempDirs.scratch("rag_gen_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_gen_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      assert(h.isCurrent, "a freshly opened handle must be current")
+      val base0 = rows(h.query(0L))
+      // content-neutral maintenance: the handle stays current
+      graft.queries.TextIndex.bm25FoldDelta(s, txtIdx)
+      graft.queries.TextIndex.bm25Compact(s, txtIdx, ifMoreThan = 2)
+      assert(h.isCurrent,
+        "folds/compactions are content-neutral and must not flip the stamp")
+      // OVERLAPPING-vocabulary append — the ADVICE r19 window: a twin of
+      // query doc 0 enters BOTH live halves while the handle's stats/df/
+      // probes stay frozen at open. The stamp makes it detectable. The
+      // twin is doc 0's leading 64-token window + doc 0's embedding (the
+      // IndexStreamSpec clone discipline: distance 0 → vector rank 1 →
+      // deterministically retrievable after reopen; text-only twins can
+      // legitimately rank below high-tf docs on this corpus).
+      val twin = s.read.parquet(s"$sfDir/documents.parquet")
+        .where(col("doc_id") === 0)
+        .select(lit(777L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 64), " ").as("text"))
+      val twinVec = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(col("vec_id") === 0)
+        .select(lit(777L).as("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      EmbedOps.ivfPqAppend(s, twinVec, vecIdx)
+      assert(!h.isCurrent,
+        "a committed vector append must flip isCurrent")
+      graft.queries.TextIndex.bm25Append(s, twin, txtIdx)
+      // opt-in fence: the stale serve refuses loudly instead of mixing
+      // live postings with frozen stats
+      s.conf.set("graft.serve.requireCurrent", "true")
+      val e = intercept[RuntimeException](h.query(0L))
+      assert(e.getMessage.contains("stale"),
+        s"expected the staleness refusal, got: ${e.getMessage}")
+      s.conf.set("graft.serve.requireCurrent", "false")
+      // reopen re-resolves: current again, and the twin (identical text →
+      // top BM25 score for query 0) is retrievable through the new handle
+      val h2 = h.reopen()
+      assert(h2.isCurrent, "a reopened handle must be current")
+      val with777 = rows(h2.query(0L))
+      assert(with777.exists(_._2 == 777L),
+        s"reopened handle does not retrieve the appended twin doc: $with777")
+      // takedown on both halves flips again; a reopen after it restores
+      // the base exactly
+      graft.queries.TextIndex.bm25Delete(s, txtIdx, Seq(777L).toDF("doc_id"))
+      EmbedOps.ivfPqDelete(s, vecIdx, Seq(777L).toDF("vec_id"))
+      assert(!h2.isCurrent, "a committed takedown must flip isCurrent")
+      val h3 = h2.reopen()
+      assert(rows(h3.query(0L)) == base0,
+        "takedown + reopen did not restore the open-time base results")
+    } finally h.close()
+  }
+
+  test("queryFiltered and queryMmr are byte-identical to their " +
+      "per-request at-rest paths for every qid (VERDICT r19 #2 — the " +
+      "retrieval matrix served resident)") {
+    val s = spark
+    val vecIdx = graft.TempDirs.scratch("rag_mx_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_mx_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    // a metadata keep-set over the packed chunk ids (every 3rd chunk) —
+    // the em_*_filtered family's shape, derived once like a deployment's
+    // filter table
+    val keep = s.read.parquet(s"$vecIdx/codes.parquet")
+      .select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .where(pmod(col("vec_id"), lit(3L)) === 0)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      def fRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      def mRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+      var anyF = false; var anyM = false
+      (0L until 10L).foreach { qid =>
+        val wf = fRows(h.queryFiltered(qid, keep))
+        val cf = fRows(EmbedOps.ivfPqFilteredAtRest(s, vecIdx, keep, Seq(qid)))
+        assert(wf == cf, s"qid $qid: filtered serving diverges " +
+          s"(handle-only: ${wf -- cf}, reload-only: ${cf -- wf})")
+        anyF ||= wf.nonEmpty
+        val wm = mRows(h.queryMmr(qid))
+        val cm = mRows(EmbedOps.mmrAtRest(s, vecIdx, Seq(qid)))
+        assert(wm == cm, s"qid $qid: MMR serving diverges " +
+          s"(handle-only: ${wm -- cm}, reload-only: ${cm -- wm})")
+        anyM ||= wm.nonEmpty
+      }
+      assert(anyF && anyM, "the matrix parity is vacuous — no results")
+    } finally h.close()
+  }
+
   test("handle results are stable across repeated queries (resident " +
       "artifacts are read-only, no per-request state)") {
     val s = spark

@@ -48,11 +48,22 @@ common = [k for k in s if k in b and b[k] > 0 and s[k] > 0]
 # regression separates from a slow window mechanically. Cross-sf scale
 # comparisons skip this (canaries scale too, mildly).
 drift = None
+class_drift = {}
 if base.get("sf") == scaled.get("sf"):
     canary = set(base.get("canaries", [])) & set(scaled.get("canaries", []))
     cr = [s[k] / b[k] for k in canary if k in common]
     if cr:
         drift = statistics.median(cr)
+    # per-class drift (VERDICT r19 #5): the scan-only canary set
+    # under-spanned plan shapes — a join-only environment shift must
+    # separate from a scan-only one. Classes come from the artifacts'
+    # canary_classes map (r20+); intersected like the flat set.
+    bc, sc = base.get("canary_classes", {}), scaled.get("canary_classes", {})
+    for cls in set(bc) & set(sc):
+        gates = set(bc[cls]) & set(sc[cls])
+        crc = [s[k] / b[k] for k in gates if k in common]
+        if crc:
+            class_drift[cls] = (statistics.median(crc), len(crc))
 
 rows = sorted(((k, b[k], s[k], s[k] / b[k]) for k in common),
               key=lambda r: -r[3])
@@ -70,6 +81,14 @@ print(f"\nmedian ratio {med:.2f} over {len(rows)} queries; "
 if drift:
     print(f"canary drift {drift:.3f} over {len(cr)} canaries "
           f"-> drift-corrected median {med / drift:.2f}")
+for cls, (d, n) in sorted(class_drift.items()):
+    print(f"canary class {cls}: drift {d:.3f} over {n} gates")
+if len(class_drift) > 1:
+    ds = [d for d, _ in class_drift.values()]
+    if max(ds) / min(ds) > 1.25:
+        print("WARNING canary classes disagree >1.25x — the drift is "
+              "plan-shape-dependent; adjudicate per family, not with the "
+              "pooled median")
 for art, nm in ((base, sys.argv[1]), (scaled, sys.argv[2])):
     if art.get("tmp_dirs_at_start", 0) > 200:
         print(f"WARNING {nm}: tmp_dirs_at_start="
