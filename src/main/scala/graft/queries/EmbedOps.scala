@@ -2055,6 +2055,91 @@ object EmbedOps {
       v, PQ_SHORTLIST)
   }
 
+  // ---- persisted FULL-OPQ rung (VERDICT r19 #7): the full alternation's
+  //      measured gains (quant error −15% vs allocation-only, recall
+  //      0.86→0.88 @50 — PqRecallSpec) earn it the same at-rest lifecycle
+  //      as the allocation rung: the learned rotation R persists beside
+  //      the codebook + codes under its own `pq-opq-full` marker, appends
+  //      encode with the FROZEN R + books, search loads three small
+  //      artifacts, and the flat-layout takedown (`pqDelete`) applies
+  //      verbatim. Like the training path, the rung is spec-validated
+  //      (OpqIndexSpec lifecycle + PqRecallSpec invariants), not a DuckDB
+  //      gate — the SVD isn't integer-replayable (the r18 reasoning the
+  //      em_opq_* gates keep).
+
+  /** Apply a full rotation: emb′ = R·emb, one codegen `seqdot` per
+    * output coordinate (R rides as a literal) — `rotApplyKeep` without
+    * the Procrustes pass's emb0 column. */
+  private def rotApply(v0: DataFrame, rot: Seq[Seq[Double]]): DataFrame =
+    v0.select(col("vec_id"),
+      array(rot.map(r =>
+        call_function("seqdot", col("emb"), typedLit(r))): _*).as("emb"))
+
+  def opqFullBuild(s: SparkSession, d: String, indexDir: String,
+      iters: Int = 4): Unit =
+    opqFullBuildV(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      indexDir, iters)
+
+  /** Build from an explicit raw corpus: learn R by the full alternation,
+    * persist it as (i, j, x) cells (`rotation.parquet`, DIMS² rows), then
+    * the standard PQ build over the ROTATED corpus — single final-marker
+    * stamp via the shared enc-parameterized body (no window in which the
+    * dir reads as another encoding). */
+  def opqFullBuildV(v0: DataFrame, indexDir: String, iters: Int = 4): Unit = {
+    val sp = v0.sparkSession
+    import sp.implicits._
+    val (rot, _) = opqTrainRotation(v0, iters)
+    rot.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (x, j) => (i, j, x) } }
+      .toDF("i", "j", "x")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/rotation.parquet")
+    pqBuildEnc(rotApply(v0, rot), indexDir, "pq-opq-full")
+  }
+
+  /** The persisted rotation, reassembled row-major — DIMS² doubles, a
+    * broadcast-sized driver artifact like the codebooks. */
+  private def rotRead(s: SparkSession, indexDir: String): Seq[Seq[Double]] = {
+    import s.implicits._
+    val cells = s.read.parquet(s"$indexDir/rotation.parquet")
+      .select("i", "j", "x").as[(Int, Int, Double)].collect()
+    require(cells.length == DIMS * DIMS,
+      s"rotation.parquet at $indexDir has ${cells.length} cells, " +
+        s"expected ${DIMS * DIMS}")
+    val m = Array.ofDim[Double](DIMS, DIMS)
+    cells.foreach { case (i, j, x) => m(i)(j) = x }
+    m.map(_.toSeq).toSeq
+  }
+
+  /** Incremental full-OPQ maintenance: rotate the NEW batch with the
+    * FROZEN R, encode against the FROZEN books, append — O(batch) and
+    * byte-equivalent to encoding the batch in the original build. */
+  def opqFullAppend(s: SparkSession, newVecs: DataFrame,
+      indexDir: String): Long =
+    pqAppendEnc(s, rotApply(newVecs, rotRead(s, indexDir)), indexDir,
+      "pq-opq-full")
+
+  /** ADC search from the at-rest full-OPQ index: R + codebook load,
+    * queries and the rerank corpus rotate on the fly (orthogonal R
+    * preserves L2, so the rotated-space exact rerank returns the true
+    * neighbors), compressed codes stream from disk. */
+  def opqFullIndexed(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    import s.implicits._
+    requireEncoding(s, indexDir, "pq-opq-full")
+    val rot = rotRead(s, indexDir)
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("m", "cid", "cvec").as[(Int, Long, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    val v = rotApply(emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      rot)
+    pqSearch(codes,
+      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), pqBooks(cb)),
+      v, PQ_SHORTLIST)
+  }
+
   // ---- IVFPQ: the coarse quantizer composed over the compressed codes —
   //      the canonical big-corpus ANN shape (IVF prunes WHERE the scan
   //      looks, PQ compresses WHAT it reads). At 100 TB the ADC scan
@@ -3706,6 +3791,13 @@ object EmbedOps {
       private[EmbedOps] val openGen: (Long, Long)) {
     /** One query through the resident stack — the warm serving path. */
     def query(qid: Long): DataFrame = ragServe(this, qid)
+    /** One multi-query pass for a request BURST (VERDICT r19 #8): scans
+      * prune to the union of the batch's probes / term buckets, plan
+      * setup amortizes across the batch, and every per-query result is
+      * byte-identical to `query(qid)` (the probe/LUT/df rows join on
+      * qid, so queries never see each other's artifacts; parity-pinned
+      * in RagHandleSpec). */
+    def query(qids: Seq[Long]): DataFrame = ragServeBatch(this, qids)
     /** Metadata-filtered ANN through the resident artifacts (VERDICT r19
       * #2): the keep-set semi-joins the probe-pruned COMPRESSED rows,
       * rerank reads come bucket-pruned from the sidecar — byte-identical
@@ -3794,6 +3886,30 @@ object EmbedOps {
     val codes0 = codesLiveRows(s, h.vecDir, Some(probed))
     val codes = keep.fold(codes0)(k => codes0.join(k, Seq("vec_id"), "left_semi"))
     ivfPqShortlist(codes, q, lut)
+  }
+
+  /** `RagHandle.query(qids)`'s plan: the batched form of `ragServe` —
+    * one shortlist job over the union-pruned codes scan, one text
+    * scoring pass over the union vocabulary, one fusion/dedup tail. */
+  private def ragServeBatch(h: RagHandle, qids: Seq[Long]): DataFrame = {
+    val s = h.spark
+    import s.implicits._
+    require(qids.nonEmpty, "query batch must be non-empty")
+    qids.foreach(q => require(q >= 0 && q < NQUERIES,
+      s"qid must be in [0, $NQUERIES) (got $q): query embeddings are the " +
+        "vec_id < NQUERIES rows"))
+    requireHandleCurrent(h)
+    val probed = qids.flatMap(h.probes(_)).distinct
+    val q = qids.flatMap(qid => h.probes(qid).map(l => (qid, l)))
+      .toDF("qid", "list_id")
+    val lut = qids.flatMap(h.luts(_)).toDF("qid", "m", "cid", "qd2")
+    val vRank = ivfPqVRankAtRest(s, h.vecDir,
+      ivfPqShortlist(codesLiveRows(s, h.vecDir, Some(probed)), q, lut))
+    val tRank = TextIndex.bm25RankServe(s,
+      qids.flatMap(h.tVocab(_)).distinct,
+      qids.flatMap(qid => h.tQd.getOrElse(qid, Nil)),
+      h.nDocs, h.avgdl, h.textDir, MMR_CAND)
+    ragDedupTail(rrfFuseRaw(tRank, vRank))
   }
 
   /** `RagHandle.queryFiltered`'s plan: resident shortlist over the

@@ -78,6 +78,17 @@ object ServeLatency {
     val hCold = oneH(0L)
     val hWarm = (1 to rounds).flatMap(_ => (0L until 10L).map(oneH))
     val hSorted = hWarm.sorted
+    // burst serving (VERDICT r19 #8): all 10 query docs in ONE batched
+    // pass — the amortization a request burst gets over the per-qid loop
+    // (whose cost is the 10-request slice of the rotation above)
+    def oneBatch(): Double = {
+      val t0 = System.nanoTime()
+      handle.query((0L until 10L).toSeq)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    oneBatch() // warm-up
+    val hBatch = Seq.fill(rounds)(oneBatch()).sorted
 
     // throughput matrix (VERDICT r19 #6): N threads, one handle, fixed
     // wall window per width — QPS and per-request latency percentiles.
@@ -129,6 +140,8 @@ object ServeLatency {
       s""""handle_p50_s":${pct(hSorted, 0.50)},""" +
       s""""handle_p95_s":${pct(hSorted, 0.95)},""" +
       s""""handle_n":${hWarm.size},"handle_runs":${runsJson(hWarm)},""" +
+      s""""handle_batch10_p50_s":${pct(hBatch, 0.50)},""" +
+      s""""handle_batch10_runs":${runsJson(hBatch)},""" +
       s""""tput_window_s":$tputWindowSec,"throughput":$tputJson}""")
     spark.stop()
   }

@@ -76,6 +76,62 @@ class OpqIndexSpec extends SparkSpec {
     assert(post.nonEmpty)
   }
 
+  test("full-OPQ rung persists (VERDICT r19 #7): at-rest search is " +
+      "byte-identical to the in-memory alternation, frozen-R append " +
+      "matches encoding the batch in the original build, takedown works, " +
+      "and the pq-opq-full marker fences both neighbor encodings") {
+    val s = spark
+    import s.implicits._
+    // A: persisted == in-memory (same deterministic alternation, R and
+    // books round-trip parquet exactly)
+    val idx = graft.TempDirs.scratch("opqf_idx").toString
+    EmbedOps.opqFullBuild(s, sfDir, idx)
+    val mem = EmbedOps.opqFullAdc(s, sfDir, 150)
+      .select("qid", "vec_id", "d2_micro", "rn").collect().toSet
+    val disk = EmbedOps.opqFullIndexed(s, sfDir, idx)
+      .select("qid", "vec_id", "d2_micro", "rn").collect().toSet
+    assert(mem == disk && mem.nonEmpty,
+      s"at-rest full-OPQ diverges from the in-memory rung " +
+        s"(disk-only: ${disk -- mem}, mem-only: ${mem -- disk})")
+
+    // B: frozen-R append parity — build on 90%, append 10%; vs the same
+    // frozen artifacts encoding the full corpus in one append
+    val v = vecs
+    val idxA = graft.TempDirs.scratch("opqf_app_a").toString
+    EmbedOps.opqFullBuildV(v.where(col("vec_id") % 10 =!= 0), idxA)
+    assert(EmbedOps.opqFullAppend(s, v.where(col("vec_id") % 10 === 0), idxA)
+      == v.where(col("vec_id") % 10 === 0).count())
+    val idxB = graft.TempDirs.scratch("opqf_app_b").toString
+    Seq("rotation.parquet", "codebook.parquet").foreach(t =>
+      s.read.parquet(s"$idxA/$t").write.parquet(s"$idxB/$t"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(idxB, "_encoding"),
+      "pq-opq-full".getBytes("UTF-8"))
+    EmbedOps.opqFullAppend(s, v, idxB)
+    val a = EmbedOps.opqFullIndexed(s, sfDir, idxA)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    val b = EmbedOps.opqFullIndexed(s, sfDir, idxB)
+      .select("qid", "vec_id", "d2_micro").collect().toSet
+    assert(a == b && a.nonEmpty, "frozen-R append diverges from build-time encode")
+
+    // C: flat takedown applies verbatim
+    val pre = EmbedOps.opqFullIndexed(s, sfDir, idx)
+      .select("vec_id").as[Long].collect().toSet
+    val victim = pre.max
+    assert(EmbedOps.pqDelete(s, idx, Seq(victim).toDF("vec_id")) == 1L)
+    assert(!EmbedOps.opqFullIndexed(s, sfDir, idx)
+      .select("vec_id").as[Long].collect().toSet.contains(victim))
+
+    // D: the marker fences both neighbor encodings
+    val e1 = intercept[IllegalArgumentException](
+      EmbedOps.opqIndexed(s, sfDir, idx))
+    assert(e1.getMessage.contains("pq-opq"))
+    val idxOpq = graft.TempDirs.scratch("opqf_fence").toString
+    EmbedOps.opqBuildV(vecs, idxOpq)
+    val e2 = intercept[IllegalArgumentException](
+      EmbedOps.opqFullIndexed(s, sfDir, idxOpq))
+    assert(e2.getMessage.contains("pq-opq-full"))
+  }
+
   test("encoding markers fence raw-PQ and OPQ dirs from each other") {
     val idxOpq = graft.TempDirs.scratch("opq_fence_a").toString
     EmbedOps.opqBuildV(vecs, idxOpq)

@@ -186,6 +186,28 @@ class RagHandleSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("batched query(qids) is byte-identical to the per-qid loop " +
+      "(VERDICT r19 #8 — burst serving amortizes the plan, never the " +
+      "semantics)") {
+    val s = spark
+    val vecIdx = graft.TempDirs.scratch("rag_batch_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_batch_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      Seq(Seq(3L), Seq(0L, 5L, 9L), (0L until 10L).toSeq).foreach { qids =>
+        val batched = rows(h.query(qids))
+        val looped = qids.map(q => rows(h.query(q))).reduce(_ ++ _)
+        assert(batched == looped,
+          s"batch $qids diverged (batch-only: ${batched -- looped}, " +
+            s"loop-only: ${looped -- batched})")
+        assert(batched.nonEmpty)
+      }
+      intercept[IllegalArgumentException](h.query(Seq.empty[Long]))
+      intercept[IllegalArgumentException](h.query(Seq(0L, 10L)))
+    } finally h.close()
+  }
+
   test("handle results are stable across repeated queries (resident " +
       "artifacts are read-only, no per-request state)") {
     val s = spark
