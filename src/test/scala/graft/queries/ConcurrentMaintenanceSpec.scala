@@ -213,6 +213,84 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("resident RagHandle: OVERLAPPING-vocabulary maintenance mixes " +
+      "generations, but ENUMERABLY (ADVICE r19): every completed serve " +
+      "beside the append/takedown loop equals the frozen snapshot or the " +
+      "precomputed completed-append mix — never a third, partially " +
+      "visible state — and the mix itself is observed and documented") {
+    val s = spark
+    import s.implicits._
+    val vecIdx = graft.TempDirs.scratch("rag_ovl_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_ovl_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      def serve(qid: Long): Set[(Long, Long, Long, Long, Int)] =
+        h.query(qid).collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+      val base = (0L until 10L).map(q => q -> serve(q)).toMap
+      // twins: one per query doc, each the doc's own leading 64-token
+      // window — MAXIMALLY overlapping vocabulary, the exact window the
+      // novel-vocab storm above deliberately avoids (ADVICE r19). Text
+      // side only; ids sit outside the packed chunk-id space and land in
+      // unused doc slots (777001+) after the dedup tail's % RAG_DOCBASE.
+      val twins = s.read.parquet(s"$sfDir/documents.parquet")
+        .where(col("doc_id") < 10)
+        .select((col("doc_id") + 600000777001L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 64), " ").as("text"))
+      // the mix, precomputed DETERMINISTICALLY: a completed overlapping
+      // append's live postings scored against the handle's frozen
+      // stats/df — neither the snapshot nor the reopened state. Content
+      // placement (delta vs folded) never changes scores, so this one
+      // answer covers every post-commit tier state the storm can see.
+      TextIndex.bm25Append(s, twins, txtIdx)
+      val mixed = (0L until 10L).map(q => q -> serve(q)).toMap
+      val moved = (0L until 10L).filter(q => mixed(q) != base(q))
+      assert(moved.nonEmpty,
+        "fixture: no query's stale serve moved after a completed " +
+          "overlapping-vocab append — the mix window is vacuous here")
+      info(s"observed generation mix on qids $moved (frozen stats x live " +
+        "postings) — detectable via isCurrent, refusable via requireCurrent")
+      assert(!h.isCurrent,
+        "a committed overlapping append must flip the staleness probe")
+      // takedown restores the snapshot exactly (postings physically
+      // removed; the handle's frozen stats equal the open-time values)
+      assert(TextIndex.bm25Delete(s, txtIdx, twins.select("doc_id")) == 10L)
+      (0L until 10L).foreach(q => assert(serve(q) == base(q),
+        s"takedown did not restore the snapshot for qid $q"))
+      // the storm: readers hammer the stale-tolerant handle while the
+      // maintainer cycles the overlapping batch in and out — the legal
+      // completed-answer set has exactly TWO members per qid (appends
+      // land as one atomic delta file; the multi-bucket delete window is
+      // fenced end to end by the postings.del read guard)
+      val (oks, errs) = storm(3)(() => {
+        val q = scala.util.Random.nextInt(10).toLong
+        (q, serve(q))
+      }) {
+        (1 to 3).foreach { _ =>
+          TextIndex.bm25Append(s, twins, txtIdx)
+          TextIndex.bm25Delete(s, txtIdx, twins.select("doc_id"))
+        }
+      }
+      assert(oks.nonEmpty, "no serve ever completed — the storm is vacuous")
+      val wrong = oks.filterNot { case (q, r) => r == base(q) || r == mixed(q) }
+      assert(wrong.isEmpty,
+        s"${wrong.size} of ${oks.size} serves matched NEITHER the frozen " +
+          "snapshot NOR the completed-append mix — a third, partially " +
+          s"visible state: ${wrong.take(2).mkString("; ")}")
+      val nMixed = oks.count { case (q, r) => r == mixed(q) && r != base(q) }
+      info(s"storm: ${oks.size} completed (mix state served $nMixed " +
+        s"times), ${errs.size} loud refusals")
+      val unexpected = errs.filterNot(loudByDesign)
+      assert(unexpected.isEmpty,
+        s"${unexpected.size} of ${errs.size} failures were not a loud " +
+          s"by-design class: ${unexpected.take(3).map(_.toString).mkString("; ")}")
+      // quiesced end: the loop ends on delete → snapshot holds
+      (0L until 10L).foreach(q => assert(serve(q) == base(q),
+        s"post-storm serve diverged for qid $q"))
+    } finally h.close()
+  }
+
   test("vector index: concurrent kNN beside the IVF lifecycle loop always " +
       "returns the exact base TOPK or refuses loudly") {
     val s = spark
