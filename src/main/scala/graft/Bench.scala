@@ -47,7 +47,15 @@ object Bench {
       "iql_show_tag_values", "iql_raw", "iql_regex_field",
       "iql_scalar_chain", "iql_div_zero", "iql_minmax_spread", "em_norms"),
     "join" -> Seq(
-      "r_semi_join", "r_region_revenue", "r_topk_per_group"))
+      "r_semi_join", "r_region_revenue", "r_topk_per_group"),
+    // r20 (the em_mmr_ivfpq adjudication): the r19 drift on that gate
+    // tracked em_ivfpq_adc inside the SAME invocation during the A/B
+    // (both 2-3x in one contaminated window, both recovered together) —
+    // a vector-family shift the scan/join classes don't span. These
+    // three are mid-weight embedding gates untouched since their
+    // landing rounds (brute kNN join, centroid agg, bucket-stats agg).
+    "vector" -> Seq(
+      "em_knn_brute", "em_centroids", "em_bucket_stats"))
   private val Canaries = CanaryClasses.flatMap(_._2)
 
   private def fmt4(v: Double): String =
