@@ -208,6 +208,46 @@ class RagHandleSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("the serve plan is fully pruned, single AND batched: no raw-corpus " +
+      "scan in the request path, PartitionFilters on the sidecar and " +
+      "postings scans (the scaladoc's 'every read in the request path is " +
+      "pruned', pinned in the plan)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE off so FileSourceScanExec nodes are inspectable pre-reoptimize
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.Sessions.registerFunctions(s)
+    val vecIdx = graft.TempDirs.scratch("rag_plan_v").toString
+    val txtIdx = graft.TempDirs.scratch("rag_plan_t").toString
+    EmbedOps.ragBuildPersisted(s, sfDir, vecIdx, txtIdx)
+    val h = EmbedOps.ragOpen(s, sfDir, vecIdx, txtIdx)
+    try {
+      Seq("single" -> h.query(0L), "batched" -> h.query(Seq(0L, 3L, 7L)))
+        .foreach { case (shape, df) =>
+          val scans = graft.tools.PlanLint.nodes(df.queryExecution.executedPlan)
+            .collect { case f: FileSourceScanExec => f }
+          def over(tier: String) = scans.filter(
+            _.relation.location.rootPaths.exists(_.toString.contains(tier)))
+          // the request path reads INDEX artifacts only — the corpus
+          // tables are for builds and query-doc resolution at open
+          val corpus = over("documents.parquet") ++ over("embeddings.parquet")
+          assert(corpus.isEmpty,
+            s"$shape serve plan scans the raw corpus: " +
+              corpus.map(_.simpleStringWithNodeId()).mkString("; "))
+          // both partitioned tiers in the returned plan must prune (the
+          // codes tier runs eagerly inside query() and is bucket-pruned
+          // by construction — codesLiveRows' isin on the partition col)
+          Seq("emb.parquet", "postings.parquet").foreach { tier =>
+            val t = over(tier)
+            assert(t.nonEmpty, s"no $tier scan in the $shape serve plan")
+            t.foreach(f => assert(f.partitionFilters.nonEmpty,
+              s"$shape serve's $tier scan carries NO PartitionFilters: " +
+                f.simpleStringWithNodeId()))
+          }
+        }
+    } finally h.close()
+  }
+
   test("handle results are stable across repeated queries (resident " +
       "artifacts are read-only, no per-request state)") {
     val s = spark
