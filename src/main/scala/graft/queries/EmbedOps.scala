@@ -1369,8 +1369,26 @@ object EmbedOps {
     // the string compare is what keeps the isin a PartitionFilter
     // (ivfCompact precedent)
     val buckets = ids.map(i => java.lang.Math.floorMod(i, b).toString).distinct
-    s.read.parquet(s"$indexDir/emb.parquet")
-      .where(col("vbucket").isin(buckets: _*) && col("vec_id").isin(ids: _*))
+    val bucketed = s.read.parquet(s"$indexDir/emb.parquet")
+      .where(col("vbucket").isin(buckets: _*))
+    // the id predicate: literal isin only for SMALL sets. Parquet
+    // evaluates a pushed In as a recursive or-chain, and past ~600-1100
+    // literals (measured on this JVM; strings die first) that recursion
+    // overflows the executor stack — the r20 sf10 batched-serve failure
+    // (10 queries x PQ_SHORTLIST ids in one fetch). Large sets go
+    // through a broadcast semi-join instead: no literal predicate at
+    // all, same membership semantics, and the scale-correct shape
+    // anyway (a 100k-id fetch as a literal tree is wrong at any stack
+    // size). Bucket pruning above is unaffected — bounded by B literals
+    // on the partition column, resolved driver-side.
+    val maxIsin = s.conf.get("graft.rerank.fetchIsinMax", "256").toInt
+    val idFiltered =
+      if (ids.length <= maxIsin) bucketed.where(col("vec_id").isin(ids: _*))
+      else {
+        import s.implicits._
+        bucketed.join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "leftsemi")
+      }
+    idFiltered
       .select(col("vec_id"), col("emb"))
       // a replayed append batch lands duplicate rows (identical content:
       // same vec_id ⇒ same emb) — dedup on the bounded fetched set

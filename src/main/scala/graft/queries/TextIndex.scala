@@ -108,6 +108,18 @@ object TextIndex {
     * volume, which production should see in a metric, not infer). */
   val termPushdownFallbacks = new java.util.concurrent.atomic.AtomicLong
 
+  /** Term-pushdown ceiling. The default is PARQUET-SAFE, not merely
+    * plan-size-motivated: parquet evaluates a pushed In predicate as a
+    * recursive or-chain, and on a default JVM stack the recursion
+    * overflows executor threads past ~600 string literals (~800-1100
+    * for longs — measured r20; the original 8192 default was a latent
+    * StackOverflowError for any multi-thousand-term vocabulary, first
+    * hit by the batched serve's union vocabulary at sf10). Past the
+    * ceiling the search falls back observably (counter + warn) to
+    * bucket PartitionFilters only — identical results, spec-pinned. */
+  private def termPushMax(s: SparkSession): Int =
+    s.conf.get("graft.text.termPushdownMax", "384").toInt
+
   // BM25 parameters — the LITERAL constants EmbedOps.bm25Rank uses
   // (k1 = 1.2, b = 0.75; 2.2 = k1+1, 0.25 = 1−b), spelled identically so
   // the scoring doubles are the same bit patterns, not derived values.
@@ -617,9 +629,9 @@ object TextIndex {
     * doubly-pruned scan, and the corpus constants come from the at-rest
     * two-scalar stats artifact — nothing in the per-query path scales
     * with the corpus. Vocabularies beyond
-    * `graft.text.termPushdownMax` (default 8192) skip the term
-    * predicate (a giant IN would bloat the plan past its row-group
-    * value) and keep bucket pruning only. Returns (qid, id, rt ≤ topn). */
+    * `graft.text.termPushdownMax` (default 384 — the parquet-safe
+    * ceiling, see `termPushMax`) skip the term predicate and keep
+    * bucket pruning only. Returns (qid, id, rt ≤ topn). */
   def bm25RankIndexedQ(s: SparkSession, qt: DataFrame, indexDir: String,
       topn: Int): DataFrame = {
     val (nDocs, lTot) = readStatsSearch(s, indexDir)
@@ -653,7 +665,7 @@ object TextIndex {
   private def scanPruning(s: SparkSession, vocab: Seq[(String, String)])
       : (Seq[String], Option[Seq[String]]) = {
     val probed = vocab.map(_._2).distinct
-    val pushMax = s.conf.get("graft.text.termPushdownMax", "8192").toInt
+    val pushMax = termPushMax(s)
     val filterTerms =
       if (vocab.length <= pushMax) Some(vocab.map(_._1))
       else {
@@ -753,9 +765,8 @@ object TextIndex {
     // the df READ prunes with the union vocabulary (one resolve for all
     // query docs); the per-request pushdown decision stays per request
     val probed = vocabAll.map(_._2).distinct
-    val pushMax = s.conf.get("graft.text.termPushdownMax", "8192").toInt
     val filterTerms =
-      if (vocabAll.length <= pushMax) Some(vocabAll.map(_._1)) else None
+      if (vocabAll.length <= termPushMax(s)) Some(vocabAll.map(_._1)) else None
     val live = postingsLiveRows(s, indexDir, Some(probed), filterTerms)
     val qTerms = {
       import s.implicits._

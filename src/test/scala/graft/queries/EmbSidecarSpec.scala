@@ -60,6 +60,30 @@ class EmbSidecarSpec extends SparkSpec {
     assert(fetched(idx, ids) == expect, "fetched vectors diverge from corpus")
   }
 
+  test("large-id fetches complete and match the corpus (r20: a pushed " +
+      "parquet In evaluates as a recursive or-chain and overflows the " +
+      "executor stack past ~600-1100 literals — the sf10 batched-serve " +
+      "failure; past graft.rerank.fetchIsinMax the fetch switches to a " +
+      "broadcast semi-join)") {
+    val s = spark
+    val idx = graft.TempDirs.scratch("sidecar_big").toString
+    EmbedOps.ivfPqBuildV(vecs, idx)
+    // 1500 requested ids — far past the measured overflow threshold; the
+    // pre-fix literal form dies here regardless of corpus size (the
+    // recursion depth is the literal count, not the row count)
+    val ids = (0L until 1500L)
+    val corpus = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val got = fetched(idx, ids)
+    val expect = ids.flatMap(i => corpus.get(i).map(i -> _)).toMap
+    assert(got == expect, "large-id semi-join fetch diverges from corpus")
+    assert(got.nonEmpty)
+    // and the small-id literal path is untouched (same content either way)
+    val small = ids.take(64)
+    assert(fetched(idx, small) ==
+      small.flatMap(i => corpus.get(i).map(i -> _)).toMap)
+  }
+
   test("append sync: new vectors land in the sidecar before the codes, " +
       "are fetchable, and a replayed batch does not duplicate fetches") {
     val s = spark
