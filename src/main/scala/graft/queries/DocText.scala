@@ -165,12 +165,18 @@ object DocText {
     // so the corpus is shingled ONCE, not once per artifact
     val sig = withSig(withShingles(corpus)).persist()
     try {
-      bandRows(sig).withColumn("_db", dbBucket)
-        .repartition(col("_db"))
-        .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
-      sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
-        .repartition(col("_db"))
-        .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+      // materialize the shingle+signature pass ONCE before the writes so
+      // the overlapped branches read the cache instead of racing to
+      // compute it twice, then overlap the two independent table writes
+      // (guide §2.6)
+      sig.count()
+      Par.run(
+        () => bandRows(sig).withColumn("_db", dbBucket)
+          .repartition(col("_db"))
+          .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/bands.parquet"),
+        () => sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
+          .repartition(col("_db"))
+          .write.mode("overwrite").partitionBy("_db").parquet(s"$idxDir/shingles.parquet"))
     } finally sig.unpersist()
   }
 
@@ -184,12 +190,16 @@ object DocText {
     neardupReconcile(batch.sparkSession, idxDir)
     val sig = withSig(withShingles(batch)).persist()
     try {
-      bandRows(sig).withColumn("_db", dbBucket)
-        .repartition(col("_db"))
-        .write.mode("append").partitionBy("_db").parquet(s"$idxDir/bands.parquet")
-      sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
-        .repartition(col("_db"))
-        .write.mode("append").partitionBy("_db").parquet(s"$idxDir/shingles.parquet")
+      // same overlap as the build: materialize the shingling once, then
+      // the two table appends run concurrently (different directories)
+      sig.count()
+      Par.run(
+        () => bandRows(sig).withColumn("_db", dbBucket)
+          .repartition(col("_db"))
+          .write.mode("append").partitionBy("_db").parquet(s"$idxDir/bands.parquet"),
+        () => sig.select(col("doc_id"), col("shingles")).withColumn("_db", dbBucket)
+          .repartition(col("_db"))
+          .write.mode("append").partitionBy("_db").parquet(s"$idxDir/shingles.parquet"))
     } finally sig.unpersist()
   }
 

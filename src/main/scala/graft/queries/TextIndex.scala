@@ -101,6 +101,45 @@ object TextIndex {
     org.apache.spark.sql.types.StructField("tb",
       org.apache.spark.sql.types.LongType)))
 
+  /** Explicit read schemas for the FIXED at-rest artifacts (r20
+    * optimization, guide §5 — driver work): a schema-inferred
+    * `read.parquet` runs a footer-read job per call, pure fixed latency
+    * on every search/maintenance entry and a listing+footer pass over a
+    * large index dir at deployment scale. The schemas are pinned by this
+    * file's own writers; partition columns read back as STRING
+    * (partition-type inference is off session-wide). */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tb",
+      org.apache.spark.sql.types.StringType)))
+
+  private val doclenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType)))
+
+  private val statsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl_sum",
+      org.apache.spark.sql.types.LongType)))
+
+  private val dfTierSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tb",
+      org.apache.spark.sql.types.StringType)))
+
   /** Count of searches that dropped the term row-group predicate because
     * the query vocabulary exceeded `graft.text.termPushdownMax` — the
     * observable for the documented pushdown fallback (results stay
@@ -171,7 +210,7 @@ object TextIndex {
   private def recomputeStats(s: SparkSession, indexDir: String): (Long, Long) = {
     val (f, p) = EmbedOps.hfs(s, s"$indexDir/doclen.parquet")
     if (!f.exists(p)) return (0L, 0L)
-    val r = s.read.parquet(p.toString)
+    val r = s.read.schema(doclenSchema).parquet(p.toString)
       .agg(count(lit(1)).cast("long"),
         coalesce(sum("dl"), lit(0L)).cast("long")).head
     (r.getLong(0), r.getLong(1))
@@ -242,13 +281,22 @@ object TextIndex {
     * every heal runs. Each bucket dir swaps whole (delete + rename; the
     * surrounding df.dirty marker covers any torn point). */
   private def refreshDf(s: SparkSession, indexDir: String,
-      buckets: Option[Seq[String]]): Unit = {
+      buckets: Option[Seq[String]],
+      source: Option[DataFrame] = None): Unit = {
     val (f, liveP) = EmbedOps.hfs(s, s"$indexDir/postings.parquet")
     if (!f.exists(liveP) || f.listStatus(liveP).isEmpty) return
     val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.refresh.tmp")
     f.delete(tmpRoot, true)
-    val pruned = buckets.fold(s.read.parquet(liveP.toString))(bs =>
-      s.read.parquet(liveP.toString).where(col("tb").isin(bs: _*)))
+    // `source` (r20 optimization): the build already holds the postings
+    // rows it just wrote (cached token pass) — aggregating those instead
+    // of re-reading the live layout drops an O(index) read from every
+    // build; identical rows, identical counts, identical dir names
+    // (tb longs write the same `tb=N` dirs the string read would).
+    // Maintenance refreshes keep the live read.
+    val pruned = source.getOrElse(buckets.fold(
+      s.read.schema(postingsSchema).parquet(liveP.toString))(bs =>
+      s.read.schema(postingsSchema).parquet(liveP.toString)
+        .where(col("tb").isin(bs: _*))))
     pruned.groupBy("tb", "term").agg(count(lit(1)).as("df"))
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("term"))
@@ -279,7 +327,8 @@ object TextIndex {
     * a doclen table exists (including legacy dirs built before the
     * artifact existed). */
   private def readStatsMaint(s: SparkSession, indexDir: String): (Long, Long) = {
-    val r = s.read.parquet(statsP(indexDir)).select("n_docs", "dl_sum").head
+    val r = s.read.schema(statsSchema).parquet(statsP(indexDir))
+      .select("n_docs", "dl_sum").head
     (r.getLong(0), r.getLong(1))
   }
 
@@ -318,24 +367,49 @@ object TextIndex {
     // a REBUILD over an existing dir must not leave the old stats beside
     // a new doclen if it crashes mid-way — same marker window as append
     markStatsDirty(s, indexDir)
-    tfRowsT(tk)
-      .repartition(col("tb"))
-      // the write requires (tb) ordering for partitionBy; sorting
-      // (tb, term) satisfies it AND clusters terms, so no second sort
-      // is inserted and the clustering survives into the files
-      .sortWithinPartitions(col("tb"), col("term"))
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$indexDir/postings.parquet")
-    doclenRowsT(tk)
-      .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet")
-    val (n, dl) = recomputeStats(s, indexDir)
-    writeStats(s, indexDir, n, dl)
-    clearStatsDirty(s, indexDir)
-    // the derived df tier — full derive at build (O(index), like the
-    // build itself); folds and deletes keep it fresh per touched bucket
-    markDfDirty(s, indexDir, None)
-    refreshDf(s, indexDir, None)
-    clearDfDirty(s, indexDir)
+    // tokenize/chunk ONCE: both artifact writes below consume `tk`, and
+    // for the RAG composition `tk` is the chunk-window derivation — one
+    // materialized pass instead of two, then the two independent table
+    // writes overlap (guide §2.6; both are inside the stats-dirty marker
+    // window, so the crash semantics are the sequential ones)
+    val tkc = tk.persist()
+    // the stats scalars aggregate the SAME doclen rows the write lands
+    // (count/sum are order-free), so computing them from the cached
+    // tokens in a third overlapped branch ≡ the former post-write
+    // read-back (recompute ≡ increment invariant intact: reconcile's
+    // recompute over the written file yields the same two scalars) —
+    // and drops an O(corpus-docs) read pass from every build
+    val stats = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]
+    try {
+      tkc.count()
+      graft.queries.Par.run(
+        () => tfRowsT(tkc)
+          .repartition(col("tb"))
+          // the write requires (tb) ordering for partitionBy; sorting
+          // (tb, term) satisfies it AND clusters terms, so no second sort
+          // is inserted and the clustering survives into the files
+          .sortWithinPartitions(col("tb"), col("term"))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$indexDir/postings.parquet"),
+        () => doclenRowsT(tkc)
+          .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet"),
+        () => {
+          val r = doclenRowsT(tkc)
+            .agg(count(lit(1)).cast("long"),
+              coalesce(sum("dl"), lit(0L)).cast("long")).head
+          stats.set((r.getLong(0), r.getLong(1)))
+        })
+      val (n, dl) = stats.get
+      writeStats(s, indexDir, n, dl)
+      clearStatsDirty(s, indexDir)
+      // the derived df tier — full derive at build (O(index), like the
+      // build itself), aggregated from the cached token pass instead of
+      // a live-layout re-read; folds and deletes keep it fresh per
+      // touched bucket
+      markDfDirty(s, indexDir, None)
+      refreshDf(s, indexDir, None, Some(tfRowsT(tkc)))
+      clearDfDirty(s, indexDir)
+    } finally tkc.unpersist()
     EmbedOps.bumpGeneration(s, indexDir)
   }
 
@@ -409,7 +483,7 @@ object TextIndex {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/doclen.parquet.tmp")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/doclen.parquet.old")
     f.delete(tmp, true)
-    s.read.parquet(p.toString).coalesce(outFiles)
+    s.read.schema(doclenSchema).parquet(p.toString).coalesce(outFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     if (f.exists(old)) f.delete(old, true)
     if (!f.rename(p, old))
@@ -439,7 +513,7 @@ object TextIndex {
     if (!f.exists(deltaP)) return
     // the delta's distinct buckets (bounded — the delta is a few batch
     // files): exactly the df-tier entries this fold will stale
-    val touched = s.read.parquet(deltaP.toString)
+    val touched = s.read.schema(deltaSchema).parquet(deltaP.toString)
       .select(col("tb").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     markDfDirty(s, indexDir, Some(touched))
@@ -596,7 +670,8 @@ object TextIndex {
     }
     val parts = Seq(
       if (f.exists(liveP) && f.listStatus(liveP).nonEmpty)
-        Some(shape(s.read.parquet(liveP.toString))) else None,
+        Some(shape(s.read.schema(postingsSchema).parquet(liveP.toString)))
+      else None,
       if (f.exists(deltaP))
         Some(shape(s.read.schema(deltaSchema).parquet(deltaP.toString)))
       else None).flatten
@@ -695,7 +770,7 @@ object TextIndex {
       live.join(broadcast(qTerms), Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
     else {
-      val base0 = s.read.parquet(dfRootP.toString)
+      val base0 = s.read.schema(dfTierSchema).parquet(dfRootP.toString)
         .where(col("tb").isin(probed: _*))
       val base = filterTerms.fold(base0)(ts =>
           base0.where(col("term").isin(ts: _*)))
