@@ -702,7 +702,18 @@ final class Engine(val spark: SparkSession, sfDir: String,
     // take on the distributed file path
     lazy val inferred = {
       val sample = forward.getOrElse(ds.take(10000).toSeq)
-      val pts = sample.flatMap(l => sources.LineProtocol.parseLine(l).toOption)
+      // parse for inference in parallel (r20, guide §1.2 per-task work):
+      // the client /write path parses the WHOLE batch single-threaded on
+      // the driver before the distributed parse even starts — at 100k
+      // points that serial pass was a visible slice of the write path.
+      // `.par` keeps element ORDER through `.seq`, so SchemaInfer sees
+      // the exact sequence it always did (inference unchanged by
+      // construction); parseLine is a pure function.
+      val pts = {
+        import scala.collection.parallel.CollectionConverters._
+        sample.par.map(l => sources.LineProtocol.parseLine(l).toOption)
+          .seq.flatten
+      }
       sources.SchemaInfer.infer(measurement, pts).toTableMeta
     }
     val known = tables.get(measurement).map(_._2)

@@ -156,6 +156,30 @@ object DocText {
 
   private def dbBucket: Column = pmod(col("doc_id"), lit(NEARDUP_BUCKETS))
 
+  /** Explicit read schemas for the two index tables (r20 optimization —
+    * the EmbedOps/TextIndex artifact-schema discipline): schema
+    * inference runs a footer-read job per open; the layouts are pinned
+    * by this file's writers. `_db` reads back as STRING (partition-type
+    * inference off session-wide). */
+  private val bandsIdxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bkey",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_db",
+      org.apache.spark.sql.types.StringType)))
+
+  private val shinglesIdxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("shingles",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("_db",
+      org.apache.spark.sql.types.StringType)))
+
   /** Build the persisted banded-LSH near-dup index over `corpus`
     * (doc_id, text, …): the (doc_id, band, bkey) band rows plus the
     * per-doc shingle sets — the between-crawls at-rest artifact that
@@ -257,7 +281,7 @@ object DocText {
   private def checkJoin(fresh: DataFrame, idxDir: String): DataFrame = {
     val s = fresh.sparkSession
     requireNoTakedownDebris(s, idxDir)
-    val cand = s.read.parquet(s"$idxDir/bands.parquet")
+    val cand = s.read.schema(bandsIdxSchema).parquet(s"$idxDir/bands.parquet")
       .select(col("doc_id").as("old_doc"), col("band"), col("bkey"))
       .join(bandRows(fresh).toDF("new_doc", "band", "bkey"), Seq("band", "bkey"))
       .select("new_doc", "old_doc").distinct()
@@ -265,7 +289,7 @@ object DocText {
     val uni = size(col("sh_a")) + size(col("sh_b")) -
       size(array_intersect(col("sh_a"), col("sh_b")))
     cand
-      .join(s.read.parquet(s"$idxDir/shingles.parquet")
+      .join(s.read.schema(shinglesIdxSchema).parquet(s"$idxDir/shingles.parquet")
         .select(col("doc_id").as("old_doc"), col("shingles").as("sh_a")), Seq("old_doc"))
       .join(fresh.select(col("doc_id").as("new_doc"), col("shingles").as("sh_b")),
         Seq("new_doc"))
@@ -306,36 +330,61 @@ object DocText {
         .select(pmod(col("doc_id"), lit(NEARDUP_BUCKETS)).cast("string").as("b"))
         .distinct().collect().map(_.getString(0)).sorted.toSeq
       if (buckets.isEmpty) return 0L
-      var removedDocs = 0L
-      Seq("bands.parquet", "shingles.parquet").foreach { t =>
-        val dir = s"$idxDir/$t"
-        val root = new org.apache.hadoop.fs.Path(dir)
-        val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (f.exists(root)) {
-          // raw string compare on the partition value (inference is off
-          // session-wide) keeps the filter a PartitionFilter: the scan
-          // lists only the affected bucket directories
-          val hit = s.read.parquet(dir).where(col("_db").isin(buckets: _*))
+      val conf = s.sparkContext.hadoopConfiguration
+      val tables = Seq("bands.parquet", "shingles.parquet").filter { t =>
+        val root = new org.apache.hadoop.fs.Path(s"$idxDir/$t")
+        root.getFileSystem(conf).exists(root)
+      }
+      val removed = new java.util.concurrent.atomic.AtomicLong(0L)
+      // 1) survivor images for BOTH tables land under del.tmp
+      //    CONCURRENTLY (r20, guide §2.6 — independent tables; reads of
+      //    the live layout all happen before any swap). The shingles
+      //    branch counts removed docs with one semi-join — ≡ the former
+      //    hit.count − survivors.count (shingles holds one row per doc),
+      //    one action instead of two. Raw string compare on the
+      //    partition value (inference is off session-wide) keeps the
+      //    filter a PartitionFilter: the scans list only the affected
+      //    bucket directories.
+      Par.run(tables.map { t =>
+        () => {
+          val dir = s"$idxDir/$t"
+          val sch =
+            if (t == "bands.parquet") bandsIdxSchema else shinglesIdxSchema
+          val hit = s.read.schema(sch).parquet(dir)
+            .where(col("_db").isin(buckets: _*))
           val survivors = hit.join(del, Seq("doc_id"), "left_anti")
-          if (t == "shingles.parquet") removedDocs = hit.count() - survivors.count()
-          val tmpRoot = s"$idxDir/del.tmp/$t"
+          if (t == "shingles.parquet")
+            removed.set(hit.join(del, Seq("doc_id"), "left_semi").count())
           survivors.repartition(col("_db"))
-            .write.mode("overwrite").partitionBy("_db").parquet(tmpRoot)
-          buckets.foreach { b =>
-            val live = new org.apache.hadoop.fs.Path(s"$dir/_db=$b")
-            val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/_db=$b")
-            val oldP = new org.apache.hadoop.fs.Path(s"$idxDir/del.old/$t/_db=$b")
-            if (f.exists(oldP)) f.delete(oldP, true)
-            f.mkdirs(oldP.getParent)
-            if (f.exists(live)) f.rename(live, oldP)
-            // a bucket whose every doc was deleted has no tmp dir: the
-            // rename above already emptied it out of the live layout
-            if (f.exists(tmp)) f.rename(tmp, live)
-          }
-          f.delete(new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp"), true)
+            .write.mode("overwrite").partitionBy("_db")
+            .parquet(s"$idxDir/del.tmp/$t")
+        }
+      }: _*)
+      // 2) per-bucket swaps, table by table. del.tmp now stays present
+      //    across the WHOLE swap sequence — the former between-tables
+      //    window (bands swapped, shingles not, no marker → readable
+      //    mixed state) now refuses loudly instead; reconcile semantics
+      //    are unchanged (per-bucket: tmp without live → finish, tmp
+      //    with live → the swap never started for that bucket).
+      tables.foreach { t =>
+        val dir = s"$idxDir/$t"
+        val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val tmpRoot = s"$idxDir/del.tmp/$t"
+        buckets.foreach { b =>
+          val live = new org.apache.hadoop.fs.Path(s"$dir/_db=$b")
+          val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/_db=$b")
+          val oldP = new org.apache.hadoop.fs.Path(s"$idxDir/del.old/$t/_db=$b")
+          if (f.exists(oldP)) f.delete(oldP, true)
+          f.mkdirs(oldP.getParent)
+          if (f.exists(live)) f.rename(live, oldP)
+          // a bucket whose every doc was deleted has no tmp dir: the
+          // rename above already emptied it out of the live layout
+          if (f.exists(tmp)) f.rename(tmp, live)
         }
       }
-      removedDocs
+      new org.apache.hadoop.fs.Path(idxDir).getFileSystem(conf)
+        .delete(new org.apache.hadoop.fs.Path(s"$idxDir/del.tmp"), true)
+      removed.get
     } finally del.unpersist()
   }
 
