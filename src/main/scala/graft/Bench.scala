@@ -175,13 +175,37 @@ object Bench {
     val classesJson = CanaryClasses.map { case (cls, gs) =>
       "\"" + cls + "\":" + gs.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val cpus = Sessions.cpus
     val selfLine = line.dropRight(1) +
       s""","query_runs":$qruns,"canaries":$canariesJson""" +
       s""","canary_classes":$classesJson""" +
-      s""","tmp_dirs_at_start":$tmpDirsAtStart,"query_phases":$qphases}"""
-    if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-        (selfLine + "\n").getBytes("UTF-8"))
+      s""","tmp_dirs_at_start":$tmpDirsAtStart,"cpus":$cpus""" +
+      s""","query_phases":$qphases}"""
+    if (only.isEmpty) {
+      def put(name: String): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(name),
+          (selfLine + "\n").getBytes("UTF-8"))
+      // per-core-count artifact (VERDICT r20 #2): the driver runs the
+      // bench TWICE per round (full cores, then a lower-core scaling
+      // run) and the second run used to clobber the single BENCH_SELF —
+      // the full-core per-query map was lost every round. One file per
+      // core count keeps both; the legacy name stays as a copy of the
+      // full-core run (written only when this invocation uses at least
+      // half the machine, so a scaling run can never overwrite it).
+      put(s"BENCH_SELF_c$cpus.json")
+      if (cpus.toInt * 2 >= Runtime.getRuntime.availableProcessors)
+        put("BENCH_SELF.json")
+    }
+    // second, SHORT stdout line (VERDICT r20 #2): the full line above is
+    // ~9 KB at 220 gates and the driver's ~2 KB stdout-tail capture
+    // truncates it (BENCH_r19/r20 both parsed null). This summary fits
+    // any tail; distinct "metric" so a parser scanning for the full
+    // line's schema never mistakes it for the per-query map.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec",""" +
+      s""""n_run":$nRun,"n_failed":$nFailed,"partial":${nFailed > 0 || only.isDefined},""" +
+      s""""write_pps":$wps,"write_pps_durable":$wpsDurable,"cpus":$cpus,""" +
+      s""""tmp_dirs_at_start":$tmpDirsAtStart,"self_artifact":"BENCH_SELF_c$cpus.json",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,7 +94,7 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     val legal = Set(base, withBatch)
 
     val (oks, errs) = storm(3)(() => ranks(idx)) {
-      (1 to 4).foreach { _ =>
+      (1 to graft.TestScale.stormRounds(4)).foreach { _ =>
         TextIndex.bm25Append(s, batch, idx)
         TextIndex.bm25FoldDelta(s, idx)
         TextIndex.bm25Compact(s, idx, ifMoreThan = 2)
@@ -146,7 +146,7 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     assert(base.nonEmpty, "fixture: no planted near-dup pairs — vacuous")
 
     val (oks, errs) = storm(3)(() => pairs()) {
-      (1 to 4).foreach { _ =>
+      (1 to graft.TestScale.stormRounds(4)).foreach { _ =>
         DocText.neardupIndexAppend(churn, idx)
         DocText.neardupIndexDelete(s, idx, churn.select("doc_id"))
       }
@@ -191,7 +191,7 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
         val q = scala.util.Random.nextInt(10).toLong
         (q, serve(q))
       }) {
-        (1 to 3).foreach { _ =>
+        (1 to graft.TestScale.stormRounds(3)).foreach { _ =>
           TextIndex.bm25Append(s, churn, txtIdx)
           TextIndex.bm25FoldDelta(s, txtIdx)
           TextIndex.bm25Compact(s, txtIdx, ifMoreThan = 2)
@@ -267,7 +267,7 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
         val q = scala.util.Random.nextInt(10).toLong
         (q, serve(q))
       }) {
-        (1 to 3).foreach { _ =>
+        (1 to graft.TestScale.stormRounds(3)).foreach { _ =>
           TextIndex.bm25Append(s, twins, txtIdx)
           TextIndex.bm25Delete(s, txtIdx, twins.select("doc_id"))
         }
@@ -346,7 +346,7 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     }
 
     val (oks, errs) = storm(3)(() => knn()) {
-      (1 to 4).foreach { _ =>
+      (1 to graft.TestScale.stormRounds(4)).foreach { _ =>
         EmbedOps.ivfAppend(s, far, idx)
         EmbedOps.ivfFoldDelta(s, idx)
         EmbedOps.ivfCompact(s, idx, ifMoreThan = 2)
