@@ -330,6 +330,15 @@ object DocText {
         .select(pmod(col("doc_id"), lit(NEARDUP_BUCKETS)).cast("string").as("b"))
         .distinct().collect().map(_.getString(0)).sorted.toSeq
       if (buckets.isEmpty) return 0L
+      // small deletion sets (the overwhelmingly common takedown shape)
+      // anti-join as a broadcast: the survivor pass is then map-only and
+      // keeps the scan's bucket-aligned partitioning, so the write below
+      // needs no repartition. A set past the threshold falls back to the
+      // shuffle anti-join, whose output is doc_id-partitioned — there the
+      // _db repartition is re-established before the partitioned write so
+      // the layout does not fragment into tasks×buckets files.
+      val delSmall = del.count() <= s.conf
+        .get("graft.neardup.takedownBroadcastMax", "4000000").toLong
       val conf = s.sparkContext.hadoopConfiguration
       val tables = Seq("bands.parquet", "shingles.parquet").filter { t =>
         val root = new org.apache.hadoop.fs.Path(s"$idxDir/$t")
@@ -352,10 +361,22 @@ object DocText {
             if (t == "bands.parquet") bandsIdxSchema else shinglesIdxSchema
           val hit = s.read.schema(sch).parquet(dir)
             .where(col("_db").isin(buckets: _*))
-          val survivors = hit.join(del, Seq("doc_id"), "left_anti")
+          val survivors = hit.join(
+            if (delSmall) broadcast(del) else del, Seq("doc_id"), "left_anti")
           if (t == "shingles.parquet")
             removed.set(hit.join(del, Seq("doc_id"), "left_semi").count())
-          survivors.repartition(col("_db"))
+          // survivors write STRAIGHT from the bucket-pruned scan (r21,
+          // guide §2.4 — VERDICT r20 #7): the scan's tasks are already
+          // bucket-file-aligned (the layout is partitionBy(_db) on
+          // disk), so with the broadcast anti-join the whole rewrite is
+          // a map-only pass — the former repartition(_db) shuffled
+          // every survivor byte of every affected bucket just to
+          // re-establish a partitioning the scan came in with. Trade
+          // recorded in OPTIMIZATION_r21: output keeps the input's
+          // per-bucket file count (appends' debris included) instead of
+          // compacting to one file per bucket — compaction is the
+          // append path's documented concern, not the takedown's.
+          (if (delSmall) survivors else survivors.repartition(col("_db")))
             .write.mode("overwrite").partitionBy("_db")
             .parquet(s"$idxDir/del.tmp/$t")
         }

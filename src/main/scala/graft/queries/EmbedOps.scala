@@ -337,9 +337,12 @@ object EmbedOps {
     * join against the embedding fixtures) — above `globalRank`'s
     * small-path gate nothing else would cache it, so every pass would
     * re-derive the chunk corpus. Build entries unpersist on exit;
-    * search-shaped gates leave the pin to the caller's cache scope (the
-    * bench clears per run, exactly like `globalRank`'s own internal
-    * persists). */
+    * search-shaped gates execution-scope the pin via
+    * `Pins.releaseAfterExecution` (r21, VERDICT r20 #4 — a long-lived
+    * session calling these entries repeatedly must not accumulate
+    * pinned corpora; `globalRank`'s own internal persists are over the
+    * ranked KEY SET, far smaller than the corpus, and stay on the
+    * caller-clears contract). */
   private def trainPre(v: DataFrame): (Long, DataFrame) = {
     v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (v.count(), globalRank(v, "vec_id"))
@@ -2433,8 +2436,10 @@ object EmbedOps {
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
-    ivfPqSearch(ivfPqEncode(v, cents, books), q,
-      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v)
+    Pins.releaseAfterExecution(
+      ivfPqSearch(ivfPqEncode(v, cents, books), q,
+        pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v),
+      Seq(v))
   }
 
   /** Metadata-filtered search over the COMPRESSED composition — the
@@ -2454,9 +2459,11 @@ object EmbedOps {
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     val keep = emb(s, d).where(col("label") % 3 === 0).select("vec_id")
-    ivfPqSearch(
-      ivfPqEncode(v, cents, books).join(keep, Seq("vec_id"), "left_semi"), q,
-      pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v)
+    Pins.releaseAfterExecution(
+      ivfPqSearch(
+        ivfPqEncode(v, cents, books).join(keep, Seq("vec_id"), "left_semi"), q,
+        pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books), v),
+      Seq(v))
   }
 
   /** Residual-encoded IVFPQ — the published refinement: PQ quantizes
@@ -2553,7 +2560,9 @@ object EmbedOps {
     val (n, ranked) = trainPre(v)
     val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
     val (resid, books) = residParts(v, cents, Some(n))
-    ivfPqResidualSearch(residEncode(resid, books), cents, books, v)
+    Pins.releaseAfterExecution(
+      ivfPqResidualSearch(residEncode(resid, books), cents, books, v),
+      Seq(v))
   }
 
   /** Persist the residual composition: centroids, residual codebook, and
@@ -3300,7 +3309,7 @@ object EmbedOps {
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
     val qv = v.where(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
-    mmrGreedy(sl.select("qid", "vec_id")
+    Pins.releaseAfterExecution(mmrGreedy(sl.select("qid", "vec_id")
       .join(v, Seq("vec_id"))
       .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("vec_id"),
@@ -3309,7 +3318,8 @@ object EmbedOps {
       .withColumn("crn", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim_micro").desc, col("vec_id").asc)))
       .where(col("crn") <= MMR_CAND)
-      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb")))
+      .select(col("qid"), col("vec_id"), col("sim_micro"), col("emb"))),
+      Seq(v))
   }
 
   /** The per-query greedy over an arbitrary candidate frame
@@ -3447,8 +3457,10 @@ object EmbedOps {
       .select(col("qid"), col("vec_id").as("id"), col("rv"))
   }
 
-  def hybridRrf(s: SparkSession, d: String): DataFrame =
-    rrfFuse(bm25Rank(s, d), bruteVecRank(s, d))
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val (tr, tpins) = bm25Rank(s, d)
+    Pins.releaseAfterExecution(rrfFuse(tr, bruteVecRank(s, d)), tpins)
+  }
 
   /** Hybrid retrieval with the text side served from the AT-REST BM25
     * postings index (VERDICT r15 #1): the scoring scan is pruned to the
@@ -3479,8 +3491,16 @@ object EmbedOps {
     * the last composed cell of the retrieval matrix. */
   def hybridRrfIvfPq(s: SparkSession, d: String,
       keep: Option[DataFrame]): DataFrame = {
-    val (v, cents) = ivfParts(s, d, None)
-    val (_, cb) = pqTrainV(v)
+    // shared composed-build prefix (r21 — the r20 trainPre discipline,
+    // guide §1.2, applied to the last composed gates that still ran
+    // count+globalRank twice): one corpus count + one ranked frame feed
+    // both quantizer trainings, and the pinned corpus serves the build's
+    // remaining passes
+    val v = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val (n, ranked) = trainPre(v)
+    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
+    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -3488,10 +3508,12 @@ object EmbedOps {
       ivfPqEncode(v, cents, books).join(k, Seq("vec_id"), "left_semi"))
     val sl = ivfPqShortlist(codes, q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    rrfFuse(bm25Rank(s, d, keep), ivfPqVRank(v, sl))
+    val (tr, tpins) = bm25Rank(s, d, keep)
+    Pins.releaseAfterExecution(rrfFuse(tr, ivfPqVRank(v, sl)), tpins :+ v)
   }
 
-  /** The BM25 half: per-query top-MMR_CAND documents as (qid, id, rt).
+  /** The BM25 half: per-query top-MMR_CAND documents as (qid, id, rt),
+    * plus the pass's pin for the caller to execution-scope (`Pins`).
     * See the block comment above for the rational-idf determinism
     * rationale and the posting-bounded scale shape. `keep` (doc_id rows)
     * restricts the CANDIDATE documents — pre-filter semantics: corpus
@@ -3499,25 +3521,39 @@ object EmbedOps {
     * the scored doc side semi-joins the keep-set (mirrors the vector
     * rungs' candAnd discipline). */
   private def bm25Rank(s: SparkSession, d: String,
-      keep: Option[DataFrame] = None): DataFrame =
+      keep: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) =
     bm25RankT(Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks")), keep)
 
   /** BM25 over an explicit tokenized corpus `(doc_id, toks)` — the RAG
     * composition scores CHUNKS through the same arithmetic (chunk ids in
-    * the packed chunk-id space), so the corpus is a parameter. */
+    * the packed chunk-id space), so the corpus is a parameter.
+    *
+    * ONE token pass (r21, guide §1.2 — the in-gate text analog of the
+    * at-rest build's pinned token pass): `tf` is pinned and materialized
+    * by the corpus-constants action, so the tokenize + explode +
+    * (doc, term) aggregation runs once — previously the `tf` subtree was
+    * recomputed under each of its three consumers (df tier, query
+    * vocabulary, scored candidates) plus a fourth full token pass for
+    * the corpus constants. The constants now aggregate the pinned rows:
+    * every doc appears in `tf` (split() never yields an empty array, so
+    * each doc has ≥1 term) and `dl` is constant per doc, so
+    * (count, sum) over per-doc max(dl) ≡ the former direct pass —
+    * bit-identical scalars, order-free. */
   private def bm25RankT(tk: DataFrame,
-      keep: Option[DataFrame]): DataFrame = {
-    val (nDocs, lTot) = {
-      val r = tk.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head
-      (r.getLong(0), r.getLong(1)) // 2 scalars: the BM25 corpus constants
-    }
-    val avgdl = lTot.toDouble / nDocs.toDouble
+      keep: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     val tf = tk
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nDocs, lTot) = {
+      val r = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)), sum("dl")).head
+      (r.getLong(0), r.getLong(1)) // 2 scalars: the BM25 corpus constants
+    }
+    val avgdl = lTot.toDouble / nDocs.toDouble
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // query terms ⋈ their df: bounded by Σ |distinct terms of a query doc|
     val qd = tf.where(col("doc_id") < NQUERIES)
@@ -3532,14 +3568,14 @@ object EmbedOps {
     val cand = keep.fold(tf)(k =>
       tf.join(broadcast(k.select(col(k.columns.head).as("doc_id"))),
         Seq("doc_id"), "left_semi"))
-    cand.join(broadcast(qd), Seq("term"))
+    (cand.join(broadcast(qd), Seq("term"))
       .where(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"), contrib.as("cm"))
       .groupBy("qid", "doc_id").agg(sum("cm").as("bm25_micro"))
       .withColumn("rt", row_number().over(Window.partitionBy("qid")
         .orderBy(col("bm25_micro").desc, col("doc_id").asc)))
       .where(col("rt") <= MMR_CAND)
-      .select(col("qid"), col("doc_id").as("id"), col("rt"))
+      .select(col("qid"), col("doc_id").as("id"), col("rt")), Seq(tf))
   }
 
   /** One side's RRF share, nano-quantized so the fused score is an
@@ -3709,7 +3745,7 @@ object EmbedOps {
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    ivfPqExactD2(v, sl)
+    Pins.releaseAfterExecution(ivfPqExactD2(v, sl)
       .select(col("qid"), (col("vec_id") % RAG_DOCBASE).as("doc_id"),
         expr(s"vec_id div $RAG_DOCBASE").as("chunk_idx"), col("d2_micro"))
       .groupBy("qid", "doc_id")
@@ -3719,7 +3755,8 @@ object EmbedOps {
         col("best.d2_micro").as("d2_micro"))
       .withColumn("rn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("d2_micro").asc, col("doc_id").asc)))
-      .where(col("rn") <= TOPK)
+      .where(col("rn") <= TOPK),
+      Seq(v))
   }
 
   /** DuckDB replay: the chunk CTEs feed the parameterized IVFPQ
@@ -3791,8 +3828,9 @@ object EmbedOps {
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    ragDedupTail(rrfFuseRaw(bm25RankT(chunkToks(s, d), None),
-      ivfPqVRank(v, sl)))
+    val (tr, tpins) = bm25RankT(chunkToks(s, d), None)
+    Pins.releaseAfterExecution(
+      ragDedupTail(rrfFuseRaw(tr, ivfPqVRank(v, sl))), tpins :+ v)
   }
 
   /** The fused-chunk → doc-deduplicated passage tail both hybrid RAG
@@ -5223,15 +5261,20 @@ object EmbedOps {
       // the exact-oracle gate keeps exact Lloyd, and the linear-in-N
       // near-dup path at extreme N is em_cosine_neardup's adaptive
       // banding, not this method.
+      // the final Lloyd ASSIGNMENT (N×K×dim argmin — with K ∝ N the
+      // dominant pass) feeds BOTH sides of the within-cluster self-join:
+      // pinned so it computes once, not once per side (r21, guide §1.2;
+      // execution-scoped release via Pins)
       val asg = lloyd(s, in, adaptiveK)
         .select(col("vec_id"), col("embedding"), col("cluster"))
         .withColumn("nrm", norm(col("embedding")))
         .withColumn("sfx", sfx(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = asg.select(col("cluster"), col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("nrm").as("na"), col("sfx").as("sxa"))
       val b = asg.select(col("cluster"), col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("nrm").as("nb"), col("sfx").as("sxb"))
-      a.join(b, Seq("cluster"))
+      Pins.releaseAfterExecution(a.join(b, Seq("cluster"))
         .where(col("vec_a") < col("vec_b"))
         // bounded fold (dot_ge): a pair the Cauchy–Schwarz checkpoints
         // prove below 0.95 folds ~8–16 dims instead of all of them and
@@ -5242,7 +5285,8 @@ object EmbedOps {
             / (col("na") * col("nb"))))
         .where(col("sim_micro") >= 950000L)
         .groupBy(col("cluster"), col("vec_b").as("drop_id"))
-        .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))
+        .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro")),
+        Seq(asg))
     },
 
     // ---- approximate SemDeDup (the published extreme-N shape, VERDICT
@@ -5312,10 +5356,15 @@ object EmbedOps {
       val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val pin = n >= s.conf.get("graft.lsh.pinMinDocs", "20000").toLong
       // cluster rides the SAME map-only pass that computes the buckets —
-      // no vec_id join to attach it (asg carries embedding through)
+      // no vec_id join to attach it (asg carries embedding through).
+      // Pinned (r21, guide §1.2): the banded self-join below reads
+      // `sigs` on both sides, and each side would otherwise re-run the
+      // full-corpus argmin assignment pass; the pinned rows are tiny
+      // (cluster, vec_id, tbl, bucket). Execution-scoped via Pins.
       val sigs = asg.select(col("cluster"), col("vec_id"),
           posexplode(tableBuckets(nt, kd, 100)))
         .select(col("cluster"), col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand0 = sigs.toDF("cluster", "vec_a", "tbl", "bucket")
         .join(sigs.toDF("cluster", "vec_b", "tbl", "bucket"), Seq("cluster", "tbl", "bucket"))
         .where(col("vec_a") < col("vec_b"))
@@ -5325,7 +5374,7 @@ object EmbedOps {
       val vn0 = e2.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"), sfx(col("embedding")).as("sfx"))
       val vn = if (pin) vn0.repartition(p, col("vec_id")) else vn0
-      cand
+      Pins.releaseAfterExecution(cand
         .join(vn.toDF("vec_a", "ea", "na", "sxa"), Seq("vec_a"))
         .join(vn.toDF("vec_b", "eb", "nb", "sxb"), Seq("vec_b"))
         .select(col("cluster"), col("vec_a"), col("vec_b"),
@@ -5333,7 +5382,8 @@ object EmbedOps {
             / (col("na") * col("nb"))).as("sim_micro"))
         .where(col("sim_micro") >= 950000L)
         .groupBy(col("cluster"), col("vec_b").as("drop_id"))
-        .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro"))
+        .agg(min("vec_a").as("keep_id"), max("sim_micro").as("best_sim_micro")),
+        Seq(sigs))
     },
 
     // ---- cluster representatives (diversity sampling): one medoid-style
