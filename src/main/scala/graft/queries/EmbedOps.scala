@@ -348,6 +348,28 @@ object EmbedOps {
     (v.count(), globalRank(v, "vec_id"))
   }
 
+  /** The full RAW-composition training prefix: `trainPre`, then BOTH
+    * quantizer trainings — coarse (seed collect + one Lloyd pass) and PQ
+    * (seed collect + one codeword-mean pass) — OVERLAPPED from two
+    * driver threads (r21, guide §2.6). Given the shared (count, ranked)
+    * prefix the two chains are independent pure computations over the
+    * pinned corpus (PQ books train on RAW vectors here; the residual
+    * composition, whose books depend on `cents`, stays sequential), so
+    * overlap changes only scheduling: each chain's seeds filter the same
+    * ranked frame (rank of a unique key is a pure function of the key
+    * set) and each aggregation reads the same pinned `v` — every value
+    * is identical to the sequential order by construction. */
+  private def trainBothV(v: DataFrame)
+      : (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = {
+    val (n, ranked) = trainPre(v)
+    var cents: Seq[(Long, Seq[Double])] = null
+    var cb: Seq[(Int, Long, Seq[Double])] = null
+    Par.run(
+      () => cents = ivfPartsV(v, None, Some(n), Some(ranked))._2,
+      () => cb = pqTrainV(v, Some(n), Some(ranked))._2)
+    (cents, cb)
+  }
+
   /** Train the coarse quantizer on an explicit `(vec_id, emb)` corpus —
     * the append gate trains on a subset and assigns everything.
     * `preN`/`preRank` inject the shared count/rank prefix (`trainPre`)
@@ -1125,10 +1147,15 @@ object EmbedOps {
     val (_, cb) = pqTrainV(v)
     val sp = v.sparkSession
     import sp.implicits._
-    cb.toDF("m", "cid", "cvec")
-      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    pqEncode(v, pqBooks(cb)).write.mode("overwrite")
-      .parquet(s"$indexDir/codes.parquet")
+    // the two artifact writes are independent (tiny driver-side codebook,
+    // corpus-pass codes) and gated by the `_encoding` marker written
+    // AFTER both — overlap them (r21, guide §2.6; the ivfPqBuildV
+    // discipline applied to the flat-PQ/OPQ builds)
+    Par.run(
+      () => cb.toDF("m", "cid", "cvec")
+        .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet"),
+      () => pqEncode(v, pqBooks(cb)).write.mode("overwrite")
+        .parquet(s"$indexDir/codes.parquet"))
     writeEncoding(sp, indexDir, enc)
   }
 
@@ -2430,9 +2457,7 @@ object EmbedOps {
   def ivfPqAdc(s: SparkSession, d: String): DataFrame = {
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    val (cents, cb) = trainBothV(v)
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -2452,9 +2477,7 @@ object EmbedOps {
   def ivfPqFiltered(s: SparkSession, d: String): DataFrame = {
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    val (cents, cb) = trainBothV(v)
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -2647,9 +2670,7 @@ object EmbedOps {
     * train-on-subset entry the append gate uses. */
   def ivfPqBuildV(v: DataFrame, indexDir: String): Unit = {
     val s = v.sparkSession
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    val (cents, cb) = trainBothV(v)
     import s.implicits._
     // all four artifact writes are independent (two tiny driver-side
     // tables, two partitioned layouts off the cached corpus) and gated
@@ -3299,9 +3320,7 @@ object EmbedOps {
   def mmrIvfPq(s: SparkSession, d: String): DataFrame = {
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    val (cents, cb) = trainBothV(v)
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -3498,9 +3517,16 @@ object EmbedOps {
     // remaining passes
     val v = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    // the vector-side quantizer trainings and the text-side pinned tf
+    // pass read disjoint source columns and are independent — overlap
+    // them (r21, guide §2.6)
+    var trained: (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = null
+    var trP: (DataFrame, Seq[DataFrame]) = null
+    Par.run(
+      () => trained = trainBothV(v),
+      () => trP = bm25Rank(s, d, keep))
+    val (cents, cb) = trained
+    val (tr, tpins) = trP
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -3508,7 +3534,6 @@ object EmbedOps {
       ivfPqEncode(v, cents, books).join(k, Seq("vec_id"), "left_semi"))
     val sl = ivfPqShortlist(codes, q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    val (tr, tpins) = bm25Rank(s, d, keep)
     Pins.releaseAfterExecution(rrfFuse(tr, ivfPqVRank(v, sl)), tpins :+ v)
   }
 
@@ -3717,11 +3742,23 @@ object EmbedOps {
     * fixtures; a deployment widens the base. */
   private[graft] val RAG_DOCBASE = 1000000L
 
+  /** The tokenized document corpus (doc_id, toks) — the shared prefix of
+    * BOTH chunk derivations. RAG gates that need both sides pin ONE
+    * materialization of this (r21, guide §1.2) instead of re-running
+    * split() over the full corpus per side. */
+  private[graft] def docToks(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+
   /** The chunk corpus as (vec_id, emb): chunk starts from the token
     * windows, embedding inherited from the parent doc's fixture row. */
-  private[graft] def chunkVecs(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  private[graft] def chunkVecs(s: SparkSession, d: String): DataFrame =
+    chunkVecsT(s, d, docToks(s, d))
+
+  /** `chunkVecs` over an explicit tokenized corpus (the shared-prefix
+    * form). */
+  private[graft] def chunkVecsT(s: SparkSession, d: String,
+      tk: DataFrame): DataFrame =
     tk.select(col("doc_id"),
         explode(expr("sequence(0, ((size(toks)-1) div 48)*48, 48)")).as("st"))
       .select(col("doc_id"), expr("st div 48").cast("long").as("chunk_idx"))
@@ -3729,7 +3766,6 @@ object EmbedOps {
         col("embedding").cast("array<double>").as("emb")), Seq("doc_id"))
       .select((col("chunk_idx") * RAG_DOCBASE + col("doc_id")).as("vec_id"),
         col("emb"))
-  }
 
   /** chunk → compressed retrieve → doc-dedup: IVFPQ trains on the CHUNK
     * corpus, the shortlist reranks exactly, then one per-(query, doc)
@@ -3737,9 +3773,7 @@ object EmbedOps {
     * rank returns TOPK distinct docs per query. */
   def ragRetrieve(s: SparkSession, d: String): DataFrame = {
     val v = chunkVecs(s, d)
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    val (cents, cb) = trainBothV(v)
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
@@ -3795,14 +3829,38 @@ object EmbedOps {
     * `chunkVecs` (same geometry: 64-token windows, stride 48; the short
     * final window is whatever tokens remain, as `d_chunk_windows`). */
   private[graft] def chunkToks(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"),
+    chunkToksT(docToks(s, d))
+
+  /** `chunkToks` over an explicit tokenized corpus (the shared-prefix
+    * form). */
+  private[graft] def chunkToksT(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), col("toks"),
         explode(expr("sequence(0, ((size(toks)-1) div 48)*48, 48)")).as("st"))
       .select(
         (expr("st div 48").cast("long") * RAG_DOCBASE + col("doc_id"))
           .as("doc_id"),
         expr("slice(toks, st + 1, 64)").as("toks"))
+
+  /** The QUERY documents' chunk-0 token windows as distinct (qid, term) —
+    * the text-side query vocabulary of every at-rest RAG path.
+    *
+    * Equivalent to `chunkToks(s, d).where(<packed pred>)` for any packed
+    * bound/equality below NQUERIES: a packed id `chunk_idx·RAG_DOCBASE +
+    * doc_id` lies below NQUERIES (≪ RAG_DOCBASE) iff chunk_idx = 0 and
+    * the raw doc_id satisfies the same predicate; the st = 0 window
+    * always exists (the window sequence starts at 0) and its tokens are
+    * slice(toks, 1, 64). Stating the predicate on the DOCUMENTS scan
+    * instead lets it push down (PushedFilters on doc_id — r21, guide §6):
+    * the former form tokenized and windowed the WHOLE corpus to keep
+    * ~NQUERIES rows in the retrieve path of every at-rest RAG request. */
+  private def queryChunk0Toks(s: SparkSession, d: String,
+      docPred: Column): DataFrame = {
+    require(NQUERIES <= RAG_DOCBASE, "packed-id equivalence needs NQUERIES <= RAG_DOCBASE")
+    Tables(s, d, "documents").where(docPred)
+      .select(col("doc_id").as("qid"),
+        explode(expr("slice(split(text, ' '), 1, 64)")).as("term"))
+      .distinct()
+  }
 
   /** Hybrid RAG (round 16): the `em_rag_retrieve` composition with the
     * `em_hybrid_rrf` retriever — chunks score on BOTH sides (BM25 over
@@ -3819,18 +3877,31 @@ object EmbedOps {
     * shortlist-only raw reads; fusion and dedup are per-query top-CAND
     * aggregates. */
   def ragHybrid(s: SparkSession, d: String): DataFrame = {
-    val v = chunkVecs(s, d)
-    val (n, ranked) = trainPre(v)
-    val (_, cents) = ivfPartsV(v, None, Some(n), Some(ranked))
-    val (_, cb) = pqTrainV(v, Some(n), Some(ranked))
+    // ONE tokenize of the document corpus feeds BOTH sides' chunk
+    // derivations (r21, guide §1.2): the vector side's chunk embeddings
+    // and the text side's chunk token windows each re-ran split() over
+    // the full corpus before. The pin is execution-scoped with the rest.
+    val tk = docToks(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = chunkVecsT(s, d, tk)
+    // the vector-side quantizer trainings and the text-side pinned tf
+    // pass are independent given the shared tokenize — overlap them
+    // (r21, guide §2.6); values are identical to the sequential order
+    // (both branches are pure computations over disjoint outputs)
+    var trained: (Seq[(Long, Seq[Double])], Seq[(Int, Long, Seq[Double])]) = null
+    var trP: (DataFrame, Seq[DataFrame]) = null
+    Par.run(
+      () => trained = trainBothV(v),
+      () => trP = bm25RankT(chunkToksT(tk), None))
+    val (cents, cb) = trained
+    val (tr, tpins) = trP
     val books = pqBooks(cb)
     val q = ivfAssign(v.where(col("vec_id") < NQUERIES), cents, NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("list_id"))
     val sl = ivfPqShortlist(ivfPqEncode(v, cents, books), q,
       pqLut(pqSubRows(v.where(col("vec_id") < NQUERIES)), books))
-    val (tr, tpins) = bm25RankT(chunkToks(s, d), None)
     Pins.releaseAfterExecution(
-      ragDedupTail(rrfFuseRaw(tr, ivfPqVRank(v, sl))), tpins :+ v)
+      ragDedupTail(rrfFuseRaw(tr, ivfPqVRank(v, sl))), tpins :+ v :+ tk)
   }
 
   /** The fused-chunk → doc-deduplicated passage tail both hybrid RAG
@@ -3856,11 +3927,17 @@ object EmbedOps {
     * retrieves through for every query batch. */
   def ragBuildPersisted(s: SparkSession, d: String, vecDir: String,
       textDir: String): Unit = {
-    // the two at-rest artifacts are fully independent (disjoint dirs,
-    // disjoint source columns) — build them concurrently (guide §2.6)
-    Par.run(
-      () => ivfPqBuildV(chunkVecs(s, d), vecDir),
-      () => TextIndex.bm25BuildT(chunkToks(s, d), textDir))
+    // ONE tokenize of the document corpus feeds both builds' chunk
+    // derivations (r21, guide §1.2 — split() over the corpus ran once
+    // per build before); the two at-rest artifacts stay fully
+    // independent (disjoint dirs, disjoint derived columns) and build
+    // concurrently (guide §2.6)
+    val tk = docToks(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Par.run(
+      () => ivfPqBuildV(chunkVecsT(s, d, tk), vecDir),
+      () => TextIndex.bm25BuildT(chunkToksT(tk), textDir))
+    finally tk.unpersist()
   }
 
   /** End-to-end RAG retrieval THROUGH the at-rest artifacts — the
@@ -3878,12 +3955,19 @@ object EmbedOps {
     // all read the index's own artifacts — the chunk corpus is never
     // re-derived or scanned per retrieval
     val qids = 0L until NQUERIES
-    val vRank = ivfPqVRankAtRest(s, vecDir,
-      ivfPqShortlistAtRest(s, vecDir, qids))
-    val qt = chunkToks(s, d).where(col("doc_id") < NQUERIES)
-      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
-      .distinct()
-    val tRank = TextIndex.bm25RankIndexedQ(s, qt, textDir, MMR_CAND)
+    // the two retrieval sides read DISJOINT at-rest artifacts and are
+    // independent until fusion — overlap their eager construction
+    // actions (probe/shortlist collects vs vocabulary resolution; r21,
+    // guide §2.6). The text-side query vocabulary derives pushed-down
+    // from the query documents alone (`queryChunk0Toks`) instead of
+    // windowing the whole corpus.
+    var vRank: DataFrame = null
+    var tRank: DataFrame = null
+    Par.run(
+      () => vRank = ivfPqVRankAtRest(s, vecDir,
+        ivfPqShortlistAtRest(s, vecDir, qids)),
+      () => tRank = TextIndex.bm25RankIndexedQ(s,
+        queryChunk0Toks(s, d, col("doc_id") < NQUERIES), textDir, MMR_CAND))
     ragDedupTail(rrfFuseRaw(tRank, vRank))
   }
 
@@ -3902,12 +3986,14 @@ object EmbedOps {
     require(qid >= 0 && qid < NQUERIES,
       s"qid must be in [0, $NQUERIES) (got $qid): query embeddings are the " +
         "vec_id < NQUERIES rows")
-    val vRank = ivfPqVRankAtRest(s, vecDir,
-      ivfPqShortlistAtRest(s, vecDir, Seq(qid)))
-    val qt = chunkToks(s, d).where(col("doc_id") === qid)
-      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
-      .distinct()
-    val tRank = TextIndex.bm25RankIndexedQ(s, qt, textDir, MMR_CAND)
+    // pushed-down query vocabulary + overlapped sides, as `ragPersisted`
+    var vRank: DataFrame = null
+    var tRank: DataFrame = null
+    Par.run(
+      () => vRank = ivfPqVRankAtRest(s, vecDir,
+        ivfPqShortlistAtRest(s, vecDir, Seq(qid))),
+      () => tRank = TextIndex.bm25RankIndexedQ(s,
+        queryChunk0Toks(s, d, col("doc_id") === qid), textDir, MMR_CAND))
     ragDedupTail(rrfFuseRaw(tRank, vRank))
   }
 
@@ -4019,9 +4105,7 @@ object EmbedOps {
       .select(col("qid"), col("m"), col("cid"), col("qd2"))
       .as[(Long, Int, Long, Long)].collect().toSeq
       .groupBy(_._1).view.mapValues(_.toSeq).toMap
-    val qt = chunkToks(s, d).where(col("doc_id") < NQUERIES)
-      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
-      .distinct()
+    val qt = queryChunk0Toks(s, d, col("doc_id") < NQUERIES)
     val (nDocs, avgdl, vocabRows, qdRows) =
       TextIndex.resolveTextServe(s, qt, textDir)
     new RagHandle(s, d, vecDir, textDir, probes, luts,

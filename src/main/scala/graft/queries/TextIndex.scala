@@ -285,6 +285,18 @@ object TextIndex {
       source: Option[DataFrame] = None): Unit = {
     val (f, liveP) = EmbedOps.hfs(s, s"$indexDir/postings.parquet")
     if (!f.exists(liveP) || f.listStatus(liveP).isEmpty) return
+    dfDeriveTmp(s, indexDir, buckets, source)
+    dfSwapTmp(s, indexDir, buckets)
+  }
+
+  /** The derive half of `refreshDf`: aggregate the df rows into
+    * `df.refresh.tmp`. Writes NO visible state (readers never look at
+    * the tmp dir), so the build overlaps it with the other artifact
+    * writes (guide §2.6) and swaps after — `dfSwapTmp`. */
+  private def dfDeriveTmp(s: SparkSession, indexDir: String,
+      buckets: Option[Seq[String]],
+      source: Option[DataFrame] = None): Unit = {
+    val (f, liveP) = EmbedOps.hfs(s, s"$indexDir/postings.parquet")
     val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.refresh.tmp")
     f.delete(tmpRoot, true)
     // `source` (r20 optimization): the build already holds the postings
@@ -301,6 +313,15 @@ object TextIndex {
       .repartition(col("tb"))
       .sortWithinPartitions(col("tb"), col("term"))
       .write.mode("overwrite").partitionBy("tb").parquet(tmpRoot.toString)
+  }
+
+  /** The swap half of `refreshDf`: move the refreshed bucket dirs from
+    * `df.refresh.tmp` into `df.parquet` (callers hold the df.dirty
+    * marker across this). */
+  private def dfSwapTmp(s: SparkSession, indexDir: String,
+      buckets: Option[Seq[String]]): Unit = {
+    val (f, _) = EmbedOps.hfs(s, s"$indexDir/postings.parquet")
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.refresh.tmp")
     val dfRoot = new org.apache.hadoop.fs.Path(s"$indexDir/df.parquet")
     f.mkdirs(dfRoot)
     // swap in the refreshed buckets; a refreshed bucket that lost every
@@ -367,48 +388,63 @@ object TextIndex {
     // a REBUILD over an existing dir must not leave the old stats beside
     // a new doclen if it crashes mid-way — same marker window as append
     markStatsDirty(s, indexDir)
-    // tokenize/chunk ONCE: both artifact writes below consume `tk`, and
+    // tokenize/chunk ONCE: every artifact below consumes `tk`, and
     // for the RAG composition `tk` is the chunk-window derivation — one
-    // materialized pass instead of two, then the two independent table
-    // writes overlap (guide §2.6; both are inside the stats-dirty marker
+    // materialized pass instead of two, then the independent table
+    // writes overlap (guide §2.6; all are inside the stats-dirty marker
     // window, so the crash semantics are the sequential ones)
     val tkc = tk.persist()
     // the stats scalars aggregate the SAME doclen rows the write lands
     // (count/sum are order-free), so computing them from the cached
-    // tokens in a third overlapped branch ≡ the former post-write
+    // tokens in an overlapped branch ≡ the former post-write
     // read-back (recompute ≡ increment invariant intact: reconcile's
     // recompute over the written file yields the same two scalars) —
     // and drops an O(corpus-docs) read pass from every build
     val stats = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]
     try {
       tkc.count()
-      graft.queries.Par.run(
-        () => tfRowsT(tkc)
-          .repartition(col("tb"))
-          // the write requires (tb) ordering for partitionBy; sorting
-          // (tb, term) satisfies it AND clusters terms, so no second sort
-          // is inserted and the clustering survives into the files
-          .sortWithinPartitions(col("tb"), col("term"))
-          .write.mode("overwrite").partitionBy("tb")
-          .parquet(s"$indexDir/postings.parquet"),
-        () => doclenRowsT(tkc)
-          .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet"),
-        () => {
-          val r = doclenRowsT(tkc)
-            .agg(count(lit(1)).cast("long"),
-              coalesce(sum("dl"), lit(0L)).cast("long")).head
-          stats.set((r.getLong(0), r.getLong(1)))
-        })
-      val (n, dl) = stats.get
-      writeStats(s, indexDir, n, dl)
-      clearStatsDirty(s, indexDir)
-      // the derived df tier — full derive at build (O(index), like the
-      // build itself), aggregated from the cached token pass instead of
-      // a live-layout re-read; folds and deletes keep it fresh per
-      // touched bucket
-      markDfDirty(s, indexDir, None)
-      refreshDf(s, indexDir, None, Some(tfRowsT(tkc)))
-      clearDfDirty(s, indexDir)
+      // ONE tf pass (r21, guide §1.2): the tokenize + explode +
+      // (doc, term) aggregation previously ran TWICE per build — once
+      // under the postings write, once re-derived for the df tier. Pin
+      // it; the postings write lands the cached rows and the df branch
+      // aggregates the same materialization (identical rows by
+      // construction — one deterministic aggregation, one
+      // materialization). The df TMP write carries no visible state
+      // (readers never look at df.refresh.tmp), so it joins the
+      // overlapped group (guide §2.6) instead of running as a serial
+      // tail; only the SWAP stays behind the df.dirty marker below.
+      val tfc = tfRowsT(tkc).persist()
+      try {
+        graft.queries.Par.run(
+          () => tfc
+            .repartition(col("tb"))
+            // the write requires (tb) ordering for partitionBy; sorting
+            // (tb, term) satisfies it AND clusters terms, so no second sort
+            // is inserted and the clustering survives into the files
+            .sortWithinPartitions(col("tb"), col("term"))
+            .write.mode("overwrite").partitionBy("tb")
+            .parquet(s"$indexDir/postings.parquet"),
+          () => doclenRowsT(tkc)
+            .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet"),
+          () => {
+            val r = doclenRowsT(tkc)
+              .agg(count(lit(1)).cast("long"),
+                coalesce(sum("dl"), lit(0L)).cast("long")).head
+            stats.set((r.getLong(0), r.getLong(1)))
+          },
+          () => dfDeriveTmp(s, indexDir, None, Some(tfc)))
+        val (n, dl) = stats.get
+        writeStats(s, indexDir, n, dl)
+        clearStatsDirty(s, indexDir)
+        // the derived df tier — full derive at build (O(index), like the
+        // build itself), aggregated from the pinned tf pass instead of
+        // a live-layout re-read; folds and deletes keep it fresh per
+        // touched bucket. Only the dir swap runs here — the derive
+        // overlapped above.
+        markDfDirty(s, indexDir, None)
+        dfSwapTmp(s, indexDir, None)
+        clearDfDirty(s, indexDir)
+      } finally tfc.unpersist()
     } finally tkc.unpersist()
     EmbedOps.bumpGeneration(s, indexDir)
   }
